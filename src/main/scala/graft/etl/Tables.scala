@@ -1,0 +1,28 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table access with schema normalization.
+  *
+  * The driver's `events` table carries a TIMESTAMP(NANOS) parquet column,
+  * which Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL)
+  * unless `spark.sql.legacy.parquet.nanosAsLong` is on — then it surfaces
+  * as a LongType of nanos since epoch. We enable the flag defensively at
+  * read time (it is a dynamic SQLConf) and rebuild a proper timestamp at
+  * microsecond precision, which is what DuckDB-side SQL sees semantically
+  * for every per-second/-day derivation used in queries.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case None => df
+    }
+  }
+}

@@ -1,0 +1,23 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality probes from the reference's EDA cells. */
+object Quality {
+
+  /** Business-key uniqueness probe (reference
+    * `mkt_returns/sql_test_mkt_returns.ipynb:590-658`, A1+A2): rows per
+    * candidate key with multiplicity > 1. Empty result proves the key is
+    * unique. Hash aggregation on the key columns — one shuffle, partial
+    * counts map-side. */
+  def keyViolations(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+
+  /** True iff `keys` is a unique key of `df`. Action at the edge —
+    * intended for tests/checks, not inside pipelines. */
+  def isUniqueKey(df: DataFrame, keys: Seq[String]): Boolean =
+    keyViolations(df, keys).isEmpty
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Calendar, Quality}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("calendar marks Mon-Fri working, Sat/Sun not; 1=Monday") {
+    val cal = Calendar.calendar(spark, "2025-01-01", "2025-01-14")
+    assert(cal.count() == 14)
+    val mon = cal.where($"cal_date" === lit("2025-01-06").cast("date")).head()
+    assert(mon.getAs[Long]("day_of_week") == 1L)
+    assert(mon.getAs[String]("text_day_of_week") == "Monday")
+    assert(mon.getAs[Boolean]("is_working_day"))
+    val sat = cal.where($"cal_date" === lit("2025-01-04").cast("date")).head()
+    assert(sat.getAs[Long]("day_of_week") == 6L)
+    assert(!sat.getAs[Boolean]("is_working_day"))
+    assert(cal.where($"is_working_day").count() == 10)
+  }
+
+  test("filterWorkingDays drops weekend fact rows and keeps columns") {
+    val fact = Seq(("2025-01-04", 1.0), ("2025-01-06", 2.0))
+      .toDF("d", "v").withColumn("d", $"d".cast("date"))
+    val kept = Calendar.filterWorkingDays(fact, "d")
+    assert(kept.columns.toSeq == Seq("d", "v"))
+    assert(kept.select("v").as[Double].collect().toSeq == Seq(2.0))
+  }
+
+  test("keyViolations finds duplicate keys; isUniqueKey agrees") {
+    val df = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "v")
+    val viol = Quality.keyViolations(df, Seq("k")).collect()
+    assert(viol.length == 1 && viol.head.getInt(0) == 1
+      && viol.head.getLong(1) == 2L)
+    assert(!Quality.isUniqueKey(df, Seq("k")))
+    assert(Quality.isUniqueKey(df, Seq("k", "v")))
+  }
+
+  test("driver contract: entry returns rows; queries and oracle keys line up") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("all queries run on sf0.001 and return rows") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+}
