@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.DateTimeFunctions.yearWeek
 import graft.functions.ReturnFunctions.{compoundReturn, runningCompound}
-import graft.ops.{Calendar, Quality, Returns}
+import graft.functions.TextFunctions._
+import graft.ops.{Calendar, Dedup, Quality, Returns}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -148,7 +149,68 @@ object SparkEntry {
       t(s, dir, "events")
         .select(to_date(col("ts")).as("mdate")).distinct()
         .select(col("mdate"), yearWeek(col("mdate")).as("year_week"))
-        .orderBy("mdate"))
+        .orderBy("mdate")),
+
+    // ---- training-data pipeline extensions: dedup + text analysis ----
+
+    // Exact dedup: content-hash groups with keeper id + multiplicity.
+    "q13_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")),
+
+    // Near-dup pairs by exact word-3-gram Jaccard (all-pairs verify path).
+    "q14_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
+    // Near-dup pairs by MinHash(8 perms) + LSH(4 bands x 2) + verify —
+    // the 100 TB-scale dedup path: pairs come from band buckets, never
+    // from an all-pairs join.
+    "q15_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
+    // 32-bit SimHash per document.
+    "q16_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Text quality statistics: token counts, BPE-ish token estimate,
+    // stopword/punctuation ratios, composite quality score.
+    "q18_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
+      d.select(
+        col("doc_id"),
+        tokenCount(col("w")).cast("long").as("n_tokens"),
+        bpeTokenEstimate(col("w")).as("bpe_est"),
+        round(aggregate(col("w"), lit(0L), (a, x) => a + length(x)).cast("double")
+          / size(col("w")), 6).as("avg_token_len"),
+        round(stopwordRatio(col("w")), 6).as("stopword_ratio"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        round(qualityScore(col("text"), col("w")), 6).as("quality")
+      ).orderBy("doc_id")
+    }),
+
+    // Heuristic language ID (stopword-panel argmax).
+    "q19_lang_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+      d.select(col("doc_id"),
+          hitCount(col("w"), EnStopwords).cast("long").as("en_hits"),
+          langId(col("w")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: min 32-bit hash over char 5-gram shingles.
+    "q20_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -229,6 +291,131 @@ object SparkEntry {
     "q12_week_key" ->
       """SELECT DISTINCT CAST(ts AS DATE) AS mdate,
         |       strftime(CAST(ts AS DATE), '%Y-%W') AS year_week
-        |FROM events ORDER BY 1""".stripMargin
+        |FROM events ORDER BY 1""".stripMargin,
+
+    "q13_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+        |       COUNT(1) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+         |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS inter,
+         |         MAX(a.n) AS na, MAX(b.n) AS nb
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
+         |FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q15_minhash_lsh" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+         |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+         |), h AS (
+         |  SELECT doc_id, CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) AS h FROM ex
+         |), sig AS (
+         |  SELECT doc_id,
+         |    MIN((1664525*h+1013904223) % 2147483647) AS mh0,
+         |    MIN((22695477*h+1) % 2147483647) AS mh1,
+         |    MIN((1103515245*h+12345) % 2147483647) AS mh2,
+         |    MIN((134775813*h+1) % 2147483647) AS mh3,
+         |    MIN((214013*h+2531011) % 2147483647) AS mh4,
+         |    MIN((69069*h+7) % 2147483647) AS mh5,
+         |    MIN((48271*h+11) % 2147483647) AS mh6,
+         |    MIN((16807*h+3) % 2147483647) AS mh7
+         |  FROM h GROUP BY 1
+         |), bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig UNION ALL
+         |  SELECT doc_id, 1, mh2, mh3 FROM sig UNION ALL
+         |  SELECT doc_id, 2, mh4, mh5 FROM sig UNION ALL
+         |  SELECT doc_id, 3, mh6, mh7 FROM sig
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         |   AND a.doc_id < b.doc_id
+         |), verified AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(1) AS inter,
+         |         MAX(ea.n) AS na, MAX(eb.n) AS nb
+         |  FROM cand c
+         |  JOIN ex ea ON ea.doc_id = c.doc_a
+         |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
+         |FROM verified WHERE inter*1.0/(na+nb-inter) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q16_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS h FROM toks
+         |), bits AS (
+         |  SELECT doc_id, t.bit,
+         |         SUM(CASE WHEN (h >> t.bit) & 1 = 1 THEN 1 ELSE -1 END) AS bitsum
+         |  FROM h, range(0, 32) AS t(bit) GROUP BY 1, 2
+         |)
+         |SELECT doc_id,
+         |       CAST(SUM(CASE WHEN bitsum > 0
+         |                     THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q18_text_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+         |), m AS (
+         |  SELECT doc_id, text, w,
+         |    len(w) AS n_tokens,
+         |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS sw_hits,
+         |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))*1.0
+         |      / length(text) AS praw
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(list_sum(list_transform(w, x -> CAST(ceil(length(x)/4.0) AS BIGINT))) AS BIGINT) AS bpe_est,
+         |  ROUND(list_sum(list_transform(w, x -> length(x)))*1.0/n_tokens, 6) AS avg_token_len,
+         |  ROUND(sw_hits*1.0/n_tokens, 6) AS stopword_ratio,
+         |  ROUND(praw, 6) AS punct_ratio,
+         |  ROUND(0.5*least(1.0, n_tokens/100.0) + 0.3*(1.0 - praw)
+         |        + 0.2*least(1.0, sw_hits*5.0/n_tokens), 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q19_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS en_hits,
+         |    len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un'))) AS es_hits,
+         |    len(list_filter(w, x -> x IN ('le','la','de','et','un','les','des'))) AS fr_hits
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(en_hits AS BIGINT) AS en_hits,
+         |  CASE WHEN greatest(en_hits, es_hits, fr_hits) = 0 THEN 'unk'
+         |       WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+         |       WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q20_fingerprint" ->
+      """SELECT doc_id,
+        |  list_min(list_transform(generate_series(1, length(text)-4),
+        |    i -> CAST(('0x'||substr(md5(substr(text,i,5)),1,8)) AS BIGINT))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data
+  * pipelines: tokenization, shingling, deterministic 32-bit content
+  * hashing, token-count estimation, stopword/quality heuristics.
+  *
+  * Everything is composed from Spark built-ins (codegen'd, no UDFs) and
+  * is bit-reproducible against an independent SQL engine: hashes derive
+  * from md5 hex (identical everywhere) rather than engine-private hash
+  * functions.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word n-gram shingles, joined with single spaces. Empty
+    * array when the document has fewer than n tokens. */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val sh = transform(sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
+    when(size(toks) >= n, array_distinct(sh))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(sequence(lit(1), length(text) - lit(n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Deterministic unsigned 32-bit hash: the first 8 hex digits of
+    * md5. Engine-portable (DuckDB: `('0x'||substr(md5(s),1,8))::BIGINT`)
+    * unlike Spark's Murmur `hash()`. */
+  def h32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** LCG permutations for MinHash: h -> (a*h + b) mod M. Constants are
+    * classic LCG multipliers; M = 2^31-1 keeps a*h inside a 64-bit long
+    * for 32-bit h in every engine. */
+  val MinhashMod = 2147483647L
+  val MinhashPerms: Seq[(Long, Long)] = Seq(
+    (1664525L, 1013904223L), (22695477L, 1L), (1103515245L, 12345L),
+    (134775813L, 1L), (214013L, 2531011L), (69069L, 7L),
+    (48271L, 11L), (16807L, 3L))
+
+  def minhashPerm(h: Column, a: Long, b: Long): Column =
+    (lit(a) * h + lit(b)) % lit(MinhashMod)
+
+  /** Number of whitespace tokens. */
+  def tokenCount(toks: Column): Column = size(toks)
+
+  /** BPE-ish subword token estimate: sum over words of ceil(len/4) —
+    * the usual ~4-chars-per-token heuristic, exact on word boundaries. */
+  def bpeTokenEstimate(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, w) => acc + ceil(length(w) / lit(4.0)))
+
+  /** Default English stopword sample used by ratio/lang-id heuristics. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val EsStopwords: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un")
+  val FrStopwords: Seq[String] = Seq("le", "la", "de", "et", "un", "les", "des")
+
+  /** Number of tokens contained in `words`. */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Fraction of tokens that are stopwords of the given list. */
+  def stopwordRatio(toks: Column, words: Seq[String] = EnStopwords): Column =
+    hitCount(toks, words) / size(toks).cast("double")
+
+  /** Fraction of characters that are punctuation (non-alnum, non-space). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))) /
+      length(text).cast("double")
+
+  /** Composite document quality score in [0,1]: length saturation,
+    * low punctuation, presence of function words. Heuristic weights in
+    * the spirit of C4/Gopher-style quality filters. */
+  def qualityScore(text: Column, toks: Column): Column =
+    lit(0.5) * least(lit(1.0), size(toks) / lit(100.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio(text)) +
+      lit(0.2) * least(lit(1.0), stopwordRatio(toks) * lit(5.0))
+
+  /** N-gram-heuristic language ID over a fixed 3-language panel:
+    * argmax of stopword hits, 'unk' when no list hits. Ties break
+    * en > es > fr (deterministic). */
+  def langId(toks: Column): Column = {
+    val en = hitCount(toks, EnStopwords)
+    val es = hitCount(toks, EsStopwords)
+    val fr = hitCount(toks, FrStopwords)
+    when(greatest(en, es, fr) === 0, lit("unk"))
+      .when(en >= es && en >= fr, lit("en"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Document fingerprint: minimum 32-bit hash over character 5-gram
+    * shingles (a 1-permutation MinHash — the winnowing-style rolling
+    * fingerprint collapsed to document grain). */
+  def fingerprint(text: Column, n: Int = 5): Column =
+    array_min(transform(charShingles(text, n), s => h32(s)))
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (content-hash), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale posture (100 TB): every operator is a pure shuffle-on-key plan —
+  * exact dedup is one hash aggregation on the content hash; MinHash
+  * signatures are one aggregation over exploded shingles; LSH candidate
+  * generation joins on (band, key) buckets so only probable near-dups
+  * are ever paired. The all-pairs `jaccardPairs` is the verification
+  * primitive — quadratic per shingle bucket — and takes a document-
+  * frequency cap to drop degenerate hot shingles (stopword-only
+  * shingles), the standard skew guard for this join.
+  */
+object Dedup {
+
+  /** Exact-duplicate groups: one row per distinct content, with the
+    * surviving (minimum) id and the multiplicity. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep exactly one row (minimum id) per distinct content. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exploded distinct word-n-gram shingle table:
+    * (id, s shingle, n = |doc's shingle set|). The base relation for
+    * Jaccard verification and MinHash. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), wordShingles(tokens(col(textCol)), n).as("sh"))
+      .select(col(idCol), explode(col("sh")).as("s"), size(col("sh")).as("n"))
+
+  /** All-pairs n-gram Jaccard similarity >= threshold. Exact but
+    * quadratic within a shingle bucket; cap bucket width with
+    * `maxDocFreq` (drop shingles occurring in more documents) when the
+    * corpus has hot shingles. Output: doc_a < doc_b, jaccard. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val ex0 = shingleTable(df, idCol, textCol, n)
+    val ex = maxDocFreq match {
+      case Some(cap) =>
+        val dfreq = ex0.groupBy("s").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap).select("s")
+        ex0.join(dfreq, "s")
+      case None => ex0
+    }
+    val a = ex.select(col(idCol).as("doc_a"), col("s"), col("n").as("na"))
+    val b = ex.select(col(idCol).as("doc_b"), col("s"), col("n").as("nb"))
+    a.join(b, "s")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nb").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature per document: 8 permutations of the 32-bit
+    * md5-derived shingle hash. Columns: id, mh0..mh7. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val h = shingleTable(df, idCol, textCol, n)
+      .select(col(idCol), h32(col("s")).as("h"))
+    val aggs = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min(minhashPerm(col("h"), a, b)).as(s"mh$i")
+    }
+    h.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: 4 bands x 2 rows over the 8-perm signature;
+    * docs sharing any band bucket become candidates. */
+  def lshCandidates(sig: DataFrame, idCol: String): DataFrame = {
+    val bandStructs = (0 until 4).map { i =>
+      struct(lit(i).as("band"), col(s"mh${2 * i}").as("k1"),
+        col(s"mh${2 * i + 1}").as("k2"))
+    }
+    val bands = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.k1"), col("bk.k2"))
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("k1"), col("k2"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("k1"), col("k2"))
+    a.join(b, Seq("band", "k1", "k2"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard:
+    * signature -> band-bucket join -> candidate pairs -> exact
+    * verification against the shingle table. The scale path: pair
+    * generation is linear in bucket occupancy, never all-pairs. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val cand = lshCandidates(minhashSignatures(df, idCol, textCol, n), idCol)
+    val ex = shingleTable(df, idCol, textCol, n)
+    val a = ex.select(col(idCol).as("doc_a"), col("s"), col("n").as("na"))
+    val b = ex.select(col(idCol).as("doc_b"), col("s"), col("n").as("nb"))
+    cand.join(a, "doc_a").join(b, Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nb").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash over distinct whitespace tokens: bit j of the
+    * hash is set iff more token hashes have bit j set than clear. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .select(col(idCol), h32(col("tok")).as("h"))
+    val bits = toks.select(col(idCol), col("h"),
+        explode(sequence(lit(0), lit(31))).as("bit"))
+      .withColumn("contrib",
+        when(expr("(shiftright(h, bit) & 1) = 1"), lit(1)).otherwise(lit(-1)))
+    bits.groupBy(col(idCol), col("bit"))
+      .agg(sum(col("contrib")).as("bitsum"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("bitsum") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(lit(0L)))
+        .as("simhash"))
+  }
+}

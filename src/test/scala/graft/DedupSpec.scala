@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different content with other words entirely"),
+    (5L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses identical content to the min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 4)
+    val dup = g.where($"n_copies" === 2).head()
+    assert(dup.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("dropExactDuplicates keeps one row per content, min id wins") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    assert(kept.count() == 4)
+    assert(kept.where($"doc_id" === 2).isEmpty)
+    assert(!kept.where($"doc_id" === 1).isEmpty)
+  }
+
+  test("jaccardPairs finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))  // exact: jaccard 1.0
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)))  // near
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 2L)).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("maxDocFreq cap drops hot shingles from pairing") {
+    // every doc shares shingle "x y z" -> without cap all pairs appear
+    val hot = Seq((1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z g h i"))
+      .toDF("doc_id", "text")
+    val without = Dedup.jaccardPairs(hot, "doc_id", "text", n = 3, threshold = 0.0)
+    val withCap = Dedup.jaccardPairs(hot, "doc_id", "text", n = 3,
+      threshold = 0.0, maxDocFreq = Some(2))
+    assert(without.count() == 3 && withCap.count() == 0)
+  }
+
+  test("minhash LSH finds the same high-similarity pairs as exact jaccard") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    // LSH is a candidate filter + identical verification: it can only
+    // miss (probabilistically), never add. On near-identical docs with
+    // 8 perms it catches everything.
+    assert(lsh.except(exact).isEmpty)
+    assert(exact.except(lsh).isEmpty)
+  }
+
+  test("identical docs share a signature; signatures are deterministic") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3)
+    val s1 = sig.where($"doc_id" === 1).drop("doc_id").head()
+    val s2 = sig.where($"doc_id" === 2).drop("doc_id").head()
+    assert(s1 == s2)
+    val again = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3)
+      .where($"doc_id" === 1).drop("doc_id").head()
+    assert(s1 == again)
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val m = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(3L)) <= 8)   // 1 word of 9 differs
+    assert(hamming(m(1L), m(4L)) > 8)    // unrelated content
+    assert((m(1L) & 0xFFFFFFFFL) == m(1L)) // 32-bit range
+  }
+}

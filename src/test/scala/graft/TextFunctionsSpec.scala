@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.head().get(0).asInstanceOf[T]
+
+  test("tokens splits on runs of whitespace and trims") {
+    val t = Seq("  the quick\t brown   fox ").toDF("s")
+      .select(tokens($"s")).as[Seq[String]].head()
+    assert(t == Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("wordShingles produces distinct n-grams; short docs give empty") {
+    val df = Seq("a b c d").toDF("s").select(wordShingles(tokens($"s"), 3))
+    assert(df.as[Seq[String]].head() == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("s").select(wordShingles(tokens($"s"), 3))
+    assert(short.as[Seq[String]].head().isEmpty)
+  }
+
+  test("h32 matches an independently computed md5 prefix") {
+    // md5("abc") = 900150983cd24fb0...; first 8 hex = 0x90015098
+    val h = one[Long](Seq("abc").toDF("s").select(h32($"s")))
+    assert(h == java.lang.Long.parseLong("90015098", 16))
+  }
+
+  test("bpeTokenEstimate sums ceil(len/4) per word") {
+    // "hello"(2) + "hi"(1) + "abcdefgh"(2) = 5
+    val e = one[Long](Seq("hello hi abcdefgh").toDF("s")
+      .select(bpeTokenEstimate(tokens($"s"))))
+    assert(e == 5L)
+  }
+
+  test("stopword and punct ratios") {
+    val df = Seq("the cat, and dog!").toDF("s")
+    val sw = one[Double](df.select(stopwordRatio(tokens($"s"))))
+    assert(math.abs(sw - 2.0 / 4.0) < 1e-12)  // the, and of 4 tokens
+    val pr = one[Double](df.select(punctRatio($"s")))
+    assert(math.abs(pr - 2.0 / 17.0) < 1e-12) // ',' and '!'
+  }
+
+  test("langId picks the dominant stopword panel, unk when none") {
+    val cases = Seq(
+      ("the cat and the dog", "en"),
+      ("el gato y la casa de que", "es"),
+      ("les chats et des chiens", "fr"),
+      ("zzz qqq www", "unk"))
+    cases.foreach { case (txt, want) =>
+      val got = one[String](Seq(txt).toDF("s").select(langId(tokens($"s"))))
+      assert(got == want, s"'$txt' -> $got, want $want")
+    }
+  }
+
+  test("fingerprint is stable and shifts only with content") {
+    val f1 = one[Long](Seq("hello world this is a doc").toDF("s")
+      .select(fingerprint($"s")))
+    val f1b = one[Long](Seq("hello world this is a doc").toDF("s")
+      .select(fingerprint($"s")))
+    val f2 = one[Long](Seq("hello world this is another doc").toDF("s")
+      .select(fingerprint($"s")))
+    assert(f1 == f1b)
+    // shared 5-gram minimum may coincide, but values must be in u32 range
+    assert(f1 >= 0 && f1 <= 0xFFFFFFFFL && f2 >= 0)
+  }
+}
