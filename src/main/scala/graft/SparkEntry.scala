@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.DateTimeFunctions.yearWeek
 import graft.functions.ReturnFunctions.{compoundReturn, runningCompound}
 import graft.functions.TextFunctions._
-import graft.ops.{Calendar, Dedup, Quality, Returns}
+import graft.ops.{Calendar, Dedup, EventWindows, Quality, Returns, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -210,7 +210,53 @@ object SparkEntry {
     "q20_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- similarity search + event-time windows ----------------------
+
+    // Exact brute-force cosine top-5 for 10 query vectors (the ANN
+    // correctness baseline; query set broadcast, corpus streamed).
+    "q17_ann_cosine" -> ((s, dir) =>
+      Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")),
+
+    // Tumbling 1-hour windows per event type.
+    "q21_event_window" -> ((s, dir) =>
+      EventWindows.tumbling(t(s, dir, "events"), "ts", "1 hour",
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")))
+        .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
+
+    // Sliding 1-hour windows every 30 minutes (each event lands in 2).
+    "q22_sliding_window" -> ((s, dir) =>
+      EventWindows.sliding(t(s, dir, "events"), "ts", "1 hour", "30 minutes",
+          Seq.empty, Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")))
+        .select(col("window_start"), col("n"), col("sum_value"))
+        .orderBy("window_start")),
+
+    // Gap-based sessionization (30-minute inactivity) + session rollup.
+    "q23_sessionize" -> ((s, dir) =>
+      EventWindows.sessionStats(t(s, dir, "events"), "user_id", "ts",
+          "value", gapSeconds = 1800, orderTieCol = "event_id")
+        .orderBy("user_id", "session_id")),
+
+    // Embedding-cosine near-duplicate pairs (exact all-pairs verify).
+    "q24_embedding_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.4)
+        .orderBy("doc_a", "doc_b")),
+
+    // IVF approximate top-k — the pruned scale path. No SQL oracle
+    // (approximation choice is engine-side); driver rows-only check,
+    // recall vs q17 asserted in SimilaritySpec.
+    "q25_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, centroidStride = 32, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -416,6 +462,86 @@ object SparkEntry {
       """SELECT doc_id,
         |  list_min(list_transform(generate_series(1, length(text)-4),
         |    i -> CAST(('0x'||substr(md5(substr(text,i,5)),1,8)) AS BIGINT))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_ann_cosine" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS v, i AS idx
+        |  FROM embeddings, generate_series(1, 64) AS t(i)
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM ex GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS target_id, SUM(a.v*b.v) AS dot
+        |  FROM ex a JOIN ex b ON a.idx = b.idx
+        |   AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), cos AS (
+        |  SELECT query_id, target_id, ROUND(dot/(na.nrm*nb.nrm), 6) AS cosine
+        |  FROM dots JOIN norms na ON na.vec_id = query_id
+        |            JOIN norms nb ON nb.vec_id = target_id
+        |), ranked AS (
+        |  SELECT query_id, target_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, target_id) AS rank
+        |  FROM cos
+        |)
+        |SELECT query_id, target_id, cosine, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q21_event_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q22_sliding_window" ->
+      """WITH b AS (
+        |  SELECT make_timestamp(CAST(floor(epoch(ts)/1800)*1800*1000000 AS BIGINT)) AS b0,
+        |         value
+        |  FROM events
+        |), w AS (
+        |  SELECT unnest([b0, b0 - INTERVAL 30 MINUTE]) AS window_start, value FROM b
+        |)
+        |SELECT window_start, COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q23_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM l
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       date_trunc('second', MIN(ts)) AS session_start,
+        |       COUNT(1) AS n_events, ROUND(SUM(value), 4) AS sum_value,
+        |       CAST(epoch(date_trunc('second', MAX(ts)))
+        |            - epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS duration_s
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q24_embedding_neardup" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS v, i AS idx
+        |  FROM embeddings, generate_series(1, 64) AS t(i)
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM ex GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, SUM(a.v*b.v) AS dot
+        |  FROM ex a JOIN ex b ON a.idx = b.idx AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, ROUND(dot/(na.nrm*nb.nrm), 6) AS cosine
+        |FROM dots JOIN norms na ON na.vec_id = doc_a
+        |          JOIN norms nb ON nb.vec_id = doc_b
+        |WHERE dot/(na.nrm*nb.nrm) >= 0.4
+        |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns.
+  *
+  * Three tiers, trading exactness for scale:
+  *  1. [[cosineTopK]] — exact brute force: broadcast the (small) query
+  *     set against the full corpus; the corpus is never shuffled. The
+  *     correctness baseline, and the right plan whenever |queries| is
+  *     bounded (the 100 TB side streams through once).
+  *  2. [[ivfTopK]] — IVF: deterministic coarse quantizer (sampled
+  *     centroids), corpus partitioned by nearest centroid, queries probe
+  *     only `nprobe` cells. Approximate; prunes the corpus scan.
+  *  3. [[embeddingNearDups]] — all-pairs cosine >= threshold; the exact
+  *     verification primitive (quadratic — cap one side or pre-bucket
+  *     with LSH/IVF cells at scale).
+  *
+  * Determinism rule: ranking always orders by the ROUNDED (6-digit)
+  * cosine with the id as tie-break, so last-ulp float divergence can
+  * never reorder results between runs or engines.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query row.
+    * Output: query_id, target_id, cosine (rounded, 6), rank. */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val t = emb.select(col(idCol).as("target_id"), col(vecCol).as("tv"))
+    val q = emb.where(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = t.join(broadcast(q), col("query_id") =!= col("target_id"))
+      .select(col("query_id"), col("target_id"),
+        round(cosine(col("qv"), col("tv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("target_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** All pairs (a < b) with cosine >= threshold. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("doc_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("doc_b"), col(vecCol).as("vb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        cosine(col("va"), col("vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF approximate top-k. Centroids are a deterministic sample (every
+    * `centroidStride`-th id); each corpus vector is assigned to its
+    * nearest centroid (broadcast join — the corpus never shuffles);
+    * each query probes the `nprobe` nearest cells and ranks exactly
+    * within them. Returns the same schema as [[cosineTopK]].
+    *
+    * Scale shape: assignment is one broadcast pass; the probe join hits
+    * only cells/corpus-fraction ~ nprobe/nCentroids. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, centroidStride: Int = 32,
+      nprobe: Int = 4): DataFrame = {
+    val cents = emb.where(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+    // nearest centroid per corpus vector
+    val wAssign = Window.partitionBy(col("target_id"))
+      .orderBy(col("cdist").asc, col("cent_id"))
+    val assigned = emb
+      .select(col(idCol).as("target_id"), col(vecCol).as("tv"))
+      .join(broadcast(cents), lit(true))
+      .select(col("target_id"), col("tv"), col("cent_id"),
+        round(sqDist(col("tv"), col("cv")), 9).as("cdist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1).drop("rn", "cdist")
+    // nprobe nearest cells per query
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdist").asc, col("cent_id"))
+    val probes = emb.where(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        round(sqDist(col("qv"), col("cv")), 9).as("qdist"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe).drop("rn", "qdist")
+    // exact rank within probed cells
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("target_id"))
+    assigned.join(broadcast(probes), Seq("cent_id"))
+      .where(col("query_id") =!= col("target_id"))
+      .select(col("query_id"), col("target_id"),
+        round(cosine(col("qv"), col("tv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vector primitives: dot, norm, cosine on known values") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 0.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      dot($"a", $"b").as("d"), l2Norm($"a").as("na"),
+      cosine($"a", $"b").as("c"), sqDist($"a", $"b").as("sq")).head()
+    assert(math.abs(r.getDouble(0) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 3.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
+    assert(math.abs(r.getDouble(3) - (1 + 4 + 4)) < 1e-12)
+  }
+
+  test("cosineTopK returns k ranked neighbors per query, self excluded") {
+    val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val top = Similarity.cosineTopK(emb, "vec_id", "embedding", $"vec_id" < 3, 4)
+    val rows = top.collect()
+    assert(rows.length == 12)
+    assert(!rows.exists(r => r.getLong(0) == r.getLong(1)))
+    // ranks are 1..4 per query and cosine non-increasing within a query
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == Seq(1, 2, 3, 4))
+      val cs = sorted.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("ivfTopK achieves reasonable recall vs brute force") {
+    val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", $"vec_id" < 10, 5)
+      .select("query_id", "target_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", $"vec_id" < 10,
+        5, centroidStride = 32, nprobe = 4)
+      .select("query_id", "target_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // random 64-dim embeddings are a worst case for IVF; still expect
+    // far better than the 4/16-cell scan fraction alone would give
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+    assert(approx.size == exact.size)
+  }
+
+  test("embeddingNearDups finds planted near-identical vectors") {
+    val base = Array.tabulate(8)(i => i.toFloat + 1)
+    val near = base.clone(); near(0) += 0.01f
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) -1.0f else 1.0f)
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(df, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+}
