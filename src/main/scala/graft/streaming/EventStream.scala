@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: the batch operators of
+  * `graft.ops.EventWindows` in streaming form — windowed aggregation
+  * with watermarks, and stateful gap sessionization via
+  * `mapGroupsWithState`.
+  *
+  * The reference is batch-only (SURVEY §2.8); this is the north-star
+  * extension over the `events` table. Batch and streaming variants share
+  * semantics: EventStreamSpec replays the parquet table through a stream
+  * and checks the result against the batch plan.
+  */
+object EventStream {
+
+  /** Schema of the driver's events table as the streaming reader sees it
+    * (ts surfaces as nanos-long under `nanosAsLong`; rebuilt to a
+    * micros timestamp like `graft.etl.Tables`). */
+  val EventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File stream over an events parquet directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventsRawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+  /** Tumbling-window counts/sums with a watermark for state eviction:
+    * at 100 TB-rate streams, unbounded window state is the failure mode —
+    * the watermark bounds it to (window + lateness). */
+  def windowedAgg(events: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, user_id: Long, ts: Timestamp,
+    value: Double)
+  final case class SessionState(sessionId: Long, lastMicros: Long,
+    start: Long, n: Long, sum: Double)
+  final case class SessionUpdate(user_id: Long, session_id: Long,
+    n_events: Long, sum_value: Double)
+
+  /** Stateful gap sessionization (mapGroupsWithState, Update mode): one
+    * state record per user carrying the open session; a gap larger than
+    * `gapSeconds` rolls the session id. Emits the current open-session
+    * aggregate each trigger. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L, 0.0))
+          sorted.foreach { e =>
+            val micros = e.ts.getTime * 1000L
+            if (st.sessionId == 0L || micros - st.lastMicros > gapSeconds * 1000000L)
+              st = SessionState(st.sessionId + 1, micros, micros, 1L, e.value)
+            else
+              st = st.copy(lastMicros = micros, n = st.n + 1, sum = st.sum + e.value)
+          }
+          state.update(st)
+          SessionUpdate(userId, st.sessionId, st.n, st.sum)
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the materialized result (test/smoke harness). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.MarketReturns
+
+/** Golden-output test: the full reference workload
+  * (`mkt_returns/sql_test_mkt_returns.ipynb`) on the reference's own
+  * committed `data.csv` (472 rows) with the reconstructed calendar,
+  * diffed against values stored in the notebook outputs (cells 13/15).
+  * Skips cleanly if the read-only reference checkout is absent. */
+class MarketReturnsSpec extends SparkSpec {
+
+  private val csv = "/root/reference/mkt_returns/data.csv"
+  private def available = new java.io.File(csv).isFile
+  private val eps = 1e-9
+
+  test("weekly view reproduces notebook cell-13 golden rows") {
+    assume(available, s"reference data.csv not present at $csv")
+    val mkt = MarketReturns.loadMarketData(spark, csv)
+    assert(mkt.count() == 472)
+    val v = MarketReturns.weeklyView(mkt)
+    // 59 dates, 16 weekend days -> 43 working days x 4 funds x 2 types
+    assert(v.count() == 43 * 8)
+    val first = v.where(col("fund_code") === "FUND_01" &&
+        col("return_type") === "TYPE_A" &&
+        col("market_date") === lit("2025-01-01").cast("date")).head()
+    assert(first.getAs[String]("year_week") == "2025-00")
+    assert(math.abs(first.getAs[Double]("daily_return") - 0.3007302582) < eps)
+    assert(math.abs(first.getAs[Double]("weekly_return") - 0.5582162431456255) < eps)
+    val firstB = v.where(col("fund_code") === "FUND_01" &&
+        col("return_type") === "TYPE_B" &&
+        col("market_date") === lit("2025-01-01").cast("date")).head()
+    assert(math.abs(firstB.getAs[Double]("weekly_return") - 0.5805392234716797) < eps)
+  }
+
+  test("running view reproduces notebook cell-15 golden rows") {
+    assume(available, s"reference data.csv not present at $csv")
+    val mkt = MarketReturns.loadMarketData(spark, csv)
+    val v = MarketReturns.runningView(mkt)
+    val a = v.where(col("fund_code") === "FUND_01" &&
+        col("return_type") === "TYPE_A" &&
+        col("market_date") === lit("2025-01-01").cast("date")).head()
+    // first working day of the week: evolution == its own daily return
+    assert(math.abs(a.getAs[Double]("daily_compound_evolution") - 0.3007302582) < eps)
+    val b = v.where(col("fund_code") === "FUND_01" &&
+        col("return_type") === "TYPE_B" &&
+        col("market_date") === lit("2025-01-01").cast("date")).head()
+    assert(math.abs(b.getAs[Double]("daily_compound_evolution") - 0.0802217168099999) < 1e-12)
+  }
+
+  test("business-key EDA invariants from cells 10-11 hold") {
+    assume(available, s"reference data.csv not present at $csv")
+    val mkt = MarketReturns.loadMarketData(spark, csv)
+    assert(!graft.ops.Quality.isUniqueKey(mkt, Seq("fund_code", "market_date")))
+    assert(graft.ops.Quality.isUniqueKey(mkt,
+      Seq("fund_code", "market_date", "return_type")))
+  }
+
+  test("null daily returns contribute 0% days (128 nulls in data.csv)") {
+    assume(available, s"reference data.csv not present at $csv")
+    val mkt = MarketReturns.loadMarketData(spark, csv)
+    assert(mkt.where(col("daily_return").isNull).count() == 128)
+    // weekly returns remain defined wherever any non-null day exists
+    val v = MarketReturns.weeklyView(mkt)
+    assert(v.where(col("weekly_return").isNull).count() <
+      v.count())
+  }
+}

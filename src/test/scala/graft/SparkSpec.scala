@@ -19,6 +19,10 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .config("spark.sql.streaming.checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
