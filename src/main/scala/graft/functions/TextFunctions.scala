@@ -18,8 +18,14 @@ object TextFunctions {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Distinct word n-gram shingles, joined with single spaces. Empty
-    * array when the document has fewer than n tokens. */
-  def wordShingles(toks: Column, n: Int): Column = {
+    * array when the document has fewer than n tokens. Evaluated by the
+    * flat-loop custom expression (see
+    * [[graft.expressions.WordShingles]]); [[wordShinglesFold]] is the
+    * composed-built-ins reference form, asserted equal in specs. */
+  def wordShingles(toks: Column, n: Int): Column =
+    graft.expressions.WordShingles(toks, n)
+
+  def wordShinglesFold(toks: Column, n: Int): Column = {
     val sh = transform(sequence(lit(1), size(toks) - lit(n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
     when(size(toks) >= n, array_distinct(sh))

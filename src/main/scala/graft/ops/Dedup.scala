@@ -36,7 +36,14 @@ object Dedup {
     * (id, s shingle, n = |doc's shingle set|). The base relation for
     * Jaccard verification and MinHash. */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), wordShingles(tokens(col(textCol)), n).as("sh"))
+    // Staged projections, not one nested expression: tokenization is
+    // expensive and referenced once per shingle inside the lambda — if
+    // composed inline, Catalyst inlines split() into every element_at
+    // call (and into the explode-inferred filter), turning a linear scan
+    // quadratic. As separate non-cheap multi-use projections they
+    // survive CollapseProject and each row tokenizes exactly once.
+    df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), wordShingles(col("__w"), n).as("sh"))
       .select(col(idCol), explode(col("sh")).as("s"), size(col("sh")).as("n"))
 
   /** All-pairs n-gram Jaccard similarity >= threshold. Exact but

@@ -20,22 +20,29 @@ import graft.functions.VectorFunctions._
   *     verification primitive (quadratic — cap one side or pre-bucket
   *     with LSH/IVF cells at scale).
   *
-  * Determinism rule: ranking always orders by the ROUNDED (6-digit)
-  * cosine with the id as tie-break, so last-ulp float divergence can
-  * never reorder results between runs or engines.
+  * Performance shape: norms are computed once per VECTOR (a projection
+  * before the join), never per pair — per-pair work is exactly one
+  * codegen'd dot product. Ranking always orders by the ROUNDED
+  * (6-digit) cosine with the id as tie-break, so last-ulp float
+  * divergence can never reorder results between runs or engines.
   */
 object Similarity {
+
+  /** id, vector, and its L2 norm — the per-side input to pair joins. */
+  private def withNorm(emb: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, nrmAs: String): DataFrame =
+    emb.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+      .withColumn(nrmAs, sqrt(dot(col(vecAs), col(vecAs))))
 
   /** Exact top-k cosine neighbors for each query row.
     * Output: query_id, target_id, cosine (rounded, 6), rank. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int): DataFrame = {
-    val t = emb.select(col(idCol).as("target_id"), col(vecCol).as("tv"))
-    val q = emb.where(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val t = withNorm(emb, idCol, vecCol, "target_id", "tv", "nt")
+    val q = withNorm(emb.where(queryPred), idCol, vecCol, "query_id", "qv", "nq")
     val scored = t.join(broadcast(q), col("query_id") =!= col("target_id"))
       .select(col("query_id"), col("target_id"),
-        round(cosine(col("qv"), col("tv")), 6).as("cosine"))
+        round(dot(col("qv"), col("tv")) / (col("nq") * col("nt")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("target_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -44,11 +51,11 @@ object Similarity {
   /** All pairs (a < b) with cosine >= threshold. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("doc_a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("doc_b"), col(vecCol).as("vb"))
+    val a = withNorm(emb, idCol, vecCol, "doc_a", "va", "na")
+    val b = withNorm(emb, idCol, vecCol, "doc_b", "vb", "nb")
     a.join(b, col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        cosine(col("va"), col("vb")).as("cosine"))
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .where(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
   }
@@ -60,20 +67,26 @@ object Similarity {
     * within them. Returns the same schema as [[cosineTopK]].
     *
     * Scale shape: assignment is one broadcast pass; the probe join hits
-    * only cells/corpus-fraction ~ nprobe/nCentroids. */
+    * only cells/corpus-fraction ~ nprobe/nCentroids. Squared distance is
+    * |t|^2 - 2<t,c> + |c|^2 over precomputed self-dots — one dot per
+    * (vector, centroid). */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, centroidStride: Int = 32,
       nprobe: Int = 4): DataFrame = {
     val cents = emb.where(col(idCol) % centroidStride === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+      .withColumn("sc", dot(col("cv"), col("cv")))
+    def sqd(v: Column, sv: Column) =
+      round(sv - lit(2.0) * dot(v, col("cv")) + col("sc"), 9)
     // nearest centroid per corpus vector
     val wAssign = Window.partitionBy(col("target_id"))
       .orderBy(col("cdist").asc, col("cent_id"))
     val assigned = emb
       .select(col(idCol).as("target_id"), col(vecCol).as("tv"))
+      .withColumn("st", dot(col("tv"), col("tv")))
       .join(broadcast(cents), lit(true))
-      .select(col("target_id"), col("tv"), col("cent_id"),
-        round(sqDist(col("tv"), col("cv")), 9).as("cdist"))
+      .select(col("target_id"), col("tv"), col("st"), col("cent_id"),
+        sqd(col("tv"), col("st")).as("cdist"))
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") === 1).drop("rn", "cdist")
     // nprobe nearest cells per query
@@ -81,9 +94,10 @@ object Similarity {
       .orderBy(col("qdist").asc, col("cent_id"))
     val probes = emb.where(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("sq", dot(col("qv"), col("qv")))
       .join(broadcast(cents), lit(true))
-      .select(col("query_id"), col("qv"), col("cent_id"),
-        round(sqDist(col("qv"), col("cv")), 9).as("qdist"))
+      .select(col("query_id"), col("qv"), col("sq"), col("cent_id"),
+        sqd(col("qv"), col("sq")).as("qdist"))
       .withColumn("rn", row_number().over(wProbe))
       .where(col("rn") <= nprobe).drop("rn", "qdist")
     // exact rank within probed cells
@@ -92,7 +106,8 @@ object Similarity {
     assigned.join(broadcast(probes), Seq("cent_id"))
       .where(col("query_id") =!= col("target_id"))
       .select(col("query_id"), col("target_id"),
-        round(cosine(col("qv"), col("tv")), 6).as("cosine"))
+        round(dot(col("qv"), col("tv")) / (sqrt(col("sq")) * sqrt(col("st"))), 6)
+          .as("cosine"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 }

@@ -20,6 +20,19 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - (1 + 4 + 4)) < 1e-12)
   }
 
+  test("codegen DotProduct expression equals the higher-order-function fold") {
+    val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val both = emb.limit(100).select(
+      dot($"embedding", $"embedding").as("fast"),
+      dotFold($"embedding", $"embedding").as("ref"))
+    // bit-identical: same ops, same order, both double accumulation
+    assert(both.where($"fast" =!= $"ref").isEmpty)
+    // interpreted path (eval) agrees too
+    val row = Seq((Array(1.5f, -2.0f), Array(2.0f, 4.0f))).toDF("a", "b")
+      .select(dot($"a", $"b")).head()
+    assert(row.getDouble(0) == 1.5 * 2.0 + -2.0 * 4.0)
+  }
+
   test("cosineTopK returns k ranked neighbors per query, self excluded") {
     val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val top = Similarity.cosineTopK(emb, "vec_id", "embedding", $"vec_id" < 3, 4)

@@ -23,6 +23,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(short.as[Seq[String]].head().isEmpty)
   }
 
+  test("custom WordShingles expression equals the composed-builtin fold") {
+    val docs = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(tokens($"text").as("w"))
+    val diff = docs.select(
+        wordShingles($"w", 3).as("fast"), wordShinglesFold($"w", 3).as("ref"))
+      .where($"fast" =!= $"ref")
+    assert(diff.isEmpty)
+    // dedup keeps first occurrence, matching array_distinct
+    val rep = Seq("x y x y x y").toDF("s")
+      .select(wordShingles(tokens($"s"), 2)).as[Seq[String]].head()
+    assert(rep == Seq("x y", "y x"))
+  }
+
   test("h32 matches an independently computed md5 prefix") {
     // md5("abc") = 900150983cd24fb0...; first 8 hex = 0x90015098
     val h = one[Long](Seq("abc").toDF("s").select(h32($"s")))
