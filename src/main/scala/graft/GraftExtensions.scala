@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{DotProduct, WordShingles}
+
+/** Session extension registering graft's custom expressions for SQL use:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *   SELECT dot_product(a.embedding, b.embedding) FROM ...
+  *   SELECT word_shingles(split(text, ' '), 3) FROM docs
+  *
+  * (The Column-API forms in `graft.functions` need no registration;
+  * this makes the same operators reachable from pure SQL strings, the
+  * way the reference's users write queries.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("dot_product", "dot_product(arr, arr) - double-accumulated dot product",
+      args => {
+        require(args.length == 2, "dot_product(a, b) takes 2 arguments")
+        DotProduct(args.head, args(1))
+      }),
+    ("word_shingles",
+      "word_shingles(array<string>, n) - distinct space-joined n-grams",
+      args => {
+        require(args.length == 2, "word_shingles(toks, n) takes 2 arguments")
+        WordShingles(args.head, args(1).eval().asInstanceOf[Int])
+      }))
+
+  /** Register into an already-running session (extensions classes only
+    * take effect at session construction time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+        spark, name, info(name, usage), builder)
+    }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Composite training-corpus cleaning pipeline — the end-to-end shape a
+  * 100 TB text-data preparation job takes, assembled from the graft
+  * primitives:
+  *
+  *   1. exact dedup (content hash, min-id keeper)          — one shuffle
+  *   2. quality gate (length / stopword / punctuation)     — narrow, no shuffle
+  *   3. language gate                                      — narrow, no shuffle
+  *   4. near-dedup via MinHash+LSH: of every verified
+  *      near-dup pair, the larger id is dropped            — bounded pair join
+  *
+  * Stage order is deliberate: narrow filters run before the expensive
+  * near-dup stage so LSH sees only surviving documents.
+  */
+object CorpusClean {
+
+  final case class Config(
+    minTokens: Int = 20,
+    maxTokens: Int = 100000,
+    minStopwordRatio: Double = 0.01,
+    maxPunctRatio: Double = 0.3,
+    langs: Set[String] = Set("en"),
+    shingleSize: Int = 3,
+    nearDupThreshold: Double = 0.8)
+
+  /** Returns the cleaned corpus (same schema as input). */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val deduped = Dedup.dropExactDuplicates(docs, idCol, textCol)
+
+    val gated = deduped
+      .withColumn("__w", tokens(col(textCol)))
+      .where(size(col("__w")).between(cfg.minTokens, cfg.maxTokens))
+      .where(stopwordRatio(col("__w")) >= cfg.minStopwordRatio)
+      .where(punctRatio(col(textCol)) <= cfg.maxPunctRatio)
+      .where(langId(col("__w")).isInCollection(cfg.langs))
+      .drop("__w")
+
+    val losers = Dedup.minhashNearDups(gated, idCol, textCol,
+        cfg.shingleSize, cfg.nearDupThreshold)
+      .select(col("doc_b").as(idCol)).distinct()
+
+    gated.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Per-stage survival counts (diagnostic; triggers jobs). */
+  def report(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): Map[String, Long] = {
+    val deduped = Dedup.dropExactDuplicates(docs, idCol, textCol)
+    val cleaned = clean(docs, idCol, textCol, cfg)
+    Map(
+      "input" -> docs.count(),
+      "after_exact_dedup" -> deduped.count(),
+      "after_all" -> cleaned.count())
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CorpusClean, Skew}
+
+class CorpusCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good =
+    "the quick brown fox jumps over the lazy dog and then the dog " +
+    "sleeps in a field of tall grass while the fox runs away to find food"
+
+  test("clean removes exact dups, gated docs, and near-dups") {
+    val docs = Seq(
+      (1L, good),
+      (2L, good),                                   // exact dup -> dropped
+      (3L, good.replace("brown", "red")),           // near dup -> dropped
+      (4L, "too short"),                            // length gate
+      (5L, "zz qq ww " * 10),                       // stopword gate (no en words)
+      (6L, "the sun rises over a quiet mountain village and the people " +
+        "wake up to begin a long day of work in the green valley below them")
+    ).toDF("doc_id", "text")
+    // one word changed in ~27 -> 3-gram jaccard ~0.79; gate at 0.7
+    val kept = CorpusClean.clean(docs, "doc_id", "text",
+        CorpusClean.Config(nearDupThreshold = 0.7))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 6L))
+  }
+
+  test("report counts stages") {
+    val docs = Seq((1L, good), (2L, good), (3L, "x")).toDF("doc_id", "text")
+    val r = CorpusClean.report(docs, "doc_id", "text")
+    assert(r("input") == 3 && r("after_exact_dedup") == 2 && r("after_all") == 1)
+  }
+
+  test("saltedAgg equals plain aggregation") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+    val salted = Skew.saltedAgg(df, Seq("k"), $"v", buckets = 8,
+      Map("s" -> ((c: org.apache.spark.sql.Column) => sum(c),
+                  (c: org.apache.spark.sql.Column) => sum(c)),
+          "n" -> ((c: org.apache.spark.sql.Column) => count(c),
+                  (c: org.apache.spark.sql.Column) => sum(c))),
+      "v")
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("saltedJoin equals plain join") {
+    val fact = (1 to 500).map(i => (i % 5, i.toDouble)).toDF("k", "v")
+    val dim = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select("k", "v", "name")
+    val salted = Skew.saltedJoin(fact, dim, "k", buckets = 4, saltOn = $"v")
+      .select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("graft functions are callable from pure SQL once registered") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+      "word_shingles(array('a','b','c'), 2) AS sh")
+      .head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getSeq[String](1) == Seq("a b", "b c"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+import graft.functions.DateTimeFunctions.yearWeek
+import graft.functions.ReturnFunctions.compoundReturn
+
+/** Property-based checks (SURVEY §5): generator-driven inputs, each
+  * property evaluated as ONE Spark job over a generated frame. */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+    Iterator.iterate(rng.Seed(seed))(_.next)
+      .map(s => g.apply(Gen.Parameters.default, s))
+      .collect { case Some(v) => v }.take(n).toSeq
+
+  test("property: compound return is permutation-invariant per group") {
+    val groupGen = Gen.nonEmptyListOf(Gen.choose(-0.5, 0.5))
+    val groups = sample(groupGen, 40, 7L).zipWithIndex
+    val rows = groups.flatMap { case (rs, g) =>
+      val fwd = rs.map(r => (g, "fwd", r))
+      val rev = rs.reverse.map(r => (g, "rev", r))
+      val rot = (rs.drop(1) ++ rs.take(1)).map(r => (g, "rot", r))
+      fwd ++ rev ++ rot
+    }
+    val agg = rows.toDF("g", "perm", "r")
+      .groupBy("g", "perm").agg(compoundReturn($"r").as("c"))
+      .groupBy("g").agg((max($"c") - min($"c")).as("spread"))
+    val maxSpread = agg.agg(max($"spread")).head().getDouble(0)
+    assert(maxSpread < 1e-9, s"permutation changed compound by $maxSpread")
+  }
+
+  test("property: compound of n zeros is zero; sign follows single returns") {
+    val ns = sample(Gen.choose(1, 20), 20, 11L).zipWithIndex
+    val zeros = ns.flatMap { case (n, g) => Seq.fill(n)((g, 0.0)) }
+    val res = zeros.toDF("g", "r").groupBy("g")
+      .agg(abs(compoundReturn($"r")).as("c"))
+      .agg(max($"c")).head().getDouble(0)
+    assert(res < 1e-12)
+  }
+
+  test("property: yearWeek is well-formed and rolls only on Mon/Jan 1") {
+    val dates = sample(Gen.choose(0L, 58000L), 400, 13L).distinct
+    val df = dates.toDF("off")
+      .select(date_add(lit("1900-01-01").cast("date"), $"off".cast("int")).as("d"))
+      .select($"d",
+        yearWeek($"d").as("yw"),
+        yearWeek(date_sub($"d", 1)).as("yw_prev"),
+        date_format($"d", "EEEE").as("dow"),
+        dayofyear($"d").as("doy"))
+    val bad = df.where(
+      // format YYYY-NN with NN in 00..53 and matching year
+      !($"yw".rlike("^\\d{4}-[0-5]\\d$")) ||
+        substring($"yw", 1, 4) =!= year($"d").cast("string") ||
+        // the week key changes from yesterday iff Monday or Jan 1
+        (($"yw" =!= $"yw_prev") =!= ($"dow" === "Monday" || $"doy" === 1)))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("property: jaccard pairs are bounded in (0,1] and symmetric-free (a<b)") {
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen = Gen.listOfN(30, wordGen).map(_.mkString(" "))
+    val docs = sample(docGen, 60, 17L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.0)
+    val bad = pairs.where($"jaccard" <= 0.0 || $"jaccard" > 1.0 ||
+      $"doc_a" >= $"doc_b").count()
+    assert(bad == 0L)
+    // jaccard 1.0 appears iff two docs share their full shingle set
+  }
+
+  test("property: minhash signature values lie in [0, M)") {
+    val docGen = Gen.listOfN(20, Gen.oneOf("x", "y", "z", "w", "v"))
+      .map(_.mkString(" "))
+    val docs = sample(docGen, 50, 19L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sig = graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text", n = 2)
+    val conds = (0 until 8).map(i =>
+      col(s"mh$i") < 0 || col(s"mh$i") >= graft.functions.TextFunctions.MinhashMod)
+    assert(sig.where(conds.reduce(_ || _)).count() == 0L)
+  }
+}
