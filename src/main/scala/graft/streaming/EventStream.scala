@@ -76,6 +76,58 @@ object EventStream {
       }
   }
 
+  final case class ClosedSession(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Production-shape sessionization: flatMapGroupsWithState with
+    * EVENT-TIME timeout — a session is emitted exactly once, when the
+    * watermark passes its gap horizon (not on every trigger like the
+    * Update-mode variant). Input must carry a watermark on `ts`.
+    * State per key is one open session; timeout eviction bounds state
+    * size — the failure mode that matters on unbounded streams. */
+  def sessionizeClosed(events: Dataset[Event], gapSeconds: Long)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val gapMs = gapSeconds * 1000L
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(ClosedSession(userId,
+              new Timestamp(st.start / 1000L), new Timestamp(st.lastMicros / 1000L),
+              st.n, st.sum))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var stOpt = state.getOption
+            sorted.foreach { e =>
+              val micros = e.ts.getTime * 1000L
+              stOpt match {
+                case Some(st) if micros - st.lastMicros <= gapSeconds * 1000000L =>
+                  stOpt = Some(st.copy(lastMicros = micros, n = st.n + 1,
+                    sum = st.sum + e.value))
+                case Some(st) =>
+                  closed += ClosedSession(userId,
+                    new Timestamp(st.start / 1000L),
+                    new Timestamp(st.lastMicros / 1000L), st.n, st.sum)
+                  stOpt = Some(SessionState(st.sessionId + 1, micros, micros, 1L, e.value))
+                case None =>
+                  stOpt = Some(SessionState(1L, micros, micros, 1L, e.value))
+              }
+            }
+            stOpt.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastMicros / 1000L + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (test/smoke harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -37,6 +37,44 @@ class EventStreamSpec extends SparkSpec {
     assert(got.except(want).isEmpty, "streaming emitted a window batch disagrees with")
   }
 
+  test("event-time sessionizeClosed emits sessions once the watermark passes") {
+    import graft.streaming.EventStream.{ClosedSession, Event}
+    val inDir = java.nio.file.Files.createTempDirectory("sess-closed")
+    def land(name: String, rows: Seq[(Long, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "user_id", "ts_s", "value")
+        .select($"event_id", $"user_id",
+          to_timestamp($"ts_s").as("ts"), $"value")
+        .coalesce(1).write.parquet(s"$inDir/$name")
+    // batch 1: user 1 has a session at 10:00-10:05
+    land("b1", Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 1.0),
+      (2L, 1L, "2024-01-01 10:05:00", 2.0)))
+    val stream = spark.readStream
+      .schema("event_id long, user_id long, ts timestamp, value double")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$inDir/*")
+      .withWatermark("ts", "1 second")
+      .as[Event]
+    val q = graft.streaming.EventStream.sessionizeClosed(stream, gapSeconds = 1800)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("closed_sessions").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an event far past the gap advances the watermark and
+      // must close user 1's first session exactly once
+      land("b2", Seq((3L, 1L, "2024-01-01 13:00:00", 5.0)))
+      q.processAllAvailable()
+      land("b3", Seq((4L, 2L, "2024-01-01 14:00:00", 7.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("closed_sessions").as[ClosedSession].collect()
+    val first = out.filter(s => s.user_id == 1L &&
+      s.session_start == java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(first.length == 1, s"expected one closed first session, got ${out.toSeq}")
+    assert(first.head.n_events == 2 && first.head.sum_value == 3.0)
+    assert(first.head.session_end == java.sql.Timestamp.valueOf("2024-01-01 10:05:00"))
+  }
+
   test("stateful sessionize emits per-user session aggregates") {
     val events = EventStream.readEvents(spark, dir)
       .select($"event_id", $"user_id", $"ts", $"value")
