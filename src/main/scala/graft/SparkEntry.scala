@@ -256,7 +256,47 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, centroidStride = 32, nprobe = 4)
         .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank"))
+        .orderBy("query_id", "rank")),
+
+    // ---- broader SQL surface (free in Spark, oracle-gated anyway) ----
+
+    // Exact interpolated percentiles per group.
+    "q26_percentiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"))
+        .orderBy("event_type")),
+
+    // ROLLUP hierarchy totals (grouping-set aggregation).
+    "q27_rollup" -> ((s, dir) =>
+      t(s, dir, "events")
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first)),
+
+    // Ranking + lag windows per entity.
+    "q28_ranking" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).cast("long").as("rn"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"))
+        .orderBy("event_id")
+    }),
+
+    // Anti join: customers with no urgent orders (non-empty at all SFs).
+    "q29_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -542,6 +582,33 @@ object SparkEntry {
         |FROM dots JOIN norms na ON na.vec_id = doc_a
         |          JOIN norms nb ON nb.vec_id = doc_b
         |WHERE dot/(na.nrm*nb.nrm) >= 0.4
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q26_percentiles" ->
+      """SELECT event_type,
+        |       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q27_rollup" ->
+      """SELECT event_type, COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY ROLLUP(event_type)
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "q28_ranking" ->
+      """SELECT event_id, user_id,
+        |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |       LAG(value, 1) OVER w AS prev_value,
+        |       LEAD(value, 1) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q29_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin
   )
 }
