@@ -287,6 +287,14 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Structured Streaming windowed aggregation run to completion over
+    // the bounded events input (complete mode == batch result), so the
+    // streaming operator passes through the same DuckDB gate.
+    "q30_stream_window" -> ((s, dir) =>
+      graft.streaming.StreamAsBatch
+        .windowedEventCounts(s, s"$dir/events.parquet", "1 hour")
+        .orderBy("window_start", "event_type")),
+
     // Anti join: customers with no urgent orders (non-empty at all SFs).
     "q29_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -603,6 +611,11 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "q30_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q29_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
