@@ -42,9 +42,11 @@ object CorpusClean {
       .where(langId(col("__w")).isInCollection(cfg.langs))
       .drop("__w")
 
-    val losers = Dedup.minhashNearDups(gated, idCol, textCol,
-        cfg.shingleSize, cfg.nearDupThreshold)
-      .select(col("doc_b").as(idCol)).distinct()
+    // transitive clustering: one survivor per chained near-dup group
+    val losers = Dedup.nearDupLosers(
+        Dedup.minhashNearDups(gated, idCol, textCol,
+          cfg.shingleSize, cfg.nearDupThreshold))
+      .withColumnRenamed("id", idCol)
 
     gated.join(losers, Seq(idCol), "left_anti")
   }

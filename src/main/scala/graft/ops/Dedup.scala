@@ -118,6 +118,54 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-duplicate pairs: groups chained
+    * duplicates (a~b, b~c => {a,b,c}) so exactly one representative
+    * (the minimum id) survives per transitive cluster — dropping the
+    * "loser" of each pair independently over-deletes on chains.
+    *
+    * Iterative minimum-label propagation (each round = one shuffle-join
+    * + min-aggregate; converges in O(cluster diameter) rounds and stops
+    * early once labels are stable). Near-dup clusters are shallow —
+    * diameters beyond `maxIter` would indicate a degenerate corpus; for
+    * web-scale graphs swap in large-star/small-star contraction.
+    * Output: (id, component) where component = min id in the cluster.
+    */
+  def nearDupComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "nbr_comp"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_comp")).as("nbr_comp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_comp"), col("component")))
+            .as("component"))
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("id"))
+        .where(col("u.component") =!= col("l.component"))
+        .limit(1).count() > 0
+      labels = updated.localCheckpoint(true) // truncate the iterative lineage
+      converged = !changed
+      iter += 1
+    }
+    labels
+  }
+
+  /** Keep one representative (min id) per transitive near-dup cluster:
+    * ids to DROP from the corpus. */
+  def nearDupLosers(pairs: DataFrame): DataFrame =
+    nearDupComponents(pairs).where(col("id") =!= col("component"))
+      .select(col("id"))
+
   /** 32-bit SimHash over distinct whitespace tokens: bit j of the
     * hash is set iff more token hashes have bit j set than clear. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -72,6 +72,22 @@ class DedupSpec extends SparkSpec {
     assert(s1 == again)
   }
 
+  test("nearDupComponents clusters transitively, min id is representative") {
+    // chain 1-2-3 plus isolated pair 7-9: components {1,2,3} and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.nearDupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    val losers = Dedup.nearDupLosers(pairs).as[Long].collect().sorted.toSeq
+    assert(losers == Seq(2L, 3L, 9L))
+  }
+
+  test("nearDupComponents converges on a long chain (label doubling)") {
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.nearDupComponents(chain, maxIter = 30).collect()
+    assert(comp.forall(_.getLong(1) == 0L))
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
     val m = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
