@@ -27,4 +27,18 @@ object WarehouseSink {
   /** Session-scope CTAS parity: register as a temp view. */
   def asTempView(df: DataFrame, name: String): Unit =
     df.createOrReplaceTempView(name)
+
+  /** Bucketed managed table: co-locates rows by `bucketCols` so joins
+    * and aggregations on those keys read pre-partitioned data and skip
+    * the shuffle entirely — the storage-layout lever for repeated
+    * big-fact joins at 100 TB (vs paying an exchange per query).
+    * Requires `saveAsTable` (bucket metadata lives in the catalog). */
+  def overwriteBucketed(df: DataFrame, table: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    var w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
 }

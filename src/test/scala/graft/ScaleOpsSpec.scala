@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Tables, WarehouseSink}
+import graft.ops.Approx
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approximate profile bounds error vs exact answers") {
+    val li = Tables.table(spark, "/root/testdata/sf0.01", "lineitem")
+    val approx = Approx.profile(li, Seq("l_returnflag"), "l_extendedprice")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct($"l_extendedprice").as("d"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      val dExact = e.getLong(1).toDouble
+      val dApprox = a.getLong(2).toDouble
+      assert(math.abs(dApprox - dExact) / dExact < 0.15,
+        s"$flag distinct: approx $dApprox vs exact $dExact")
+      val p50Exact = e.getDouble(2)
+      val p50Approx = a.getDouble(3)
+      assert(math.abs(p50Approx - p50Exact) / p50Exact < 0.05,
+        s"$flag p50: approx $p50Approx vs exact $p50Exact")
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    WarehouseSink.overwriteBucketed(
+      Tables.table(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      "li_bucketed", Seq("l_orderkey"), 4, Seq("l_orderkey"))
+    WarehouseSink.overwriteBucketed(
+      Tables.table(spark, dir, "orders").select("o_orderkey", "o_totalprice"),
+      "o_bucketed", Seq("o_orderkey"), 4, Seq("o_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
