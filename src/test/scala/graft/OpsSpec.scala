@@ -40,6 +40,10 @@ class OpsSpec extends SparkSpec {
   test("driver contract: entry returns rows; queries and oracle keys line up") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // every query is oracle-gated except the explicitly rows-only IVF
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
+      Set("q25_ann_ivf"))
+    assert(SparkEntry.queries.size == 30)
   }
 
   test("all queries run on sf0.001 and return rows") {
