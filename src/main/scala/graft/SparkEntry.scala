@@ -295,6 +295,25 @@ object SparkEntry {
         .windowedEventCounts(s, s"$dir/events.parquet", "1 hour")
         .orderBy("window_start", "event_type")),
 
+    // As-of join: each event priced at the latest per-user "rate"
+    // update at or before its timestamp (rates = first event per
+    // user-day). One shuffle + window — never a range cross-product;
+    // DuckDB verifies with its native ASOF JOIN operator.
+    "q31_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wFirst = Window.partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      val rates = ev
+        .withColumn("__rn", row_number().over(wFirst))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("ts").as("upd_ts"), col("value").as("rate"))
+      graft.ops.AsOf.joinAsOf(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          rates, Seq("user_id"), "ts", "upd_ts", Seq("rate"))
+        .select(col("event_id"), col("user_id"), col("rate"))
+        .orderBy("event_id")
+    }),
+
     // Anti join: customers with no urgent orders (non-empty at all SFs).
     "q29_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -616,6 +635,19 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q31_asof_join" ->
+      """WITH rates AS (
+        |  SELECT user_id, ts AS upd_ts, value AS rate
+        |  FROM (SELECT user_id, ts, value,
+        |          ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                             ORDER BY ts, event_id) AS rn
+        |        FROM events) WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id, r.rate
+        |FROM events e
+        |ASOF JOIN rates r ON e.user_id = r.user_id AND r.upd_ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
 
     "q29_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
