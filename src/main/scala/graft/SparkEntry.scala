@@ -314,6 +314,13 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // SimHash near-dup pairs (byte-band bucket join + popcount verify);
+    // hamming 0 on this vocab-limited corpus = identical token profiles.
+    "q32_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 0)
+        .orderBy("doc_a", "doc_b")),
+
     // Anti join: customers with no urgent orders (non-empty at all SFs).
     "q29_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -635,6 +642,35 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q32_simhash_neardup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS h FROM toks
+         |), bits AS (
+         |  SELECT doc_id, t.bit,
+         |         SUM(CASE WHEN (h >> t.bit) & 1 = 1 THEN 1 ELSE -1 END) AS bitsum
+         |  FROM h, range(0, 32) AS t(bit) GROUP BY 1, 2
+         |), sig AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN bitsum > 0
+         |                       THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS sh
+         |  FROM bits GROUP BY 1
+         |), bands AS (
+         |  SELECT doc_id, sh, t.b AS band, (sh >> (t.b*8)) & 255 AS bkey
+         |  FROM sig, range(0, 4) AS t(b)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.sh AS sha, b.sh AS shb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |       CAST(bit_count(CAST(xor(sha, shb) AS BIGINT)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(CAST(xor(sha, shb) AS BIGINT)) <= 0
+         |ORDER BY 1, 2""".stripMargin,
 
     "q31_asof_join" ->
       """WITH rates AS (

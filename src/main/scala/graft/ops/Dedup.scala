@@ -166,6 +166,35 @@ object Dedup {
     nearDupComponents(pairs).where(col("id") =!= col("component"))
       .select(col("id"))
 
+  /** SimHash near-duplicate pairs within a Hamming radius, found by
+    * byte-band bucketing: the 32-bit signature splits into 4 bands, and
+    * by pigeonhole any pair with hamming <= 3 shares at least one
+    * unchanged band — so candidates come from band-bucket joins (linear
+    * in bucket occupancy), then the exact popcount filter verifies.
+    * Output: doc_a < doc_b, hamming. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 byte-bands only guarantee recall up to hamming 3")
+    val sig = simhash(df, idCol, textCol)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("simhash"), b * 8) % 256).as("bkey"))
+    }
+    val bands = sig.select(col(idCol), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.bkey"))
+    val a = bands.select(col(idCol).as("doc_a"), col("simhash").as("sha"),
+      col("band"), col("bkey"))
+    val b = bands.select(col(idCol).as("doc_b"), col("simhash").as("shb"),
+      col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** 32-bit SimHash over distinct whitespace tokens: bit j of the
     * hash is set iff more token hashes have bit j set than clear. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
