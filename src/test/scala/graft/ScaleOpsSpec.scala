@@ -29,6 +29,23 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned landing prunes partitions under a filter") {
+    val path = java.nio.file.Files.createTempDirectory("part").toString + "/ev"
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("event_date", to_date($"ts"))
+    WarehouseSink.overwritePath(ev, path, partitionBy = Seq("event_date"))
+    val one = spark.read.parquet(path)
+      .where($"event_date" === lit("2024-01-15").cast("date"))
+    val plan = one.queryExecution.executedPlan.toString
+    // partition filter present and scan limited to one directory
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_date"), plan.take(500))
+    val scanned = one.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles")
+    assert(one.count() > 0)
+    scanned.foreach(m => assert(m.value <= 2, s"read ${m.value} files"))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val dir = "/root/testdata/sf0.001"
     WarehouseSink.overwriteBucketed(
