@@ -32,6 +32,25 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(3L).n_bytes == 0 && feats(3L).feature.forall(_ == 0f))
   }
 
+  test("media features compose with similarity search end to end") {
+    // media payloads from document text bytes (stand-in for real codecs);
+    // feature vectors then flow through the standard ANN operator
+    val docs = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+      .select($"doc_id", encode($"text", "UTF-8").as("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) => Multimodal.MediaRow(id, "image", bytes) }
+    val feats = Multimodal.extractFeatures(docs, dim = 16)
+      .select($"media_id", $"feature")
+    val top = graft.ops.Similarity.cosineTopK(
+      feats, "media_id", "feature", $"media_id" < 3, k = 4)
+    val rows = top.collect()
+    assert(rows.length == 12)
+    assert(rows.forall(_.getDouble(2) <= 1.000001))
+    // byte-histogram features of same-alphabet texts are highly similar
+    assert(rows.count(_.getDouble(2) > 0.9) > 6)
+  }
+
   test("sampleFrames explodes every-nth frame indices for videos only") {
     val rows = Seq(
       Row(1L, "video", null, Row(null, null, null, Integer.valueOf(10))),
