@@ -102,6 +102,30 @@ class EtlSpec extends SparkSpec {
     assert(ok2.size == 12 && errs2.isEmpty && calls2.get() == 1)
   }
 
+  test("full S1->S8 chain: REST landing feeds the footprint pipeline") {
+    val dir = tmpDir("chain")
+    // fake GFN API: per-year JSON array bodies with camelCase keys
+    val transport: RestSource.Transport = url => {
+      val year = url.split("/").last
+      RestSource.Response(200,
+        s"""[{"countryCode": 21, "countryName": "Brazil", "shortName": "BRA",
+           |  "isoa2": "BR", "record": "EFConsPerCap", "cropLand": 0.6,
+           |  "grazingLand": 0.2, "forestLand": 0.3, "fishingGround": 0.1,
+           |  "builtupLand": 0.05, "carbon": 1.$year, "value": 2.35,
+           |  "score": "3A", "year": $year}]""".stripMargin)
+    }
+    val (landed, errs) = RestSource.landAll(transport, RestSource.Policy(),
+      Seq("2000", "2001", "2002"), y => s"http://api.test/data/all/$y", dir,
+      sleep = _ => (), jitter = () => 0.0)
+    assert(landed.size == 3 && errs.isEmpty)
+    val table = graft.pipeline.FootprintPipeline.run(spark, dir, "cf_chain_test")
+    assert(table.count() == 3)
+    val years = graft.pipeline.FootprintPipeline
+      .avgCarbonByYear(table, "Brazil").collect()
+      .map(_.getAs[Int]("year")).toSeq
+    assert(years == Seq(2000, 2001, 2002))
+  }
+
   test("footprint pipeline end to end: json dir -> rename -> table -> probes") {
     val dir = tmpDir("gfn")
     write(dir, "data_all_2000.json",

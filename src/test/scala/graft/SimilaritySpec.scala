@@ -64,6 +64,19 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.size == exact.size)
   }
 
+  test("cosine is symmetric, bounded, and 1.0 on self") {
+    val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(60).select($"vec_id", $"embedding")
+    val a = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val pairs = a.join(b, $"ia" <= $"ib")
+      .select($"ia", $"ib",
+        cosine($"va", $"vb").as("ab"), cosine($"vb", $"va").as("ba"))
+    assert(pairs.where(abs($"ab" - $"ba") > 1e-12).isEmpty)
+    assert(pairs.where(abs($"ab") > 1.0 + 1e-9).isEmpty)
+    assert(pairs.where($"ia" === $"ib" && abs($"ab" - 1.0) > 1e-9).isEmpty)
+  }
+
   test("embeddingNearDups finds planted near-identical vectors") {
     val base = Array.tabulate(8)(i => i.toFloat + 1)
     val near = base.clone(); near(0) += 0.01f
