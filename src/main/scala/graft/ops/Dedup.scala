@@ -195,16 +195,22 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** 32-bit SimHash over distinct whitespace tokens: bit j of the
-    * hash is set iff more token hashes have bit j set than clear. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-        explode(array_distinct(tokens(col(textCol)))).as("tok"))
-      .select(col(idCol), h32(col("tok")).as("h"))
-    val bits = toks.select(col(idCol), col("h"),
+  /** 32-bit SimHash: bit j of the hash is set iff the (weighted) vote
+    * of token hashes with bit j set beats those with it clear.
+    * `weighted=false` votes once per DISTINCT token (the oracle-gated
+    * q16/q32 form); `weighted=true` votes per occurrence (Charikar's
+    * original weighting — more discriminating on repetitive corpora). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      weighted: Boolean = false): DataFrame = {
+    val tokCol = if (weighted) tokens(col(textCol))
+      else array_distinct(tokens(col(textCol)))
+    val toks = df.select(col(idCol), explode(tokCol).as("tok"))
+      .groupBy(col(idCol), h32(col("tok")).as("h"))
+      .agg(count(lit(1)).as("w"))
+    val bits = toks.select(col(idCol), col("h"), col("w"),
         explode(sequence(lit(0), lit(31))).as("bit"))
       .withColumn("contrib",
-        when(expr("(shiftright(h, bit) & 1) = 1"), lit(1)).otherwise(lit(-1)))
+        when(expr("(shiftright(h, bit) & 1) = 1"), col("w")).otherwise(-col("w")))
     bits.groupBy(col(idCol), col("bit"))
       .agg(sum(col("contrib")).as("bitsum"))
       .groupBy(col(idCol))

@@ -20,4 +20,21 @@ object Quality {
     * intended for tests/checks, not inside pipelines. */
   def isUniqueKey(df: DataFrame, keys: Seq[String]): Boolean =
     keyViolations(df, keys).isEmpty
+
+  /** Schema drift report against a declared contract: one row per
+    * column that is missing, unexpected, or type-mismatched. Empty
+    * result = schema conforms. Plan-free (driver-side metadata only). */
+  def schemaDrift(df: DataFrame,
+      expected: org.apache.spark.sql.types.StructType): Seq[(String, String, String, String)] = {
+    val actual = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val exp = expected.map(f => f.name -> f.dataType.simpleString).toMap
+    val missing = exp.keySet.diff(actual.keySet).toSeq.sorted
+      .map(c => (c, exp(c), "", "missing"))
+    val extra = actual.keySet.diff(exp.keySet).toSeq.sorted
+      .map(c => (c, "", actual(c), "unexpected"))
+    val mismatched = exp.keySet.intersect(actual.keySet).toSeq.sorted
+      .filter(c => exp(c) != actual(c))
+      .map(c => (c, exp(c), actual(c), "type_mismatch"))
+    missing ++ extra ++ mismatched
+  }
 }

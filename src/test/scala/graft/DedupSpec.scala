@@ -72,6 +72,16 @@ class DedupSpec extends SparkSpec {
     assert(s1 == again)
   }
 
+  test("weighted simhash is at least as discriminating as distinct-token form") {
+    val real = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val plain = Dedup.simhash(real, "doc_id", "text")
+      .select("simhash").distinct().count()
+    val weighted = Dedup.simhash(real, "doc_id", "text", weighted = true)
+      .select("simhash").distinct().count()
+    assert(weighted >= plain,
+      s"weighted gave $weighted distinct signatures vs $plain")
+  }
+
   test("nearDupComponents clusters transitively, min id is representative") {
     // chain 1-2-3 plus isolated pair 7-9: components {1,2,3} and {7,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")

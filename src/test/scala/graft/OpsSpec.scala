@@ -37,6 +37,20 @@ class OpsSpec extends SparkSpec {
     assert(Quality.isUniqueKey(df, Seq("k", "v")))
   }
 
+  test("schemaDrift reports missing/unexpected/type-mismatched columns") {
+    import org.apache.spark.sql.types._
+    val df = Seq((1, "x", 2.0)).toDF("a", "b", "c")
+    val expected = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType),
+      StructField("d", StringType)))
+    val drift = Quality.schemaDrift(df, expected)
+    assert(drift.toSet == Set(
+      ("d", "string", "", "missing"),
+      ("c", "", "double", "unexpected"),
+      ("b", "int", "string", "type_mismatch")))
+    assert(Quality.schemaDrift(df, df.schema).isEmpty)
+  }
+
   test("driver contract: entry returns rows; queries and oracle keys line up") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
