@@ -60,6 +60,61 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Deterministic random hyperplanes for sign-LSH: plane p component j
+    * derives from the md5-based 32-bit hash of "p:j" mapped into
+    * [-1, 1) — reproducible across runs/engines with no RNG state. */
+  private[ops] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, j) =>
+      val hex = md.digest(s"$p:$j".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16).toDouble / 0xFFFFFFFFL.toDouble) * 2.0 - 1.0
+    }
+  }
+
+  /** Sign-LSH (random-hyperplane) near-duplicate pairs — the bucketed
+    * scale path for embedding near-dup (complements [[ivfTopK]] for
+    * top-k): vectors hash to a `nPlanes`-bit sketch of dot-product
+    * signs; band the sketch, join on band buckets, verify candidates
+    * with exact cosine. Collision probability per bit is
+    * 1 - angle/pi, so near-identical vectors share whole bands with
+    * high probability while the corpus pairs off only inside buckets. */
+  def lshNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
+    require(nPlanes % bandBits == 0, "nPlanes must be a multiple of bandBits")
+    val planes = hyperplanes(nPlanes, 64)
+    val bitCols = planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(col(vecCol), planeCol) >= 0, lit(1L)).otherwise(lit(0L))
+        .as(s"__bit$p")
+    }
+    val nBands = nPlanes / bandBits
+    val withBits = emb.select(col(idCol) +: col(vecCol) +: bitCols.toSeq: _*)
+    val bandStructs = (0 until nBands).map { bnd =>
+      val key = (0 until bandBits).map { i =>
+        col(s"__bit${bnd * bandBits + i}") * lit(1L << i)
+      }.reduce(_ + _)
+      struct(lit(bnd).as("band"), key.as("bkey"))
+    }
+    val bands = withBits.select(col(idCol), col(vecCol),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col(vecCol), col("bk.band"), col("bk.bkey"))
+    val a = bands.select(col(idCol).as("doc_a"), col(vecCol).as("va"),
+      col("band"), col("bkey"))
+    val b = bands.select(col(idCol).as("doc_b"), col(vecCol).as("vb"),
+      col("band"), col("bkey"))
+    val cand = a.join(b, Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "va", "vb").distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        (dot(col("va"), col("vb")) /
+          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))))
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** IVF approximate top-k. Centroids are a deterministic sample (every
     * `centroidStride`-th id); each corpus vector is assigned to its
     * nearest centroid (broadcast join — the corpus never shuffles);

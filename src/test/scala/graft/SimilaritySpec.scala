@@ -77,6 +77,28 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.where($"ia" === $"ib" && abs($"ab" - 1.0) > 1e-9).isEmpty)
   }
 
+  test("hyperplane LSH finds planted near-dups without an all-pairs join") {
+    // plant near-identical 64-dim vectors in real data
+    val base = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding")
+    val planted = base.where($"vec_id" < 3)
+      .select(($"vec_id" + 10000).as("vec_id"),
+        transform($"embedding", x => x + lit(0.001f)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val lsh = graft.ops.Similarity.lshNearDups(corpus, "vec_id", "embedding",
+        threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 10000L), (1L, 10001L), (2L, 10002L)).subsetOf(lsh),
+      s"planted pairs missing from $lsh")
+    // agrees with exact all-pairs verification (LSH can only miss, and
+    // at cosine ~1.0 all 4 bands collide with near certainty)
+    val exact = graft.ops.Similarity.embeddingNearDups(corpus, "vec_id",
+        "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(exact == lsh)
+  }
+
   test("embeddingNearDups finds planted near-identical vectors") {
     val base = Array.tabulate(8)(i => i.toFloat + 1)
     val near = base.clone(); near(0) += 0.01f
