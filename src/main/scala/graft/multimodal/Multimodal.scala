@@ -53,6 +53,54 @@ object Multimodal {
     hist
   }
 
+  final case class ResizedMedia(media_id: Long, kind: String,
+    width: Int, height: Int, content: Array[Byte])
+
+  /** STUB resize: treats the payload as a row-major byte grid and
+    * nearest-neighbor samples it to (w x h). A real implementation
+    * decodes, resamples, and re-encodes via a codec; the plumbing
+    * (batch iteration, output schema, deterministic behavior) is what
+    * this exercises. */
+  def resizeStub(content: Array[Byte], srcW: Int, srcH: Int,
+      dstW: Int, dstH: Int): Array[Byte] = {
+    val out = new Array[Byte](dstW * dstH)
+    if (content != null && srcW > 0 && srcH > 0) {
+      var y = 0
+      while (y < dstH) {
+        val sy = math.min(y * srcH / dstH, srcH - 1)
+        var x = 0
+        while (x < dstW) {
+          val sx = math.min(x * srcW / dstW, srcW - 1)
+          val idx = sy * srcW + sx
+          out(y * dstW + x) =
+            if (idx < content.length) content(idx) else 0
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  /** Batch image resize over binary media columns (partition-batched
+    * like [[extractFeatures]]); source dims come from the metadata
+    * struct, rows without dims pass through skipped. */
+  def resizeImages(media: DataFrame, dstW: Int, dstH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.where(col("kind") === "image" &&
+        col("meta.width").isNotNull && col("meta.height").isNotNull)
+      .select(col("media_id"), col("kind"), col("meta.width").as("w"),
+        col("meta.height").as("h"), col("content"))
+      .as[(Long, String, Int, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        // real impl: codec init once per partition
+        rows.map { case (id, kind, w, h, bytes) =>
+          ResizedMedia(id, kind, dstW, dstH,
+            resizeStub(bytes, w, h, dstW, dstH))
+        }
+      }
+  }
+
   /** Batch feature extraction: mapPartitions so any per-executor codec
     * is initialized once per partition, not once per row (the Scala
     * analog of a pandas-batch UDF). Pure iterator-to-iterator — safe

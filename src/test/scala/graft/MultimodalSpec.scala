@@ -51,6 +51,24 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.count(_.getDouble(2) > 0.9) > 6)
   }
 
+  test("resizeImages nearest-neighbor samples byte grids per batch") {
+    val rows = Seq(
+      Row(1L, "image", Array.tabulate(16)(_.toByte),
+        Row(Integer.valueOf(4), Integer.valueOf(4), null, null)),
+      Row(2L, "audio", Array[Byte](1, 2), Row(null, null, Integer.valueOf(8000), null)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val resized = Multimodal.resizeImages(media, 2, 2).collect()
+    assert(resized.length == 1) // audio row skipped
+    val r = resized.head
+    assert(r.width == 2 && r.height == 2)
+    // 4x4 grid 0..15 sampled at (0,0),(0,2),(2,0),(2,2) -> 0,2,8,10
+    assert(r.content.toSeq == Seq[Byte](0, 2, 8, 10))
+    // deterministic
+    assert(Multimodal.resizeStub(Array.tabulate(16)(_.toByte), 4, 4, 2, 2)
+      .toSeq == Seq[Byte](0, 2, 8, 10))
+  }
+
   test("sampleFrames explodes every-nth frame indices for videos only") {
     val rows = Seq(
       Row(1L, "video", null, Row(null, null, null, Integer.valueOf(10))),
