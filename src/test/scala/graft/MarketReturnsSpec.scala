@@ -50,6 +50,39 @@ class MarketReturnsSpec extends SparkSpec {
     assert(math.abs(b.getAs[Double]("daily_compound_evolution") - 0.0802217168099999) < 1e-12)
   }
 
+  test("table-driven golden rows: weekly + running values across funds/weeks") {
+    assume(available, s"reference data.csv not present at $csv")
+    val mkt = MarketReturns.loadMarketData(spark, csv)
+    // (fund, type, date) -> (year_week, weekly_return, running_evolution)
+    // transcribed from the notebook's stored outputs of cells 13 and 15
+    val golden = Seq(
+      ("FUND_01", "TYPE_A", "2025-01-02", "2025-00", 0.5582162431456255, 0.49390199643674215),
+      ("FUND_01", "TYPE_B", "2025-01-02", "2025-00", 0.5805392234716797, 0.4928439571984151),
+      ("FUND_01", "TYPE_A", "2025-01-03", "2025-00", 0.5582162431456255, 0.5582162431456255),
+      ("FUND_01", "TYPE_A", "2025-01-06", "2025-01", 0.9862496965157128, 0.10483214580000011),
+      ("FUND_01", "TYPE_B", "2025-01-06", "2025-01", 1.4734731003038548, 0.08204775974),
+      ("FUND_01", "TYPE_A", "2025-01-07", "2025-01", 0.9862496965157128, 0.23648683342958954),
+      ("FUND_01", "TYPE_B", "2025-01-07", "2025-01", 1.4734731003038548, 0.4888577982798783),
+      ("FUND_04", "TYPE_A", "2025-02-25", "2025-08", 2.79573265014471, 0.653801338320247),
+      ("FUND_04", "TYPE_B", "2025-02-26", "2025-08", 1.4270981380582546, 0.7782579135571828),
+      ("FUND_04", "TYPE_A", "2025-02-27", "2025-08", 2.79573265014471, 1.56520144810522),
+      ("FUND_04", "TYPE_B", "2025-02-28", "2025-08", 1.4270981380582546, 1.4270981380582546),
+      ("FUND_04", "TYPE_A", "2025-02-28", "2025-08", 2.79573265014471, 2.79573265014471))
+    val weekly = MarketReturns.weeklyView(mkt).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString) ->
+        (r.getString(4), r.getDouble(5))).toMap
+    val running = MarketReturns.runningView(mkt).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString) ->
+        r.getDouble(5)).toMap
+    golden.foreach { case (f, t, d, yw, wret, rev) =>
+      val (gotYw, gotW) = weekly((f, t, d))
+      assert(gotYw == yw, s"($f,$t,$d) week key $gotYw != $yw")
+      assert(math.abs(gotW - wret) < eps, s"($f,$t,$d) weekly $gotW != $wret")
+      val gotR = running((f, t, d))
+      assert(math.abs(gotR - rev) < eps, s"($f,$t,$d) running $gotR != $rev")
+    }
+  }
+
   test("business-key EDA invariants from cells 10-11 hold") {
     assume(available, s"reference data.csv not present at $csv")
     val mkt = MarketReturns.loadMarketData(spark, csv)
