@@ -199,8 +199,20 @@ object Dedup {
     * of token hashes with bit j set beats those with it clear.
     * `weighted=false` votes once per DISTINCT token (the oracle-gated
     * q16/q32 form); `weighted=true` votes per occurrence (Charikar's
-    * original weighting — more discriminating on repetitive corpora). */
+    * original weighting — more discriminating on repetitive corpora).
+    * Evaluated by the single-pass [[graft.expressions.Simhash32]]
+    * expression; [[simhashExploded]] is the composed reference form
+    * (bit-identical, asserted in DedupSpec). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
+      weighted: Boolean = false): DataFrame = {
+    val tokCol = if (weighted) tokens(col(textCol))
+      else array_distinct(tokens(col(textCol)))
+    df.select(col(idCol), tokCol.as("__t"))
+      .select(col(idCol), graft.expressions.Simhash32(col("__t")).as("simhash"))
+  }
+
+  /** The exploded composed-built-ins SimHash (reference semantics). */
+  def simhashExploded(df: DataFrame, idCol: String, textCol: String,
       weighted: Boolean = false): DataFrame = {
     val tokCol = if (weighted) tokens(col(textCol))
       else array_distinct(tokens(col(textCol)))

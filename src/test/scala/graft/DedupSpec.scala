@@ -72,6 +72,16 @@ class DedupSpec extends SparkSpec {
     assert(s1 == again)
   }
 
+  test("single-pass Simhash32 expression equals the exploded reference form") {
+    val real = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val fast = Dedup.simhash(real, "doc_id", "text")
+    val ref = Dedup.simhashExploded(real, "doc_id", "text")
+    assert(fast.except(ref).isEmpty && ref.except(fast).isEmpty)
+    val fastW = Dedup.simhash(real, "doc_id", "text", weighted = true)
+    val refW = Dedup.simhashExploded(real, "doc_id", "text", weighted = true)
+    assert(fastW.except(refW).isEmpty && refW.except(fastW).isEmpty)
+  }
+
   test("weighted simhash is at least as discriminating as distinct-token form") {
     val real = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "documents")
     val plain = Dedup.simhash(real, "doc_id", "text")
