@@ -321,6 +321,31 @@ object SparkEntry {
           maxHamming = 0)
         .orderBy("doc_a", "doc_b")),
 
+    // Set operations: INTERSECT / EXCEPT between event-day projections.
+    "q33_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clickDays = ev.where(col("event_type") === "click")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val buyDays = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val both = clickDays.intersect(buyDays).withColumn("kind", lit("both"))
+      val clickOnly = clickDays.except(buyDays).withColumn("kind", lit("click_only"))
+      both.unionByName(clickOnly).orderBy("kind", "user_id", "d")
+    }),
+
+    // Correlated scalar subquery (SQL surface; Catalyst decorrelates to
+    // an aggregate + left outer join, COUNT-bug handled — never a
+    // per-row subquery execution).
+    "q34_correlated" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders_v")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |       (SELECT COUNT(1) FROM graft_orders_v o
+          |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+          |FROM graft_customer_v c ORDER BY c_custkey""".stripMargin)
+    }),
+
     // Anti join: customers with no urgent orders (non-empty at all SFs).
     "q29_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -671,6 +696,25 @@ object SparkEntry {
          |       CAST(bit_count(CAST(xor(sha, shb) AS BIGINT)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(CAST(xor(sha, shb) AS BIGINT)) <= 0
          |ORDER BY 1, 2""".stripMargin,
+
+    "q33_setops" ->
+      """WITH clicks AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE event_type = 'click'
+        |), buys AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT user_id, d, 'both' AS kind FROM clicks INTERSECT SELECT user_id, d, 'both' FROM buys
+        |UNION ALL
+        |(SELECT user_id, d, 'click_only' AS kind FROM clicks EXCEPT SELECT user_id, d, 'click_only' FROM buys)
+        |ORDER BY kind, user_id, d""".stripMargin,
+
+    "q34_correlated" ->
+      """SELECT c_custkey, c_name,
+        |       (SELECT COUNT(1) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
 
     "q31_asof_join" ->
       """WITH rates AS (
