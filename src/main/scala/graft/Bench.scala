@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at the given SF dir and
+  * emits ONE JSON line. A query that throws during the timed pass is
+  * recorded as -1.0 (and listed in `errors`) rather than with its
+  * time-to-fail, so the emitted JSON distinguishes failures from fast
+  * queries. When `SPARK_GRAFT_BENCH_OUT` is set the same JSON line is
+  * also written to that file, so the official record survives stdout
+  * parsing trouble. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,14 +29,24 @@ object Bench {
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      (name, sec, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(json)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

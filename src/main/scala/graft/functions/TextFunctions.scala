@@ -57,6 +57,24 @@ object TextFunctions {
   def minhashPerm(h: Column, a: Long, b: Long): Column =
     (lit(a) * h + lit(b)) % lit(MinhashMod)
 
+  /** First `n` MinHash permutations: the classic 8-entry table first
+    * (the oracle-gated defaults), then md5-derived constants — fully
+    * deterministic, no RNG state. Multipliers stay below 2^30 so
+    * a*h fits a 64-bit long for 32-bit h. */
+  def minhashPermsFor(n: Int): Seq[(Long, Long)] = {
+    require(n > 0, "need at least one MinHash permutation")
+    def h56(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(7).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    MinhashPerms.take(n) ++ (MinhashPerms.length until n).map { i =>
+      val a = (h56(s"minhash:a:$i") % ((1L << 30) - 1)) + 1
+      val b = h56(s"minhash:b:$i") % MinhashMod
+      (a, b)
+    }
+  }
+
   /** Number of whitespace tokens. */
   def tokenCount(toks: Column): Column = size(toks)
 

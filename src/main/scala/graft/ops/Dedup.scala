@@ -53,17 +53,24 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Int] = None): DataFrame = {
+    // The pair-generation join keys on the 64-bit xxhash of the shingle,
+    // not the string: the shuffle carries one long per row instead of an
+    // n-word string. For D distinct shingles the expected number of
+    // colliding shingle pairs is ~D²/2⁶⁵ (≈1e-7 at D=1e6) — and a
+    // collision only perturbs a count when both shingles co-occur in a
+    // doc pair. DedupSpec asserts hash-key ≡ string-key on the corpus.
     val ex0 = shingleTable(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("s")).as("sk"), col("n"))
     val ex = maxDocFreq match {
       case Some(cap) =>
-        val dfreq = ex0.groupBy("s").agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= cap).select("s")
-        ex0.join(dfreq, "s")
+        val dfreq = ex0.groupBy("sk").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap).select("sk")
+        ex0.join(dfreq, "sk")
       case None => ex0
     }
-    val a = ex.select(col(idCol).as("doc_a"), col("s"), col("n").as("na"))
-    val b = ex.select(col(idCol).as("doc_b"), col("s"), col("n").as("nb"))
-    a.join(b, "s")
+    val a = ex.select(col(idCol).as("doc_a"), col("sk"), col("n").as("na"))
+    val b = ex.select(col(idCol).as("doc_b"), col("sk"), col("n").as("nb"))
+    a.join(b, "sk")
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nb").as("nb"))
@@ -107,10 +114,13 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val cand = lshCandidates(minhashSignatures(df, idCol, textCol, n), idCol)
+    // verification join keys on the shingle's 64-bit hash (see
+    // jaccardPairs — longs through the shuffle, not strings)
     val ex = shingleTable(df, idCol, textCol, n)
-    val a = ex.select(col(idCol).as("doc_a"), col("s"), col("n").as("na"))
-    val b = ex.select(col(idCol).as("doc_b"), col("s"), col("n").as("nb"))
-    cand.join(a, "doc_a").join(b, Seq("doc_b", "s"))
+      .select(col(idCol), xxhash64(col("s")).as("sk"), col("n"))
+    val a = ex.select(col(idCol).as("doc_a"), col("sk"), col("n").as("na"))
+    val b = ex.select(col(idCol).as("doc_b"), col("sk"), col("n").as("nb"))
+    cand.join(a, "doc_a").join(b, Seq("doc_b", "sk"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nb").as("nb"))
       .select(col("doc_a"), col("doc_b"),
@@ -187,11 +197,15 @@ object Dedup {
       col("band"), col("bkey"))
     val b = bands.select(col(idCol).as("doc_b"), col("simhash").as("shb"),
       col("band"), col("bkey"))
+    // dedup candidates BEFORE the popcount: a pair sharing several
+    // bands would otherwise be verified once per shared band and only
+    // collapsed afterwards; signatures are longs, so carrying them
+    // through the distinct is cheap
     a.join(b, Seq("band", "bkey"))
       .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sha", "shb").distinct()
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
   }
 

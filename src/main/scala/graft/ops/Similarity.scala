@@ -89,62 +89,92 @@ object Similarity {
         .as(s"__bit$p")
     }
     val nBands = nPlanes / bandBits
-    val withBits = emb.select(col(idCol) +: col(vecCol) +: bitCols.toSeq: _*)
+    val withBits = emb.select(col(idCol) +: bitCols.toSeq: _*)
     val bandStructs = (0 until nBands).map { bnd =>
       val key = (0 until bandBits).map { i =>
         col(s"__bit${bnd * bandBits + i}") * lit(1L << i)
       }.reduce(_ + _)
       struct(lit(bnd).as("band"), key.as("bkey"))
     }
-    val bands = withBits.select(col(idCol), col(vecCol),
+    // Candidate pairs dedup on IDS ONLY — carrying the vectors through
+    // the distinct would shuffle and hash-compare two 64-float arrays
+    // per candidate row. Vectors (with norms, computed once per vector)
+    // are re-attached to the surviving pairs afterwards.
+    val bands = withBits.select(col(idCol),
         explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col(vecCol), col("bk.band"), col("bk.bkey"))
-    val a = bands.select(col(idCol).as("doc_a"), col(vecCol).as("va"),
-      col("band"), col("bkey"))
-    val b = bands.select(col(idCol).as("doc_b"), col(vecCol).as("vb"),
-      col("band"), col("bkey"))
+      .select(col(idCol), col("bk.band"), col("bk.bkey"))
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
     val cand = a.join(b, Seq("band", "bkey"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "va", "vb").distinct()
-    cand
+      .select("doc_a", "doc_b").distinct()
+    val va = withNorm(emb, idCol, vecCol, "doc_a", "va", "na")
+    val vb = withNorm(emb, idCol, vecCol, "doc_b", "vb", "nb")
+    cand.join(va, "doc_a").join(vb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (dot(col("va"), col("vb")) /
-          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))))
-          .as("cosine"))
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .where(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** IVF approximate top-k. Centroids are a deterministic sample (every
-    * `centroidStride`-th id); each corpus vector is assigned to its
-    * nearest centroid (broadcast join — the corpus never shuffles);
-    * each query probes the `nprobe` nearest cells and ranks exactly
-    * within them. Returns the same schema as [[cosineTopK]].
+  /** The centroid table for [[ivfTopK]]: a deterministic sample (every
+    * `centroidStride`-th id) with the self-dot precomputed. */
+  private[ops] def ivfCentroids(emb: DataFrame, idCol: String,
+      vecCol: String, centroidStride: Int): DataFrame =
+    emb.where(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+      .withColumn("sc", dot(col("cv"), col("cv")))
+
+  /** Nearest-centroid cell assignment as a PURE PROJECTION: all
+    * centroids collapse to ONE row (`collect_list` of structs, sorted
+    * by cent_id for a deterministic tie-break), that row broadcasts to
+    * every corpus partition, and an `aggregate()` fold over the array
+    * computes the argmin in-place. The corpus is never shuffled and no
+    * corpus×centroids row set ever exists — the previous formulation
+    * (cross join + row_number window) exploded |corpus|×|centroids|
+    * rows through an exchange, the scale-killer at 100 TB.
+    *
+    * Distance is |t|² - 2⟨t,c⟩ + |c|², rounded to 9 digits before
+    * comparison (like the probe side) so last-ulp divergence cannot
+    * flip an assignment; ties go to the smallest cent_id via the
+    * sorted fold order and strict `<`.
+    * Output: target_id, tv, st (self-dot), cent_id. */
+  private[ops] def assignCells(emb: DataFrame, idCol: String,
+      vecCol: String, centroidStride: Int): DataFrame = {
+    val centsArr = ivfCentroids(emb, idCol, vecCol, centroidStride)
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cv"), col("sc"))))
+        .as("__cents"))
+    val init = struct(lit(Double.MaxValue).as("cdist"),
+      lit(null).cast("bigint").as("cent_id"))
+    val best = aggregate(col("__cents"), init, (acc, c) => {
+      val d = round(col("st") - lit(2.0) * dot(col("tv"), c.getField("cv"))
+        + c.getField("sc"), 9)
+      when(d < acc.getField("cdist"),
+        struct(d.as("cdist"), c.getField("cent_id").cast("bigint").as("cent_id")))
+        .otherwise(acc)
+    })
+    emb.select(col(idCol).as("target_id"), col(vecCol).as("tv"))
+      .withColumn("st", dot(col("tv"), col("tv")))
+      .join(broadcast(centsArr), lit(true)) // 1-row nested-loop broadcast
+      .withColumn("cent_id", best.getField("cent_id"))
+      .select("target_id", "tv", "st", "cent_id")
+  }
+
+  /** IVF approximate top-k. Centroids are a deterministic sample; each
+    * corpus vector is assigned to its nearest centroid by
+    * [[assignCells]] (a broadcast projection — the corpus never
+    * shuffles); each query probes the `nprobe` nearest cells and ranks
+    * exactly within them. Returns the same schema as [[cosineTopK]].
     *
     * Scale shape: assignment is one broadcast pass; the probe join hits
-    * only cells/corpus-fraction ~ nprobe/nCentroids. Squared distance is
-    * |t|^2 - 2<t,c> + |c|^2 over precomputed self-dots — one dot per
-    * (vector, centroid). */
+    * only cells/corpus-fraction ~ nprobe/nCentroids. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, centroidStride: Int = 32,
       nprobe: Int = 4): DataFrame = {
-    val cents = emb.where(col(idCol) % centroidStride === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
-      .withColumn("sc", dot(col("cv"), col("cv")))
-    def sqd(v: Column, sv: Column) =
-      round(sv - lit(2.0) * dot(v, col("cv")) + col("sc"), 9)
-    // nearest centroid per corpus vector
-    val wAssign = Window.partitionBy(col("target_id"))
-      .orderBy(col("cdist").asc, col("cent_id"))
-    val assigned = emb
-      .select(col(idCol).as("target_id"), col(vecCol).as("tv"))
-      .withColumn("st", dot(col("tv"), col("tv")))
-      .join(broadcast(cents), lit(true))
-      .select(col("target_id"), col("tv"), col("st"), col("cent_id"),
-        sqd(col("tv"), col("st")).as("cdist"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1).drop("rn", "cdist")
-    // nprobe nearest cells per query
+    val cents = ivfCentroids(emb, idCol, vecCol, centroidStride)
+    val assigned = assignCells(emb, idCol, vecCol, centroidStride)
+    // nprobe nearest cells per query — the query side is bounded, so a
+    // broadcast cross join + window rank is fine here
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("qdist").asc, col("cent_id"))
     val probes = emb.where(queryPred)
@@ -152,7 +182,8 @@ object Similarity {
       .withColumn("sq", dot(col("qv"), col("qv")))
       .join(broadcast(cents), lit(true))
       .select(col("query_id"), col("qv"), col("sq"), col("cent_id"),
-        sqd(col("qv"), col("sq")).as("qdist"))
+        round(col("sq") - lit(2.0) * dot(col("qv"), col("cv")) + col("sc"), 9)
+          .as("qdist"))
       .withColumn("rn", row_number().over(wProbe))
       .where(col("rn") <= nprobe).drop("rn", "qdist")
     // exact rank within probed cells

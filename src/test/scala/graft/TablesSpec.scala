@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Regression: the nanos→micros rebuild in `graft.etl.Tables` must be
+  * exact integer division. `col("ts") / 1000L` promotes to double, and
+  * nanos-since-epoch (~1.7e18) exceeds double's 53-bit exact range, so
+  * the truncating cast lands 1µs low on a fraction of values — including
+  * second-aligned boundaries, where window/session semantics diverge.
+  */
+class TablesSpec extends SparkSpec {
+
+  test("nanos→micros conversion is exact, including double-unsafe values") {
+    import spark.implicits._
+    // second-aligned, hour-aligned, and +/-1ns neighbors around 1.7e18,
+    // plus a sweep that is dense in the double-rounding failure zone
+    val base = 1700000000000000000L
+    val nanos = Seq(
+      base, base - 1, base + 1, base + 999, base + 1000, base + 1001,
+      base + 3600L * 1000000000L) ++ (0L until 2000L).map(i => base + i * 777777L)
+    val dir = java.nio.file.Files.createTempDirectory("tables-spec").toString
+    nanos.toDF("ts").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.etl.Tables.table(spark, dir, "events")
+      .select(unix_micros(col("ts")).as("us")).as[Long].collect().sorted
+    val want = nanos.map(_ / 1000L).sorted.toArray
+    assert(got.toSeq == want.toSeq)
+  }
+}
