@@ -11,7 +11,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to every core on the box (the driver contract is
+    // local[32]); an explicit SPARK_GRAFT_CPUS still wins
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,10 +46,12 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
     println(json)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (json + "\n").getBytes("UTF-8"))
-    }
+    // always persist the record to a file: the driver's stdout parser
+    // has dropped the [info]-prefixed line before ("parsed": null)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -1,43 +1,115 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (point-in-time) join: for every left row, the most recent
-  * right row with `rightTs <= leftTs` within the same entity keys —
-  * the time-series join the reference's market-data domain implies
+/** As-of (point-in-time) join: for every left row, the right row
+  * "effective at" the left timestamp within the same entity keys — the
+  * time-series join the reference's market-data domain implies
   * (prices/rates effective at trade time).
   *
   * Spark-first formulation (no custom SparkPlan needed): union both
   * sides tagged, one window pass per entity ordered by
-  * (ts, side-tag), and `last(payload, ignoreNulls)` carries the
-  * latest right payload forward onto each left row. Cost: ONE shuffle
-  * on the entity keys + one sort — same as any window; never a range
-  * cross-product. Inclusive semantics (a right row at exactly leftTs
-  * applies) via the side-tag sort order; among equal-ts right rows the
-  * last in (ts) order wins.
+  * (ts, side-tag), and `last(struct, ignoreNulls)` carries the latest
+  * right row forward onto each left row. Cost: ONE shuffle on the
+  * entity keys + one sort per direction — same as any window; never a
+  * range cross-product, which is the scale trap for this operator.
+  *
+  * The carried value is a single STRUCT of (right ts, payload...), so a
+  * left row always receives one atomic right row — carrying columns
+  * independently would let `ignoreNulls` mix payload values from
+  * different right rows when some payload columns are null.
+  *
+  * Options (mirroring the DuckDB/pandas ASOF surface):
+  *  - `direction`: "backward" (default; latest rightTs <= leftTs),
+  *    "forward" (earliest rightTs >= leftTs), "nearest" (closer of the
+  *    two, ties to backward). Both bounds inclusive.
+  *  - `tolerance`: optional max distance (an interval Column for
+  *    timestamp keys, numeric for numeric keys); matches farther than
+  *    this yield nulls.
+  *  - `rightTieBreak`: right-side column deciding which row wins among
+  *    right rows sharing the same (keys, ts) — the GREATEST value wins,
+  *    in either direction. Without it, equal-ts right-row ties are
+  *    nondeterministic across partitionings/runs.
   *
   * Columns of `right` other than keys/ts must be disjoint from `left`'s.
   */
 object AsOf {
 
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, payload: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Column] = None,
+      rightTieBreak: Option[String] = None): DataFrame = {
     require(payload.nonEmpty, "as-of join needs right payload columns")
     require(payload.forall(c => !left.columns.contains(c)),
       s"right payload ${payload.mkString(",")} collides with left columns")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+
+    // right rows become (keys, ts, __tie, __r = struct(__rts, payload...));
+    // left rows carry __r = null
+    val rStruct = struct(
+      (col(rightTs).as("__rts") +: payload.map(col)): _*)
     val rAligned = right.select(
-      (keys.map(col) :+ col(rightTs).as(leftTs)) ++ payload.map(col): _*)
+      keys.map(col) ++ Seq(col(rightTs).as(leftTs),
+        rightTieBreak.map(col).getOrElse(lit(0)).as("__tie"),
+        rStruct.as("__r")): _*)
       .withColumn("__k", lit(0))
-    val lTagged = left.withColumn("__k", lit(1))
+    val lTagged = left
+      .withColumn("__tie", lit(null).cast(rAligned.schema("__tie").dataType))
+      .withColumn("__r", lit(null).cast(rAligned.schema("__r").dataType))
+      .withColumn("__k", lit(1))
     val u = lTagged.unionByName(rAligned, allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(leftTs), col("__k"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+
+    // At equal ts the side-tag orders right (0) before left (1) →
+    // inclusive bounds; among equal-ts right rows the tie column orders
+    // last-wins = greatest-tie-wins in both directions.
+    def carry(descTs: Boolean): Column = {
+      val ord =
+        if (descTs) Seq(col(leftTs).desc, col("__k"), col("__tie"))
+        else Seq(col(leftTs), col("__k"), col("__tie"))
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      last(col("__r"), ignoreNulls = true).over(w)
     }
-    carried.where(col("__k") === 1).drop("__k")
+
+    def within(diff: Column): Column =
+      tolerance.map(t => diff <= t).getOrElse(lit(true))
+
+    val withPick = direction match {
+      case "backward" =>
+        u.withColumn("__b", carry(descTs = false))
+          .withColumn("__pick",
+            when(col("__b").isNotNull
+              && within(col(leftTs) - col("__b.__rts")), col("__b")))
+      case "forward" =>
+        u.withColumn("__f", carry(descTs = true))
+          .withColumn("__pick",
+            when(col("__f").isNotNull
+              && within(col("__f.__rts") - col(leftTs)), col("__f")))
+      case "nearest" =>
+        // two sorted window passes over ONE hash exchange (same
+        // partitioning; Catalyst reuses the shuffle, adds a re-sort)
+        val bValid = col("__b").isNotNull &&
+          within(col(leftTs) - col("__b.__rts"))
+        val fValid = col("__f").isNotNull &&
+          within(col("__f.__rts") - col(leftTs))
+        u.withColumn("__b", carry(descTs = false))
+          .withColumn("__f", carry(descTs = true))
+          .withColumn("__pick",
+            when(bValid && fValid,
+              when(col(leftTs) - col("__b.__rts")
+                <= col("__f.__rts") - col(leftTs), col("__b"))
+                .otherwise(col("__f")))
+              .when(bValid, col("__b"))
+              .when(fValid, col("__f")))
+    }
+    val unpacked = payload.foldLeft(withPick) { (df, c) =>
+      df.withColumn(c, col(s"__pick.$c"))
+    }
+    unpacked.where(col("__k") === 1)
+      .drop("__k", "__tie", "__r", "__b", "__f", "__pick")
   }
 }

@@ -71,7 +71,13 @@ object Dedup {
     val a = ex.select(col(idCol).as("doc_a"), col("sk"), col("n").as("na"))
     val b = ex.select(col(idCol).as("doc_b"), col("sk"), col("n").as("nb"))
     a.join(b, "sk")
-      .where(col("doc_a") < col("doc_b"))
+      // Length-ratio prune (exact, not a heuristic): J = inter/union
+      // <= min(na,nb)/max(na,nb), so a pair with min < t*max can never
+      // reach the threshold — drop it BEFORE the pair rows hit the
+      // aggregation exchange. Catalyst folds this into the join filter.
+      .where(col("doc_a") < col("doc_b")
+        && col("na") >= lit(threshold) * col("nb")
+        && col("nb") >= lit(threshold) * col("na"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nb").as("nb"))
       .select(col("doc_a"), col("doc_b"),
@@ -121,6 +127,9 @@ object Dedup {
     val a = ex.select(col(idCol).as("doc_a"), col("sk"), col("n").as("na"))
     val b = ex.select(col(idCol).as("doc_b"), col("sk"), col("n").as("nb"))
     cand.join(a, "doc_a").join(b, Seq("doc_b", "sk"))
+      // same exact length-ratio prune as jaccardPairs
+      .where(col("na") >= lit(threshold) * col("nb")
+        && col("nb") >= lit(threshold) * col("na"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nb").as("nb"))
       .select(col("doc_a"), col("doc_b"),
@@ -149,7 +158,10 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts the min label among itself and its neighbors
+      // each node adopts the min label among itself and its neighbors;
+      // the convergence test rides along as a flag column so it costs a
+      // scan of the (eagerly checkpointed) result, not a second
+      // join+aggregate job per iteration
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("component", "nbr_comp"), Seq("dst"))
@@ -158,14 +170,21 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_comp"), col("component")))
-            .as("component"))
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), Seq("id"))
-        .where(col("u.component") =!= col("l.component"))
-        .limit(1).count() > 0
-      labels = updated.localCheckpoint(true) // truncate the iterative lineage
-      converged = !changed
+            .as("component"),
+          coalesce(col("nbr_comp") < col("component"), lit(false))
+            .as("__changed"))
+        .localCheckpoint(true) // truncate the iterative lineage
+      converged = updated.where(col("__changed")).limit(1).count() == 0
+      labels = updated.drop("__changed")
       iter += 1
+    }
+    if (!converged) {
+      // silent non-convergence would return a still-split clustering and
+      // quietly keep duplicates downstream — make it loud
+      System.err.println(
+        s"[graft] nearDupComponents: NOT converged after $maxIter rounds " +
+          "(cluster diameter exceeds maxIter); labels may still be split. " +
+          "Raise maxIter or switch to large-star/small-star contraction.")
     }
     labels
   }

@@ -27,12 +27,30 @@ object EventStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File stream over an events parquet directory. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
+  /** File stream over an events parquet path — a directory (normal
+    * Spark output layout) or a single file. For a file, `basePath` must
+    * be pinned to the parent directory: the parquet source otherwise
+    * infers basePath = the file itself and rejects it. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    // FileStreamSource force-overrides a user basePath with the stream
+    // path itself UNLESS the path is a glob (FileStreamSource.scala,
+    // optionsWithPartitionBasePath) — and a basePath that is a plain
+    // file is rejected. So for a single-file input, rewrite the path as
+    // an equivalent one-match glob (last char bracketed) and pin
+    // basePath to the parent directory.
+    val p = java.nio.file.Paths.get(path)
+    val (streamPath, base) =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val name = p.getFileName.toString
+        val glob = name.dropRight(1) + "[" + name.last + "]"
+        (p.getParent.resolve(glob).toString, p.getParent.toString)
+      } else (path, path)
     // `ts div 1000` (integer division), not `/`: see graft.etl.Tables —
     // double round-trip loses 1µs on ~2% of nano timestamps.
-    spark.readStream.schema(EventsRawSchema).parquet(dir)
+    spark.readStream.schema(EventsRawSchema).option("basePath", base)
+      .parquet(streamPath)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Tumbling-window counts/sums with a watermark for state eviction:
     * at 100 TB-rate streams, unbounded window state is the failure mode —

@@ -7,26 +7,55 @@ import org.apache.spark.sql.functions._
   * parquet input to completion and return the materialized result —
   * lets the streaming operator sit in the same batch-verified driver
   * contract as everything else (complete output mode == the batch
-  * aggregation result on bounded data). */
+  * aggregation result on bounded data).
+  *
+  * The stream reads the source path DIRECTLY (file or directory — the
+  * file-stream source lists either), rather than copying into a temp
+  * dir: the copy was a driver-side bottleneck and silently produced an
+  * empty stream when the input was a directory (normal Spark output
+  * layout). Only the checkpoint lives in a temp dir, and it is removed
+  * on exit.
+  */
 object StreamAsBatch {
 
   def windowedEventCounts(spark: SparkSession, eventsParquet: String,
       windowDur: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("stream-as-batch")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(eventsParquet), tmp.resolve("events.parquet"))
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val agg = EventStream.readEvents(spark, tmp.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val agg = EventStream.readEvents(spark, eventsParquet)
       .groupBy(window(col("ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("ckpt").toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // Bounded one-shot run: 8 state partitions instead of the session's
+    // shuffle default — state-store open/commit cost is per-partition
+    // per-batch, and the result is partition-count independent. (A real
+    // long-lived stream at scale would size this to the key cardinality.)
+    val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      // restore only after the (async-planned) first batch has run —
+      // start() returns before micro-batch planning reads the conf
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.shuffle.partitions", p)
+        case None => spark.conf.unset("spark.sql.shuffle.partitions")
+      }
+      deleteRecursively(ckpt)
+    }
     spark.table(name)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    catch { case _: Throwable => () }
   }
 }
