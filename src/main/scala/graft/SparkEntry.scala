@@ -355,6 +355,213 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")
+    }),
+
+    // Left outer join: every customer, with urgent-order aggregates or
+    // nulls (the agg side is small after grouping -> broadcastable).
+    "q35_left_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_urgent"),
+          round(sum(col("o_totalprice")), 4).as("urgent_total"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("n_urgent"),
+          col("urgent_total"))
+        .orderBy("c_custkey")
+    }),
+
+    // Full outer join on (user_id, day): click-days vs purchase-days;
+    // using-column join coalesces the keys on both engines.
+    "q36_full_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_clicks"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_buys"))
+      clicks.join(buys, Seq("user_id", "d"), "full")
+        .select(col("user_id"), col("d"), col("n_clicks"), col("n_buys"))
+        .orderBy("user_id", "d")
+    }),
+
+    // Semi join (EXISTS): customers with at least one urgent order —
+    // the complement of q29's anti join.
+    "q37_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // CUBE over two dimensions: all 4 grouping combinations in one
+    // shuffle (Expand + single hash agg — not 4 scans).
+    "q38_cube" -> ((s, dir) =>
+      t(s, dir, "events")
+        .cube(col("event_type"), year(col("ts")).as("yr"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("yr").asc_nulls_first)),
+
+    // Explicit GROUPING SETS (the general grouping-set surface beyond
+    // ROLLUP/CUBE): per-type, per-cohort, and grand total.
+    "q39_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("graft_events_v")
+      s.sql(
+        """SELECT event_type, user_id % 10 AS cohort,
+          |       COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
+          |FROM graft_events_v
+          |GROUP BY GROUPING SETS ((event_type), (cohort), ())
+          |ORDER BY event_type ASC NULLS FIRST, cohort ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Pivot: event types to columns (explicit value list, so the plan
+    // is a single groupBy — no distinct-scan to discover columns).
+    "q40_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 4))
+        .orderBy("user_id")),
+
+    // Lateral explode with position: tokenized documents re-flattened
+    // (generator runs inside whole-stage codegen; no shuffle).
+    "q41_explode_pos" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("token"))
+        .orderBy("doc_id", "pos")),
+
+    // Explicit window frames: ROWS-bounded trailing sum, running max,
+    // and a forward-looking average in one window spec family.
+    "q42_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w.rowsBetween(-3, 0)), 4).as("sum_last4"),
+          round(max(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 4).as("run_max"),
+          round(avg(col("value")).over(w.rowsBetween(0, 2)), 6).as("avg_next3"))
+        .orderBy("event_id")
+    }),
+
+    // String function pack over customer attributes.
+    "q43_string_pack" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_u"),
+          lower(col("c_mktsegment")).as("seg_l"),
+          substring(col("c_name"), 1, 8).as("name_pfx"),
+          concat_ws("|", col("c_name"), col("c_mktsegment")).as("nm_seg"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).as("cust_num"),
+          regexp_replace(col("c_name"), "[0-9]", "x").as("name_mask"),
+          length(col("c_name")).cast("long").as("name_len"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"))
+        .orderBy("c_custkey")),
+
+    // Date/time function pack over order dates.
+    "q44_date_pack" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+          col("o_orderkey"),
+          trunc(col("o_orderdate"), "month").as("month_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("days_since"),
+          add_months(col("o_orderdate"), 3).as("plus3m"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .orderBy("o_orderkey")),
+
+    // Conditional aggregation: filtered counts/sums/shares in one pass.
+    "q45_conditional_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("value") > 900, 1)).as("n_big"),
+          round(sum(when(col("event_type") === "click", col("value"))), 4)
+            .as("click_sum"),
+          round(avg(when(col("event_type") === "purchase", 1.0).otherwise(0.0)), 6)
+            .as("buy_share"))
+        .orderBy("user_id")),
+
+    // Statistical aggregates: sample stddev/variance, correlation and
+    // covariance (all partial-aggregable — map-side combine applies).
+    "q46_stats_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(stddev_samp(col("value")), 4).as("sd"),
+          round(var_samp(col("value")), 2).as("vr"),
+          round(corr(col("value"), col("user_id").cast("double")), 6).as("cor"),
+          round(covar_samp(col("value"), col("user_id").cast("double")), 2).as("cov"))
+        .orderBy("event_type")),
+
+    // Rank-family window navigation: ntile, percent_rank, cume_dist,
+    // first/nth value.
+    "q47_window_nav" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+          col("event_id"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 9).as("pr"),
+          round(cume_dist().over(w), 9).as("cd"),
+          first(col("value")).over(w).as("first_v"),
+          nth_value(col("value"), 2).over(w).as("second_v"))
+        .orderBy("event_id")
+    }),
+
+    // JSON extraction from the props column + grouped rollup on the
+    // extracted key (scalar JSON path, codegen'd — no UDF).
+    "q48_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("k")),
+
+    // Ordered string aggregation per user (array_sort on (event_id,
+    // type) structs -> deterministic csv, matching DuckDB's ORDER BY
+    // string_agg).
+    "q49_string_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ",").as("types_csv"))
+        .orderBy("user_id")),
+
+    // Multi-column exact COUNT(DISTINCT) per group.
+    "q50_count_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("u_users"),
+          countDistinct(to_date(col("ts"))).as("u_days"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // Forward as-of join: each event matched to the EARLIEST rate
+    // update at or after its timestamp (left semantics — unmatched
+    // events keep null). DuckDB verifies with ASOF LEFT JOIN >=.
+    "q51_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wFirst = Window.partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      val rates = ev
+        .withColumn("__rn", row_number().over(wFirst))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("ts").as("upd_ts"), col("value").as("rate"))
+      graft.ops.AsOf.joinAsOf(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          rates, Seq("user_id"), "ts", "upd_ts", Seq("rate"),
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("rate"))
+        .orderBy("event_id")
     })
   )
 
@@ -734,6 +941,151 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q35_left_outer" ->
+      """SELECT c_custkey, c_name, n_urgent, urgent_total
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(1) AS n_urgent,
+        |         ROUND(SUM(o_totalprice), 4) AS urgent_total
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+        |) u ON c_custkey = u.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q36_full_outer" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(1) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), buys AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(1) AS n_buys
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT user_id, d, n_clicks, n_buys
+        |FROM clicks FULL OUTER JOIN buys USING (user_id, d)
+        |ORDER BY user_id, d""".stripMargin,
+
+    "q37_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q38_cube" ->
+      """SELECT event_type, year(ts) AS yr, COUNT(1) AS n,
+        |       ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY CUBE(event_type, year(ts))
+        |ORDER BY event_type ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
+
+    "q39_grouping_sets" ->
+      """SELECT event_type, user_id % 10 AS cohort,
+        |       COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (cohort), ())
+        |ORDER BY event_type ASC NULLS FIRST, cohort ASC NULLS FIRST""".stripMargin,
+
+    "q40_pivot" ->
+      """SELECT user_id,
+        |  ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |  ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+        |  ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        |  ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        |  ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q41_explode_pos" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id < 50
+        |), ex AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+        |    i -> {'pos': i, 'token': w[i]})) AS u
+        |  FROM toks
+        |)
+        |SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.token AS token
+        |FROM ex ORDER BY doc_id, pos""".stripMargin,
+
+    "q42_window_frames" ->
+      """SELECT event_id, user_id,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS sum_last4,
+        |  ROUND(MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_max,
+        |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING), 6) AS avg_next3
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q43_string_pack" ->
+      """SELECT c_custkey, upper(c_name) AS name_u, lower(c_mktsegment) AS seg_l,
+        |  substr(c_name, 1, 8) AS name_pfx,
+        |  concat_ws('|', c_name, c_mktsegment) AS nm_seg,
+        |  regexp_extract(c_name, '([0-9]+)$', 1) AS cust_num,
+        |  regexp_replace(c_name, '[0-9]', 'x', 'g') AS name_mask,
+        |  length(c_name) AS name_len,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q44_date_pack" ->
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  last_day(o_orderdate) AS month_end,
+        |  date_diff('day', DATE '1992-01-01', o_orderdate) AS days_since,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  quarter(o_orderdate) AS qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q45_conditional_agg" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN value > 900 THEN 1 END) AS n_big,
+        |  ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 4) AS click_sum,
+        |  ROUND(AVG(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END), 6) AS buy_share
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q46_stats_agg" ->
+      """SELECT event_type,
+        |  ROUND(stddev_samp(value), 4) AS sd,
+        |  ROUND(var_samp(value), 2) AS vr,
+        |  ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS cor,
+        |  ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 2) AS cov
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q47_window_nav" ->
+      """SELECT event_id,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(percent_rank() OVER w, 9) AS pr,
+        |  ROUND(cume_dist() OVER w, 9) AS cd,
+        |  first_value(value) OVER w AS first_v,
+        |  nth_value(value, 2) OVER w AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q48_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q49_string_agg" ->
+      """SELECT user_id,
+        |       string_agg(event_type, ',' ORDER BY event_id) AS types_csv
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q50_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS u_users,
+        |       COUNT(DISTINCT CAST(ts AS DATE)) AS u_days, COUNT(1) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q51_asof_forward" ->
+      """WITH rates AS (
+        |  SELECT user_id, ts AS upd_ts, value AS rate
+        |  FROM (SELECT user_id, ts, value,
+        |          ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                             ORDER BY ts, event_id) AS rn
+        |        FROM events) WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id, r.rate
+        |FROM events e
+        |ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND r.upd_ts >= e.ts
+        |ORDER BY e.event_id""".stripMargin
   )
 }
