@@ -28,6 +28,25 @@ object WarehouseSink {
   def asTempView(df: DataFrame, name: String): Unit =
     df.createOrReplaceTempView(name)
 
+  /** Catalog-level `ALTER TABLE RENAME COLUMN` parity (reference
+    * `.ipynb` cell 5 renames RETUNR_TYPE post-load). On a V2 catalog
+    * this is pure metadata; the built-in session catalog (V1) rejects
+    * RENAME COLUMN, so we fall back to rewrite-and-swap — the honest
+    * cost on V1, done via a temp table so the source is never read and
+    * overwritten in the same job. */
+  def renameColumn(spark: org.apache.spark.sql.SparkSession,
+      table: String, from: String, to: String): Unit = {
+    try spark.sql(s"ALTER TABLE $table RENAME COLUMN `$from` TO `$to`")
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        val tmp = table + "__rename_tmp"
+        spark.table(table).withColumnRenamed(from, to)
+          .write.mode("overwrite").saveAsTable(tmp)
+        spark.sql(s"DROP TABLE `$table`")
+        spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    }
+  }
+
   /** Bucketed managed table: co-locates rows by `bucketCols` so joins
     * and aggregations on those keys read pre-partitioned data and skip
     * the shuffle entirely — the storage-layout lever for repeated

@@ -85,30 +85,38 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature per document: 8 permutations of the 32-bit
-    * md5-derived shingle hash. Columns: id, mh0..mh7. */
+  /** MinHash signature per document: `nPerms` permutations of the
+    * 32-bit md5-derived shingle hash (the classic 8-constant table
+    * first, then md5-derived constants — see
+    * [[graft.functions.TextFunctions.minhashPermsFor]]).
+    * Columns: id, mh0..mh{nPerms-1}. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, nPerms: Int = 8): DataFrame = {
     val h = shingleTable(df, idCol, textCol, n)
       .select(col(idCol), h32(col("s")).as("h"))
-    val aggs = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+    val aggs = minhashPermsFor(nPerms).zipWithIndex.map { case ((a, b), i) =>
       min(minhashPerm(col("h"), a, b)).as(s"mh$i")
     }
     h.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: 4 bands x 2 rows over the 8-perm signature;
-    * docs sharing any band bucket become candidates. */
-  def lshCandidates(sig: DataFrame, idCol: String): DataFrame = {
-    val bandStructs = (0 until 4).map { i =>
-      struct(lit(i).as("band"), col(s"mh${2 * i}").as("k1"),
-        col(s"mh${2 * i + 1}").as("k2"))
+  /** LSH candidate pairs: `bands` bands x `rowsPerBand` rows over the
+    * signature; docs sharing any band bucket become candidates. At 100
+    * TB the (bands, rowsPerBand) pair is the recall/cost dial: more
+    * bands -> higher recall at threshold (1/bands)^(1/rowsPerBand),
+    * wider buckets -> more verify pairs. */
+  def lshCandidates(sig: DataFrame, idCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val bandStructs = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        array((0 until rowsPerBand).map(j =>
+          col(s"mh${i * rowsPerBand + j}")): _*).as("bkey"))
     }
-    val bands = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.k1"), col("bk.k2"))
-    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("k1"), col("k2"))
-    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("k1"), col("k2"))
-    a.join(b, Seq("band", "k1", "k2"))
+    val bandsDf = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bkey"))
+    val a = bandsDf.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
+    val b = bandsDf.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
@@ -116,10 +124,17 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard:
     * signature -> band-bucket join -> candidate pairs -> exact
     * verification against the shingle table. The scale path: pair
-    * generation is linear in bucket occupancy, never all-pairs. */
+    * generation is linear in bucket occupancy, never all-pairs.
+    * Defaults (8 perms, 4x2 bands) are the oracle-gated q15 shape;
+    * web-scale corpora want e.g. 128 perms / 32x4. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val cand = lshCandidates(minhashSignatures(df, idCol, textCol, n), idCol)
+      n: Int = 3, threshold: Double = 0.5,
+      nPerms: Int = 8, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(bands * rowsPerBand <= nPerms,
+      s"bands*rowsPerBand (${bands * rowsPerBand}) exceeds nPerms ($nPerms)")
+    val cand = lshCandidates(
+      minhashSignatures(df, idCol, textCol, n, nPerms), idCol,
+      bands, rowsPerBand)
     // verification join keys on the shingle's 64-bit hash (see
     // jaccardPairs — longs through the shuffle, not strings)
     val ex = shingleTable(df, idCol, textCol, n)

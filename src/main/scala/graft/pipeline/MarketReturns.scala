@@ -25,14 +25,20 @@ object MarketReturns {
         "DAILY_RETURN" -> "daily_return"))
       .withColumn("market_date", col("market_date").cast("date"))
 
-  /** Working-day detail rows (J1 + P3). */
-  def workingDayReturns(mkt: DataFrame): DataFrame =
-    Calendar.filterWorkingDays(mkt, "market_date")
+  /** Working-day detail rows (J1 + P3). With `cal = None` the Mon-Fri
+    * reconstruction applies; pass `Some(Calendar.load(...))` to honor a
+    * real calendar file's IS_WORKING_DAY/IS_HOLIDAY flags (the
+    * reference's actual use case — market holidays). */
+  def workingDayReturns(mkt: DataFrame, cal: Option[DataFrame] = None): DataFrame =
+    cal match {
+      case Some(c) => Calendar.filterWorkingDays(mkt, "market_date", c)
+      case None => Calendar.filterWorkingDays(mkt, "market_date")
+    }
 
   /** vw_mkt_returns v1 (`.ipynb:671-706`): detail + weekly compound
     * via the group-then-join-back pattern the notebook uses. */
-  def weeklyView(mkt: DataFrame): DataFrame = {
-    val daily = workingDayReturns(mkt)
+  def weeklyView(mkt: DataFrame, cal: Option[DataFrame] = None): DataFrame = {
+    val daily = workingDayReturns(mkt, cal)
       .withColumn("year_week",
         graft.functions.DateTimeFunctions.yearWeek(col("market_date")))
     val weekly = daily
@@ -45,8 +51,8 @@ object MarketReturns {
   }
 
   /** vw_mkt_returns v2 (`.ipynb:772-800`): detail + running compound. */
-  def runningView(mkt: DataFrame): DataFrame =
-    Returns.withRunningCompound(workingDayReturns(mkt),
+  def runningView(mkt: DataFrame, cal: Option[DataFrame] = None): DataFrame =
+    Returns.withRunningCompound(workingDayReturns(mkt, cal),
         "fund_code", "return_type", "market_date", "daily_return")
       .select(col("fund_code"), col("return_type"), col("market_date"),
         col("daily_return"), col("year_week"), col("daily_compound_evolution"))

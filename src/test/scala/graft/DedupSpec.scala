@@ -62,6 +62,22 @@ class DedupSpec extends SparkSpec {
     assert(exact.except(lsh).isEmpty)
   }
 
+  test("parametrized minhash: 128 perms / 32x4 bands keeps full recall on near-dups") {
+    // wider signatures (the web-scale configuration) must still find
+    // every pair the exact verifier accepts on this corpus, and the
+    // band-bucket candidate filter must never ADD pairs
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    val wide = Dedup.minhashNearDups(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, nPerms = 128, bands = 32, rowsPerBand = 4)
+      .select("doc_a", "doc_b")
+    assert(wide.except(exact).isEmpty)
+    assert(exact.except(wide).isEmpty)
+    // signature width actually honors nPerms
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, nPerms = 16)
+    assert(sig.columns.count(_.startsWith("mh")) == 16)
+  }
+
   test("identical docs share a signature; signatures are deterministic") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3)
     val s1 = sig.where($"doc_id" === 1).drop("doc_id").head()

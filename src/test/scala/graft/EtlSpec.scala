@@ -45,6 +45,18 @@ class EtlSpec extends SparkSpec {
     assert(back.count() == 1 && back.head().getInt(0) == 3)
   }
 
+  test("renameColumn: catalog-level ALTER on a managed table (ipynb cell 5 parity)") {
+    val table = "graft_rename_t"
+    Seq((1, "a"), (2, "b")).toDF("retunr_type", "v")
+      .write.mode("overwrite").saveAsTable(table)
+    WarehouseSink.renameColumn(spark, table, "retunr_type", "return_type")
+    val back = spark.table(table)
+    assert(back.columns.toSeq == Seq("return_type", "v"))
+    assert(back.count() == 2)
+    assert(back.where($"return_type" === 1).count() == 1)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("retry: transient 5xx then success, with reference backoff shape") {
     val attempts = new AtomicInteger(0)
     val delays = scala.collection.mutable.ArrayBuffer[Double]()

@@ -91,6 +91,44 @@ class MarketReturnsSpec extends SparkSpec {
       Seq("fund_code", "market_date", "return_type")))
   }
 
+  test("calendar CSV round-trip: loaded file reproduces the generated pipeline") {
+    assume(available, s"reference data.csv not present at $csv")
+    val mkt = MarketReturns.loadMarketData(spark, csv)
+    // write the generated dimension out under the reference's
+    // UPPER_CASE headers, load it back through the CSV path
+    val dir = java.nio.file.Files.createTempDirectory("cal-csv").toString
+    graft.ops.Calendar.asReferenceCsvColumns(
+        graft.ops.Calendar.calendar(spark, "2024-12-01", "2025-04-30"))
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val cal = graft.ops.Calendar.load(spark, dir)
+    assert(cal.columns.toSeq == Seq("cal_date", "day_of_week",
+      "text_day_of_week", "text_month_of_year", "is_holiday", "is_working_day"))
+    val viaCsv = MarketReturns.weeklyView(mkt, Some(cal))
+      .orderBy("fund_code", "return_type", "market_date")
+    val viaGen = MarketReturns.weeklyView(mkt)
+      .orderBy("fund_code", "return_type", "market_date")
+    assert(viaCsv.collect().toSeq == viaGen.collect().toSeq)
+  }
+
+  test("calendar CSV holidays are honored (a working Monday marked off drops)") {
+    assume(available, s"reference data.csv not present at $csv")
+    val mkt = MarketReturns.loadMarketData(spark, csv)
+    // mark 2025-01-06 (a Monday with data) as a holiday in the file
+    val cal = graft.ops.Calendar.calendar(spark, "2024-12-01", "2025-04-30")
+      .withColumn("is_holiday", col("cal_date") === lit("2025-01-06").cast("date"))
+      .withColumn("is_working_day",
+        col("is_working_day") && !col("is_holiday"))
+    val dir = java.nio.file.Files.createTempDirectory("cal-csv-h").toString
+    graft.ops.Calendar.asReferenceCsvColumns(cal)
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val loaded = graft.ops.Calendar.load(spark, dir)
+    val rows = MarketReturns.workingDayReturns(mkt, Some(loaded))
+    assert(rows.where(col("market_date") === lit("2025-01-06").cast("date")).count() == 0)
+    // and the baseline (no holiday) does keep that Monday
+    val base = MarketReturns.workingDayReturns(mkt)
+    assert(base.where(col("market_date") === lit("2025-01-06").cast("date")).count() > 0)
+  }
+
   test("null daily returns contribute 0% days (128 nulls in data.csv)") {
     assume(available, s"reference data.csv not present at $csv")
     val mkt = MarketReturns.loadMarketData(spark, csv)
