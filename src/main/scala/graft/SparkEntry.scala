@@ -545,6 +545,51 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // Bucketed range join: events inside per-user 2-hour windows. The
+    // range predicate becomes an equi-join on (user_id, time bucket) +
+    // an exact residual filter — never the BroadcastNestedLoop plan a
+    // bare inequality join would produce (the 100 TB trap).
+    "q52_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wFirst = Window.partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      val wins = ev.withColumn("__rn", row_number().over(wFirst))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("event_id").as("win_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) + lit(2L * 3600 * 1000000)).as("w_end"))
+      val pts = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("pt"))
+      graft.ops.RangeJoin.pointInInterval(pts, wins, Seq("user_id"),
+          "pt", "w_start", "w_end", bucketWidth = 2L * 3600 * 1000000)
+        .select(col("win_id"), col("event_id"))
+        .orderBy("win_id", "event_id")
+    }),
+
+    // Bucketed interval-overlap join: overlapping per-user 20-hour
+    // windows; each pair emitted from exactly one bucket (the later
+    // start's) so no dedup shuffle is needed.
+    "q53_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wFirst = Window.partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      val len = 20L * 3600 * 1000000
+      val wins = ev.withColumn("__rn", row_number().over(wFirst))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("event_id").as("win_id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + lit(len)).as("e"))
+      val a = wins.select(col("user_id"), col("win_id").as("win_a"),
+        col("s").as("sa"), col("e").as("ea"))
+      val b = wins.select(col("user_id"), col("win_id").as("win_b"),
+        col("s").as("sb"), col("e").as("eb"))
+      graft.ops.RangeJoin.intervalOverlap(a, b, Seq("user_id"),
+          "sa", "ea", "sb", "eb", bucketWidth = len)
+        .where(col("win_a") < col("win_b"))
+        .select(col("win_a"), col("win_b"))
+        .orderBy("win_a", "win_b")
+    }),
+
     // Forward as-of join: each event matched to the EARLIEST rate
     // update at or after its timestamp (left semantics — unmatched
     // events keep null). DuckDB verifies with ASOF LEFT JOIN >=.
@@ -1074,6 +1119,36 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS u_users,
         |       COUNT(DISTINCT CAST(ts AS DATE)) AS u_days, COUNT(1) AS n
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q52_range_join" ->
+      """WITH wins AS (
+        |  SELECT user_id, event_id AS win_id, epoch_us(ts) AS w_start,
+        |         epoch_us(ts) + 7200000000 AS w_end
+        |  FROM (SELECT user_id, ts, event_id,
+        |          ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                             ORDER BY ts, event_id) AS rn
+        |        FROM events) WHERE rn = 1
+        |)
+        |SELECT w.win_id, e.event_id
+        |FROM events e JOIN wins w
+        |  ON e.user_id = w.user_id AND epoch_us(e.ts) >= w.w_start
+        | AND epoch_us(e.ts) <= w.w_end
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q53_interval_overlap" ->
+      """WITH wins AS (
+        |  SELECT user_id, event_id AS win_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + 72000000000 AS e
+        |  FROM (SELECT user_id, ts, event_id,
+        |          ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                             ORDER BY ts, event_id) AS rn
+        |        FROM events) WHERE rn = 1
+        |)
+        |SELECT a.win_id AS win_a, b.win_id AS win_b
+        |FROM wins a JOIN wins b
+        |  ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+        | AND a.win_id < b.win_id
+        |ORDER BY 1, 2""".stripMargin,
 
     "q51_asof_forward" ->
       """WITH rates AS (
