@@ -210,6 +210,70 @@ object Dedup {
     nearDupComponents(pairs).where(col("id") =!= col("component"))
       .select(col("id"))
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the web-scale swap for [[nearDupComponents]]:
+    * converges in O(log n) rounds on ANY graph shape, where min-label
+    * propagation needs O(diameter) rounds (a 10^6-long chain would need
+    * 10^6 shuffles). Each round is two groupBy+join passes over the
+    * edge list; lineage is truncated per round with localCheckpoint.
+    *
+    *  - large-star: every node's strictly-larger neighbors re-attach to
+    *    the minimum of its neighborhood (incl. itself);
+    *  - small-star: every node's smaller-or-equal neighbors re-attach
+    *    to that minimum.
+    *
+    * Fixpoint = the edge set is a star forest rooted at component
+    * minima. Output: (id, component) for every non-isolated node, like
+    * [[nearDupComponents]]. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    def bidir(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = bidir(e)
+      val m = nbr.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      nbr.join(m, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // input edges point large -> small (large-star output invariant);
+      // normalize anyway so the op is standalone-safe
+      val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val m = dir.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      dir.join(m, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(m.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint when the (set-valued) edge list is unchanged
+      converged = next.count() == edges.count() &&
+        next.except(edges).limit(1).count() == 0
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      System.err.println(
+        s"[graft] connectedComponentsStar: NOT converged after $maxIter rounds")
+    // star forest: every non-root points at its component min; roots
+    // (component minima) label themselves
+    val members = edges.select(col("src").as("id"), col("dst").as("component"))
+    val roots = edges.select(col("dst").as("id")).distinct()
+      .join(edges.select(col("src").as("id")), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    members.union(roots)
+  }
+
   /** SimHash near-duplicate pairs within a Hamming radius, found by
     * byte-band bucketing: the 32-bit signature splits into 4 bands, and
     * by pigeonhole any pair with hamming <= 3 shares at least one

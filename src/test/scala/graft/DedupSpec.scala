@@ -124,6 +124,30 @@ class DedupSpec extends SparkSpec {
     assert(comp.forall(_.getLong(1) == 0L))
   }
 
+  test("connectedComponentsStar equals min-label CC on mixed graph shapes") {
+    // chain + triangle + isolated pair + singleton-free star, one frame
+    val edges = (
+      (0L until 12L).map(i => (i, i + 1)) ++           // 13-node chain
+      Seq((20L, 21L), (21L, 22L), (22L, 20L)) ++       // triangle
+      Seq((30L, 31L)) ++                               // pair
+      Seq((40L, 41L), (40L, 42L), (40L, 43L))          // star
+    ).toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponentsStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val label = Dedup.nearDupComponents(edges, maxIter = 30).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == label)
+  }
+
+  test("connectedComponentsStar: long chain converges in O(log n) rounds") {
+    // 64-node chain: min-label needs 63 rounds; star contraction must
+    // finish well within 12 (2*log2(64)) — maxIter doubles as the proof
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponentsStar(chain, maxIter = 12).collect()
+    assert(comp.length == 64)
+    assert(comp.forall(_.getLong(1) == 0L))
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
     val m = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
