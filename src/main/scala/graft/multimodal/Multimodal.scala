@@ -127,4 +127,69 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1,
           lit(everyNth))).as("frame_idx"))
+
+  /** 64-bit perceptual difference hash (dHash) of a pixel grid:
+    * downsample to 9x8 (via the resize path — swap in a real resampler
+    * with the codec), then bit (y*8+x) is set iff pixel[y][x+1] >
+    * pixel[y][x]. Robust to uniform brightness/contrast shifts; small
+    * local edits flip few bits, so Hamming distance is the image
+    * near-dup metric (the image analog of [[graft.ops.Dedup.simhash]]
+    * for text). */
+  def dHash64(content: Array[Byte], srcW: Int, srcH: Int): Long = {
+    val g = resizeStub(content, srcW, srcH, 9, 8)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((g(y * 9 + x + 1) & 0xFF) > (g(y * 9 + x) & 0xFF))
+          h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Per-image perceptual hashes: media_id, phash. */
+  def imageHashes(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.where(col("kind") === "image" &&
+        col("meta.width").isNotNull && col("meta.height").isNotNull)
+      .select(col("media_id"), col("meta.width").as("w"),
+        col("meta.height").as("h"), col("content"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, w, h, bytes) => (id, dHash64(bytes, w, h)) }
+      }
+      .toDF("media_id", "phash")
+  }
+
+  /** Image near-duplicate pairs within a Hamming radius over the
+    * 64-bit dHash, found by byte-band bucketing exactly like
+    * [[graft.ops.Dedup.simhashNearDups]]: 8 bands x 8 bits, pigeonhole
+    * guarantees any pair with hamming <= 7 shares an unchanged band;
+    * candidates pair only inside buckets, popcount verifies.
+    * Output: media_a < media_b, hamming. */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 4): DataFrame = {
+    require(maxHamming <= 7, "8 byte-bands only guarantee recall up to hamming 7")
+    val sig = imageHashes(media)
+    val bandStructs = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("phash"), b * 8) % 256).as("bkey"))
+    }
+    val bands = sig.select(col("media_id"), col("phash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("media_id"), col("phash"), col("bk.band"), col("bk.bkey"))
+    val a = bands.select(col("media_id").as("media_a"),
+      col("phash").as("pa"), col("band"), col("bkey"))
+    val b = bands.select(col("media_id").as("media_b"),
+      col("phash").as("pb"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "pa", "pb").distinct()
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -64,6 +64,19 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: keep the first row per `idCols` key, with
+    * state bounded by the watermark — duplicates are only detectable
+    * within the watermark horizon, which is exactly the guarantee a
+    * 100 TB/day ingest can afford (unbounded dedup state is the failure
+    * mode; at-least-once upstream delivery produces duplicates CLOSE
+    * together, so a horizon equal to the redelivery window is the
+    * right contract). Input must carry `ts`; the watermark is applied
+    * here. */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   final case class Event(event_id: Long, user_id: Long, ts: Timestamp,
     value: Double)
   final case class SessionState(sessionId: Long, lastMicros: Long,

@@ -37,6 +37,24 @@ class EventStreamSpec extends SparkSpec {
     assert(got.except(want).isEmpty, "streaming emitted a window batch disagrees with")
   }
 
+  test("dedupStream drops re-delivered events within the watermark") {
+    // replay the events table UNIONed with itself (simulated
+    // at-least-once redelivery): every event_id arrives twice; the
+    // stream must emit each exactly once
+    val d = java.nio.file.Files.createTempDirectory("events-dup")
+    val src = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .limit(500)
+    src.union(src).write.mode("overwrite")
+      .parquet(d.resolve("in").toString)
+    val stream = spark.readStream
+      .schema(src.schema).parquet(d.resolve("in").toString)
+    val got = EventStream.runToMemory(
+      EventStream.dedupStream(stream, Seq("event_id"), "30 minutes"),
+      "stream_dedup", OutputMode.Append())
+    assert(got.count() == 500)
+    assert(got.groupBy("event_id").count().where($"count" > 1).isEmpty)
+  }
+
   test("event-time sessionizeClosed emits sessions once the watermark passes") {
     import graft.streaming.EventStream.{ClosedSession, Event}
     val inDir = java.nio.file.Files.createTempDirectory("sess-closed")

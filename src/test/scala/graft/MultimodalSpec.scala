@@ -69,6 +69,41 @@ class MultimodalSpec extends SparkSpec {
       .toSeq == Seq[Byte](0, 2, 8, 10))
   }
 
+  test("dHash64: brightness-invariant, stable under tiny edits, 64-bit") {
+    val w = 18; val h = 16
+    val img = Array.tabulate(w * h)(i => ((i * 7) % 251).toByte)
+    val same = Multimodal.dHash64(img, w, h)
+    assert(same == Multimodal.dHash64(img.clone(), w, h))
+    // uniform brightness shift preserves all pixel ORDERINGS -> same hash
+    val brighter = img.map(b => math.min((b & 0xFF) + 4, 255).toByte)
+    assert(Multimodal.dHash64(brighter, w, h) == same)
+    // one-pixel edit flips few bits
+    val edited = img.clone(); edited(40) = (edited(40) + 100).toByte
+    val d = java.lang.Long.bitCount(same ^ Multimodal.dHash64(edited, w, h))
+    assert(d > 0 && d <= 6, s"one-pixel edit flipped $d bits")
+  }
+
+  test("imageNearDups pairs perturbed copies, not unrelated images") {
+    val w = 18; val h = 16
+    val base = Array.tabulate(w * h)(i => ((i * 7) % 251).toByte)
+    val nearCopy = base.clone(); nearCopy(40) = (nearCopy(40) + 100).toByte
+    val unrelated = Array.tabulate(w * h)(i => ((i * i * 13 + 5) % 250).toByte)
+    val rows = Seq(
+      Row(1L, "image", base, Row(Integer.valueOf(w), Integer.valueOf(h), null, null)),
+      Row(2L, "image", base.clone(), Row(Integer.valueOf(w), Integer.valueOf(h), null, null)),
+      Row(3L, "image", nearCopy, Row(Integer.valueOf(w), Integer.valueOf(h), null, null)),
+      Row(4L, "image", unrelated, Row(Integer.valueOf(w), Integer.valueOf(h), null, null)),
+      Row(5L, "audio", base, Row(null, null, Integer.valueOf(8000), null)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0L) // exact copy
+    assert(pairs.contains((1L, 3L)))                          // near copy
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated out
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L)) // audio skipped
+  }
+
   test("sampleFrames explodes every-nth frame indices for videos only") {
     val rows = Seq(
       Row(1L, "video", null, Row(null, null, null, Integer.valueOf(10))),
