@@ -1,0 +1,62 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout levers for scan pruning at 100 TB.
+  *
+  * Parquet/scan pruning works off per-file (and per-rowgroup) min/max
+  * statistics; a layout where each file spans the full domain of a
+  * filter column prunes nothing. Sorting solves it for ONE column;
+  * Z-ORDER (Morton-curve) clustering solves it for several at once:
+  * interleave the bits of the (normalized) column values and
+  * range-partition + sort by the interleaved key, so files become
+  * hyper-rectangles in the multi-dimensional key space and a filter on
+  * ANY clustered column skips most files.
+  */
+object Layout {
+
+  /** Bit-spread of the low 32 bits of `x` into even bit positions
+    * (Morton spreading via the classic mask cascade — pure codegen'd
+    * long arithmetic, no UDF). */
+  private[etl] def spreadBits(x: Column): Column = {
+    var v = x.bitwiseAND(lit(0xFFFFFFFFL))
+    v = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x3333333333333333L))
+    v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** 2-D Morton (Z-order) key of two NON-NEGATIVE integer columns
+    * (callers map their domain onto [0, 2^31) first — e.g. epoch
+    * seconds, dictionary ranks, bucketed doubles). */
+  def zOrder2(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** Write `df` as parquet clustered on the Z-order of two columns:
+    * min/max-normalize both dimensions onto [0, 2^20) — WITHOUT this,
+    * the wider-domain column dominates the curve's high bits and the
+    * layout degenerates to a plain sort on it — then range-partition
+    * on the Morton key into `numFiles` ranges, sort within each, drop
+    * the key. Filters on EITHER column then prune most files via
+    * footer min/max, where a single-column sort only helps that one
+    * column. Cost: one tiny min/max agg job + the same single shuffle
+    * a sorted write pays anyway. */
+  def writeZOrdered(df: DataFrame, path: String,
+      colA: String, colB: String, numFiles: Int): Unit = {
+    val r = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    def norm(c: Column, lo: Double, hi: Double): Column =
+      ((c.cast("double") - lo) / math.max(hi - lo, 1e-300)
+        * ((1 << 20) - 1)).cast("long")
+    df.withColumn("__z", zOrder2(
+        norm(col(colA), r.getDouble(0), r.getDouble(1)),
+        norm(col(colB), r.getDouble(2), r.getDouble(3))))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

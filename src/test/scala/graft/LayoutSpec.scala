@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zOrder2 interleaves bits (known values) and is monotone in both dims") {
+    val r = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (3L, 5L))
+      .toDF("a", "b")
+      .select(Layout.zOrder2($"a", $"b").as("z")).collect().map(_.getLong(0))
+    // interleave(a even bits, b odd bits): (1,0)->1, (0,1)->2, (1,1)->3,
+    // (2,2)->12, (3,5)->39 (a=11, b=101 -> 1 0 0 1 1 1 = 39)
+    assert(r.toSeq == Seq(0L, 1L, 2L, 3L, 12L, 39L))
+  }
+
+  /** avg per-file width of `c`'s [min,max] across parquet files. */
+  private def avgFileWidth(path: String, c: String): Double = {
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg((max(col(c)) - min(col(c))).cast("double").as("w"))
+    perFile.agg(avg($"w")).head().getDouble(0)
+  }
+
+  test("Z-order layout tightens per-file min/max on BOTH dims; time-sort only on one") {
+    val ev = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_id", $"user_id", unix_seconds($"ts").as("t"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    // layout 1: sorted by time only (the default telemetry layout)
+    ev.repartitionByRange(8, $"t").sortWithinPartitions("t")
+      .write.mode("overwrite").parquet(s"$base/bytime")
+    // layout 2: z-ordered on (user_id, t) — writeZOrdered normalizes
+    // both domains, so raw columns are fine
+    Layout.writeZOrdered(ev, s"$base/zorder", "user_id", "t", numFiles = 16)
+
+    val globalUserWidth = ev.agg((max($"user_id") - min($"user_id"))
+      .cast("double")).head().getDouble(0)
+    val byTimeUser = avgFileWidth(s"$base/bytime", "user_id")
+    val zUser = avgFileWidth(s"$base/zorder", "user_id")
+    // time-sorted files span ~the whole user domain (no pruning on
+    // user_id); z-ordered files must be materially tighter
+    assert(byTimeUser > 0.9 * globalUserWidth,
+      s"time-sorted layout unexpectedly clustered users ($byTimeUser)")
+    assert(zUser < 0.5 * globalUserWidth,
+      s"z-order user width $zUser not < half of $globalUserWidth")
+    // and the z-layout keeps time locality well under the full span too
+    val globalTWidth = ev.agg((max($"t") - min($"t")).cast("double"))
+      .head().getDouble(0)
+    assert(avgFileWidth(s"$base/zorder", "t") < 0.8 * globalTWidth)
+  }
+}

@@ -64,6 +64,35 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.size == exact.size)
   }
 
+  test("int8 quantization: schema shrinks to tinyint, recall@5 stays high") {
+    val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    // storage type is actually int8
+    val qType = q.schema("q").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType
+    assert(qType == org.apache.spark.sql.types.ByteType)
+    // max |dequantized - original| component error <= scale/2 (+eps)
+    val err = Similarity.dequantize(q, "vec_id")
+      .withColumnRenamed("embedding", "dq")
+      .join(emb.select($"vec_id", $"embedding"), "vec_id")
+      .join(q.select($"vec_id", $"scale"), "vec_id")
+      .select(max(array_max(zip_with($"dq", $"embedding",
+        (a, b) => abs(a - b))).cast("double") / $"scale").as("worst"))
+      .head().getDouble(0)
+    assert(err <= 0.5 + 1e-6, s"component error $err exceeds scale/2")
+    // ANN recall of the quantized corpus vs full precision
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        $"vec_id" < 10, k = 5)
+      .select($"query_id", $"target_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.cosineTopKInt8(emb, "vec_id", "embedding",
+        $"vec_id" < 10, k = 5)
+      .select($"query_id", $"target_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall@5 = $recall")
+  }
+
   test("cosine is symmetric, bounded, and 1.0 on self") {
     val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
       .limit(60).select($"vec_id", $"embedding")
