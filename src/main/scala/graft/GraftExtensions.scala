@@ -42,7 +42,36 @@ object GraftExtensions {
       args => {
         require(args.length == 2, "word_shingles(toks, n) takes 2 arguments")
         WordShingles(args.head, args(1).eval().asInstanceOf[Int])
+      }),
+    ("simhash32",
+      "simhash32(array<string>) - 32-bit SimHash of a token array",
+      args => {
+        require(args.length == 1, "simhash32(toks) takes 1 argument")
+        graft.expressions.Simhash32(args.head)
+      }),
+    ("year_week",
+      "year_week(date) - the reference's %Y-%W week key (Monday-first)",
+      args => {
+        require(args.length == 1, "year_week(date) takes 1 argument")
+        colExpr(graft.functions.DateTimeFunctions.yearWeek(asCol(args.head)))
+      }),
+    ("fingerprint",
+      "fingerprint(text) - min 32-bit hash over char 5-gram shingles",
+      args => {
+        require(args.length == 1, "fingerprint(text) takes 1 argument")
+        colExpr(graft.functions.TextFunctions.fingerprint(asCol(args.head)))
+      }),
+    ("z_order2",
+      "z_order2(a, b) - 2-D Morton interleave of two non-negative longs",
+      args => {
+        require(args.length == 2, "z_order2(a, b) takes 2 arguments")
+        colExpr(graft.etl.Layout.zOrder2(asCol(args.head), asCol(args(1))))
       }))
+
+  private def asCol(e: Expression) =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def colExpr(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.graftbridge.Bridge.expression(c)
 
   /** Register into an already-running session (extensions classes only
     * take effect at session construction time). */

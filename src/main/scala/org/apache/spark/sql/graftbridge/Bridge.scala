@@ -10,7 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * expressions to expose themselves as `Column` functions. */
 object Bridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Column -> catalyst Expression via the REAL converter
+    * (`ColumnNodeToExpressionConverter`), not
+    * `ExpressionUtils.expression`: the latter wraps the column node in
+    * a lazy `ColumnNodeExpression` placeholder that only resolves when
+    * it passes through the classic Dataset API — injected into a
+    * function-registry builder it would survive to codegen and throw
+    * `Cannot generate code for expression`. */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 
   /** Register a function into an already-running session's registry
     * (extensions only apply at session construction). */

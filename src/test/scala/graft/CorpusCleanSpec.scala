@@ -65,5 +65,17 @@ class CorpusCleanSpec extends SparkSpec {
       .head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getSeq[String](1) == Seq("a b", "b c"))
+    val r2 = spark.sql(
+      "SELECT simhash32(array('x','y')) AS sh, " +
+      "year_week(DATE '2025-01-06') AS yw, " +
+      "fingerprint('hello world') AS fp, " +
+      "z_order2(3, 5) AS z").head()
+    // same values as the Column-API forms
+    assert(r2.getLong(0) ==
+      graft.ops.Dedup.simhash(
+        Seq((1L, "x y")).toDF("id", "t"), "id", "t").head().getLong(1))
+    assert(r2.getString(1) == "2025-01")
+    assert(r2.getLong(2) > 0)
+    assert(r2.getLong(3) == 39L)
   }
 }
