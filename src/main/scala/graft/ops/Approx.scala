@@ -34,4 +34,56 @@ object Approx {
         distinctCount(col(value), rsd).as("approx_distinct"),
         quantile(col(value), 0.5).as("approx_p50"),
         quantile(col(value), 0.99).as("approx_p99"))
+
+  /** Mergeable Misra-Gries heavy-hitters sketch (bounded memory: at
+    * most `k` counters per partition buffer). Guarantees: every item
+    * with true frequency > n/(k+1) survives; reported counts
+    * undercount by at most n/(k+1). The single-pass hot-token /
+    * hot-key detector for 100 TB streams — where an exact groupBy
+    * would shuffle the full key universe. */
+  class FrequentItems(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Map[String, Long]] {
+    require(k > 0, "need at least one counter")
+
+    override def zero: Map[String, Long] = Map.empty
+
+    private def addOne(b: Map[String, Long], a: String): Map[String, Long] =
+      if (b.contains(a)) b.updated(a, b(a) + 1)
+      else if (b.size < k) b.updated(a, 1L)
+      else b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+
+    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      addOne(b, a)
+
+    override def merge(b1: Map[String, Long],
+        b2: Map[String, Long]): Map[String, Long] = {
+      val summed = b2.foldLeft(b1) { case (acc, (key, c)) =>
+        acc.updated(key, acc.getOrElse(key, 0L) + c)
+      }
+      if (summed.size <= k) summed
+      else {
+        // subtract the (k+1)-th largest count from all, drop <= 0 —
+        // the standard MG merge that preserves the error bound
+        val cut = summed.values.toSeq.sorted(Ordering.Long.reverse)(k)
+        summed.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+      }
+    }
+
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+
+    override def bufferEncoder =
+      org.apache.spark.sql.Encoders.kryo[Map[String, Long]]
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Heavy-hitter tokens of a text column: explode -> MG sketch,
+    * one pass, bounded state. */
+  def frequentTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val fi = udaf(new FrequentItems(k), org.apache.spark.sql.Encoders.STRING)
+    df.select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("tok"))
+      .agg(fi(col("tok")).as("heavy_hitters"))
+  }
 }

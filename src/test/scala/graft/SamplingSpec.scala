@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Approx, Sampling}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+
+  test("deterministicSample: stable across runs/partitionings, ~fraction sized") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs.repartition(7), "doc_id", 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same keys must make the same decision")
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.25 && a.size < n * 0.55, s"got ${a.size} of $n")
+    // monotone: a smaller fraction selects a subset
+    val c = Sampling.deterministicSample(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a))
+    assert(Sampling.deterministicSample(docs, "doc_id", 0.0).count() == 0)
+    assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() == n)
+  }
+
+  test("capPerStratum balances a skewed corpus deterministically") {
+    val ev = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val capped = Sampling.capPerStratum(ev, "event_type", 50, "event_id")
+    val sizes = capped.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ <= 50))
+    // strata smaller than the cap pass through whole
+    val orig = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    orig.foreach { case (k, n) => assert(sizes(k) == math.min(n, 50L)) }
+    // deterministic under repartitioning
+    val again = Sampling.capPerStratum(ev.repartition(5), "event_type", 50, "event_id")
+    assert(capped.select("event_id").except(again.select("event_id")).isEmpty)
+  }
+
+  test("Misra-Gries sketch finds planted heavy hitters within the error bound") {
+    // 10k tail tokens + two heavy items at 8% and 4%
+    val n = 10000
+    val rows = (0 until n).map { i =>
+      if (i % 12 == 0) "HOT_A" else if (i % 25 == 0) "HOT_B" else s"tail_${i % 997}"
+    }
+    val df = rows.toDF("text")
+    val k = 64
+    val hh = Approx.frequentTokens(df, "text", k)
+      .head().getMap[String, Long](0)
+    val trueA = rows.count(_ == "HOT_A")
+    val trueB = rows.count(_ == "HOT_B")
+    // freq > n/(k+1) = 154 -> both guaranteed present
+    assert(hh.contains("HOT_A") && hh.contains("HOT_B"))
+    // MG undercounts by at most n/(k+1)
+    assert(hh("HOT_A") <= trueA && hh("HOT_A") >= trueA - n / (k + 1))
+    assert(hh("HOT_B") <= trueB && hh("HOT_B") >= trueB - n / (k + 1))
+    // bounded state: at most k counters survive
+    assert(hh.size <= k)
+  }
+}
