@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape gate over the whole driver-contract query surface: the
+  * properties that decide whether a plan survives 100x data, asserted
+  * on every query's executed plan at sf0.001.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  // Brute-force verification primitives that INTENTIONALLY pair a
+  // bounded/broadcast side against the corpus (documented in
+  // ops.Similarity): the only places a nested-loop join is the plan.
+  private val nestedLoopByDesign = Set(
+    "q17_ann_cosine",       // bounded query set x corpus
+    "q24_embedding_neardup",// all-pairs exact verify primitive
+    "q25_ann_ivf")          // 1-row broadcast centroid array + probe set
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!planOf(name).contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("nested-loop joins appear only in the documented brute-force primitives") {
+    SparkEntry.queries.keys.filterNot(nestedLoopByDesign).foreach { name =>
+      if (name == "q30_stream_window") () // streaming harness, no batch plan claim
+      else assert(!planOf(name).contains("BroadcastNestedLoop"),
+        s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("selective scans push their filters into the parquet reader") {
+    // q05: c_mktsegment = 'BUILDING' must reach the scan
+    val p = planOf("q05_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(c_mktsegment,BUILDING"), p)
+  }
+
+  test("dimension joins broadcast the small side (no fact-side shuffle)") {
+    for (name <- Seq("q01_weekly_compound", "q04_grouped_avg_topn", "q35_left_outer"))
+      assert(planOf(name).contains("BroadcastHashJoin"),
+        s"$name does not broadcast its dimension side")
+  }
+
+  test("global sort+limit plans as TakeOrderedAndProject, not a full sort") {
+    assert(planOf("q11_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("single-pass aggregations keep partial (map-side) aggregation") {
+    // q06 count and q10 grouped agg must show partial_ then final agg
+    assert(planOf("q06_count").contains("partial_count"))
+    assert(planOf("q10_having_avg").contains("partial_count"))
+  }
+
+  test("range join resolves to an equi hash/sort-merge join on the bucket key") {
+    val p = planOf("q52_range_join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+}
