@@ -20,10 +20,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE swap sort-merge -> shuffled-hash when the runtime map
+      // size fits (the size check IS the OOM guard): big-to-big joins
+      // on high-cardinality keys (shingle/band buckets) skip the sort
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args = name prefixes, for single-query iteration
+    // (the driver invokes with no args -> full suite)
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     // untimed warm-up pass: JIT + codegen compilation + file-index
     // caches, so timed numbers reflect steady-state execution
     names.foreach { name =>
