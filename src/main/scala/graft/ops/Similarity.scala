@@ -171,7 +171,7 @@ object Similarity {
     * flip an assignment; ties go to the smallest cent_id via the
     * sorted fold order and strict `<`.
     * Output: target_id, tv, st (self-dot), cent_id. */
-  private[ops] def assignCells(emb: DataFrame, idCol: String,
+  private[graft] def assignCells(emb: DataFrame, idCol: String,
       vecCol: String, centroidStride: Int): DataFrame = {
     val centsArr = ivfCentroids(emb, idCol, vecCol, centroidStride)
       .agg(array_sort(collect_list(struct(col("cent_id"), col("cv"), col("sc"))))

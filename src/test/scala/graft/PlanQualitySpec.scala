@@ -62,4 +62,21 @@ class PlanQualitySpec extends SparkSpec {
     val p = planOf("q52_range_join")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
   }
+
+  test("IVF centroid assignment never shuffles the corpus") {
+    // assignCells is a broadcast projection: between the embeddings
+    // scan and the cell-assignment projection there must be NO Exchange
+    // (the round-1 formulation exploded |corpus| x |centroids| rows
+    // through a window shuffle)
+    val emb = graft.etl.Tables.table(spark, dir, "embeddings")
+    val assigned = graft.ops.Similarity.assignCells(emb, "vec_id", "embedding", 32)
+    val plan = assigned.queryExecution.executedPlan.toString
+    // shuffle exchanges ("Exchange <partitioning>", not BroadcastExchange)
+    // may only be the SinglePartition collect of the tiny centroid table
+    // inside the broadcast subtree — the corpus side must reach the
+    // assignment projection without any shuffle
+    val shuffles = "(?m)(?<!Broadcast)Exchange [^,\\n]+".r.findAllIn(plan).toList
+    assert(shuffles.nonEmpty && shuffles.forall(_.contains("SinglePartition")),
+      s"corpus-side shuffle in assignment plan: $shuffles\n$plan")
+  }
 }
