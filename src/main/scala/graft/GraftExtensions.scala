@@ -19,10 +19,12 @@ import graft.expressions.{DotProduct, WordShingles}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    ext.injectOptimizerRule(_ => graft.rules.HammingZeroToEquality)
+  }
 }
 
 object GraftExtensions {
@@ -75,9 +77,14 @@ object GraftExtensions {
 
   /** Register into an already-running session (extensions classes only
     * take effect at session construction time). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, usage, builder) =>
       org.apache.spark.sql.graftbridge.Bridge.registerFunction(
         spark, name, info(name, usage), builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.rules.HammingZeroToEquality))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.rules.HammingZeroToEquality)
+  }
 }

@@ -77,6 +77,23 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream inner join bounded to a time window: right rows
+    * joining left rows of the same keys with
+    * `leftTs <= rightTs <= leftTs + within`. BOTH the watermarks and
+    * the join's time bound are required for Spark to evict join state —
+    * an unbounded stream-stream join buffers both streams forever, the
+    * 100 TB-stream failure mode. Column names (beyond `keys`) must be
+    * disjoint. */
+  def joinWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, within)
+    val r = right.withWatermark(rightTs, within)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within")
+    keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+  }
+
   final case class Event(event_id: Long, user_id: Long, ts: Timestamp,
     value: Double)
   final case class SessionState(sessionId: Long, lastMicros: Long,

@@ -78,4 +78,24 @@ class CorpusCleanSpec extends SparkSpec {
     assert(r2.getLong(2) > 0)
     assert(r2.getLong(3) == 39L)
   }
+
+  test("HammingZeroToEquality rewrites bit_count(xor)<=0 to equality, same rows") {
+    GraftExtensions.register(spark)
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 7L), (4L, 5L))
+      .toDF("id", "sig")
+    val a = df.select($"id".as("ida"), $"sig".as("sa"))
+    val b = df.select($"id".as("idb"), $"sig".as("sb"))
+    val q = a.join(b, $"ida" < $"idb"
+      && bit_count($"sa".bitwiseXOR($"sb")).cast("long") <= 0)
+    // the rule turns the hamming test into sa = sb, which lets the
+    // planner use an EQUI join instead of a nested loop
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("(sa#") && !optimized.toLowerCase.contains("bit_count"),
+      optimized)
+    val rows = q.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(q.queryExecution.executedPlan.toString.contains("HashJoin"),
+      "equality should plan a hash join")
+  }
 }
