@@ -27,6 +27,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark) // SQL functions + optimizer rules
     // optional args = name prefixes, for single-query iteration
     // (the driver invokes with no args -> full suite)
     val all = SparkEntry.queries.keys.toSeq.sorted

@@ -590,6 +590,43 @@ object SparkEntry {
         .orderBy("win_a", "win_b")
     }),
 
+    // Linear-regression aggregates per group (all partial-aggregable);
+    // x is day-offset so the normal equations stay well-conditioned
+    // and both engines agree to the rounded digits.
+    "q54_regression" -> ((s, dir) => {
+      val x = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("double")
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(regr_slope(col("value"), x), 6).as("slope"),
+          round(regr_intercept(col("value"), x), 4).as("icept"),
+          round(regr_r2(col("value"), x), 9).as("r2"),
+          regr_count(col("value"), x).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // Bitwise and boolean aggregates per group.
+    "q55_bitbool_aggs" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          bit_and(col("user_id")).as("band"),
+          bit_or(col("user_id")).as("bor"),
+          bit_xor(col("user_id")).as("bxor"),
+          bool_and(col("value") > 10).as("all_gt10"),
+          bool_or(col("value") > 990).as("any_gt990"))
+        .orderBy("event_type")),
+
+    // Null-handling scalar pack: coalesce/nullif/greatest/least.
+    "q56_null_scalars" -> ((s, dir) =>
+      t(s, dir, "lineitem").selectExpr(
+          "l_orderkey", "l_linenumber",
+          "greatest(l_quantity, l_discount * 100) AS g",
+          "least(l_quantity, l_extendedprice / 1000) AS l",
+          "coalesce(nullif(l_returnflag, 'N'), 'none') AS rf")
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Forward as-of join: each event matched to the EARLIEST rate
     // update at or after its timestamp (left semantics — unmatched
     // events keep null). DuckDB verifies with ASOF LEFT JOIN >=.
@@ -1149,6 +1186,32 @@ object SparkEntry {
         |  ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
         | AND a.win_id < b.win_id
         |ORDER BY 1, 2""".stripMargin,
+
+    "q54_regression" ->
+      """SELECT event_type,
+        |  ROUND(regr_slope(value, x), 6) AS slope,
+        |  ROUND(regr_intercept(value, x), 4) AS icept,
+        |  ROUND(regr_r2(value, x), 9) AS r2,
+        |  regr_count(value, x) AS n
+        |FROM (SELECT event_type, value,
+        |        CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x
+        |      FROM events)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q55_bitbool_aggs" ->
+      """SELECT event_type,
+        |  bit_and(user_id) AS band, bit_or(user_id) AS bor,
+        |  bit_xor(user_id) AS bxor,
+        |  bool_and(value > 10) AS all_gt10,
+        |  bool_or(value > 990) AS any_gt990
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q56_null_scalars" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  greatest(l_quantity, l_discount * 100) AS g,
+        |  least(l_quantity, l_extendedprice / 1000) AS l,
+        |  coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q51_asof_forward" ->
       """WITH rates AS (
