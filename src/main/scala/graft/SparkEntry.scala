@@ -627,6 +627,14 @@ object SparkEntry {
           "coalesce(nullif(l_returnflag, 'N'), 'none') AS rf")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Bounded-heap top-k per group (the custom mergeable Aggregator):
+    // top-3 events per user by value, gated against DuckDB's
+    // window-rank formulation — proves the O(k)-state operator exact.
+    "q57_topk_per_group" -> ((s, dir) =>
+      graft.ops.TopK.topKPerGroup(t(s, dir, "events"),
+          Seq("user_id"), "value", "event_id", 3)
+        .orderBy("user_id", "rank")),
+
     // Forward as-of join: each event matched to the EARLIEST rate
     // update at or after its timestamp (left semantics — unmatched
     // events keep null). DuckDB verifies with ASOF LEFT JOIN >=.
@@ -1212,6 +1220,14 @@ object SparkEntry {
         |  least(l_quantity, l_extendedprice / 1000) AS l,
         |  coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q57_topk_per_group" ->
+      """SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT user_id, event_id, value,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY value DESC, event_id) AS rn
+        |      FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin,
 
     "q51_asof_forward" ->
       """WITH rates AS (

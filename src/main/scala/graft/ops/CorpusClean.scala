@@ -27,7 +27,11 @@ object CorpusClean {
     maxPunctRatio: Double = 0.3,
     langs: Set[String] = Set("en"),
     shingleSize: Int = 3,
-    nearDupThreshold: Double = 0.8)
+    nearDupThreshold: Double = 0.8,
+    /** Use large-star/small-star CC (O(log n) rounds) for the
+      * transitive near-dup clusters instead of min-label propagation —
+      * the web-scale switch when chains can run long. */
+    starComponents: Boolean = false)
 
   /** Returns the cleaned corpus (same schema as input). */
   def clean(docs: DataFrame, idCol: String, textCol: String,
@@ -43,10 +47,13 @@ object CorpusClean {
       .drop("__w")
 
     // transitive clustering: one survivor per chained near-dup group
-    val losers = Dedup.nearDupLosers(
-        Dedup.minhashNearDups(gated, idCol, textCol,
-          cfg.shingleSize, cfg.nearDupThreshold))
-      .withColumnRenamed("id", idCol)
+    val pairs = Dedup.minhashNearDups(gated, idCol, textCol,
+      cfg.shingleSize, cfg.nearDupThreshold)
+    val components =
+      if (cfg.starComponents) Dedup.connectedComponentsStar(pairs)
+      else Dedup.nearDupComponents(pairs)
+    val losers = components.where(col("id") =!= col("component"))
+      .select(col("id")).withColumnRenamed("id", idCol)
 
     gated.join(losers, Seq(idCol), "left_anti")
   }

@@ -51,4 +51,19 @@ object Returns {
     val agg = detail.groupBy(keys.map(col): _*).agg(aggCol.as(as))
     detail.join(agg, keys, "inner")
   }
+
+  /** The window rewrite of [[attachGroupAgg]] — the very rewrite the
+    * reference notebook itself discovers in cell 14: an unbounded
+    * window over the group keys attaches the aggregate in ONE shuffle
+    * (no second agg relation, no join). Prefer this form when the
+    * aggregate is expressible as `agg(col).over(window)`; the join-back
+    * form remains for aggregates that need post-aggregation projection.
+    */
+  def attachGroupAggWindowed(detail: DataFrame, keys: Seq[String],
+      agg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      valueCol: String, as: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    detail.withColumn(as, agg(col(valueCol)).over(w))
+  }
 }

@@ -26,6 +26,11 @@ class CorpusCleanSpec extends SparkSpec {
         CorpusClean.Config(nearDupThreshold = 0.7))
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 6L))
+    // the O(log n) star-contraction clustering keeps the same corpus
+    val keptStar = CorpusClean.clean(docs, "doc_id", "text",
+        CorpusClean.Config(nearDupThreshold = 0.7, starComponents = true))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptStar == kept)
   }
 
   test("report counts stages") {

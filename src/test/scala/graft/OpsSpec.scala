@@ -20,6 +20,24 @@ class OpsSpec extends SparkSpec {
     assert(cal.where($"is_working_day").count() == 10)
   }
 
+  test("attachGroupAggWindowed equals the join-back form (one shuffle, no join)") {
+    val ev = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val joined = graft.ops.Returns.attachGroupAgg(ev,
+        Seq("user_id", "event_type"), round(sum($"value"), 9), "grp_sum")
+      .select($"event_id", $"grp_sum")
+    val windowed = graft.ops.Returns.attachGroupAggWindowed(ev,
+        Seq("user_id", "event_type"), c => sum(c), "value", "grp_sum")
+      .withColumn("grp_sum", round($"grp_sum", 9))
+      .select($"event_id", $"grp_sum")
+    assert(windowed.except(joined).isEmpty && joined.except(windowed).isEmpty)
+    // and the windowed plan has no Join at all
+    val plan = graft.ops.Returns.attachGroupAggWindowed(ev,
+      Seq("user_id"), c => sum(c), "value", "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("filterWorkingDays drops weekend fact rows and keeps columns") {
     val fact = Seq(("2025-01-04", 1.0), ("2025-01-06", 2.0))
       .toDF("d", "v").withColumn("d", $"d".cast("date"))
@@ -57,7 +75,7 @@ class OpsSpec extends SparkSpec {
     // every query is oracle-gated except the explicitly rows-only IVF
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
       Set("q25_ann_ivf"))
-    assert(SparkEntry.queries.size == 56)
+    assert(SparkEntry.queries.size == 57)
   }
 
   test("all queries run on sf0.001 and return rows") {
