@@ -16,6 +16,73 @@ class PropertiesSpec extends SparkSpec {
       .map(s => g.apply(Gen.Parameters.default, s))
       .collect { case Some(v) => v }.take(n).toSeq
 
+  test("property: joinAsOf (all directions, tolerance) equals brute force on random data") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    val tradeGen = for {
+      sym <- Gen.oneOf("A", "B"); t <- Gen.choose(0L, 100L)
+    } yield (sym, t)
+    val rateGen = for {
+      sym <- Gen.oneOf("A", "B"); t <- Gen.choose(0L, 100L)
+      v <- Gen.choose(1, 999)
+    } yield (sym, t, v.toDouble)
+
+    for (seed <- 1L to 5L) {
+      val trades = sample(tradeGen, 40, seed).zipWithIndex
+        .map { case ((sym, t), i) => (i.toLong, sym, t) }
+      // seq = index -> unique tie-break; duplicates in (sym, t) are common
+      val rates = sample(rateGen, 25, seed + 1000).zipWithIndex
+        .map { case ((sym, t, v), i) => (sym, t, i.toLong, v) }
+      val tradesDf = trades.map { case (id, sym, t) => (id, sym, ts(t)) }
+        .toDF("trade_id", "sym", "t")
+      val ratesDf = rates.map { case (sym, t, seq, v) => (sym, ts(t), seq, v) }
+        .toDF("sym", "rt", "seq", "rate")
+
+      // brute force: among eligible rates pick by direction, tie ->
+      // greatest seq (matching rightTieBreak semantics)
+      def brute(dir: String, tol: Option[Long]): Map[Long, Option[Double]] =
+        trades.map { case (id, sym, t) =>
+          val cands = rates.filter(_._1 == sym)
+          val eligible = dir match {
+            case "backward" => cands.filter(_._2 <= t)
+              .filter(r => tol.forall(tl => t - r._2 <= tl))
+            case "forward" => cands.filter(_._2 >= t)
+              .filter(r => tol.forall(tl => r._2 - t <= tl))
+            case "nearest" => cands
+              .filter(r => tol.forall(tl => math.abs(r._2 - t) <= tl))
+          }
+          val pick = dir match {
+            case "backward" => eligible.sortBy(r => (r._2, r._3)).lastOption
+            case "forward" => eligible.sortBy(r => (-r._2, r._3)).lastOption
+            case "nearest" =>
+              val backs = eligible.filter(_._2 <= t)
+              val fwds = eligible.filter(_._2 > t)
+              val bb = backs.sortBy(r => (r._2, r._3)).lastOption
+              val ff = fwds.sortBy(r => (-r._2, r._3)).lastOption
+              (bb, ff) match {
+                case (Some(b), Some(f)) =>
+                  if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+                case (b, f) => b.orElse(f)
+              }
+          }
+          id -> pick.map(_._4)
+        }.toMap
+
+      for (dir <- Seq("backward", "forward", "nearest");
+           tol <- Seq(None, Some(10L))) {
+        val got = graft.ops.AsOf.joinAsOf(tradesDf, ratesDf, Seq("sym"),
+            "t", "rt", Seq("rate"), direction = dir,
+            tolerance = tol.map(s => expr(s"INTERVAL $s SECONDS")),
+            rightTieBreak = Some("seq"))
+          .select("trade_id", "rate").collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+          .toMap
+        assert(got == brute(dir, tol),
+          s"seed=$seed dir=$dir tol=$tol diverged from brute force")
+      }
+    }
+  }
+
   test("property: compound return is permutation-invariant per group") {
     val groupGen = Gen.nonEmptyListOf(Gen.choose(-0.5, 0.5))
     val groups = sample(groupGen, 40, 7L).zipWithIndex
