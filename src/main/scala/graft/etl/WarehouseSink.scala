@@ -28,6 +28,31 @@ object WarehouseSink {
   def asTempView(df: DataFrame, name: String): Unit =
     df.createOrReplaceTempView(name)
 
+  /** Keyed upsert (MERGE-by-key) into a managed table: existing rows
+    * with matching keys are replaced, new rows appended — the
+    * incremental-refresh form of [[overwriteTable]] for continuously
+    * curated corpora. Implemented as anti-join + union + swap (plain
+    * parquet tables have no transactional MERGE; at 100 TB the same
+    * shape runs per-partition against a partitioned table so only
+    * touched partitions rewrite). The staging temp table keeps the
+    * source readable while its target is replaced. */
+  def upsertByKey(updates: DataFrame, table: String,
+      keys: Seq[String]): Unit = {
+    val spark = updates.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      updates.write.saveAsTable(table)
+    } else {
+      val existing = spark.table(table)
+      val kept = existing.join(
+        updates.select(keys.map(org.apache.spark.sql.functions.col): _*),
+        keys, "left_anti")
+      val tmp = table + "__upsert_tmp"
+      kept.unionByName(updates).write.mode("overwrite").saveAsTable(tmp)
+      spark.sql(s"DROP TABLE `$table`")
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    }
+  }
+
   /** Catalog-level `ALTER TABLE RENAME COLUMN` parity (reference
     * `.ipynb` cell 5 renames RETUNR_TYPE post-load). On a V2 catalog
     * this is pure metadata; the built-in session catalog (V1) rejects

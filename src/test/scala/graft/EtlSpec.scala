@@ -45,6 +45,23 @@ class EtlSpec extends SparkSpec {
     assert(back.count() == 1 && back.head().getInt(0) == 3)
   }
 
+  test("upsertByKey replaces matching keys, appends new, idempotent") {
+    val table = "graft_upsert_t"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    WarehouseSink.upsertByKey(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), table, Seq("k"))
+    WarehouseSink.upsertByKey(
+      Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), table, Seq("k"))
+    val got = spark.table(table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    // idempotent: re-applying the same batch changes nothing
+    WarehouseSink.upsertByKey(
+      Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), table, Seq("k"))
+    assert(spark.table(table).count() == 3)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("renameColumn: catalog-level ALTER on a managed table (ipynb cell 5 parity)") {
     val table = "graft_rename_t"
     Seq((1, "a"), (2, "b")).toDF("retunr_type", "v")
