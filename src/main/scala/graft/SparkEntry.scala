@@ -635,6 +635,21 @@ object SparkEntry {
           Seq("user_id"), "value", "event_id", 3)
         .orderBy("user_id", "rank")),
 
+    // Time-RANGE window frame: rolling 1-hour trailing sum per user
+    // (RANGE bounds on epoch micros — peers with equal ts aggregate
+    // identically in both engines, unlike ROWS frames).
+    "q58_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"))
+        .rangeBetween(-3600L * 1000000, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+        .withColumn("roll_1h", round(sum(col("value")).over(w), 4))
+        .select(col("event_id"), col("user_id"), col("roll_1h"))
+        .orderBy("event_id")
+    }),
+
     // Forward as-of join: each event matched to the EARLIEST rate
     // update at or after its timestamp (left semantics — unmatched
     // events keep null). DuckDB verifies with ASOF LEFT JOIN >=.
@@ -1220,6 +1235,12 @@ object SparkEntry {
         |  least(l_quantity, l_extendedprice / 1000) AS l,
         |  coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q58_range_frame" ->
+      """SELECT event_id, user_id,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS roll_1h
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q57_topk_per_group" ->
       """SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rank
