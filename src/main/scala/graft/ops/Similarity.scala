@@ -192,6 +192,58 @@ object Similarity {
       .select("target_id", "tv", "st", "cent_id")
   }
 
+  /** Persist an IVF index: the centroid table plus the cell-assigned
+    * corpus written PARTITIONED BY cent_id. Build cost is one broadcast
+    * assignment pass + one write; afterwards every query batch probes
+    * nprobe cells and the cell filter is a PARTITION filter — the scan
+    * reads only the probed directories, never the full corpus. This is
+    * the build/query split a 100 TB ANN corpus needs: the index is
+    * built once and reused, instead of re-assigning cells per query
+    * batch (what [[ivfTopK]] does inline). */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, centroidStride: Int = 32): Unit = {
+    ivfCentroids(emb, idCol, vecCol, centroidStride)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assignCells(emb, idCol, vecCol, centroidStride)
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$path/corpus")
+  }
+
+  /** Top-k over a persisted IVF index. The probed cell ids (a bounded
+    * set: |queries| x nprobe) are collected and inlined as a partition
+    * filter, so only those cell directories are scanned. Same output
+    * schema/ranking as [[cosineTopK]]/[[ivfTopK]]. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdist").asc, col("cent_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("sq", dot(col("qv"), col("qv")))
+      .join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("qv"), col("sq"), col("cent_id"),
+        round(col("sq") - lit(2.0) * dot(col("qv"), col("cv")) + col("sc"), 9)
+          .as("qdist"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe).drop("rn", "qdist")
+    // bounded driver-side collect of CELL IDS (index metadata, not
+    // data) -> a literal IN filter the scan turns into partition pruning
+    val cells = probes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val corpus = spark.read.parquet(s"$path/corpus")
+      .where(col("cent_id").isin(cells: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("target_id"))
+    corpus.join(broadcast(probes), Seq("cent_id"))
+      .where(col("query_id") =!= col("target_id"))
+      .select(col("query_id"), col("target_id"),
+        round(dot(col("qv"), col("tv")) / (sqrt(col("sq")) * sqrt(col("st"))), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** IVF approximate top-k. Centroids are a deterministic sample; each
     * corpus vector is assigned to its nearest centroid by
     * [[assignCells]] (a broadcast projection — the corpus never

@@ -93,6 +93,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 recall@5 = $recall")
   }
 
+  test("persisted IVF index: identical results to inline IVF, partition-pruned scan") {
+    val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", path, centroidStride = 32)
+    val queries = emb.where($"vec_id" < 10)
+    val indexed = Similarity.ivfTopKIndexed(spark, path, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+    val inline = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      $"vec_id" < 10, k = 5, centroidStride = 32, nprobe = 4)
+    val a = indexed.select("query_id", "target_id", "cosine", "rank").collect().toSet
+    val b = inline.select("query_id", "target_id", "cosine", "rank").collect().toSet
+    assert(a == b, "indexed IVF diverged from inline IVF")
+    // the corpus scan must carry the cell filter as a PARTITION filter
+    // (only probed cell directories are read)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cent_id"), plan)
+  }
+
   test("cosine is symmetric, bounded, and 1.0 on self") {
     val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
       .limit(60).select($"vec_id", $"embedding")
