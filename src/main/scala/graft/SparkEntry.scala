@@ -635,6 +635,19 @@ object SparkEntry {
           Seq("user_id"), "value", "event_id", 3)
         .orderBy("user_id", "rank")),
 
+    // The one-shuffle window rewrite of q08's agg-join-back (the
+    // rewrite the reference notebook itself discovers in cell 14),
+    // gated against DuckDB's windowed SQL form.
+    "q59_group_attach_window" -> ((s, dir) => {
+      val daily = dailyReturns(s, dir).withColumn("year_week", yearWeek(col("mdate")))
+      graft.ops.Returns.attachGroupAggWindowed(daily,
+          Seq("fund_id", "rtype", "year_week"), c => sum(c), "r", "weekly_sum")
+        .withColumn("weekly_sum", round(col("weekly_sum"), 9))
+        .select(col("event_id"), col("fund_id"), col("rtype"),
+          col("year_week"), col("weekly_sum"))
+        .orderBy("event_id")
+    }),
+
     // Time-RANGE window frame: rolling 1-hour trailing sum per user
     // (RANGE bounds on epoch micros — peers with equal ts aggregate
     // identically in both engines, unlike ROWS frames).
@@ -1235,6 +1248,16 @@ object SparkEntry {
         |  least(l_quantity, l_extendedprice / 1000) AS l,
         |  coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q59_group_attach_window" ->
+      s"""WITH daily AS (
+         |  SELECT event_id, fund_id, rtype, strftime(mdate, '%Y-%W') AS year_week, r
+         |  FROM ($dailyReturnsSql)
+         |)
+         |SELECT event_id, fund_id, rtype, year_week,
+         |  ROUND(SUM(r) OVER (PARTITION BY fund_id, rtype, year_week), 9)
+         |    AS weekly_sum
+         |FROM daily ORDER BY event_id""".stripMargin,
 
     "q58_range_frame" ->
       """SELECT event_id, user_id,

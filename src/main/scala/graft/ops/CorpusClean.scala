@@ -58,6 +58,23 @@ object CorpusClean {
     gated.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental corpus growth: clean `batch` in isolation, then drop
+    * batch docs whose CONTENT already exists in the corpus (hash
+    * anti-join — one shuffle on the 16-byte hash, never on text) and
+    * append the survivors. The continuous-ingest shape: the standing
+    * corpus is never re-cleaned, each arriving batch pays only its own
+    * cleaning plus one anti-join against corpus hashes. */
+  def incrementalAppend(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
+    val cleanedBatch = clean(batch, idCol, textCol, cfg)
+    val corpusHashes = corpus.select(md5(col(textCol)).as("__h")).distinct()
+    val novel = cleanedBatch
+      .withColumn("__h", md5(col(textCol)))
+      .join(corpusHashes, Seq("__h"), "left_anti")
+      .drop("__h")
+    corpus.unionByName(novel)
+  }
+
   /** Per-stage survival counts (diagnostic; triggers jobs). */
   def report(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): Map[String, Long] = {

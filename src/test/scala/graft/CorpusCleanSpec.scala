@@ -33,6 +33,24 @@ class CorpusCleanSpec extends SparkSpec {
     assert(keptStar == kept)
   }
 
+  test("incrementalAppend adds only novel clean docs, never re-cleans corpus") {
+    val corpus = Seq((1L, good)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, good),            // content already in corpus -> dropped
+      (11L, "too short"),     // fails the quality gate -> dropped
+      (12L, "the sun rises over a quiet mountain village and the people " +
+        "wake up to begin a long day of work in the green valley below them")
+    ).toDF("doc_id", "text")
+    val grown = CorpusClean.incrementalAppend(corpus, batch, "doc_id", "text",
+      CorpusClean.Config(nearDupThreshold = 0.7))
+    val ids = grown.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 12L))
+    // idempotent: replaying the same batch grows nothing
+    val again = CorpusClean.incrementalAppend(grown, batch, "doc_id", "text",
+      CorpusClean.Config(nearDupThreshold = 0.7))
+    assert(again.count() == grown.count())
+  }
+
   test("report counts stages") {
     val docs = Seq((1L, good), (2L, good), (3L, "x")).toDF("doc_id", "text")
     val r = CorpusClean.report(docs, "doc_id", "text")
