@@ -648,6 +648,16 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Semi-structured VARIANT path (Spark 4 parse_json/variant_get —
+    // the engine-native binary JSON encoding, not string re-parsing
+    // per access): extract + filter on a variant field.
+    "q60_variant" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        .where(col("k") % 7 === 0)
+        .orderBy("event_id")),
+
     // Time-RANGE window frame: rolling 1-hour trailing sum per user
     // (RANGE bounds on epoch micros — peers with equal ts aggregate
     // identically in both engines, unlike ROWS frames).
@@ -1248,6 +1258,12 @@ object SparkEntry {
         |  least(l_quantity, l_extendedprice / 1000) AS l,
         |  coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q60_variant" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+        |ORDER BY event_id""".stripMargin,
 
     "q59_group_attach_window" ->
       s"""WITH daily AS (

@@ -43,6 +43,24 @@ class EventWindowsSpec extends SparkSpec {
     assert(s(4L) == 1L && s(5L) == 1L) // other user independent
   }
 
+  test("sessionize agrees with Spark's native session_window grouping") {
+    // independent formulations of gap sessions must induce the same
+    // partition of events: our lag/cumsum sessionize vs the built-in
+    // session_window aggregation (batch mode)
+    val ev = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val ours = EventWindows.sessionStats(ev, "user_id", "ts", "value",
+        gapSeconds = 1800, orderTieCol = "event_id")
+      .select($"user_id", $"session_start", $"n_events",
+        round($"sum_value", 4).as("sum_value"))
+    val native = ev.groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+      .select($"user_id",
+        date_trunc("second", $"session_window.start").as("session_start"),
+        $"n_events", $"sum_value")
+    assert(ours.count() == native.count())
+    assert(ours.except(native).isEmpty && native.except(ours).isEmpty)
+  }
+
   test("sessionStats aggregates per session deterministically") {
     val st = EventWindows.sessionStats(events, "user_id", "ts", "value",
         1800, "event_id")
