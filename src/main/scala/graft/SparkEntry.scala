@@ -648,6 +648,46 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): the date-spine pattern —
+    // generate the full day range between min and max event dates
+    // recursively, then left-join daily counts so gap days surface as
+    // zeros instead of silently missing rows.
+    "q61_recursive_spine" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("graft_events_v")
+      s.sql(
+        """WITH RECURSIVE bounds AS (
+          |  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+          |  FROM graft_events_v
+          |), spine(d) AS (
+          |  SELECT lo FROM bounds
+          |  UNION ALL
+          |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine, bounds
+          |  WHERE d < hi
+          |), daily AS (
+          |  SELECT CAST(ts AS DATE) AS d2, COUNT(1) AS n
+          |  FROM graft_events_v GROUP BY 1
+          |)
+          |SELECT d, COALESCE(n, 0) AS n
+          |FROM spine LEFT JOIN daily ON d = d2
+          |ORDER BY d""".stripMargin)
+    }),
+
+    // Correlated LATERAL subquery: top-2 customers by balance PER
+    // nation, expressed as a lateral per-row subquery (Catalyst
+    // decorrelates to a ranked join — never a per-row execution).
+    "q62_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("graft_nation_v")
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer_v")
+      s.sql(
+        """SELECT n_name, c.c_name, c.c_acctbal
+          |FROM graft_nation_v, LATERAL (
+          |  SELECT c_name, c_acctbal FROM graft_customer_v
+          |  WHERE c_nationkey = n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 2
+          |) AS c
+          |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+    }),
+
     // Semi-structured VARIANT path (Spark 4 parse_json/variant_get —
     // the engine-native binary JSON encoding, not string re-parsing
     // per access): extract + filter on a variant field.
@@ -1258,6 +1298,32 @@ object SparkEntry {
         |  least(l_quantity, l_extendedprice / 1000) AS l,
         |  coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q62_lateral" ->
+      """SELECT n_name, c.c_name, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2
+        |) AS c
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin,
+
+    "q61_recursive_spine" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+        |  FROM events
+        |), spine(d) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine, bounds
+        |  WHERE d < hi
+        |), daily AS (
+        |  SELECT CAST(ts AS DATE) AS d2, COUNT(1) AS n
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT d, COALESCE(n, 0) AS n
+        |FROM spine LEFT JOIN daily ON d = d2
+        |ORDER BY d""".stripMargin,
 
     "q60_variant" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
