@@ -672,6 +672,19 @@ object SparkEntry {
           |ORDER BY d""".stripMargin)
     }),
 
+    // Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    // multiplicities preserved, unlike q33's set-semantics forms.
+    "q63_setops_all" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      clicks.intersectAll(views).withColumn("kind", lit("both"))
+        .unionByName(clicks.exceptAll(views).withColumn("kind", lit("click_only")))
+        .orderBy("kind", "user_id", "d")
+    }),
+
     // Correlated LATERAL subquery: top-2 customers by balance PER
     // nation, expressed as a lateral per-row subquery (Catalyst
     // decorrelates to a ranked join — never a per-row execution).
@@ -1298,6 +1311,21 @@ object SparkEntry {
         |  least(l_quantity, l_extendedprice / 1000) AS l,
         |  coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q63_setops_all" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE event_type = 'click'
+        |), views AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE event_type = 'view'
+        |)
+        |SELECT user_id, d, 'both' AS kind FROM clicks
+        |INTERSECT ALL SELECT user_id, d, 'both' FROM views
+        |UNION ALL
+        |(SELECT user_id, d, 'click_only' AS kind FROM clicks
+        | EXCEPT ALL SELECT user_id, d, 'click_only' FROM views)
+        |ORDER BY kind, user_id, d""".stripMargin,
 
     "q62_lateral" ->
       """SELECT n_name, c.c_name, c.c_acctbal

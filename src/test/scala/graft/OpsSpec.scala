@@ -75,7 +75,7 @@ class OpsSpec extends SparkSpec {
     // every query is oracle-gated except the explicitly rows-only IVF
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
       Set("q25_ann_ivf"))
-    assert(SparkEntry.queries.size == 62)
+    assert(SparkEntry.queries.size == 63)
   }
 
   test("all queries run on sf0.001 and return rows") {
