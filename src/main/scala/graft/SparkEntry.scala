@@ -658,10 +658,13 @@ object SparkEntry {
         """WITH RECURSIVE bounds AS (
           |  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
           |  FROM graft_events_v
-          |), spine(d) AS (
-          |  SELECT lo FROM bounds
+          |), spine(d, hi) AS (
+          |  -- carry hi THROUGH the recursion: referencing the bounds
+          |  -- CTE inside the recursive step would rescan the events
+          |  -- aggregate once per iteration
+          |  SELECT lo, hi FROM bounds
           |  UNION ALL
-          |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine, bounds
+          |  SELECT CAST(d + INTERVAL 1 DAY AS DATE), hi FROM spine
           |  WHERE d < hi
           |), daily AS (
           |  SELECT CAST(ts AS DATE) AS d2, COUNT(1) AS n
@@ -1340,10 +1343,10 @@ object SparkEntry {
       """WITH RECURSIVE bounds AS (
         |  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
         |  FROM events
-        |), spine(d) AS (
-        |  SELECT lo FROM bounds
+        |), spine(d, hi) AS (
+        |  SELECT lo, hi FROM bounds
         |  UNION ALL
-        |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine, bounds
+        |  SELECT CAST(d + INTERVAL 1 DAY AS DATE), hi FROM spine
         |  WHERE d < hi
         |), daily AS (
         |  SELECT CAST(ts AS DATE) AS d2, COUNT(1) AS n
