@@ -152,6 +152,65 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Persist a MinHash-LSH dedup index: the corpus' band buckets
+    * (partitioned by band) and its shingle-hash table. The
+    * incremental-ingest lifecycle: the standing corpus is signatured
+    * ONCE at build; each arriving batch signatures only itself and
+    * joins its bands against the index — near-dup detection against
+    * N documents costs O(|batch|), not O(N), per batch. */
+  def buildLshIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3, nPerms: Int = 8, bands: Int = 4,
+      rowsPerBand: Int = 2): Unit = {
+    val sig = minhashSignatures(df, idCol, textCol, n, nPerms)
+    val bandStructs = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        array((0 until rowsPerBand).map(j =>
+          col(s"mh${i * rowsPerBand + j}")): _*).as("bkey"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bkey"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    shingleTable(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("s")).as("sk"), col("n"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Near-dup pairs between a NEW batch and an indexed corpus:
+    * (corpus doc_a, batch doc_b, jaccard >= threshold). Band-bucket
+    * candidates against the index, exact Jaccard verification against
+    * the index's stored shingles — the corpus is never re-processed. */
+  def lshQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, n: Int = 3, nPerms: Int = 8,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignatures(batch, idCol, textCol, n, nPerms)
+    val bandStructs = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        array((0 until rowsPerBand).map(j =>
+          col(s"mh${i * rowsPerBand + j}")): _*).as("bkey"))
+    }
+    val batchBands = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol).as("doc_b"), col("bk.band"), col("bk.bkey"))
+    val indexBands = spark.read.parquet(s"$path/bands")
+      .select(col(idCol).as("doc_a"), col("band"), col("bkey"))
+    val cand = indexBands.join(batchBands, Seq("band", "bkey"))
+      .select("doc_a", "doc_b").distinct()
+    val a = spark.read.parquet(s"$path/shingles")
+      .select(col(idCol).as("doc_a"), col("sk"), col("n").as("na"))
+    val b = shingleTable(batch, idCol, textCol, n)
+      .select(col(idCol).as("doc_b"), xxhash64(col("s")).as("sk"),
+        col("n").as("nb"))
+    cand.join(a, "doc_a").join(b, Seq("doc_b", "sk"))
+      .where(col("na") >= lit(threshold) * col("nb")
+        && col("nb") >= lit(threshold) * col("na"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nb").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Connected components over near-duplicate pairs: groups chained
     * duplicates (a~b, b~c => {a,b,c}) so exactly one representative
     * (the minimum id) survives per transitive cluster — dropping the

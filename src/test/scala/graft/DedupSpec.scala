@@ -124,6 +124,32 @@ class DedupSpec extends SparkSpec {
     assert(comp.forall(_.getLong(1) == 0L))
   }
 
+  test("persisted LSH index: batch-vs-corpus pairs equal the recomputed cross pairs") {
+    val path = java.nio.file.Files.createTempDirectory("lsh-index").toString
+    // corpus = the doc fixture; batch = near-dup copies of two corpus
+    // docs (ids shifted) plus one novel doc
+    val batch = docs.where($"doc_id".isin(1L, 3L))
+      .select(($"doc_id" + 100L).as("doc_id"), $"text")
+      .union(Seq((200L, "completely unrelated novel content here " * 5))
+        .toDF("doc_id", "text"))
+    Dedup.buildLshIndex(docs, "doc_id", "text", path)
+    val got = Dedup.lshQueryIndex(spark, path, batch, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: full recompute over the union, restricted to
+    // (corpus, batch) cross pairs
+    val union = docs.union(batch)
+    val want = Dedup.minhashNearDups(union, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .where($"doc_a" < 100L && $"doc_b" >= 100L)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)                               // the planted dups found
+    assert(!got.exists(_._2 == 200L))                  // novel doc pairs with nothing
+  }
+
   test("connectedComponentsStar equals min-label CC on mixed graph shapes") {
     // chain + triangle + isolated pair + singleton-free star, one frame
     val edges = (
