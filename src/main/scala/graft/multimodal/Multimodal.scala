@@ -128,6 +128,48 @@ object Multimodal {
         explode(sequence(lit(0), col("meta.n_frames") - 1,
           lit(everyNth))).as("frame_idx"))
 
+  final case class AudioFrames(media_id: Long, n_frames: Int,
+    energy: Array[Float])
+
+  /** Frame-level audio energy features: the payload is treated as a
+    * PCM-ish byte stream cut into `frameSize`-byte frames; each frame
+    * yields its RMS amplitude (a real codec decodes first — same
+    * swap-point as [[decodeStub]]). Output vectors feed the standard
+    * ANN/near-dup operators exactly like image features — the audio
+    * leg of the multimodal path. */
+  def audioEnergyFeatures(media: DataFrame, frameSize: Int = 256,
+      maxFrames: Int = 64): Dataset[AudioFrames] = {
+    import media.sparkSession.implicits._
+    require(frameSize > 0 && maxFrames > 0)
+    media.where(col("kind") === "audio")
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          val nAll = (b.length + frameSize - 1) / frameSize
+          val n = math.min(nAll, maxFrames)
+          val out = new Array[Float](n)
+          var f = 0
+          while (f < n) {
+            val start = f * frameSize
+            val end = math.min(start + frameSize, b.length)
+            var sum = 0.0
+            var i = start
+            while (i < end) {
+              val centered = (b(i) & 0xFF) - 128.0
+              sum += centered * centered
+              i += 1
+            }
+            out(f) = if (end > start)
+              math.sqrt(sum / (end - start)).toFloat else 0f
+            f += 1
+          }
+          AudioFrames(id, n, out)
+        }
+      }
+  }
+
   /** 64-bit perceptual difference hash (dHash) of a pixel grid:
     * downsample to 9x8 (via the resize path — swap in a real resampler
     * with the codec), then bit (y*8+x) is set iff pixel[y][x+1] >

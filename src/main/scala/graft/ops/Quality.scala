@@ -37,4 +37,23 @@ object Quality {
       .map(c => (c, exp(c), actual(c), "type_mismatch"))
     missing ++ extra ++ mismatched
   }
+
+  /** One-pass null profile: (column, n_nulls, null_ratio) for every
+    * column — a SINGLE wide aggregation (one job, one scan), not a
+    * count() per column. The null-density check that gates the
+    * reference's DAILY_RETURN handling (128/472 nulls, SURVEY §1.2),
+    * generalized. */
+  def nullProfile(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = count(lit(1)).as("__n") +:
+      df.columns.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")).toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getAs[Long]("__n")
+    df.columns.toSeq.map { c =>
+      val nulls = row.getAs[Long](s"__nulls_$c")
+      (c, nulls, if (total == 0) 0.0 else nulls.toDouble / total)
+    }.toDF("column", "n_nulls", "null_ratio")
+  }
 }

@@ -104,6 +104,27 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L)) // audio skipped
   }
 
+  test("audioEnergyFeatures: RMS per frame, silence is zero, frame count bounded") {
+    val loud = Array.fill(512)(255.toByte)          // max deviation from 128
+    val silent = Array.fill(512)(128.toByte)        // exactly the midpoint
+    val rows = Seq(
+      Row(1L, "audio", loud, Row(null, null, Integer.valueOf(8000), null)),
+      Row(2L, "audio", silent, Row(null, null, Integer.valueOf(8000), null)),
+      Row(3L, "image", loud, Row(Integer.valueOf(4), Integer.valueOf(4), null, null)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val feats = Multimodal.audioEnergyFeatures(media, frameSize = 256)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(!feats.contains(3L))                     // images skipped
+    assert(feats(1L).n_frames == 2 && feats(2L).n_frames == 2)
+    assert(feats(1L).energy.forall(e => math.abs(e - 127.0f) < 1e-3))
+    assert(feats(2L).energy.forall(_ == 0f))
+    // maxFrames truncates long payloads
+    val one = Multimodal.audioEnergyFeatures(media, frameSize = 64, maxFrames = 3)
+      .where($"media_id" === 1L).head()
+    assert(one.n_frames == 3)
+  }
+
   test("sampleFrames explodes every-nth frame indices for videos only") {
     val rows = Seq(
       Row(1L, "video", null, Row(null, null, null, Integer.valueOf(10))),
