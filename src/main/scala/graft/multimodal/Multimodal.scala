@@ -7,13 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The Spark-side shape is real and tested — schema, partitioning,
-  * batch iteration (one codec handle per partition, the expensive-init
-  * pattern), feature-vector output schema. The actual media decode is a
-  * STUB ([[decodeStub]]): this container has no image/audio codecs, so
-  * the stub derives a deterministic byte-histogram "feature vector";
-  * swap [[decodeStub]] for a real codec (JavaCV/ffmpeg bindings) without
-  * touching any of the plumbing.
+  * The IMAGE leg is fully real: encoded PNG/JPEG/BMP/GIF payloads are
+  * decoded with the JDK's `javax.imageio` ([[ImageCodec]]), resampled
+  * with an area-average box filter, perceptually hashed, and
+  * re-encoded — no external codec dependency. Payloads that do not
+  * decode as images (and the audio/video kinds, for which this
+  * container genuinely has no codec) fall back to the deterministic
+  * STUB paths ([[decodeStub]]/[[resizeStub]]), which keep the
+  * plumbing — schema, partitioning, batch iteration with one codec
+  * handle per partition, feature-vector output shape — exercised with
+  * reproducible values; swap the stub for JavaCV/ffmpeg bindings
+  * without touching any of it.
   */
 object Multimodal {
 
@@ -83,20 +87,35 @@ object Multimodal {
   }
 
   /** Batch image resize over binary media columns (partition-batched
-    * like [[extractFeatures]]); source dims come from the metadata
-    * struct, rows without dims pass through skipped. */
+    * like [[extractFeatures]]). Encoded payloads are REALLY decoded
+    * ([[ImageCodec.decodeGray]]), box-filter resampled, and re-encoded
+    * as lossless PNG, so outputs are themselves valid image payloads.
+    * Undecodable payloads with metadata dims fall back to the raw-grid
+    * [[resizeStub]] (content interpreted as a row-major grayscale
+    * grid); rows that are neither decodable nor dimensioned are
+    * skipped. */
   def resizeImages(media: DataFrame, dstW: Int, dstH: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
-    media.where(col("kind") === "image" &&
-        col("meta.width").isNotNull && col("meta.height").isNotNull)
+    media.where(col("kind") === "image")
       .select(col("media_id"), col("kind"), col("meta.width").as("w"),
         col("meta.height").as("h"), col("content"))
-      .as[(Long, String, Int, Int, Array[Byte])]
+      .as[(Long, String, Option[Int], Option[Int], Array[Byte])]
       .mapPartitions { rows =>
-        // real impl: codec init once per partition
-        rows.map { case (id, kind, w, h, bytes) =>
-          ResizedMedia(id, kind, dstW, dstH,
-            resizeStub(bytes, w, h, dstW, dstH))
+        // codec state (ImageIO reader registry) is JVM-wide; the
+        // batch shape still amortizes any per-partition init
+        rows.flatMap { case (id, kind, w, h, bytes) =>
+          ImageCodec.decodeGray(bytes) match {
+            case Some(g) =>
+              val px = ImageCodec.resampleGray(g.pixels, g.width, g.height, dstW, dstH)
+              Some(ResizedMedia(id, kind, dstW, dstH,
+                ImageCodec.encodePng(px, dstW, dstH)))
+            case None => (w, h) match {
+              case (Some(sw), Some(sh)) =>
+                Some(ResizedMedia(id, kind, dstW, dstH,
+                  resizeStub(bytes, sw, sh, dstW, dstH)))
+              case _ => None
+            }
+          }
         }
       }
   }
@@ -104,16 +123,25 @@ object Multimodal {
   /** Batch feature extraction: mapPartitions so any per-executor codec
     * is initialized once per partition, not once per row (the Scala
     * analog of a pandas-batch UDF). Pure iterator-to-iterator — safe
-    * for spilling, no partition materialization. */
+    * for spilling, no partition materialization. Image payloads that
+    * decode via [[ImageCodec]] yield a real-pixel grayscale histogram;
+    * everything else (audio/video, undecodable bytes) falls back to
+    * the deterministic [[decodeStub]] byte histogram. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16)
       : Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real impl: val codec = Codec.open() — once per partition
       rows.map { r =>
+        val feature =
+          if (r.kind == "image")
+            ImageCodec.decodeGray(r.content)
+              .map(g => ImageCodec.grayHistogram(g, dim))
+              .getOrElse(decodeStub(r.content, dim))
+          else decodeStub(r.content, dim)
         MediaFeature(r.media_id, r.kind,
           if (r.content == null) 0L else r.content.length.toLong,
-          decodeStub(r.content, dim))
+          feature)
       }
     }
   }
@@ -170,15 +198,15 @@ object Multimodal {
       }
   }
 
-  /** 64-bit perceptual difference hash (dHash) of a pixel grid:
-    * downsample to 9x8 (via the resize path — swap in a real resampler
-    * with the codec), then bit (y*8+x) is set iff pixel[y][x+1] >
-    * pixel[y][x]. Robust to uniform brightness/contrast shifts; small
-    * local edits flip few bits, so Hamming distance is the image
-    * near-dup metric (the image analog of [[graft.ops.Dedup.simhash]]
-    * for text). */
+  /** 64-bit perceptual difference hash (dHash) of a raw pixel grid:
+    * area-average downsample to 9x8 ([[ImageCodec.resampleGray]] —
+    * every source pixel is integrated, no aliasing), then bit (y*8+x)
+    * is set iff pixel[y][x+1] > pixel[y][x]. Robust to uniform
+    * brightness/contrast shifts; small local edits flip few bits, so
+    * Hamming distance is the image near-dup metric (the image analog
+    * of [[graft.ops.Dedup.simhash]] for text). */
   def dHash64(content: Array[Byte], srcW: Int, srcH: Int): Long = {
-    val g = resizeStub(content, srcW, srcH, 9, 8)
+    val g = ImageCodec.resampleGray(content, srcW, srcH, 9, 8)
     var h = 0L
     var y = 0
     while (y < 8) {
@@ -193,16 +221,32 @@ object Multimodal {
     h
   }
 
-  /** Per-image perceptual hashes: media_id, phash. */
+  /** dHash of an ENCODED image payload: real ImageIO decode to
+    * grayscale, then [[dHash64]]. None if the bytes don't decode. */
+  def dHash64Encoded(content: Array[Byte]): Option[Long] =
+    ImageCodec.decodeGray(content)
+      .map(g => dHash64(g.pixels, g.width, g.height))
+
+  /** Per-image perceptual hashes: media_id, phash. Encoded payloads
+    * are really decoded; undecodable payloads with metadata dims are
+    * hashed as raw grayscale grids (fixture path); rows with neither
+    * are dropped. */
   def imageHashes(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._
-    media.where(col("kind") === "image" &&
-        col("meta.width").isNotNull && col("meta.height").isNotNull)
+    media.where(col("kind") === "image")
       .select(col("media_id"), col("meta.width").as("w"),
         col("meta.height").as("h"), col("content"))
-      .as[(Long, Int, Int, Array[Byte])]
+      .as[(Long, Option[Int], Option[Int], Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, w, h, bytes) => (id, dHash64(bytes, w, h)) }
+        rows.flatMap { case (id, w, h, bytes) =>
+          dHash64Encoded(bytes) match {
+            case Some(ph) => Some((id, ph))
+            case None => (w, h) match {
+              case (Some(sw), Some(sh)) => Some((id, dHash64(bytes, sw, sh)))
+              case _ => None
+            }
+          }
+        }
       }
       .toDF("media_id", "phash")
   }

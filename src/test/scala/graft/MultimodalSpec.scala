@@ -1,12 +1,127 @@
 package graft
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageCodec, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  /** Deterministic grayscale test scene: smooth gradient + a block
+    * pattern, so dHash has real structure to latch onto. */
+  private def scene(w: Int, h: Int, seed: Int): Array[Byte] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val grad = (x * 255 / w + y * 160 / h) / 2
+      val block = if (((x / 8) + (y / 8) + seed) % 3 == 0) 70 else 0
+      math.min(grad + block + seed * 11 % 40, 255).toByte
+    }
+
+  /** Encode a grayscale grid as a 24-bit BMP (r=g=b=v, so BT.601 luma
+    * returns v exactly) — a second on-disk format for cross-format
+    * near-dup tests. */
+  private def bmpGray(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(y * w + x) & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  private def mediaRow(id: Long, kind: String, bytes: Array[Byte]): Row =
+    Row(id, kind, bytes, Row(null, null, null, null))
+
+  test("ImageCodec: PNG encode/decode round-trip is lossless") {
+    val w = 32; val h = 24
+    val px = scene(w, h, 0)
+    val png = ImageCodec.encodePng(px, w, h)
+    // it is a real PNG (magic bytes), not a raw grid
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P'.toByte)
+    val g = ImageCodec.decodeGray(png).get
+    assert(g.width == w && g.height == h)
+    assert(g.pixels.toSeq == px.toSeq)
+    // undecodable / empty payloads are None, not exceptions
+    assert(ImageCodec.decodeGray("not an image".getBytes).isEmpty)
+    assert(ImageCodec.decodeGray(null).isEmpty)
+    assert(ImageCodec.decodeGray(Array.emptyByteArray).isEmpty)
+  }
+
+  test("ImageCodec: BMP decodes through BT.601 luma to the same grid") {
+    val w = 16; val h = 16
+    val px = scene(w, h, 2)
+    val g = ImageCodec.decodeGray(bmpGray(px, w, h)).get
+    assert(g.width == w && g.height == h)
+    assert(g.pixels.toSeq == px.toSeq)
+  }
+
+  test("resizeImages really decodes encoded payloads and re-encodes PNG") {
+    val w = 32; val h = 24
+    val px = scene(w, h, 1)
+    val rows = Seq(
+      mediaRow(1L, "image", ImageCodec.encodePng(px, w, h)),
+      mediaRow(2L, "image", "corrupt bytes no dims".getBytes), // dropped
+      mediaRow(3L, "audio", Array[Byte](1, 2)))                // filtered
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val resized = Multimodal.resizeImages(media, 8, 6).collect()
+    assert(resized.map(_.media_id).toSeq == Seq(1L))
+    val out = ImageCodec.decodeGray(resized.head.content).get
+    assert(out.width == 8 && out.height == 6)
+    // output pixels are the box-filter resample of the decoded source
+    assert(out.pixels.toSeq ==
+      ImageCodec.resampleGray(px, w, h, 8, 6).toSeq)
+  }
+
+  test("extractFeatures computes real-pixel histograms for decodable images") {
+    val w = 16; val h = 16
+    val dark = Array.fill(w * h)(3.toByte)   // all pixels in bin 0
+    val png = ImageCodec.encodePng(dark, w, h)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "image", "plain text payload".getBytes))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    // real decode: histogram of PIXELS (all bin 0), not of PNG bytes
+    assert(feats(1L).feature(0) == 1.0f)
+    assert(feats(1L).n_bytes == png.length) // payload size still reported
+    // undecodable image bytes fall back to the deterministic stub
+    assert(feats(2L).feature.toSeq ==
+      Multimodal.decodeStub("plain text payload".getBytes).toSeq)
+  }
+
+  test("imageNearDups finds planted near-dups across PNG/BMP re-encodings") {
+    val w = 64; val h = 48
+    val base = scene(w, h, 0)
+    // small local edit: brighten one 4x4 patch
+    val near = base.clone()
+    for (y <- 20 until 24; x <- 30 until 34)
+      near(y * w + x) = math.min((near(y * w + x) & 0xFF) + 60, 255).toByte
+    val unrelated = Array.tabulate(w * h)(i => ((i * i * 13 + 5) % 250).toByte)
+    val rows = Seq(
+      mediaRow(1L, "image", ImageCodec.encodePng(base, w, h)),
+      mediaRow(2L, "image", bmpGray(base, w, h)),      // same scene, other format
+      mediaRow(3L, "image", ImageCodec.encodePng(near, w, h)),
+      mediaRow(4L, "image", ImageCodec.encodePng(unrelated, w, h)),
+      mediaRow(5L, "audio", ImageCodec.encodePng(base, w, h)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0L) // cross-format exact
+    assert(pairs.contains((1L, 3L)))                          // local edit = near dup
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated out
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L)) // audio skipped
+  }
 
   test("decodeStub is deterministic, normalized, and dimension-stable") {
     val bytes = Array.tabulate(256)(_.toByte)
