@@ -249,9 +249,11 @@ object SparkEntry {
           "embedding", threshold = 0.4)
         .orderBy("doc_a", "doc_b")),
 
-    // IVF approximate top-k — the pruned scale path. No SQL oracle
-    // (approximation choice is engine-side); driver rows-only check,
-    // recall vs q17 asserted in SimilaritySpec.
+    // IVF approximate top-k — the pruned scale path. Deterministic
+    // end-to-end (stride centroids, 9-digit-rounded argmin assignment,
+    // id tie-breaks), so the same assignment+probe+rank is expressed
+    // in the DuckDB oracle; recall vs q17 also asserted in
+    // SimilaritySpec.
     "q25_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, centroidStride = 32, nprobe = 4)
@@ -1033,6 +1035,60 @@ object SparkEntry {
         |          JOIN norms nb ON nb.vec_id = doc_b
         |WHERE dot/(na.nrm*nb.nrm) >= 0.4
         |ORDER BY 1, 2""".stripMargin,
+
+    // Same IVF algorithm as Similarity.ivfTopK, re-derived in SQL:
+    // centroids = every 32nd vec_id; each vector is assigned to the
+    // centroid minimizing ROUND(|t|^2 - 2<t,c> + |c|^2, 9) (ties ->
+    // smallest cent_id); queries (vec_id < 10) probe their 4 nearest
+    // cells; exact cosine rank within probed cells.
+    "q25_ann_ivf" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS v, i AS idx
+        |  FROM embeddings, generate_series(1, 64) AS t(i)
+        |), selfdot AS (
+        |  SELECT vec_id, SUM(v*v) AS sd FROM ex GROUP BY 1
+        |), cents AS (
+        |  SELECT vec_id AS cent_id FROM embeddings WHERE vec_id % 32 = 0
+        |), cdist AS (
+        |  SELECT a.vec_id, c.cent_id,
+        |    ROUND(sa.sd - 2*SUM(a.v*b.v) + sc.sd, 9) AS dist
+        |  FROM ex a
+        |  JOIN cents c ON TRUE
+        |  JOIN ex b ON b.vec_id = c.cent_id AND b.idx = a.idx
+        |  JOIN selfdot sa ON sa.vec_id = a.vec_id
+        |  JOIN selfdot sc ON sc.vec_id = c.cent_id
+        |  GROUP BY a.vec_id, c.cent_id, sa.sd, sc.sd
+        |), assigned AS (
+        |  SELECT target_id, cent_id FROM (
+        |    SELECT vec_id AS target_id, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY dist, cent_id) AS rn
+        |    FROM cdist) WHERE rn = 1
+        |), probes AS (
+        |  SELECT query_id, cent_id FROM (
+        |    SELECT vec_id AS query_id, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY dist, cent_id) AS rn
+        |    FROM cdist WHERE vec_id < 10) WHERE rn <= 4
+        |), cos AS (
+        |  SELECT p.query_id, a.target_id,
+        |    ROUND(SUM(qe.v*te.v) / (sqrt(sq.sd)*sqrt(st.sd)), 6) AS cosine
+        |  FROM probes p
+        |  JOIN assigned a ON a.cent_id = p.cent_id
+        |   AND a.target_id <> p.query_id
+        |  JOIN ex qe ON qe.vec_id = p.query_id
+        |  JOIN ex te ON te.vec_id = a.target_id AND te.idx = qe.idx
+        |  JOIN selfdot sq ON sq.vec_id = p.query_id
+        |  JOIN selfdot st ON st.vec_id = a.target_id
+        |  GROUP BY p.query_id, a.target_id, sq.sd, st.sd
+        |), ranked AS (
+        |  SELECT query_id, target_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, target_id) AS rank
+        |  FROM cos
+        |)
+        |SELECT query_id, target_id, cosine, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q26_percentiles" ->
       """SELECT event_type,
