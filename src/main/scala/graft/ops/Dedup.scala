@@ -152,6 +152,19 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** The exploded band-bucket table of a signature frame:
+    * (id, band, bkey) — the join key surface of the LSH index. */
+  private def bandTable(sig: DataFrame, idCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        array((0 until rowsPerBand).map(j =>
+          col(s"mh${i * rowsPerBand + j}")): _*).as("bkey"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bkey"))
+  }
+
   /** Persist a MinHash-LSH dedup index: the corpus' band buckets
     * (partitioned by band) and its shingle-hash table. The
     * incremental-ingest lifecycle: the standing corpus is signatured
@@ -162,17 +175,30 @@ object Dedup {
       path: String, n: Int = 3, nPerms: Int = 8, bands: Int = 4,
       rowsPerBand: Int = 2): Unit = {
     val sig = minhashSignatures(df, idCol, textCol, n, nPerms)
-    val bandStructs = (0 until bands).map { i =>
-      struct(lit(i).as("band"),
-        array((0 until rowsPerBand).map(j =>
-          col(s"mh${i * rowsPerBand + j}")): _*).as("bkey"))
-    }
-    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.bkey"))
+    bandTable(sig, idCol, bands, rowsPerBand)
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
     shingleTable(df, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("s")).as("sk"), col("n"))
       .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** ADMIT a new batch into a persisted LSH index without rebuilding:
+    * the batch's band buckets and shingle hashes are appended
+    * (partitioned file append — the standing index is neither read nor
+    * rewritten), so after the append the index answers queries as if
+    * it had been built on corpus ∪ batch. This closes the incremental
+    * loop: [[lshQueryIndex]] the batch, drop its near-dups, append the
+    * survivors — each step O(|batch|), independent of corpus size.
+    * Parameters must match the ones the index was built with. */
+  def appendToLshIndex(batch: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3, nPerms: Int = 8, bands: Int = 4,
+      rowsPerBand: Int = 2): Unit = {
+    val sig = minhashSignatures(batch, idCol, textCol, n, nPerms)
+    bandTable(sig, idCol, bands, rowsPerBand)
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    shingleTable(batch, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("s")).as("sk"), col("n"))
+      .write.mode("append").parquet(s"$path/shingles")
   }
 
   /** Near-dup pairs between a NEW batch and an indexed corpus:
@@ -184,14 +210,8 @@ object Dedup {
       threshold: Double = 0.5, n: Int = 3, nPerms: Int = 8,
       bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val sig = minhashSignatures(batch, idCol, textCol, n, nPerms)
-    val bandStructs = (0 until bands).map { i =>
-      struct(lit(i).as("band"),
-        array((0 until rowsPerBand).map(j =>
-          col(s"mh${i * rowsPerBand + j}")): _*).as("bkey"))
-    }
-    val batchBands = sig
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol).as("doc_b"), col("bk.band"), col("bk.bkey"))
+    val batchBands = bandTable(sig, idCol, bands, rowsPerBand)
+      .withColumnRenamed(idCol, "doc_b")
     val indexBands = spark.read.parquet(s"$path/bands")
       .select(col(idCol).as("doc_a"), col("band"), col("bkey"))
     val cand = indexBands.join(batchBands, Seq("band", "bkey"))

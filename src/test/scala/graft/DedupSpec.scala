@@ -150,6 +150,35 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(_._2 == 200L))                  // novel doc pairs with nothing
   }
 
+  test("appendToLshIndex: query after append equals a fresh index on the union") {
+    val appended = java.nio.file.Files.createTempDirectory("lsh-append").toString
+    val fresh = java.nio.file.Files.createTempDirectory("lsh-fresh").toString
+    // corpus A = docs; batch B = a near-dup of A's doc 1 + a novel doc
+    val batchB = Seq(
+      (101L, "the quick brown fox jumps over the lazy dogs"),
+      (102L, "novel appended corpus content nothing like the rest " * 3))
+      .toDF("doc_id", "text")
+    // batch C probes both generations: a dup of A's doc 3, a dup of
+    // B's doc 101, and a fresh doc
+    val batchC = Seq(
+      (201L, "the quick brown fox jumps over the lazy cat"),
+      (202L, "the quick brown fox jumps over the lazy dogs"),
+      (203L, "entirely fresh never seen before text payload"))
+      .toDF("doc_id", "text")
+    Dedup.buildLshIndex(docs, "doc_id", "text", appended)
+    Dedup.appendToLshIndex(batchB, "doc_id", "text", appended)
+    Dedup.buildLshIndex(docs.union(batchB), "doc_id", "text", fresh)
+    def q(path: String) =
+      Dedup.lshQueryIndex(spark, path, batchC, "doc_id", "text",
+          threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = q(appended)
+    assert(got == q(fresh))                            // append ≡ rebuild
+    assert(got.exists(p => p._1 == 101L && p._2 == 202L)) // B admitted
+    assert(got.exists(p => p._1 == 3L && p._2 == 201L))   // A still indexed
+    assert(!got.exists(p => p._2 == 203L))             // novel doc clean
+  }
+
   test("connectedComponentsStar equals min-label CC on mixed graph shapes") {
     // chain + triangle + isolated pair + singleton-free star, one frame
     val edges = (
