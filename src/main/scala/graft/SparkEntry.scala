@@ -690,6 +690,19 @@ object SparkEntry {
         .orderBy("kind", "user_id", "d")
     }),
 
+    // Paragraph-level (sub-document) dedup: repeated cross-document
+    // "paragraphs" — boilerplate — by document frequency. The corpus
+    // has no paragraph delimiters, so paragraphs are fixed 8-token
+    // windows (graft.ops.Dedup.chunkTable); real corpora use
+    // paragraphTable (blank-line split) + stripBoilerplate, spec-
+    // covered in DedupSpec.
+    "q64_paragraph_dedup" -> ((s, dir) =>
+      graft.ops.Dedup.paragraphDocFreq(
+          graft.ops.Dedup.chunkTable(t(s, dir, "documents"),
+            "doc_id", "text", 8), "doc_id")
+        .where(col("doc_freq") >= 2)
+        .orderBy("para_hash")),
+
     // Correlated LATERAL subquery: top-2 customers by balance PER
     // nation, expressed as a lateral per-row subquery (Catalyst
     // decorrelates to a ranked join — never a per-row execution).
@@ -1385,6 +1398,23 @@ object SparkEntry {
         |(SELECT user_id, d, 'click_only' AS kind FROM clicks
         | EXCEPT ALL SELECT user_id, d, 'click_only' FROM views)
         |ORDER BY kind, user_id, d""".stripMargin,
+
+    "q64_paragraph_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), chunks AS (
+        |  SELECT doc_id,
+        |         array_to_string(w[(i-1)*8+1 : i*8], ' ') AS para
+        |  FROM words,
+        |       unnest(generate_series(1,
+        |         CAST(ceil(len(w) / 8.0) AS BIGINT))) AS t(i)
+        |)
+        |SELECT md5(para) AS para_hash,
+        |       count(DISTINCT doc_id) AS doc_freq,
+        |       count(*) AS n_occ
+        |FROM chunks GROUP BY 1
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY para_hash""".stripMargin,
 
     "q62_lateral" ->
       """SELECT n_name, c.c_name, c.c_acctbal

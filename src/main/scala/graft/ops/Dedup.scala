@@ -421,4 +421,73 @@ object Dedup {
         expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(lit(0L)))
         .as("simhash"))
   }
+
+  // ---- paragraph / sub-document dedup -------------------------------
+  //
+  // Whole-document dedup misses cross-document boilerplate: headers,
+  // footers, license blocks, navigation chrome repeated across MANY
+  // otherwise-distinct documents. The standard pipeline move is to
+  // split documents into paragraphs, hash each, and strip paragraphs
+  // whose document frequency exceeds a cap. Every step is a narrow
+  // projection or one hash aggregation on the paragraph hash — the
+  // same single-shuffle shape as exact dedup, so it scales.
+
+  /** Exploded paragraph table: (id, pidx, para). Splits on
+    * `splitRegex` (default: blank lines), trims, drops empties. `pidx`
+    * is the paragraph's position so cleaned text can be reassembled in
+    * order. */
+  def paragraphTable(df: DataFrame, idCol: String, textCol: String,
+      splitRegex: String = "\\n\\s*\\n"): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), splitRegex))
+        .as(Seq("pidx", "para")))
+      .select(col(idCol), col("pidx"), trim(col("para")).as("para"))
+      .where(length(col("para")) > 0)
+
+  /** Fixed-size word-window "paragraphs" for corpora without paragraph
+    * delimiters: non-overlapping k-token chunks, in token order. The
+    * trailing chunk may be shorter than k. */
+  def chunkTable(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        posexplode(sequence(lit(0),
+          ceil(size(col("__w")) / lit(k.toDouble)).cast("int") - 1))
+          .as(Seq("pidx", "__i")),
+        col("__w"))
+      .select(col(idCol), col("pidx"),
+        array_join(slice(col("__w"), col("pidx") * k + 1, lit(k)), " ")
+          .as("para"))
+
+  /** Paragraph document frequency: one row per distinct paragraph
+    * content with the number of documents it appears in and its total
+    * occurrence count. One hash aggregation on the md5 — scales. */
+  def paragraphDocFreq(paras: DataFrame, idCol: String): DataFrame =
+    paras.groupBy(md5(col("para")).as("para_hash"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"),
+        count(lit(1)).as("n_occ"))
+
+  /** Strip cross-document boilerplate: remove every paragraph whose
+    * document frequency exceeds `maxDocFreq`, reassemble the survivors
+    * in original order (joined with `sep`), and return the input rows
+    * with `textCol` replaced by the cleaned text (empty string when
+    * every paragraph was boilerplate). The hot-paragraph set is tiny by
+    * construction (freq > cap) so the anti-join broadcasts. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Int, splitRegex: String = "\\n\\s*\\n",
+      sep: String = "\n\n"): DataFrame = {
+    val paras = paragraphTable(df, idCol, textCol, splitRegex)
+    val hot = paragraphDocFreq(paras, idCol)
+      .where(col("doc_freq") > maxDocFreq)
+      .select(col("para_hash"))
+    val kept = paras
+      .join(broadcast(hot), md5(col("para")) === col("para_hash"),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pidx"), col("para")))),
+          x => x.getField("para")), sep).as("__clean"))
+    df.join(kept, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__clean")
+  }
 }

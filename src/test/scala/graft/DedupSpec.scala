@@ -179,6 +179,37 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._2 == 203L))             // novel doc clean
   }
 
+  test("chunkTable: non-overlapping k-token windows in order, short tail kept") {
+    val d = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val got = Dedup.chunkTable(d, "doc_id", "text", 4)
+      .orderBy("pidx").collect()
+      .map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(got == Seq((0, "a b c d"), (1, "e f g h"), (2, "i j")))
+  }
+
+  test("stripBoilerplate removes hot paragraphs, keeps order, empties all-boilerplate docs") {
+    val bp = "subscribe to our newsletter for updates"
+    val pdocs = Seq(
+      (1L, s"unique opening one\n\n$bp\n\nunique closing one"),
+      (2L, s"$bp\n\nsecond document body text"),
+      (3L, s"third document body text\n\n$bp"),
+      (4L, bp),                                  // only boilerplate
+      (5L, "entirely original fifth document")
+    ).toDF("doc_id", "text")
+    val cleaned = Dedup.stripBoilerplate(pdocs, "doc_id", "text", maxDocFreq = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(cleaned(1L) == "unique opening one\n\nunique closing one") // order kept
+    assert(cleaned(2L) == "second document body text")
+    assert(cleaned(3L) == "third document body text")
+    assert(cleaned(4L) == "")                    // fully boilerplate
+    assert(cleaned(5L) == "entirely original fifth document")
+    // the cap is strict: doc_freq 4 survives a cap of 4
+    val keepAll = Dedup.stripBoilerplate(pdocs, "doc_id", "text", maxDocFreq = 4)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(keepAll.count(_.contains(bp)) == 4)
+  }
+
   test("connectedComponentsStar equals min-label CC on mixed graph shapes") {
     // chain + triangle + isolated pair + singleton-free star, one frame
     val edges = (
