@@ -24,6 +24,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.etl.Tables.table(s, dir, name)
 
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Register `df` under a per-invocation unique temp-view name and
+    * return the name. SQL-surface queries interpolate it, so two
+    * concurrent runs sharing one SparkSession (e.g. two SFs at once)
+    * never clobber each other's views. */
+  private def uniqueView(df: DataFrame, base: String): String = {
+    val name = s"${base}_${viewSeq.incrementAndGet()}"
+    df.createOrReplaceTempView(name)
+    name
+  }
+
   /** events → market-returns analog used by the compound-return queries:
     * user_id ≡ fund, event_type ≡ return kind, date(ts) ≡ market date,
     * value/1000 ≡ daily return (keeps ln(1+r) well-conditioned). */
@@ -339,13 +351,13 @@ object SparkEntry {
     // an aggregate + left outer join, COUNT-bug handled — never a
     // per-row subquery execution).
     "q34_correlated" -> ((s, dir) => {
-      t(s, dir, "customer").createOrReplaceTempView("graft_customer_v")
-      t(s, dir, "orders").createOrReplaceTempView("graft_orders_v")
+      val cv = uniqueView(t(s, dir, "customer"), "graft_customer")
+      val ov = uniqueView(t(s, dir, "orders"), "graft_orders")
       s.sql(
-        """SELECT c_custkey, c_name,
-          |       (SELECT COUNT(1) FROM graft_orders_v o
-          |        WHERE o.o_custkey = c.c_custkey) AS n_orders
-          |FROM graft_customer_v c ORDER BY c_custkey""".stripMargin)
+        s"""SELECT c_custkey, c_name,
+           |       (SELECT COUNT(1) FROM $ov o
+           |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+           |FROM $cv c ORDER BY c_custkey""".stripMargin)
     }),
 
     // Anti join: customers with no urgent orders (non-empty at all SFs).
@@ -412,13 +424,13 @@ object SparkEntry {
     // Explicit GROUPING SETS (the general grouping-set surface beyond
     // ROLLUP/CUBE): per-type, per-cohort, and grand total.
     "q39_grouping_sets" -> ((s, dir) => {
-      t(s, dir, "events").createOrReplaceTempView("graft_events_v")
+      val ev = uniqueView(t(s, dir, "events"), "graft_events")
       s.sql(
-        """SELECT event_type, user_id % 10 AS cohort,
-          |       COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
-          |FROM graft_events_v
-          |GROUP BY GROUPING SETS ((event_type), (cohort), ())
-          |ORDER BY event_type ASC NULLS FIRST, cohort ASC NULLS FIRST""".stripMargin)
+        s"""SELECT event_type, user_id % 10 AS cohort,
+           |       COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
+           |FROM $ev
+           |GROUP BY GROUPING SETS ((event_type), (cohort), ())
+           |ORDER BY event_type ASC NULLS FIRST, cohort ASC NULLS FIRST""".stripMargin)
     }),
 
     // Pivot: event types to columns (explicit value list, so the plan
@@ -655,26 +667,26 @@ object SparkEntry {
     // recursively, then left-join daily counts so gap days surface as
     // zeros instead of silently missing rows.
     "q61_recursive_spine" -> ((s, dir) => {
-      t(s, dir, "events").createOrReplaceTempView("graft_events_v")
+      val ev = uniqueView(t(s, dir, "events"), "graft_events")
       s.sql(
-        """WITH RECURSIVE bounds AS (
-          |  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
-          |  FROM graft_events_v
-          |), spine(d, hi) AS (
-          |  -- carry hi THROUGH the recursion: referencing the bounds
-          |  -- CTE inside the recursive step would rescan the events
-          |  -- aggregate once per iteration
-          |  SELECT lo, hi FROM bounds
-          |  UNION ALL
-          |  SELECT CAST(d + INTERVAL 1 DAY AS DATE), hi FROM spine
-          |  WHERE d < hi
-          |), daily AS (
-          |  SELECT CAST(ts AS DATE) AS d2, COUNT(1) AS n
-          |  FROM graft_events_v GROUP BY 1
-          |)
-          |SELECT d, COALESCE(n, 0) AS n
-          |FROM spine LEFT JOIN daily ON d = d2
-          |ORDER BY d""".stripMargin)
+        s"""WITH RECURSIVE bounds AS (
+           |  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+           |  FROM $ev
+           |), spine(d, hi) AS (
+           |  -- carry hi THROUGH the recursion: referencing the bounds
+           |  -- CTE inside the recursive step would rescan the events
+           |  -- aggregate once per iteration
+           |  SELECT lo, hi FROM bounds
+           |  UNION ALL
+           |  SELECT CAST(d + INTERVAL 1 DAY AS DATE), hi FROM spine
+           |  WHERE d < hi
+           |), daily AS (
+           |  SELECT CAST(ts AS DATE) AS d2, COUNT(1) AS n
+           |  FROM $ev GROUP BY 1
+           |)
+           |SELECT d, COALESCE(n, 0) AS n
+           |FROM spine LEFT JOIN daily ON d = d2
+           |ORDER BY d""".stripMargin)
     }),
 
     // Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
@@ -707,16 +719,16 @@ object SparkEntry {
     // nation, expressed as a lateral per-row subquery (Catalyst
     // decorrelates to a ranked join — never a per-row execution).
     "q62_lateral" -> ((s, dir) => {
-      t(s, dir, "nation").createOrReplaceTempView("graft_nation_v")
-      t(s, dir, "customer").createOrReplaceTempView("graft_customer_v")
+      val nv = uniqueView(t(s, dir, "nation"), "graft_nation")
+      val cv = uniqueView(t(s, dir, "customer"), "graft_customer")
       s.sql(
-        """SELECT n_name, c.c_name, c.c_acctbal
-          |FROM graft_nation_v, LATERAL (
-          |  SELECT c_name, c_acctbal FROM graft_customer_v
-          |  WHERE c_nationkey = n_nationkey
-          |  ORDER BY c_acctbal DESC, c_name LIMIT 2
-          |) AS c
-          |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+        s"""SELECT n_name, c.c_name, c.c_acctbal
+           |FROM $nv, LATERAL (
+           |  SELECT c_name, c_acctbal FROM $cv
+           |  WHERE c_nationkey = n_nationkey
+           |  ORDER BY c_acctbal DESC, c_name LIMIT 2
+           |) AS c
+           |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
     }),
 
     // Semi-structured VARIANT path (Spark 4 parse_json/variant_get —
