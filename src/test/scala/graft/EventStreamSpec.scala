@@ -83,6 +83,84 @@ class EventStreamSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("append-mode windowedAgg on a late-event replay ≡ batch with the watermark cut") {
+    // The production-stream semantics: append mode emits each window
+    // exactly once (when the watermark passes its end) and DROPS an
+    // event exactly when its WINDOW is already finalized (window end <=
+    // watermark at arrival) — a late event whose window is still open is
+    // admitted. Replay a three-batch sequence exercising both cases and
+    // check the emitted output equals a batch plan reproducing the cut.
+    val inDir = java.nio.file.Files.createTempDirectory("wm-append")
+    // rows: (event_id, event_type, ts, value)
+    val b1 = Seq(
+      (1L, "view", "2024-01-01 10:00:00", 1.0),
+      (2L, "view", "2024-01-01 10:30:00", 2.0),
+      (3L, "view", "2024-01-01 11:10:00", 3.0))
+    // 10:20 is behind the watermark (10:40) but its window [10:00,11:00)
+    // is still open (end 11:00 > 10:40) -> ADMITTED; 12:10 advances the
+    // watermark to 11:40, which closes and emits [10:00,11:00)
+    val b2 = Seq(
+      (4L, "view", "2024-01-01 10:20:00", 10.0),
+      (5L, "view", "2024-01-01 12:10:00", 4.0))
+    // 10:15's window end 11:00 <= watermark 11:40: too late -> DROPPED.
+    // 14:00 pushes the watermark to 13:30, closing every window through
+    // [12:00,13:00); its own window [14:00,15:00) stays open (not emitted)
+    val b3 = Seq(
+      (6L, "view", "2024-01-01 10:15:00", 20.0),
+      (7L, "view", "2024-01-01 14:00:00", 5.0))
+    def toDf(rows: Seq[(Long, String, String, Double)]) =
+      rows.toDF("event_id", "event_type", "ts_s", "value")
+        .select($"event_id", to_timestamp($"ts_s").as("ts"), $"event_type", $"value")
+    def land(name: String, rows: Seq[(Long, String, String, Double)]): Unit =
+      toDf(rows).coalesce(1).write.parquet(s"$inDir/$name")
+    land("b1", b1)
+    val stream = spark.readStream
+      .schema("event_id long, ts timestamp, event_type string, value double")
+      .parquet(s"$inDir/*")
+    val q = EventStream.windowedAgg(stream, "1 hour", "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_append").start()
+    try {
+      q.processAllAvailable()
+      land("b2", b2); q.processAllAvailable()
+      land("b3", b3); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wm_append")
+      .select("window_start", "event_type", "n", "sum_value")
+
+    // Batch reproduction of the cut: replay the batches through the
+    // watermark update rule (wm = max seen event time - delay, applied
+    // to the NEXT batch), drop rows whose tumbling window is already
+    // finalized at arrival, aggregate, and keep only the windows the
+    // final watermark closed.
+    val delayMs = 30L * 60 * 1000
+    val hourMs = 3600L * 1000
+    def evMs(r: (Long, String, String, Double)): Long =
+      java.sql.Timestamp.valueOf(r._3).getTime
+    def windowEndMs(tsMs: Long): Long = Math.floorDiv(tsMs, hourMs) * hourMs + hourMs
+    val (accepted, finalWmMs) =
+      Seq(b1, b2, b3).foldLeft(
+        (Seq.empty[(Long, String, String, Double)], Long.MinValue)) {
+        case ((acc, wm), batch) =>
+          val onTime = batch.filter(r => windowEndMs(evMs(r)) > wm)
+          (acc ++ onTime, math.max(wm, batch.map(evMs).max - delayMs))
+      }
+    val want = EventWindows.tumbling(toDf(accepted), "ts", "1 hour",
+        Seq("event_type"),
+        Seq(count(lit(1)).as("n"), sum(col("value")).as("sum_value")))
+      .select("window_start", "event_type", "n", "sum_value")
+      .where(col("window_start") + expr("INTERVAL 1 HOUR")
+        <= lit(new java.sql.Timestamp(finalWmMs)))
+    assert(want.count() == 3, "cut reproduction should close exactly 3 windows")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      s"append-mode output disagrees with the batch watermark cut: " +
+        s"got=${got.collect().toSeq} want=${want.collect().toSeq}")
+    // the open-window late event (10.0) was admitted, the closed-window
+    // one (20.0) was cut: 1+2+10, not 1+2 and not 1+2+10+20
+    assert(got.where($"window_start" === "2024-01-01 10:00:00")
+      .select("sum_value").as[Double].head() == 13.0)
+  }
+
   test("event-time sessionizeClosed emits sessions once the watermark passes") {
     import graft.streaming.EventStream.{ClosedSession, Event}
     val inDir = java.nio.file.Files.createTempDirectory("sess-closed")
