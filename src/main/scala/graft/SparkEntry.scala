@@ -715,6 +715,16 @@ object SparkEntry {
         .where(col("doc_freq") >= 2)
         .orderBy("para_hash")),
 
+    // Production-shape MinHash LSH: 128 perms / 32 bands x 4 rows — the
+    // parametrization a web-scale corpus runs (threshold curve
+    // (1/32)^(1/4) ~= 0.42 vs the gate shape's 0.5). Same
+    // band-bucket + exact-verify pipeline as q15, wider recall dial.
+    "q65_minhash_prod" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, nPerms = 128, bands = 32, rowsPerBand = 4)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
     // Correlated LATERAL subquery: top-2 customers by balance PER
     // nation, expressed as a lateral per-row subquery (Catalyst
     // decorrelates to a ranked join — never a per-row execution).
@@ -1427,6 +1437,56 @@ object SparkEntry {
         |FROM chunks GROUP BY 1
         |HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY para_hash""".stripMargin,
+
+    "q65_minhash_prod" -> {
+      // Generated 128-perm / 32x4-band DuckDB formulation; the LCG
+      // constants come from the SAME deterministic table as the Spark
+      // side (TextFunctions.minhashPermsFor) so both engines compute
+      // identical signatures.
+      val perms = graft.functions.TextFunctions.minhashPermsFor(128)
+      val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+        s"MIN(($a*h+$b) % 2147483647) AS mh$i"
+      }.mkString(",\n    ")
+      val bandRows = (0 until 32).map { i =>
+        val ks = (0 until 4).map(j => s"mh${i * 4 + j}")
+        if (i == 0)
+          s"SELECT doc_id, 0 AS band, " +
+            ks.zipWithIndex.map { case (k, j) => s"$k AS k${j + 1}" }
+              .mkString(", ") + " FROM sig"
+        else s"SELECT doc_id, $i, ${ks.mkString(", ")} FROM sig"
+      }.mkString(" UNION ALL\n  ")
+      s"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+), h AS (
+  SELECT doc_id, CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) AS h FROM ex
+), sig AS (
+  SELECT doc_id,
+    $sigCols
+  FROM h GROUP BY 1
+), bands AS (
+  $bandRows
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+   AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b, COUNT(1) AS inter,
+         MAX(ea.n) AS na, MAX(eb.n) AS nb
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.doc_a
+  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
+FROM verified WHERE inter*1.0/(na+nb-inter) >= 0.5
+ORDER BY 1, 2"""
+    },
 
     "q62_lateral" ->
       """SELECT n_name, c.c_name, c.c_acctbal

@@ -78,6 +78,28 @@ class DedupSpec extends SparkSpec {
     assert(sig.columns.count(_.startsWith("mh")) == 16)
   }
 
+  test("production shape on the documents table: recall >= gate shape, sub-quadratic candidates") {
+    // 128 perms / 32x4 bands (the web-scale dial, threshold curve
+    // (1/32)^(1/4) ~= 0.42) over the REAL corpus: candidate volume must
+    // stay a small multiple of corpus size — never all-pairs — and the
+    // verified pairs must include everything the 8-perm gate shape finds.
+    val real = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val nDocs = real.count()
+    val cand = Dedup.lshCandidates(
+      Dedup.minhashSignatures(real, "doc_id", "text", n = 3, nPerms = 128),
+      "doc_id", bands = 32, rowsPerBand = 4).count()
+    assert(cand < 10 * nDocs,
+      s"candidate volume $cand not sub-quadratic for $nDocs docs " +
+        s"(all-pairs would be ${nDocs * (nDocs - 1) / 2})")
+    val gate = Dedup.minhashNearDups(real, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    val prod = Dedup.minhashNearDups(real, "doc_id", "text", n = 3,
+        threshold = 0.5, nPerms = 128, bands = 32, rowsPerBand = 4)
+      .select("doc_a", "doc_b")
+    assert(gate.except(prod).isEmpty,
+      "production shape missed pairs the 8-perm gate shape finds")
+  }
+
   test("identical docs share a signature; signatures are deterministic") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3)
     val s1 = sig.where($"doc_id" === 1).drop("doc_id").head()
