@@ -84,10 +84,10 @@ class OpsSpec extends SparkSpec {
   test("driver contract: entry returns rows; queries and oracle keys line up") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // every query is oracle-gated except the explicitly rows-only IVF
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("q25_ann_ivf"))
-    assert(SparkEntry.queries.size == 63)
+    // every query is oracle-gated (q25's IVF gained a DuckDB oracle of
+    // its deterministic assignment in round 4)
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+    assert(SparkEntry.queries.size == 65)
   }
 
   test("all queries run on sf0.001 and return rows") {
