@@ -10,8 +10,10 @@ import org.apache.spark.sql.types._
   * The IMAGE leg is fully real: encoded PNG/JPEG/BMP/GIF payloads are
   * decoded with the JDK's `javax.imageio` ([[ImageCodec]]), resampled
   * with an area-average box filter, perceptually hashed, and
-  * re-encoded — no external codec dependency. Payloads that do not
-  * decode as images (and the audio/video kinds, for which this
+  * re-encoded — no external codec dependency. The AUDIO leg is real
+  * for the JDK's built-in containers (WAV/AIFF/AU via
+  * [[AudioCodec]] — `javax.sound.sampled`). Payloads that do not
+  * decode (compressed audio codecs and the video kind, for which this
   * container genuinely has no codec) fall back to the deterministic
   * STUB paths ([[decodeStub]]/[[resizeStub]]), which keep the
   * plumbing — schema, partitioning, batch iteration with one codec
@@ -159,12 +161,15 @@ object Multimodal {
   final case class AudioFrames(media_id: Long, n_frames: Int,
     energy: Array[Float])
 
-  /** Frame-level audio energy features: the payload is treated as a
-    * PCM-ish byte stream cut into `frameSize`-byte frames; each frame
-    * yields its RMS amplitude (a real codec decodes first — same
-    * swap-point as [[decodeStub]]). Output vectors feed the standard
-    * ANN/near-dup operators exactly like image features — the audio
-    * leg of the multimodal path. */
+  /** Frame-level audio energy features. Payloads that REALLY decode
+    * via [[AudioCodec.decodePcm]] (WAV/AIFF/AU — the JDK's built-in
+    * readers) are cut into `frameSize`-SAMPLE frames of the decoded
+    * mono PCM and each frame yields its RMS amplitude in [0, 1].
+    * Undecodable payloads (compressed codecs, raw fixtures) fall back
+    * to the byte-stream stub: `frameSize`-byte frames, RMS of bytes
+    * centered at 128 — the documented codec swap-point. Output vectors
+    * feed the standard ANN/near-dup operators exactly like image
+    * features — the audio leg of the multimodal path. */
   def audioEnergyFeatures(media: DataFrame, frameSize: Int = 256,
       maxFrames: Int = 64): Dataset[AudioFrames] = {
     import media.sparkSession.implicits._
@@ -174,26 +179,48 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val b = if (bytes == null) Array.emptyByteArray else bytes
-          val nAll = (b.length + frameSize - 1) / frameSize
-          val n = math.min(nAll, maxFrames)
-          val out = new Array[Float](n)
-          var f = 0
-          while (f < n) {
-            val start = f * frameSize
-            val end = math.min(start + frameSize, b.length)
-            var sum = 0.0
-            var i = start
-            while (i < end) {
-              val centered = (b(i) & 0xFF) - 128.0
-              sum += centered * centered
-              i += 1
-            }
-            out(f) = if (end > start)
-              math.sqrt(sum / (end - start)).toFloat else 0f
-            f += 1
+          AudioCodec.decodePcm(bytes) match {
+            case Some(pcm) =>
+              val nAll = (pcm.samples.length + frameSize - 1) / frameSize
+              val n = math.min(nAll, maxFrames)
+              val out = new Array[Float](n)
+              var f = 0
+              while (f < n) {
+                val start = f * frameSize
+                val end = math.min(start + frameSize, pcm.samples.length)
+                var sum = 0.0
+                var i = start
+                while (i < end) {
+                  sum += pcm.samples(i).toDouble * pcm.samples(i)
+                  i += 1
+                }
+                out(f) = if (end > start)
+                  math.sqrt(sum / (end - start)).toFloat else 0f
+                f += 1
+              }
+              AudioFrames(id, n, out)
+            case None =>
+              val b = if (bytes == null) Array.emptyByteArray else bytes
+              val nAll = (b.length + frameSize - 1) / frameSize
+              val n = math.min(nAll, maxFrames)
+              val out = new Array[Float](n)
+              var f = 0
+              while (f < n) {
+                val start = f * frameSize
+                val end = math.min(start + frameSize, b.length)
+                var sum = 0.0
+                var i = start
+                while (i < end) {
+                  val centered = (b(i) & 0xFF) - 128.0
+                  sum += centered * centered
+                  i += 1
+                }
+                out(f) = if (end > start)
+                  math.sqrt(sum / (end - start)).toFloat else 0f
+                f += 1
+              }
+              AudioFrames(id, n, out)
           }
-          AudioFrames(id, n, out)
         }
       }
   }

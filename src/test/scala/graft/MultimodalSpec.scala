@@ -8,7 +8,7 @@ import javax.imageio.ImageIO
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.{ImageCodec, Multimodal}
+import graft.multimodal.{AudioCodec, ImageCodec, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -238,6 +238,51 @@ class MultimodalSpec extends SparkSpec {
     val one = Multimodal.audioEnergyFeatures(media, frameSize = 64, maxFrames = 3)
       .where($"media_id" === 1L).head()
     assert(one.n_frames == 3)
+  }
+
+  test("AudioCodec: WAV encode/decode round-trips within one quantization step") {
+    val sr = 8000
+    // 500 Hz at 8 kHz = 16 samples/cycle, so frames hold whole cycles
+    val samples = Array.tabulate(1024)(i =>
+      (0.5 * math.sin(2 * math.Pi * 500 * i / sr)).toFloat)
+    val wav = AudioCodec.encodeWav(samples, sr)
+    // it is a real WAV container (RIFF magic), not raw PCM
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val pcm = AudioCodec.decodePcm(wav).get
+    assert(pcm.sampleRate == sr && pcm.channels == 1)
+    assert(pcm.samples.length == samples.length)
+    assert(pcm.samples.zip(samples).forall { case (a, b) =>
+      math.abs(a - b) <= 1.5f / 32768f })
+    // undecodable / empty payloads are None, not exceptions
+    assert(AudioCodec.decodePcm("not audio".getBytes).isEmpty)
+    assert(AudioCodec.decodePcm(null).isEmpty)
+    assert(AudioCodec.decodePcm(Array.emptyByteArray).isEmpty)
+  }
+
+  test("audioEnergyFeatures decodes real encoded WAV payloads") {
+    val sr = 8000
+    def tone(amp: Double, n: Int): Array[Float] =
+      Array.tabulate(n)(i => (amp * math.sin(2 * math.Pi * 500 * i / sr)).toFloat)
+    val rows = Seq(
+      Row(1L, "audio", AudioCodec.encodeWav(tone(0.9, 2048), sr),
+        Row(null, null, Integer.valueOf(sr), null)),
+      Row(2L, "audio", AudioCodec.encodeWav(tone(0.09, 2048), sr),
+        Row(null, null, Integer.valueOf(sr), null)),
+      Row(3L, "audio", AudioCodec.encodeWav(new Array[Float](2048), sr),
+        Row(null, null, Integer.valueOf(sr), null)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val feats = Multimodal.audioEnergyFeatures(media, frameSize = 512)
+      .collect().map(f => f.media_id -> f).toMap
+    // frames are SAMPLE frames of the decoded audio (2048/512), not
+    // byte frames of the WAV payload (4096+header)/512
+    assert(feats(1L).n_frames == 4 && feats(3L).n_frames == 4)
+    // whole-cycle sine frames: RMS = amp/sqrt(2) to quantization error
+    assert(feats(1L).energy.forall(e =>
+      math.abs(e - 0.9 / math.sqrt(2)) < 1e-3))
+    assert(feats(2L).energy.forall(e =>
+      math.abs(e - 0.09 / math.sqrt(2)) < 1e-3))
+    assert(feats(3L).energy.forall(e => math.abs(e) <= 1f / 32768f))
   }
 
   test("sampleFrames explodes every-nth frame indices for videos only") {
