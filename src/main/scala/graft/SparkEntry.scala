@@ -725,6 +725,22 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    // Token-budget shard assignment (document-level sequence packing):
+    // deterministic order, exclusive running token total, shard =
+    // total div budget. Distributed two-phase cumsum (block-local
+    // window + broadcast block offsets) — cross-validated against the
+    // single-window form in PackingSpec and against DuckDB's global
+    // window here.
+    "q66_token_shards" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          tokenCount(tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.Packing.packByBudget(d, "doc_id", "n_tokens", 4096L,
+          expr("doc_id div 100"))
+        .select(col("doc_id"), col("n_tokens"), col("shard"))
+        .orderBy("doc_id")
+    }),
+
     // Correlated LATERAL subquery: top-2 customers by balance PER
     // nation, expressed as a lateral per-row subquery (Catalyst
     // decorrelates to a ranked join — never a per-row execution).
@@ -1487,6 +1503,20 @@ SELECT doc_a, doc_b, ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
 FROM verified WHERE inter*1.0/(na+nb-inter) >= 0.5
 ORDER BY 1, 2"""
     },
+
+    "q66_token_shards" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, n_tokens,
+         |         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, off // 4096 AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q62_lateral" ->
       """SELECT n_name, c.c_name, c.c_acctbal

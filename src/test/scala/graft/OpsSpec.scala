@@ -87,7 +87,7 @@ class OpsSpec extends SparkSpec {
     // every query is oracle-gated (q25's IVF gained a DuckDB oracle of
     // its deterministic assignment in round 4)
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
-    assert(SparkEntry.queries.size == 65)
+    assert(SparkEntry.queries.size == SparkEntry.oracleSql.size)
   }
 
   test("all queries run on sf0.001 and return rows") {
