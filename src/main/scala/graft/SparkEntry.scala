@@ -741,6 +741,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Transitive near-dup cluster resolution: connected components
+    // (iterative min-label propagation) over the gate-shape LSH pairs;
+    // each clustered doc maps to its cluster representative (min id).
+    // The DuckDB oracle computes the same closure with a recursive CTE
+    // — a genuinely different algorithm validating the iterative one.
+    "q67_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupComponents(
+          Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+            n = 3, threshold = 0.5))
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")),
+
     // Correlated LATERAL subquery: top-2 customers by balance PER
     // nation, expressed as a lateral per-row subquery (Catalyst
     // decorrelates to a ranked join — never a per-row execution).
@@ -801,6 +813,50 @@ object SparkEntry {
         .orderBy("event_id")
     })
   )
+
+  /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
+    * band) MinHash near-dup pipeline up through exact verification —
+    * interpolated into the q15 and q67 oracles so both gate the SAME
+    * pair computation. */
+  private val MinhashGateCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+       |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM toks
+       |), ex AS (
+       |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+       |), h AS (
+       |  SELECT doc_id, CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) AS h FROM ex
+       |), sig AS (
+       |  SELECT doc_id,
+       |    MIN((1664525*h+1013904223) % 2147483647) AS mh0,
+       |    MIN((22695477*h+1) % 2147483647) AS mh1,
+       |    MIN((1103515245*h+12345) % 2147483647) AS mh2,
+       |    MIN((134775813*h+1) % 2147483647) AS mh3,
+       |    MIN((214013*h+2531011) % 2147483647) AS mh4,
+       |    MIN((69069*h+7) % 2147483647) AS mh5,
+       |    MIN((48271*h+11) % 2147483647) AS mh6,
+       |    MIN((16807*h+3) % 2147483647) AS mh7
+       |  FROM h GROUP BY 1
+       |), bands AS (
+       |  SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig UNION ALL
+       |  SELECT doc_id, 1, mh2, mh3 FROM sig UNION ALL
+       |  SELECT doc_id, 2, mh4, mh5 FROM sig UNION ALL
+       |  SELECT doc_id, 3, mh6, mh7 FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       |   AND a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(1) AS inter,
+       |         MAX(ea.n) AS na, MAX(eb.n) AS nb
+       |  FROM cand c
+       |  JOIN ex ea ON ea.doc_id = c.doc_a
+       |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+       |  GROUP BY 1, 2
+       |)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -906,47 +962,26 @@ object SparkEntry {
          |ORDER BY 1, 2""".stripMargin,
 
     "q15_minhash_lsh" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
-         |), sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
-         |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM toks
-         |), ex AS (
-         |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
-         |), h AS (
-         |  SELECT doc_id, CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) AS h FROM ex
-         |), sig AS (
-         |  SELECT doc_id,
-         |    MIN((1664525*h+1013904223) % 2147483647) AS mh0,
-         |    MIN((22695477*h+1) % 2147483647) AS mh1,
-         |    MIN((1103515245*h+12345) % 2147483647) AS mh2,
-         |    MIN((134775813*h+1) % 2147483647) AS mh3,
-         |    MIN((214013*h+2531011) % 2147483647) AS mh4,
-         |    MIN((69069*h+7) % 2147483647) AS mh5,
-         |    MIN((48271*h+11) % 2147483647) AS mh6,
-         |    MIN((16807*h+3) % 2147483647) AS mh7
-         |  FROM h GROUP BY 1
-         |), bands AS (
-         |  SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig UNION ALL
-         |  SELECT doc_id, 1, mh2, mh3 FROM sig UNION ALL
-         |  SELECT doc_id, 2, mh4, mh5 FROM sig UNION ALL
-         |  SELECT doc_id, 3, mh6, mh7 FROM sig
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-         |   AND a.doc_id < b.doc_id
-         |), verified AS (
-         |  SELECT c.doc_a, c.doc_b, COUNT(1) AS inter,
-         |         MAX(ea.n) AS na, MAX(eb.n) AS nb
-         |  FROM cand c
-         |  JOIN ex ea ON ea.doc_id = c.doc_a
-         |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
-         |  GROUP BY 1, 2
-         |)
+      s"""WITH $MinhashGateCtes
          |SELECT doc_a, doc_b, ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
          |FROM verified WHERE inter*1.0/(na+nb-inter) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+
+    "q67_dedup_clusters" ->
+      s"""WITH RECURSIVE $MinhashGateCtes,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM verified
+         |  WHERE inter*1.0/(na+nb-inter) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "q16_simhash" ->
       s"""WITH toks AS (
