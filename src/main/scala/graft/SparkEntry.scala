@@ -753,6 +753,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")),
 
+    // Deterministic seeded train/val/test split + shuffle key: both
+    // derive from the engine-portable md5 key hash, so the split is a
+    // narrow filter (no shuffle) and the shuffle order reproduces in
+    // any engine — gated bit-for-bit against DuckDB's md5.
+    "q68_hash_split" -> ((s, dir) =>
+      graft.ops.Sampling.hashSplit(
+          t(s, dir, "documents").select(col("doc_id")),
+          "doc_id", valFrac = 0.1, testFrac = 0.1, seed = "v1")
+        .withColumn("shuffle_key",
+          graft.ops.Sampling.shuffleKey(col("doc_id"), "v1"))
+        .select(col("doc_id"), col("split"), col("shuffle_key"))
+        .orderBy("doc_id")),
+
     // Correlated LATERAL subquery: top-2 customers by balance PER
     // nation, expressed as a lateral per-row subquery (Catalyst
     // decorrelates to a ranked join — never a per-row execution).
@@ -1552,6 +1565,20 @@ ORDER BY 1, 2"""
          |)
          |SELECT doc_id, n_tokens, off // 4096 AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q68_hash_split" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         CAST(('0x'||substr(md5('v1:'||CAST(doc_id AS VARCHAR)),1,8))
+        |           AS BIGINT) AS shuffle_key
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN shuffle_key % 10000 < 1000 THEN 'val'
+        |            WHEN shuffle_key % 10000 < 2000 THEN 'test'
+        |            ELSE 'train' END AS split,
+        |       shuffle_key
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q62_lateral" ->
       """SELECT n_name, c.c_name, c.c_acctbal

@@ -41,4 +41,39 @@ object Sampling {
   def stratifiedSample(df: DataFrame, strataCol: String,
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Portable seeded 32-bit key hash: the first 8 hex digits of
+    * `md5("<seed>:<key>")` — identical in ANY engine with md5 (the
+    * xxhash64 ops above are Spark-fast but Spark-only). The shuffle /
+    * split primitive: sorting by it is a deterministic corpus shuffle,
+    * reducing it mod 10k cuts split fractions. */
+  def shuffleKey(keyCol: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed), lit(":"), keyCol.cast("string"))),
+      1, 8), 16, 10).cast("long")
+
+  /** Deterministic seeded corpus shuffle: global sort by the portable
+    * hash (ties broken by the key itself). Spark executes a global sort
+    * as a range-partitioned distributed sort — unlike a global-order
+    * WINDOW this scales; downstream writers get shuffled-order shards
+    * that reproduce across runs and retries. */
+  def deterministicShuffle(df: DataFrame, keyCol: String,
+      seed: String): DataFrame =
+    df.orderBy(shuffleKey(col(keyCol), seed), col(keyCol))
+
+  /** Deterministic train/val/test split by portable hash: bucket =
+    * hash mod 10_000; `[0, val)` -> "val", `[val, val+test)` -> "test",
+    * rest "train" (granularity 1e-4). A row's assignment depends only
+    * on (seed, key) — never on partitioning, other rows, or RNG state —
+    * so the split is a NARROW per-side filter at 100 TB (no shuffle)
+    * and is stable under retries and corpus growth. */
+  def hashSplit(df: DataFrame, keyCol: String, valFrac: Double,
+      testFrac: Double, seed: String): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1,
+      s"fractions val=$valFrac test=$testFrac invalid")
+    val b = pmod(shuffleKey(col(keyCol), seed), lit(10000L))
+    val valCut = math.round(valFrac * 10000)
+    val testCut = valCut + math.round(testFrac * 10000)
+    df.withColumn("split",
+      when(b < valCut, "val").when(b < testCut, "test").otherwise("train"))
+  }
 }

@@ -41,6 +41,40 @@ class SamplingSpec extends SparkSpec {
     assert(capped.select("event_id").except(again.select("event_id")).isEmpty)
   }
 
+  test("hashSplit: disjoint-exhaustive, ~fractions, stable, narrow") {
+    val split = Sampling.hashSplit(docs, "doc_id", 0.1, 0.2, seed = "s1")
+    val sizes = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(sizes.values.sum == n.toLong) // every row in exactly one split
+    assert(math.abs(sizes.getOrElse("val", 0L) / n - 0.1) < 0.06)
+    assert(math.abs(sizes.getOrElse("test", 0L) / n - 0.2) < 0.06)
+    // stable across partitionings; seed changes reassign some rows
+    val again = Sampling.hashSplit(docs.repartition(9), "doc_id", 0.1, 0.2, "s1")
+    assert(split.select("doc_id", "split")
+      .except(again.select("doc_id", "split")).isEmpty)
+    val other = Sampling.hashSplit(docs, "doc_id", 0.1, 0.2, "s2")
+    assert(split.select("doc_id", "split")
+      .except(other.select("doc_id", "split")).count() > 0)
+    // the split is a narrow filter: no Exchange in a single-side plan
+    val trainPlan = split.where($"split" === "train")
+      .queryExecution.executedPlan.toString
+    assert(!trainPlan.contains("Exchange"), s"split side plan shuffles:\n$trainPlan")
+  }
+
+  test("deterministicShuffle: seeded order is reproducible and seed-sensitive") {
+    val s1 = Sampling.deterministicShuffle(docs.select("doc_id"), "doc_id", "a")
+      .collect().map(_.getLong(0)).toSeq
+    val s1again = Sampling.deterministicShuffle(
+        docs.select("doc_id").repartition(5), "doc_id", "a")
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s1again, "same seed must give the same global order")
+    val s2 = Sampling.deterministicShuffle(docs.select("doc_id"), "doc_id", "b")
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 != s2, "different seeds must reorder")
+    assert(s1.sorted == s2.sorted, "shuffle permutes, never drops")
+  }
+
   test("Misra-Gries sketch finds planted heavy hitters within the error bound") {
     // 10k tail tokens + two heavy items at 8% and 4%
     val n = 10000
