@@ -766,6 +766,16 @@ object SparkEntry {
         .select(col("doc_id"), col("split"), col("shuffle_key"))
         .orderBy("doc_id")),
 
+    // Within-document repetition quality (Gopher-style filter inputs):
+    // duplicate word-3-gram fraction and most-common-token dominance.
+    "q69_repetition" -> ((s, dir) =>
+      graft.ops.Quality.repetitionStats(t(s, dir, "documents"),
+          "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+          round(col("dup_ngram_frac"), 6).as("dup_ngram_frac"),
+          round(col("top_token_frac"), 6).as("top_token_frac"))
+        .orderBy("doc_id")),
+
     // Correlated LATERAL subquery: top-2 customers by balance PER
     // nation, expressed as a lateral per-row subquery (Catalyst
     // decorrelates to a ranked join — never a per-row execution).
@@ -1579,6 +1589,30 @@ ORDER BY 1, 2"""
         |            ELSE 'train' END AS split,
         |       shuffle_key
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q69_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+         |), grams AS (
+         |  SELECT doc_id, len(w) AS n_tokens,
+         |         GREATEST(len(w) - 2, 0) AS n_grams,
+         |         len(list_distinct(list_transform(generate_series(1, len(w)-2),
+         |           i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS n_distinct
+         |  FROM toks
+         |), top AS (
+         |  SELECT doc_id, MAX(c) AS top_c FROM (
+         |    SELECT doc_id, tok, COUNT(1) AS c
+         |    FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+         |    GROUP BY doc_id, tok)
+         |  GROUP BY doc_id
+         |)
+         |SELECT g.doc_id, g.n_tokens, g.n_grams,
+         |       ROUND(CASE WHEN g.n_grams > 0
+         |                  THEN 1.0 - n_distinct*1.0/g.n_grams
+         |                  ELSE 0 END, 6) AS dup_ngram_frac,
+         |       ROUND(top_c*1.0/g.n_tokens, 6) AS top_token_frac
+         |FROM grams g JOIN top USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q62_lateral" ->
       """SELECT n_name, c.c_name, c.c_acctbal

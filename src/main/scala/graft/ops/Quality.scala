@@ -38,6 +38,45 @@ object Quality {
     missing ++ extra ++ mismatched
   }
 
+  /** Within-document repetition statistics — the Gopher-style quality
+    * rules a pretraining pipeline filters on (Rae et al. 2021, §A1.1):
+    * machine-generated and boilerplate-heavy text repeats itself.
+    * Per document:
+    *   - `dup_ngram_frac`: 1 − distinct/total word n-grams — the
+    *     duplicate n-gram fraction (0 when the doc has < n tokens);
+    *   - `top_token_frac`: occurrences of the most frequent token over
+    *     total tokens — the "most common word" dominance ratio.
+    * Shapes: the n-gram leg is narrow (per-row expressions, zero
+    * shuffle); the token leg is two hash aggregations keyed by the doc
+    * id. Both scale linearly; nothing is quadratic in document count. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, wordShingles}
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), col("__w"), wordShingles(col("__w"), n).as("__sh"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        greatest(size(col("__w")) - lit(n - 1), lit(0)).cast("long")
+          .as("n_grams"),
+        size(col("__sh")).cast("long").as("n_distinct"))
+      .withColumn("dup_ngram_frac",
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+    val top = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("__top_c"))
+    grams.join(top, Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("n_grams"),
+        col("dup_ngram_frac"),
+        (col("__top_c").cast("double") / col("n_tokens"))
+          .as("top_token_frac"))
+  }
+
   /** One-pass null profile: (column, n_nulls, null_ratio) for every
     * column — a SINGLE wide aggregation (one job, one scan), not a
     * count() per column. The null-density check that gates the

@@ -81,6 +81,24 @@ class OpsSpec extends SparkSpec {
     assert(Quality.schemaDrift(df, df.schema).isEmpty)
   }
 
+  test("repetitionStats flags repetitive documents, passes clean ones") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog")).toDF("doc_id", "text")
+    val stats = Quality.repetitionStats(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 6x"spam": 4 trigram occurrences, 1 distinct -> dup frac 0.75
+    assert(stats(1L).getAs[Double]("top_token_frac") == 1.0)
+    assert(math.abs(stats(1L).getAs[Double]("dup_ngram_frac") - 0.75) < 1e-9)
+    assert(stats(2L).getAs[Double]("dup_ngram_frac") == 0.0)
+    assert(stats(2L).getAs[Double]("top_token_frac") < 0.2)
+    // docs shorter than n have zero grams and zero dup fraction
+    val short = Quality.repetitionStats(
+      Seq((3L, "hi there")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(short.getAs[Long]("n_grams") == 0L)
+    assert(short.getAs[Double]("dup_ngram_frac") == 0.0)
+  }
+
   test("driver contract: entry returns rows; queries and oracle keys line up") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
