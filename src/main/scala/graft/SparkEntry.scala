@@ -776,6 +776,21 @@ object SparkEntry {
           round(col("top_token_frac"), 6).as("top_token_frac"))
         .orderBy("doc_id")),
 
+    // Eval-set decontamination: per-candidate-document fraction of
+    // distinct word-5-grams appearing in any "benchmark" document
+    // (deterministic 1-in-97 slice of the corpus stands in for the
+    // eval set). Benchmark shingle hashes broadcast; corpus streamed.
+    "q70_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.benchmarkContamination(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          round(col("contamination"), 6).as("contamination"))
+        .orderBy("doc_id")
+    }),
+
     // Correlated LATERAL subquery: top-2 customers by balance PER
     // nation, expressed as a lateral per-row subquery (Catalyst
     // decorrelates to a ranked join — never a per-row execution).
@@ -1613,6 +1628,26 @@ ORDER BY 1, 2"""
          |       ROUND(top_c*1.0/g.n_tokens, 6) AS top_token_frac
          |FROM grams g JOIN top USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q70_contamination" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-4),
+         |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS shingles
+         |  FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+         |), bench AS (
+         |  SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+         |), cand AS (
+         |  SELECT * FROM ex WHERE doc_id % 97 <> 0
+         |)
+         |SELECT doc_id, MAX(n) AS n_shingles,
+         |       SUM(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END) AS n_hit,
+         |       ROUND(SUM(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END)
+         |             * 1.0 / MAX(n), 6) AS contamination
+         |FROM cand GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q62_lateral" ->
       """SELECT n_name, c.c_name, c.c_acctbal

@@ -231,6 +231,32 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Benchmark-contamination check (training-set decontamination): for
+    * each candidate document, the fraction of its distinct word
+    * n-grams that appear in ANY benchmark document — the overlap
+    * statistic eval-set decontamination filters on (13-gram overlap in
+    * the GPT-3 lineage; `n` is the dial). Output: id, n_shingles,
+    * n_hit, contamination in [0,1].
+    *
+    * Scale shape: the benchmark shingle set is tiny next to the
+    * corpus, so it is broadcast (distinct hashes only — longs, not
+    * strings) and the corpus streams through once with a map-side
+    * probe; no corpus shuffle except the per-doc count aggregation. */
+  def benchmarkContamination(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val d = shingleTable(docs, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("s")).as("sk"), col("n"))
+    val b = shingleTable(bench, idCol, textCol, n)
+      .select(xxhash64(col("s")).as("sk")).distinct()
+      .withColumn("__hit", lit(1L))
+    d.join(broadcast(b), Seq("sk"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("n")).cast("long").as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col(idCol), col("n_shingles"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_shingles")).as("contamination"))
+  }
+
   /** Connected components over near-duplicate pairs: groups chained
     * duplicates (a~b, b~c => {a,b,c}) so exactly one representative
     * (the minimum id) survives per transitive cluster — dropping the

@@ -100,6 +100,28 @@ class DedupSpec extends SparkSpec {
       "production shape missed pairs the 8-perm gate shape finds")
   }
 
+  test("benchmarkContamination scores planted eval-set overlap") {
+    val bench = Seq((100L, "the capital of france is paris and it is large"))
+      .toDF("doc_id", "text")
+    val cands = Seq(
+      // full copy of the benchmark sentence -> contamination 1.0
+      (1L, "the capital of france is paris and it is large"),
+      // half-overlapping: shares a 5-gram prefix, then diverges
+      (2L, "the capital of france is paris but nobody told the pigeons about it"),
+      // disjoint text -> 0.0
+      (3L, "entirely unrelated words about gardening tools and winter compost heaps"))
+      .toDF("doc_id", "text")
+    val got = Dedup.benchmarkContamination(cands, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("contamination") == 1.0)
+    val partial = got(2L).getAs[Double]("contamination")
+    assert(partial > 0.0 && partial < 1.0, s"expected partial overlap, got $partial")
+    assert(got(3L).getAs[Double]("contamination") == 0.0)
+    // hit counts are DISTINCT-shingle counts, bounded by the doc's total
+    assert(got.values.forall(r =>
+      r.getAs[Long]("n_hit") <= r.getAs[Long]("n_shingles")))
+  }
+
   test("identical docs share a signature; signatures are deterministic") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3)
     val s1 = sig.where($"doc_id" === 1).drop("doc_id").head()
