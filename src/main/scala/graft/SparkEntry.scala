@@ -791,6 +791,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-document TF-IDF top-3 keywords (scores rounded before
+    // ranking for cross-engine determinism; token tie-break).
+    "q71_tfidf_keywords" -> ((s, dir) =>
+      graft.ops.Tfidf.topKeywords(t(s, dir, "documents"),
+          "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
     // Correlated LATERAL subquery: top-2 customers by balance PER
     // nation, expressed as a lateral per-row subquery (Catalyst
     // decorrelates to a ranked join — never a per-row execution).
@@ -1648,6 +1655,26 @@ ORDER BY 1, 2"""
          |       ROUND(SUM(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END)
          |             * 1.0 / MAX(n), 6) AS contamination
          |FROM cand GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q71_tfidf_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, COUNT(1) AS tf FROM toks GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT token, COUNT(1) AS df FROM tf GROUP BY 1
+         |), n AS (
+         |  SELECT COUNT(1) AS n FROM documents
+         |), ranked AS (
+         |  SELECT doc_id, token, tf, df,
+         |         ROUND(tf * ln(n*1.0/df), 6) AS score,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id
+         |           ORDER BY ROUND(tf * ln(n*1.0/df), 6) DESC, token) AS rank
+         |  FROM tf JOIN dfreq USING (token), n
+         |)
+         |SELECT doc_id, token, tf, df, score, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q62_lateral" ->
       """SELECT n_name, c.c_name, c.c_acctbal

@@ -99,6 +99,20 @@ class OpsSpec extends SparkSpec {
     assert(short.getAs[Double]("dup_ngram_frac") == 0.0)
   }
 
+  test("tfidf topKeywords surfaces rare distinctive tokens, zeroes ubiquitous ones") {
+    val df = Seq(
+      (1L, "common common common zebra zebra quark"),
+      (2L, "common words fill this document common"),
+      (3L, "common text again nothing special here")).toDF("doc_id", "text")
+    val top = graft.ops.Tfidf.topKeywords(df, "doc_id", "text", k = 2).collect()
+    val d1 = top.filter(_.getLong(0) == 1L).sortBy(_.getAs[Long]("rank"))
+    // zebra (tf=2, df=1) outranks quark (tf=1, df=1); "common" is in
+    // every doc so idf = ln(1) = 0 and it never makes the cut
+    assert(d1.map(_.getString(1)).toSeq == Seq("zebra", "quark"))
+    assert(top.forall(r => r.getString(1) != "common" || r.getAs[Double]("score") == 0.0))
+    assert(top.groupBy(_.getLong(0)).values.forall(_.length <= 2))
+  }
+
   test("driver contract: entry returns rows; queries and oracle keys line up") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
