@@ -270,9 +270,13 @@ object Dedup {
     * Output: (id, component) where component = min id in the cluster.
     */
   def nearDupComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // materialize the (small) edge set ONCE: every iteration joins
+    // against it, and without the checkpoint each iteration's eager
+    // localCheckpoint would re-execute the whole upstream pair pipeline
+    // (LSH signatures + verification) through the edges lineage
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
