@@ -19,7 +19,8 @@ class PlanQualitySpec extends SparkSpec {
   private val nestedLoopByDesign = Set(
     "q17_ann_cosine",       // bounded query set x corpus
     "q24_embedding_neardup",// all-pairs exact verify primitive
-    "q25_ann_ivf")          // 1-row broadcast centroid array + probe set
+    "q25_ann_ivf",          // 1-row broadcast centroid array + probe set
+    "q71_tfidf_keywords")   // 1-row broadcast corpus-count scalar attach
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
