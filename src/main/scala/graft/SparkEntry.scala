@@ -856,7 +856,74 @@ object SparkEntry {
           direction = "forward")
         .select(col("event_id"), col("user_id"), col("rate"))
         .orderBy("event_id")
-    })
+    }),
+
+    // PII redaction: the driver corpus carries no PII by construction,
+    // so contact strings are built deterministically from customer
+    // INSIDE the query (both engines build the identical string — the
+    // q61 date-spine pattern), then scrubbed by the fixed-order regex
+    // battery with per-category audit counts.
+    "q72_pii_redact" -> ((s, dir) => {
+      val contact = t(s, dir, "customer").select(col("c_custkey"),
+        concat(lit("reach "), col("c_name"), lit(" at user"),
+          col("c_custkey").cast("string"),
+          lit("@mail.example.com or +1-555-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+          lit(" host 10."), (col("c_custkey") % 250).cast("string"),
+          lit("."), ((col("c_custkey") * 7) % 250).cast("string"),
+          lit(".42 ok")).as("contact"))
+      contact.select(col("c_custkey"),
+        graft.ops.Redact.redactPii(col("contact")).as("redacted"),
+        graft.ops.Redact.emailCount(col("contact")).cast("long").as("n_email"),
+        graft.ops.Redact.phoneCount(col("contact")).cast("long").as("n_phone"),
+        graft.ops.Redact.ipv4Count(col("contact")).cast("long").as("n_ip"))
+        .orderBy("c_custkey")
+    }),
+
+    // Per-source document cap (the domain-cap/class-balance step):
+    // deterministic hash-ordered top-10 per source, portable md5 order
+    // so the kept set reproduces bit-for-bit in any engine.
+    "q73_source_cap" -> ((s, dir) =>
+      graft.ops.Sampling.capPerStratumSeeded(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", 10, "doc_id", "v1")
+        .orderBy("doc_id")),
+
+    // BM25 ranked retrieval: Okapi scoring of a bounded query set
+    // against the corpus (query terms broadcast; corpus postings
+    // shuffle once). Scores rounded before ranking, id tie-break.
+    "q74_bm25" -> ((s, dir) => {
+      val qs = s.createDataFrame(Seq(
+        (1L, "spark join fast"), (2L, "hash table scan"),
+        (3L, "stream window state"))).toDF("query_id", "qtext")
+      graft.ops.Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+          qs, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // SemDeDup: embedding near-dup pairs restricted to IVF cells —
+    // the within-cluster semantic dedup that replaces q24's all-pairs
+    // at scale. Deterministic cell assignment (same as q25), rounded
+    // cosine thresholding.
+    "q75_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticNearDups(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.4, centroidStride = 32)
+        .orderBy("doc_a", "doc_b")),
+
+    // C4/Gopher quality-rule battery: per-rule statistic + verdict +
+    // conjunction, one narrow projection (thresholds chosen to split
+    // the corpus on every discriminating rule).
+    "q76_quality_rules" -> ((s, dir) =>
+      graft.ops.Quality.gopherFlags(t(s, dir, "documents"),
+          "doc_id", "text", minTokens = 30, maxTokens = 80,
+          minMeanWordLen = 4.0, maxMeanWordLen = 5.0,
+          maxSymbolRatio = 0.05, minStopwordHits = 2)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_ratio"), 6).as("symbol_ratio"),
+          col("stopword_hits"), col("pass_tokens"), col("pass_word_len"),
+          col("pass_symbols"), col("pass_stopwords"), col("pass"))
+        .orderBy("doc_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -902,6 +969,35 @@ object SparkEntry {
        |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
        |  GROUP BY 1, 2
        |)""".stripMargin
+
+  /** Shared DuckDB CTE chain computing the deterministic IVF cell
+    * assignment (stride-32 centroids, 9-digit-rounded argmin, id
+    * tie-break) — interpolated into the q25 and q75 oracles so both
+    * gate the SAME assignment. */
+  private val IvfAssignCtes: String =
+    """ex AS (
+      |  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS v, i AS idx
+      |  FROM embeddings, generate_series(1, 64) AS t(i)
+      |), selfdot AS (
+      |  SELECT vec_id, SUM(v*v) AS sd FROM ex GROUP BY 1
+      |), cents AS (
+      |  SELECT vec_id AS cent_id FROM embeddings WHERE vec_id % 32 = 0
+      |), cdist AS (
+      |  SELECT a.vec_id, c.cent_id,
+      |    ROUND(sa.sd - 2*SUM(a.v*b.v) + sc.sd, 9) AS dist
+      |  FROM ex a
+      |  JOIN cents c ON TRUE
+      |  JOIN ex b ON b.vec_id = c.cent_id AND b.idx = a.idx
+      |  JOIN selfdot sa ON sa.vec_id = a.vec_id
+      |  JOIN selfdot sc ON sc.vec_id = c.cent_id
+      |  GROUP BY a.vec_id, c.cent_id, sa.sd, sc.sd
+      |), assigned AS (
+      |  SELECT target_id, cent_id FROM (
+      |    SELECT vec_id AS target_id, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                         ORDER BY dist, cent_id) AS rn
+      |    FROM cdist) WHERE rn = 1
+      |)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1173,29 +1269,7 @@ object SparkEntry {
     // smallest cent_id); queries (vec_id < 10) probe their 4 nearest
     // cells; exact cosine rank within probed cells.
     "q25_ann_ivf" ->
-      """WITH ex AS (
-        |  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS v, i AS idx
-        |  FROM embeddings, generate_series(1, 64) AS t(i)
-        |), selfdot AS (
-        |  SELECT vec_id, SUM(v*v) AS sd FROM ex GROUP BY 1
-        |), cents AS (
-        |  SELECT vec_id AS cent_id FROM embeddings WHERE vec_id % 32 = 0
-        |), cdist AS (
-        |  SELECT a.vec_id, c.cent_id,
-        |    ROUND(sa.sd - 2*SUM(a.v*b.v) + sc.sd, 9) AS dist
-        |  FROM ex a
-        |  JOIN cents c ON TRUE
-        |  JOIN ex b ON b.vec_id = c.cent_id AND b.idx = a.idx
-        |  JOIN selfdot sa ON sa.vec_id = a.vec_id
-        |  JOIN selfdot sc ON sc.vec_id = c.cent_id
-        |  GROUP BY a.vec_id, c.cent_id, sa.sd, sc.sd
-        |), assigned AS (
-        |  SELECT target_id, cent_id FROM (
-        |    SELECT vec_id AS target_id, cent_id,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id
-        |                         ORDER BY dist, cent_id) AS rn
-        |    FROM cdist) WHERE rn = 1
-        |), probes AS (
+      s"""WITH $IvfAssignCtes, probes AS (
         |  SELECT query_id, cent_id FROM (
         |    SELECT vec_id AS query_id, cent_id,
         |      ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1743,6 +1817,124 @@ ORDER BY 1, 2"""
         |SELECT e.event_id, e.user_id, r.rate
         |FROM events e
         |ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND r.upd_ts >= e.ts
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q72_pii_redact" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    'reach '||c_name||' at user'||CAST(c_custkey AS VARCHAR)
+        |    ||'@mail.example.com or +1-555-'
+        |    ||lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |    ||' host 10.'||CAST(c_custkey % 250 AS VARCHAR)
+        |    ||'.'||CAST((c_custkey*7) % 250 AS VARCHAR)||'.42 ok' AS contact
+        |  FROM customer
+        |)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(contact,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\+[0-9]{1,3}(-[0-9]{2,4}){2,4}', '[PHONE]', 'g') AS redacted,
+        |  len(regexp_extract_all(contact,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(contact,
+        |    '\+[0-9]{1,3}(-[0-9]{2,4}){2,4}')) AS n_phone,
+        |  len(regexp_extract_all(contact,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip
+        |FROM c ORDER BY c_custkey""".stripMargin,
+
+    "q73_source_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x'||substr(md5('v1:'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS hk
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+        |  FROM h
+        |)
+        |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "q74_bm25" ->
+      """WITH q(query_id, qtext) AS (
+        |  VALUES (1, 'spark join fast'), (2, 'hash table scan'),
+        |         (3, 'stream window state')
+        |), post AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, COUNT(1) AS tf FROM post GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT COUNT(1) AS n, AVG(dl) AS avgdl FROM dl
+        |), dfreq AS (
+        |  SELECT token, COUNT(1) AS df FROM tf GROUP BY 1
+        |), qt AS (
+        |  SELECT query_id, unnest(list_distinct(regexp_split_to_array(qtext, '\s+'))) AS token
+        |  FROM q
+        |), scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ROUND(SUM(ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5))
+        |      * tf.tf * (1.2 + 1.0)
+        |      / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*dl.dl/s.avgdl))), 6) AS score
+        |  FROM tf
+        |  JOIN qt ON qt.token = tf.token
+        |  JOIN dfreq d ON d.token = tf.token
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q75_semantic_dedup" ->
+      s"""WITH $IvfAssignCtes, pairs AS (
+         |  SELECT a.cent_id, a.target_id AS doc_a, b.target_id AS doc_b
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cent_id = b.cent_id AND a.target_id < b.target_id
+         |), cos AS (
+         |  SELECT p.doc_a, p.doc_b, p.cent_id,
+         |    ROUND(SUM(ea.v*eb.v)/(sqrt(sa.sd)*sqrt(sb.sd)), 6) AS cosine
+         |  FROM pairs p
+         |  JOIN ex ea ON ea.vec_id = p.doc_a
+         |  JOIN ex eb ON eb.vec_id = p.doc_b AND eb.idx = ea.idx
+         |  JOIN selfdot sa ON sa.vec_id = p.doc_a
+         |  JOIN selfdot sb ON sb.vec_id = p.doc_b
+         |  GROUP BY p.doc_a, p.doc_b, p.cent_id, sa.sd, sb.sd
+         |)
+         |SELECT doc_a, doc_b, cent_id, cosine FROM cos
+         |WHERE cosine >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q76_quality_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    length(regexp_replace(text, '\s+', '', 'g'))*1.0/len(w) AS mwl,
+        |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))*1.0
+        |      / length(text) AS sr,
+        |    CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+        |      AS BIGINT) AS stopword_hits
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(mwl, 6) AS mean_word_len,
+        |  ROUND(sr, 6) AS symbol_ratio,
+        |  stopword_hits,
+        |  (n_tokens >= 30 AND n_tokens <= 80) AS pass_tokens,
+        |  (mwl >= 4.0 AND mwl <= 5.0) AS pass_word_len,
+        |  (sr <= 0.05) AS pass_symbols,
+        |  (stopword_hits >= 2) AS pass_stopwords,
+        |  (n_tokens >= 30 AND n_tokens <= 80 AND mwl >= 4.0 AND mwl <= 5.0
+        |    AND sr <= 0.05 AND stopword_hits >= 2) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

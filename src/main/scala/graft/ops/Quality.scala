@@ -77,6 +77,48 @@ object Quality {
           .as("top_token_frac"))
   }
 
+  /** The full C4/Gopher-style quality-rule battery as one narrow
+    * projection: every rule emits its measured statistic AND its
+    * boolean verdict, plus the conjunction (`pass`) — so a pipeline can
+    * either filter on `pass` or audit which rule rejected a document.
+    * Rules (Rae et al. 2021 §A1.1 / Raffel et al. 2020 C4, thresholds
+    * as parameters):
+    *   - token count within [minTokens, maxTokens];
+    *   - mean word length within [minMeanWordLen, maxMeanWordLen]
+    *     (gibberish/URL-soup detector);
+    *   - symbol ratio (non-alphanumeric, non-space chars / chars)
+    *     below maxSymbolRatio;
+    *   - at least minStopwordHits occurrences of function words
+    *     (language-integrity check).
+    * Zero shuffle — per-row expressions only; at 100 TB this is one
+    * streamed pass fused into whatever scan precedes it. */
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopwordHits: Int = 2): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, hitCount, punctRatio, EnStopwords}
+    df.select(col(idCol), col(textCol).as("__text"),
+        tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        // mean word length from char counts: tokens carry no spaces, so
+        // sum(len(w)) = len(text without whitespace)
+        (length(regexp_replace(col("__text"), "\\s+", "")).cast("double") /
+          size(col("__w"))).as("mean_word_len"),
+        punctRatio(col("__text")).as("symbol_ratio"),
+        hitCount(col("__w"), EnStopwords).cast("long").as("stopword_hits"))
+      .withColumn("pass_tokens",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("pass_word_len",
+        col("mean_word_len") >= minMeanWordLen
+          && col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("pass_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("pass_stopwords", col("stopword_hits") >= minStopwordHits)
+      .withColumn("pass",
+        col("pass_tokens") && col("pass_word_len")
+          && col("pass_symbols") && col("pass_stopwords"))
+  }
+
   /** One-pass null profile: (column, n_nulls, null_ratio) for every
     * column — a SINGLE wide aggregation (one job, one scan), not a
     * count() per column. The null-density check that gates the

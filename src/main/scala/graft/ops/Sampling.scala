@@ -37,6 +37,20 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** [[capPerStratum]] with the ENGINE-PORTABLE seeded hash order
+    * ([[shuffleKey]] — md5-derived) instead of xxhash64: the same cap
+    * decision reproduces in any engine with md5, so the operator is
+    * oracle-gatable bit-for-bit (q73). Same plan shape: one shuffle on
+    * the stratum key. */
+  def capPerStratumSeeded(df: DataFrame, strataCol: String, n: Int,
+      keyCol: String, seed: String): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(shuffleKey(col(keyCol), seed), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Per-stratum fractions (df.stat.sampleBy parity, seeded). */
   def stratifiedSample(df: DataFrame, strataCol: String,
       fractions: Map[String, Double], seed: Long): DataFrame =

@@ -244,6 +244,42 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    * embeddings are bucketed into IVF cells by [[assignCells]] (a
+    * broadcast projection — the corpus never shuffles for assignment)
+    * and pairs form ONLY inside a cell, so the quadratic blow-up of
+    * [[embeddingNearDups]] shrinks to Σ|cell|² — with balanced cells,
+    * a 1/nCells fraction of all-pairs. Approximate by construction
+    * (cross-cell near-dups are missed — that is the SemDeDup
+    * trade-off); determinism is inherited from the rounded-argmin
+    * assignment, and the cosine is ROUNDED before thresholding so the
+    * pair set reproduces across engines.
+    * Output: doc_a < doc_b, cent_id, cosine >= threshold. */
+  def semanticNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroidStride: Int = 32): DataFrame = {
+    val assigned = assignCells(emb, idCol, vecCol, centroidStride)
+      .withColumn("nrm", sqrt(col("st")))
+    val a = assigned.select(col("cent_id"), col("target_id").as("doc_a"),
+      col("tv").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cent_id"), col("target_id").as("doc_b"),
+      col("tv").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cent_id"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("cent_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup keep/drop resolution: within each cell, a document is
+    * dropped iff some smaller-id document in the same cell is a
+    * semantic near-dup — one representative (the min id) survives per
+    * within-cell neighborhood. Returns the ids to DROP. */
+  def semanticDedupLosers(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroidStride: Int = 32): DataFrame =
+    semanticNearDups(emb, idCol, vecCol, threshold, centroidStride)
+      .select(col("doc_b").as(idCol)).distinct()
+
   /** IVF approximate top-k. Centroids are a deterministic sample; each
     * corpus vector is assigned to its nearest centroid by
     * [[assignCells]] (a broadcast projection — the corpus never

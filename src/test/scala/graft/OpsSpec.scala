@@ -113,6 +113,31 @@ class OpsSpec extends SparkSpec {
     assert(top.groupBy(_.getLong(0)).values.forall(_.length <= 2))
   }
 
+  test("gopherFlags: each rule rejects its own pathology, clean docs pass") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home now"),
+      (2L, "too short"),
+      (3L, "pneumonoultramicroscopic supercalifragilistic floccinaucinihilipilification " * 5),
+      (4L, ("a b " * 10) + "!!! ### $$$ %%% @@@ &&& *** ((( ))) ^^^"),
+      (5L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed eiusmod tempor " * 2))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Quality.gopherFlags(df, "doc_id", "text",
+        minTokens = 10, maxTokens = 100, minMeanWordLen = 2.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"), "clean doc must pass all rules")
+    assert(!out(2L).getAs[Boolean]("pass_tokens"), "short doc fails token rule")
+    assert(!out(3L).getAs[Boolean]("pass_word_len"), "gibberish fails word-len rule")
+    assert(!out(4L).getAs[Boolean]("pass_symbols"), "symbol soup fails symbol rule")
+    assert(!out(5L).getAs[Boolean]("pass_stopwords"), "no-function-words doc fails")
+    // pass is exactly the conjunction of the four rules
+    out.values.foreach { r =>
+      assert(r.getAs[Boolean]("pass") ==
+        (r.getAs[Boolean]("pass_tokens") && r.getAs[Boolean]("pass_word_len")
+          && r.getAs[Boolean]("pass_symbols") && r.getAs[Boolean]("pass_stopwords")))
+    }
+  }
+
   test("driver contract: entry returns rows; queries and oracle keys line up") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -20,7 +20,9 @@ class PlanQualitySpec extends SparkSpec {
     "q17_ann_cosine",       // bounded query set x corpus
     "q24_embedding_neardup",// all-pairs exact verify primitive
     "q25_ann_ivf",          // 1-row broadcast centroid array + probe set
-    "q71_tfidf_keywords")   // 1-row broadcast corpus-count scalar attach
+    "q71_tfidf_keywords",   // 1-row broadcast corpus-count scalar attach
+    "q74_bm25",             // 1-row broadcast corpus-stats (N, avgdl) attach
+    "q75_semantic_dedup")   // 1-row broadcast centroid array (assignCells)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>

@@ -41,6 +41,30 @@ class SamplingSpec extends SparkSpec {
     assert(capped.select("event_id").except(again.select("event_id")).isEmpty)
   }
 
+  test("capPerStratumSeeded: portable md5 order, cap holds, seed changes the pick") {
+    val capped = Sampling.capPerStratumSeeded(docs, "source", 5, "doc_id", "v1")
+    val bySource = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.values.forall(_ <= 5))
+    // brute-force replica of the portable hash order in plain Scala
+    def hk(seed: String, key: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$key".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val rows = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = rows.groupBy(_._2).values.flatMap(
+      _.sortBy { case (id, _) => (hk("v1", id), id) }.take(5)).map(_._1).toSet
+    val got = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // a different seed keeps a different set (same sizes)
+    val other = Sampling.capPerStratumSeeded(docs, "source", 5, "doc_id", "v2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != got)
+    assert(other.size == got.size)
+  }
+
   test("hashSplit: disjoint-exhaustive, ~fractions, stable, narrow") {
     val split = Sampling.hashSplit(docs, "doc_id", 0.1, 0.2, seed = "s1")
     val sizes = split.groupBy("split").count().collect()

@@ -155,4 +155,39 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  test("semanticNearDups = all-pairs restricted to IVF cells, same cosines") {
+    val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val sem = Similarity.semanticNearDups(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(sem.nonEmpty, "corpus should contain within-cell near-dups")
+    val all = Similarity.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every semantic pair is an exact near-dup pair with the same cosine
+    sem.foreach { case (k, c) =>
+      assert(all.contains(k), s"pair $k not in exact all-pairs")
+      assert(all(k) == c, s"cosine mismatch for $k")
+    }
+    // and the restriction is exactly same-cell membership
+    val cells = Similarity.assignCells(emb, "vec_id", "embedding", 32)
+      .select("target_id", "cent_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    all.keys.foreach { case (a, b) =>
+      val sameCell = cells(a) == cells(b)
+      assert(sem.contains((a, b)) == sameCell,
+        s"pair ($a,$b) sameCell=$sameCell but sem=${sem.contains((a, b))}")
+    }
+  }
+
+  test("semanticDedupLosers drops exactly docs with a smaller-id cell neighbor") {
+    val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val losers = Similarity.semanticDedupLosers(emb, "vec_id", "embedding", 0.4)
+      .collect().map(_.getLong(0)).toSet
+    val pairs = Similarity.semanticNearDups(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(losers == pairs.map(_._2).toSet)
+    assert(pairs.forall { case (a, b) => a < b })
+    // the smallest id among paired docs always survives
+    assert(!losers.contains(pairs.map(_._1).min))
+  }
 }
