@@ -31,35 +31,57 @@ import graft.functions.TextFunctions.tokens
   */
 object Bm25 {
 
-  /** The (id, token, tf) posting frame of a corpus. */
+  /** The (id, token, tf, dl) posting frame of a corpus: term frequency
+    * per (doc, token) plus the document length (total tokens), carried
+    * from the token array at explode time — so dl costs no extra
+    * shuffle or pass (the standard index layout: doc length lives in
+    * the postings). */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(col("__t")).as("token"),
+        size(col("__t")).cast("long").as("__dl"))
       .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
 
   /** Top-k BM25 hits per query. `queries` is a (qidCol, qtextCol)
     * frame, expected bounded (it is broadcast). Output:
-    * query_id, <idCol>, score (rounded 6), rank. */
+    * query_id, <idCol>, score (rounded 6), rank.
+    *
+    * The corpus is tokenized exactly TWICE: once for the one-row
+    * (N, avgdl) stats frame, once for the scoring pass — dl is carried
+    * inside the postings (no join, no window over the full postings)
+    * and df is a window over the broadcast-FILTERED postings, so the
+    * only corpus-wide exchange is the postings aggregation itself. A
+    * naive dl/df-as-separate-aggregates formulation re-derives the
+    * postings four times — three redundant corpus scans at 100 TB.
+    * For query-many workloads, persist [[postings]] once and use
+    * [[topKFromPostings]] — then no pass reads the raw text at all. */
   def topK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topKFromPostings(postings(docs, idCol, textCol), idCol,
+      queries, qidCol, qtextCol, k, k1, b)
+
+  /** [[topK]] over a precomputed (id, token, tf, dl) posting frame —
+    * the persisted-index path: write `postings(corpus)` once, then
+    * every query batch reads the compact postings, never the raw
+    * text. */
+  def topKFromPostings(post: DataFrame, idCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, "k must be positive")
-    val post = postings(docs, idCol, textCol)
-    // document length from the postings (no second pass over the text)
-    val dl = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     // one-row corpus stats; joins in as a broadcast, never collected
-    val stats = dl.agg(count(lit(1)).as("__n"), avg(col("dl")).as("__avgdl"))
+    val stats = post.groupBy(col(idCol)).agg(max(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
     val qterms = queries
       .select(col(qidCol).as("query_id"),
         explode(array_distinct(tokens(col(qtextCol)))).as("token"))
-    // df restricted to query terms: broadcast-join the tiny term set
-    // against the token-grouped postings, leaving a broadcast-sized
-    // (query_id, token, df) frame
-    val qdf = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .join(broadcast(qterms), "token")
+    val wDf = Window.partitionBy(col("query_id"), col("token"))
     val scored = post
-      .join(broadcast(qdf), "token")
-      .join(dl, idCol)
+      .join(broadcast(qterms), "token")
+      // (id, token) is unique in postings, so rows per (query, token)
+      // partition = documents containing the term = df
+      .withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))

@@ -89,15 +89,32 @@ object Dedup {
     * 32-bit md5-derived shingle hash (the classic 8-constant table
     * first, then md5-derived constants — see
     * [[graft.functions.TextFunctions.minhashPermsFor]]).
-    * Columns: id, mh0..mh{nPerms-1}. */
+    * Columns: id, mh0..mh{nPerms-1}. Documents with fewer than n tokens
+    * (no shingles) are dropped.
+    *
+    * Shuffle-FREE: the whole signature is ONE narrow per-row pass via
+    * the [[graft.expressions.MinhashSig]] expression (each shingle
+    * hashed once, all nPerms minima folded in a single traversal) —
+    * where the explode + groupBy(nPerms aggs) formulation shuffled
+    * every shingle row and kept nPerms partial-min agg columns. At 128
+    * perms on a 100 TB corpus that exchange was the dominant cost of
+    * signature computation; now signatures pipeline straight into the
+    * band-table projection with zero exchanges before the bucket join.
+    * (`__sig` is a multi-use non-cheap alias, so CollapseProject keeps
+    * the stage boundary and the expression evaluates once per row —
+    * same reasoning as [[shingleTable]].) */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, nPerms: Int = 8): DataFrame = {
-    val h = shingleTable(df, idCol, textCol, n)
-      .select(col(idCol), h32(col("s")).as("h"))
-    val aggs = minhashPermsFor(nPerms).zipWithIndex.map { case ((a, b), i) =>
-      min(minhashPerm(col("h"), a, b)).as(s"mh$i")
-    }
-    h.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sig = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      // < n tokens -> no shingles -> no signature (the aggregation
+      // form dropped such docs: no exploded rows). Filtering on the
+      // cheap token count keeps the expensive stages single-eval.
+      .where(size(col("__w")) >= n)
+      .select(col(idCol), wordShingles(col("__w"), n).as("__sh"))
+      .select(col(idCol), graft.expressions.MinhashSig(col("__sh"),
+        minhashPermsFor(nPerms), MinhashMod).as("__sig"))
+    sig.select(col(idCol) +:
+      (0 until nPerms).map(i => col("__sig").getItem(i).as(s"mh$i")): _*)
   }
 
   /** LSH candidate pairs: `bands` bands x `rowsPerBand` rows over the

@@ -32,10 +32,13 @@ object Tfidf {
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    // tf is distinct per (doc, token), so df = row count per token
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val total = docs.select(count(lit(1)).as("__n"))
-    val scored = tf.join(dfreq, "token")
+    // tf is distinct per (doc, token), so df = row count per token —
+    // computed as a WINDOW over the tf frame, not a second aggregation
+    // of the same subtree joined back (which would re-tokenize the
+    // whole corpus: Spark recomputes shared DataFrame subtrees)
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .crossJoin(broadcast(total))
       .withColumn("score",
         round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
