@@ -923,6 +923,25 @@ object SparkEntry {
           round(col("symbol_ratio"), 6).as("symbol_ratio"),
           col("stopword_hits"), col("pass_tokens"), col("pass_word_len"),
           col("pass_symbols"), col("pass_stopwords"), col("pass"))
+        .orderBy("doc_id")),
+
+    // Exact all-pairs Jaccard via prefix filtering — same result set
+    // as q14 (and gated against the same oracle), sub-quadratic
+    // candidate generation: prefixes hold each doc's rarest shingles,
+    // so hot shingles never pair from the probe side. The exact-dedup
+    // plan that survives 100x scale-up.
+    "q77_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
+    // Corpus-trained bigram LM perplexity (CCNet/KenLM-style quality
+    // signal): add-k smoothed conditional bigram model fit on the
+    // corpus, each document scored by mean log-probability.
+    "q78_lm_perplexity" -> ((s, dir) =>
+      graft.ops.LangModel.perplexity(t(s, dir, "documents"),
+          "doc_id", "text", k = 0.5)
         .orderBy("doc_id"))
   )
 
@@ -1935,6 +1954,49 @@ ORDER BY 1, 2"""
         |  (stopword_hits >= 2) AS pass_stopwords,
         |  (n_tokens >= 30 AND n_tokens <= 80 AND mwl >= 4.0 AND mwl <= 5.0
         |    AND sr <= 0.05 AND stopword_hits >= 2) AS pass
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // identical formulation to q14 on purpose: q77 gates a DIFFERENT
+    // Spark algorithm (prefix filtering) against the same ground truth
+    "q77_jaccard_prefix" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+         |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS inter,
+         |         MAX(a.n) AS na, MAX(b.n) AS nb
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
+         |FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q78_lm_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w)-1), i -> w[i])) AS w1,
+        |    unnest(list_transform(generate_series(1, len(w)-1), i -> w[i+1])) AS w2
+        |  FROM t WHERE len(w) >= 2
+        |), model AS (
+        |  SELECT w1, w2, COUNT(1) AS c12 FROM bg GROUP BY 1, 2
+        |), model2 AS (
+        |  SELECT w1, w2, c12, SUM(c12) OVER (PARTITION BY w1) AS c1 FROM model
+        |), v AS (
+        |  SELECT COUNT(DISTINCT w1) AS v FROM model
+        |), scored AS (
+        |  SELECT b.doc_id, ln((m.c12 + 0.5)/(m.c1 + 0.5*v.v)) AS logp
+        |  FROM bg b JOIN model2 m ON m.w1 = b.w1 AND m.w2 = b.w2, v
+        |)
+        |SELECT doc_id, COUNT(1) AS n_bigrams,
+        |  ROUND(AVG(logp), 6) AS avg_logp,
+        |  ROUND(exp(-AVG(logp)), 6) AS ppl
+        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -85,6 +85,61 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact all-pairs Jaccard via PREFIX FILTERING (AllPairs/PPJoin
+    * family, Bayardo et al. 2007) — same output as [[jaccardPairs]],
+    * sub-quadratic candidate generation: under a global shingle order
+    * (ascending document frequency, hash tie-break), a document's
+    * PREFIX is its first |d| − ⌈t·|d|⌉ + 1 shingles. If J(A,B) ≥ t
+    * with |A| ≤ |B| then |A∩B| ≥ ⌈t·|A|⌉, and if prefix(A) ∩ B were
+    * empty every common shingle would sit in A's last ⌈t·|A|⌉ − 1
+    * positions — fewer than |A∩B|, contradiction. So joining the
+    * smaller side's prefix against the larger side's full shingle set
+    * finds every qualifying pair; exact verification then computes the
+    * true Jaccard from the full shingle tables.
+    *
+    * Why this is the 100 TB shape for EXACT near-dup: prefixes hold
+    * each document's RAREST shingles, so hot shingles (the quadratic
+    * blow-up in [[jaccardPairs]]' full self-join) never generate
+    * candidates from the prefix side — candidate volume is Σ over rare
+    * shingles of (prefix-df × df) instead of Σ over all shingles of
+    * df². Every stage is shuffle-on-key: one df aggregation, one
+    * per-doc rank window, one prefix-probe join, one verification
+    * join. [[jaccardPairs]] remains the cheaper plan for small/clean
+    * bucketed inputs (fewer stages); this one survives scale-up. */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val ex = shingleTable(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("s")).as("sk"), col("n"))
+    val dfreq = ex.groupBy(col("sk")).agg(count(lit(1)).as("__df"))
+    val wRank = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("sk"))
+    val prefix = ex.join(dfreq, "sk")
+      .withColumn("__rn", row_number().over(wRank))
+      .where(col("__rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col(idCol).as("doc_p"), col("sk"), col("n").as("np"))
+    val full = ex.select(col(idCol).as("doc_f"), col("sk"), col("n").as("nf"))
+    // smaller side (by shingle count, id tie-break) probes with its
+    // prefix against the other side's full set; each unordered pair is
+    // generated from exactly one orientation
+    val cand = prefix.join(full,
+        prefix("sk") === full("sk") &&
+          (col("np") < col("nf") ||
+            (col("np") === col("nf") && col("doc_p") < col("doc_f"))))
+      // exact length-ratio prune, as in jaccardPairs
+      .where(col("np") >= lit(threshold) * col("nf")
+        && col("nf") >= lit(threshold) * col("np"))
+      .select(least(col("doc_p"), col("doc_f")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_f")).as("doc_b"))
+      .distinct()
+    val a = ex.select(col(idCol).as("doc_a"), col("sk"), col("n").as("na"))
+    val b = ex.select(col(idCol).as("doc_b"), col("sk"), col("n").as("nb"))
+    cand.join(a, "doc_a").join(b, Seq("doc_b", "sk"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nb").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** MinHash signature per document: `nPerms` permutations of the
     * 32-bit md5-derived shingle hash (the classic 8-constant table
     * first, then md5-derived constants — see

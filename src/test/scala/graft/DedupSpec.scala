@@ -287,4 +287,20 @@ class DedupSpec extends SparkSpec {
     assert(hamming(m(1L), m(4L)) > 8)    // unrelated content
     assert((m(1L) & 0xFFFFFFFFL) == m(1L)) // 32-bit range
   }
+
+  test("jaccardPairsPrefix equals the full self-join on fixture and real corpus") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9).as("j"))
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val full = norm(Dedup.jaccardPairs(docs, "doc_id", "text", 3, t))
+      val pref = norm(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, t))
+      assert(pref.except(full).isEmpty && full.except(pref).isEmpty,
+        s"prefix-filtered result diverged at threshold $t")
+    }
+    val real = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val full = norm(Dedup.jaccardPairs(real, "doc_id", "text", 3, 0.5))
+    val pref = norm(Dedup.jaccardPairsPrefix(real, "doc_id", "text", 3, 0.5))
+    assert(pref.except(full).isEmpty && full.except(pref).isEmpty)
+    assert(full.count() > 0, "real corpus should contain near-dups")
+  }
 }
