@@ -942,7 +942,16 @@ object SparkEntry {
     "q78_lm_perplexity" -> ((s, dir) =>
       graft.ops.LangModel.perplexity(t(s, dir, "documents"),
           "doc_id", "text", k = 0.5)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Distributed k-means (2 Lloyd updates from a stride start): the
+    // corpus-clustering primitive. Assignment is a broadcast fold (the
+    // corpus never shuffles); the mean update shuffles only
+    // |partitions| x k x dim partial sums.
+    "q79_kmeans" -> ((s, dir) =>
+      graft.ops.Cluster.kmeans(t(s, dir, "embeddings"), "vec_id",
+          "embedding", centroidStride = 32, iters = 2)
+        .orderBy("vec_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -1997,6 +2006,67 @@ ORDER BY 1, 2"""
         |SELECT doc_id, COUNT(1) AS n_bigrams,
         |  ROUND(AVG(logp), 6) AS avg_logp,
         |  ROUND(exp(-AVG(logp)), 6) AS ppl
-        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // two Lloyd updates unrolled: assign to stride start (a0), means
+    // (c1), reassign (a1), means (c2), final assignment under c2 —
+    // exactly Cluster.kmeans(iters = 2)'s schedule
+    "q79_kmeans" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS v, i AS idx
+        |  FROM embeddings, generate_series(1, 64) AS t(i)
+        |), selfdot AS (
+        |  SELECT vec_id, SUM(v*v) AS sd FROM ex GROUP BY 1
+        |), c0 AS (
+        |  SELECT vec_id AS cent_id, idx, v AS m FROM ex WHERE vec_id % 32 = 0
+        |), c0sc AS (
+        |  SELECT cent_id, SUM(m*m) AS sc FROM c0 GROUP BY 1
+        |), d0 AS (
+        |  SELECT a.vec_id, c.cent_id,
+        |    ROUND(sa.sd - 2*SUM(a.v*c.m) + cs.sc, 9) AS dist
+        |  FROM ex a JOIN c0 c ON c.idx = a.idx
+        |  JOIN selfdot sa ON sa.vec_id = a.vec_id
+        |  JOIN c0sc cs ON cs.cent_id = c.cent_id
+        |  GROUP BY a.vec_id, c.cent_id, sa.sd, cs.sc
+        |), a0 AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        |    FROM d0) WHERE rn = 1
+        |), c1 AS (
+        |  SELECT a0.cent_id, e.idx, ROUND(SUM(e.v)/COUNT(1), 6) AS m
+        |  FROM a0 JOIN ex e ON e.vec_id = a0.vec_id GROUP BY 1, 2
+        |), c1sc AS (
+        |  SELECT cent_id, SUM(m*m) AS sc FROM c1 GROUP BY 1
+        |), d1 AS (
+        |  SELECT a.vec_id, c.cent_id,
+        |    ROUND(sa.sd - 2*SUM(a.v*c.m) + cs.sc, 9) AS dist
+        |  FROM ex a JOIN c1 c ON c.idx = a.idx
+        |  JOIN selfdot sa ON sa.vec_id = a.vec_id
+        |  JOIN c1sc cs ON cs.cent_id = c.cent_id
+        |  GROUP BY a.vec_id, c.cent_id, sa.sd, cs.sc
+        |), a1 AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        |    FROM d1) WHERE rn = 1
+        |), c2 AS (
+        |  SELECT a1.cent_id, e.idx, ROUND(SUM(e.v)/COUNT(1), 6) AS m
+        |  FROM a1 JOIN ex e ON e.vec_id = a1.vec_id GROUP BY 1, 2
+        |), c2sc AS (
+        |  SELECT cent_id, SUM(m*m) AS sc FROM c2 GROUP BY 1
+        |), d2 AS (
+        |  SELECT a.vec_id, c.cent_id,
+        |    ROUND(sa.sd - 2*SUM(a.v*c.m) + cs.sc, 9) AS dist
+        |  FROM ex a JOIN c2 c ON c.idx = a.idx
+        |  JOIN selfdot sa ON sa.vec_id = a.vec_id
+        |  JOIN c2sc cs ON cs.cent_id = c.cent_id
+        |  GROUP BY a.vec_id, c.cent_id, sa.sd, cs.sc
+        |)
+        |SELECT vec_id, cent_id, ROUND(dist, 6) AS dist FROM (
+        |  SELECT vec_id, cent_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        |  FROM d2) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin
   )
 }

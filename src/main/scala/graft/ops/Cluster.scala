@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Distributed k-means (Lloyd's algorithm) over an embedding column —
+  * the clustering primitive behind corpus curation (topic bucketing,
+  * SemDeDup cell refinement, per-cluster sampling quotas).
+  *
+  * Scale shape, per iteration:
+  *  - ASSIGN: the centroid table collapses to one broadcast row and
+  *    each corpus vector folds over it in place
+  *    ([[Similarity.assignTo]]) — the corpus is never shuffled and no
+  *    corpus×centroids row set ever exists.
+  *  - UPDATE: per-cell per-dimension means via `posexplode` +
+  *    two-level aggregation. The explode is narrow and partial (map
+  *    side) aggregation combines within each partition first, so the
+  *    shuffle carries only |partitions| × k × dim partial sums — NOT
+  *    |corpus| × dim rows. At 100 TB the corpus is scanned once per
+  *    iteration and the shuffled bytes stay O(k·dim) per partition.
+  *
+  * Determinism (the cross-engine gate contract): initial centroids are
+  * a deterministic stride sample; distances are rounded to 9 digits
+  * before the argmin with cent_id as tie-break (strict `<` over a
+  * cent_id-sorted fold); recomputed means are rounded to 6 digits
+  * before the next assignment. A cell that loses all members simply
+  * drops out (standard Lloyd behavior), which both engines reproduce.
+  */
+object Cluster {
+
+  /** Per-cell mean vectors of an assignment (`target_id, tv, st,
+    * cent_id` as produced by [[Similarity.assignTo]]), rounded to 6
+    * digits, with the self-dot precomputed: the next iteration's
+    * centroid table `(cent_id, cv, sc)`. */
+  private def meanCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cent_id"), posexplode(col("tv")).as(Seq("pos", "v")))
+      .groupBy("cent_id", "pos")
+      .agg(round(sum(col("v").cast("double")) / count(lit(1)), 6).as("m"))
+      .groupBy("cent_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cent_id"), transform(col("pm"), x => x.getField("m")).as("cv"))
+      .withColumn("sc", dot(col("cv"), col("cv")))
+
+  /** `iters` Lloyd updates from a stride-sampled start; returns the
+    * final assignment `(id, cent_id, dist)` under the last recomputed
+    * centroids (dist = squared L2, rounded to 6 for output). The
+    * centroid table is tiny (k rows) and is cached each iteration so
+    * the lineage through `iters` plans re-reads the corpus, not the
+    * whole prior iteration chain. */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String,
+      centroidStride: Int = 32, iters: Int = 2): DataFrame = {
+    var cents = Similarity.ivfCentroids(emb, idCol, vecCol, centroidStride)
+    for (_ <- 1 to iters) {
+      val assigned = Similarity.assignTo(emb, idCol, vecCol, cents)
+      cents = meanCentroids(assigned).cache()
+    }
+    Similarity.assignTo(emb, idCol, vecCol, cents)
+      .select(col("target_id").as(idCol), col("cent_id"),
+        round(col("cdist"), 6).as("dist"))
+  }
+
+  /** Cluster sizes and mean within-cluster distance of an assignment —
+    * the convergence/balance diagnostic. */
+  def clusterStats(assignment: DataFrame): DataFrame =
+    assignment.groupBy("cent_id")
+      .agg(count(lit(1)).as("n"), round(avg(col("dist")), 6).as("mean_dist"))
+}

@@ -172,8 +172,18 @@ object Similarity {
     * sorted fold order and strict `<`.
     * Output: target_id, tv, st (self-dot), cent_id. */
   private[graft] def assignCells(emb: DataFrame, idCol: String,
-      vecCol: String, centroidStride: Int): DataFrame = {
-    val centsArr = ivfCentroids(emb, idCol, vecCol, centroidStride)
+      vecCol: String, centroidStride: Int): DataFrame =
+    assignTo(emb, idCol, vecCol,
+      ivfCentroids(emb, idCol, vecCol, centroidStride))
+      .select("target_id", "tv", "st", "cent_id")
+
+  /** [[assignCells]] generalized to an ARBITRARY centroid table
+    * `(cent_id, cv, sc)` — the same broadcast-fold projection, reused
+    * by k-means ([[Cluster.kmeans]]) whose centroids are recomputed
+    * means rather than sampled corpus vectors. */
+  private[graft] def assignTo(emb: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame): DataFrame = {
+    val centsArr = cents
       .agg(array_sort(collect_list(struct(col("cent_id"), col("cv"), col("sc"))))
         .as("__cents"))
     val init = struct(lit(Double.MaxValue).as("cdist"),
@@ -189,7 +199,8 @@ object Similarity {
       .withColumn("st", dot(col("tv"), col("tv")))
       .join(broadcast(centsArr), lit(true)) // 1-row nested-loop broadcast
       .withColumn("cent_id", best.getField("cent_id"))
-      .select("target_id", "tv", "st", "cent_id")
+      .withColumn("cdist", best.getField("cdist"))
+      .select("target_id", "tv", "st", "cent_id", "cdist")
   }
 
   /** Persist an IVF index: the centroid table plus the cell-assigned

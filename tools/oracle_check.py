@@ -12,11 +12,14 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, prefixes=()):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if prefixes:
+        oracle = {k: v for k, v in oracle.items()
+                  if any(k.startswith(p) for p in prefixes)}
     fails = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -56,4 +59,4 @@ def main(sfdir, outdir):
     return fails
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
