@@ -951,7 +951,21 @@ object SparkEntry {
     "q79_kmeans" -> ((s, dir) =>
       graft.ops.Cluster.kmeans(t(s, dir, "embeddings"), "vec_id",
           "embedding", centroidStride = 32, iters = 2)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Weighted PageRank over the supplier-nation → customer-nation
+    // trade graph: the fact table collapses to a |nations|² edge list
+    // (the 100 TB step), then 5 rank iterations touch only that.
+    "q80_pagerank" -> ((s, dir) => {
+      val edges = graft.ops.Graph.tradeEdges(t(s, dir, "lineitem"),
+        t(s, dir, "orders"), t(s, dir, "customer"), t(s, dir, "supplier"))
+      val nodes = t(s, dir, "nation").select(col("n_nationkey").as("node"))
+      graft.ops.Graph.pageRank(nodes, edges, iters = 5, damping = 0.85)
+        .join(broadcast(t(s, dir, "nation")),
+          col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("pr"))
+        .orderBy("n_name")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -2067,6 +2081,44 @@ ORDER BY 1, 2"""
         |  SELECT vec_id, cent_id, dist,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
         |  FROM d2) WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "q80_pagerank" ->
+      s"""WITH e AS (
+         |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         |         CAST(COUNT(1) AS DOUBLE) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2
+         |), ow AS (
+         |  SELECT src, SUM(w) AS ow FROM e GROUP BY 1
+         |), ew AS (
+         |  SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow ON ow.src = e.src
+         |), nodes AS (
+         |  SELECT n_nationkey AS node FROM nation
+         |), nn AS (
+         |  SELECT CAST(COUNT(1) AS DOUBLE) AS n FROM nodes
+         |), r0 AS (
+         |  SELECT node, 1.0/nn.n AS pr FROM nodes CROSS JOIN nn
+         |), ${pageRankIterCtes(5, 0.85)}
+         |SELECT n.n_name, r5.pr
+         |FROM r5 JOIN nation n ON n.n_nationkey = r5.node
+         |ORDER BY n.n_name""".stripMargin
   )
+
+  /** One PageRank iteration pair (contribution + rank CTE) per step —
+    * the oracle mirror of [[graft.ops.Graph.pageRank]]'s loop. */
+  private def pageRankIterCtes(iters: Int, damping: Double): String =
+    (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, SUM(r${i - 1}.pr * e.w / e.ow) AS c
+         |  FROM ew e JOIN r${i - 1} ON r${i - 1}.node = e.src GROUP BY 1
+         |), r$i AS (
+         |  SELECT nodes.node,
+         |    ROUND((1-$damping)/nn.n + $damping*COALESCE(c$i.c, 0), 9) AS pr
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.node = nodes.node
+         |)""".stripMargin
+    }.mkString(", ")
 }

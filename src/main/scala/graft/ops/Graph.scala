@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists — PageRank as the
+  * representative fixed-point computation (the connected-components
+  * family lives in [[Dedup]]).
+  *
+  * Scale shape: the heavy work at 100 TB is DERIVING the edge list
+  * (fact-table joins + aggregation — each a single shuffle on its
+  * key); the rank iteration then touches only |nodes| + |edges| rows.
+  * Per iteration: one join of the rank table to the (out-weighted)
+  * edge list on `src`, one `groupBy(dst)` partial-aggregated shuffle,
+  * one left join back to the node set. The edge list is computed once
+  * and cached; each iteration's rank table is EAGERLY
+  * localCheckpoint'ed — an iterative DataFrame loop otherwise
+  * accumulates an ever-deeper logical plan whose analysis cost grows
+  * superlinearly with the iteration count (the same lesson as
+  * [[Dedup.connectedComponentsStar]]).
+  *
+  * Determinism: ranks are rounded to 9 digits each iteration, so
+  * per-engine float summation order cannot drift across iterations.
+  * Dangling nodes (no out-edges) keep their share of the teleport term
+  * but do not redistribute their mass — the standard simplification,
+  * mirrored exactly by the oracle.
+  */
+object Graph {
+
+  /** Weighted PageRank. `nodes`: one column `node`; `edges`:
+    * `src, dst, w` (w > 0). Returns `(node, pr)` after `iters`
+    * iterations of  pr'(v) = (1-d)/N + d * Σ_{u→v} pr(u) * w_uv / W_u.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    // N as a broadcast 1-row aggregate, not a driver-side count()
+    val n = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    val outw = edges.groupBy("src").agg(sum(col("w").cast("double")).as("ow"))
+    val e = edges.join(outw, "src")
+      .select(col("src"), col("dst"), col("w").cast("double").as("w"), col("ow"))
+      .cache()
+    var ranks = nodes.join(broadcast(n), lit(true))
+      .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst").agg(sum(col("pr") * col("w") / col("ow")).as("c"))
+        .withColumnRenamed("dst", "node")
+      ranks = nodes.join(broadcast(n), lit(true))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          round((lit(1.0) - lit(damping)) / col("__n")
+            + lit(damping) * coalesce(col("c"), lit(0.0)), 9).as("pr"))
+        .localCheckpoint(true) // truncate the iterative lineage
+    }
+    ranks
+  }
+
+  /** The nation-level trade graph: an edge supplier-nation →
+    * customer-nation per lineitem, aggregated to weights. The 100 TB
+    * part of PageRank-over-TPC-H: three fact/dim joins and one
+    * aggregation collapse the fact table to a |nations|² edge list.
+    * customer/supplier scale WITH the fact table in TPC-H, so their
+    * join strategy is left to Catalyst/AQE (broadcast when they fit,
+    * shuffled-hash when they don't) rather than forced. */
+  def tradeEdges(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem.select("l_orderkey", "l_suppkey")
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+}

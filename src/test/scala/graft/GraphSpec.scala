@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank on a symmetric cycle stays uniform at 1/N") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val pr = Graph.pageRank(nodes, edges, iters = 4).collect()
+    assert(pr.length == 3)
+    pr.foreach(r => assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-8))
+  }
+
+  test("pageRank concentrates mass on the sink of a star") {
+    // 1,2,3 all point at 4; 4 points back at 1. The 1↔4 exchange
+    // oscillates from a uniform start (period 2, amplitude ~0.7225^k),
+    // so compare NEAR CONVERGENCE: 25 iterations shrink the oscillation
+    // well below the steady-state gap (r4 ≈ 0.480 vs r1 ≈ 0.445).
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val edges = Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (4L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val pr = Graph.pageRank(nodes, edges, iters = 25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(4L) > pr(1L) && pr(1L) > pr(2L))
+    assert(math.abs(pr(2L) - pr(3L)) < 1e-12) // symmetric spokes tie
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6) // no dangling loss here
+  }
+
+  test("one iteration matches the hand-computed update") {
+    // 1 -> 2 (w 3), 1 -> 3 (w 1): r1(2) = 0.15/3 + 0.85 * (1/3 * 3/4)
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val pr = Graph.pageRank(nodes, edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - 0.05) < 1e-9) // teleport only (no in-edges)
+    assert(math.abs(pr(2L) - (0.05 + 0.85 * (1.0 / 3) * 0.75)) < 1e-9)
+    assert(math.abs(pr(3L) - (0.05 + 0.85 * (1.0 / 3) * 0.25)) < 1e-9)
+  }
+
+  test("tradeEdges derives a weighted nation graph from the fact tables") {
+    val dir = "/root/testdata/sf0.001"
+    def t(n: String) = graft.etl.Tables.table(spark, dir, n)
+    val e = Graph.tradeEdges(t("lineitem"), t("orders"), t("customer"),
+      t("supplier"))
+    val keys = t("nation").select("n_nationkey").collect()
+      .map(_.getAs[Number](0).longValue()).toSet
+    val rows = e.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) > 0))
+    assert(rows.forall(r => keys(r.getAs[Number](0).longValue())
+      && keys(r.getAs[Number](1).longValue())))
+    // total edge weight = number of lineitems (every lineitem is one trade)
+    assert(rows.map(_.getLong(2)).sum == t("lineitem").count())
+  }
+}
