@@ -51,6 +51,12 @@ object GraftExtensions {
         require(args.length == 1, "simhash32(toks) takes 1 argument")
         graft.expressions.Simhash32(args.head)
       }),
+    ("char_entropy",
+      "char_entropy(text) - Shannon entropy (nats) over code points",
+      args => {
+        require(args.length == 1, "char_entropy(text) takes 1 argument")
+        graft.expressions.CharEntropy(args.head)
+      }),
     ("year_week",
       "year_week(date) - the reference's %Y-%W week key (Monday-first)",
       args => {

@@ -965,7 +965,39 @@ object SparkEntry {
           col("node") === col("n_nationkey"))
         .select(col("n_name"), col("pr"))
         .orderBy("n_name")
-    })
+    }),
+
+    // Top-200 corpus vocabulary (tokenizer-training pass): one
+    // partial-aggregated hash-agg; top-N is TakeOrdered; the rank
+    // window runs on the 200 survivors only.
+    "q81_vocab" -> ((s, dir) =>
+      graft.ops.Vocab.vocabulary(t(s, dir, "documents"), "doc_id", "text",
+          topN = 200)
+        .orderBy("rank")),
+
+    // Adjacent-pair frequencies — BPE merge-candidate scoring. Pairs
+    // from a lead() window (one shuffle), counted with map-side
+    // partial aggregation.
+    "q82_bpe_pairs" -> ((s, dir) =>
+      graft.ops.Vocab.pairCounts(t(s, dir, "documents"), "doc_id", "text",
+          topN = 100)
+        .orderBy("rank")),
+
+    // Per-document character entropy via the single-pass CharEntropy
+    // expression (the composed form would explode one row per CHARACTER
+    // — |corpus chars| rows through two aggregations).
+    "q83_char_entropy" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          round(graft.functions.TextFunctions.charEntropy(col("text")), 6)
+            .as("entropy"))
+        .orderBy("doc_id")),
+
+    // Inverted index: df + total tf + bounded top-5 posting list per
+    // term (the heap aggregator — no per-term group sort).
+    "q84_inverted_index" -> ((s, dir) =>
+      graft.ops.Vocab.invertedIndex(t(s, dir, "documents"), "doc_id",
+          "text", k = 5)
+        .orderBy("token"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -2105,7 +2137,73 @@ ORDER BY 1, 2"""
          |), ${pageRankIterCtes(5, 0.85)}
          |SELECT n.n_name, r5.pr
          |FROM r5 JOIN nation n ON n.n_nationkey = r5.node
-         |ORDER BY n.n_name""".stripMargin
+         |ORDER BY n.n_name""".stripMargin,
+
+    "q81_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, COUNT(1) AS n, COUNT(DISTINCT doc_id) AS df
+        |  FROM toks GROUP BY 1
+        |), r AS (
+        |  SELECT token, n, df,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+        |  FROM c
+        |)
+        |SELECT token, n, df, rank FROM r WHERE rank <= 200
+        |ORDER BY rank""".stripMargin,
+
+    "q82_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w)-1), i -> w[i])) AS w1,
+        |    unnest(list_transform(generate_series(1, len(w)-1), i -> w[i+1])) AS w2
+        |  FROM t WHERE len(w) >= 2
+        |), c AS (
+        |  SELECT w1, w2, COUNT(1) AS n FROM bg GROUP BY 1, 2
+        |), r AS (
+        |  SELECT w1, w2, n,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, w1, w2) AS rank
+        |  FROM c
+        |)
+        |SELECT w1, w2, n, rank FROM r WHERE rank <= 100
+        |ORDER BY rank""".stripMargin,
+
+    "q83_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+        |), hist AS (
+        |  SELECT doc_id, c, COUNT(1) AS k FROM ch GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, CAST(SUM(k) AS DOUBLE) AS n FROM hist GROUP BY 1
+        |)
+        |SELECT h.doc_id, ROUND(-SUM((h.k/t.n) * ln(h.k/t.n)), 6) AS entropy
+        |FROM hist h JOIN tot t USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q84_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), p AS (
+        |  SELECT token, doc_id, COUNT(1) AS tf FROM toks GROUP BY 1, 2
+        |), s AS (
+        |  SELECT token, COUNT(1) AS df, SUM(tf) AS tf_total FROM p GROUP BY 1
+        |), t AS (
+        |  SELECT token, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
+        |  FROM p
+        |), tops AS (
+        |  SELECT token,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS top_docs
+        |  FROM t WHERE rn <= 5 GROUP BY 1
+        |)
+        |SELECT s.token, s.df, s.tf_total, tops.top_docs
+        |FROM s JOIN tops USING (token)
+        |ORDER BY s.token""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

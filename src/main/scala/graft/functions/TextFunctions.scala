@@ -127,4 +127,27 @@ object TextFunctions {
     * fingerprint collapsed to document grain). */
   def fingerprint(text: Column, n: Int = 5): Column =
     array_min(transform(charShingles(text, n), s => h32(s)))
+
+  /** Shannon entropy (nats) over the string's code points: a
+    * single-pass custom expression (the composed form would explode
+    * one row PER CHARACTER through two aggregations — see
+    * [[graft.expressions.CharEntropy]]). */
+  def charEntropy(text: Column): Column =
+    graft.expressions.CharEntropy(text)
+
+  /** The composed-built-ins reference form of [[charEntropy]] (split →
+    * per-char histogram inside aggregate() — asserted equal in
+    * TextFunctionsSpec; kept as the semantic cross-check, not for the
+    * hot path). */
+  def charEntropyFold(text: Column): Column = {
+    val chars = split(text, "") // per code point, like DuckDB's ''-split
+    val n = size(chars).cast("double")
+    val hist = aggregate(
+      array_distinct(chars), lit(0.0),
+      (acc, c) => {
+        val k = size(filter(chars, x => x === c)).cast("double")
+        acc - (k / n) * log(k / n)
+      })
+    when(length(text) === 0, lit(0.0)).otherwise(hist)
+  }
 }

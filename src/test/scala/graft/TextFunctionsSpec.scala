@@ -80,4 +80,38 @@ class TextFunctionsSpec extends SparkSpec {
     // shared 5-gram minimum may coincide, but values must be in u32 range
     assert(f1 >= 0 && f1 <= 0xFFFFFFFFL && f2 >= 0)
   }
+
+  test("charEntropy matches hand-computed values") {
+    // "aaaa": one symbol -> 0. "ab": two equiprobable -> ln 2.
+    assert(one[Double](Seq("aaaa").toDF("s").select(charEntropy($"s"))) == 0.0)
+    val h2 = one[Double](Seq("ab").toDF("s").select(charEntropy($"s")))
+    assert(math.abs(h2 - math.log(2)) < 1e-12)
+    // "aab": p=2/3,1/3
+    val h3 = one[Double](Seq("aab").toDF("s").select(charEntropy($"s")))
+    val want = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(h3 - want) < 1e-12)
+    assert(one[Double](Seq("").toDF("s").select(charEntropy($"s"))) == 0.0)
+  }
+
+  test("charEntropy expression equals the composed fold on corpus text") {
+    val docs = graft.etl.Tables.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val both = docs.select(
+      round(charEntropy($"text"), 9).as("fast"),
+      round(charEntropyFold($"text"), 9).as("ref"))
+    assert(both.where($"fast" =!= $"ref").isEmpty)
+  }
+
+  test("charEntropy counts astral-plane characters as single code points") {
+    // U+1F600 (😀) is a surrogate pair in UTF-16; "😀😀" has ONE symbol
+    val h = one[Double](Seq("😀😀").toDF("s")
+      .select(charEntropy($"s")))
+    assert(h == 0.0)
+  }
+
+  test("char_entropy is callable from SQL via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT char_entropy('ab') AS h").head().getDouble(0)
+    assert(math.abs(r - math.log(2)) < 1e-12)
+  }
 }
