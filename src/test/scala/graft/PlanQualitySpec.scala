@@ -23,7 +23,8 @@ class PlanQualitySpec extends SparkSpec {
     "q71_tfidf_keywords",   // 1-row broadcast corpus-count scalar attach
     "q74_bm25",             // 1-row broadcast corpus-stats (N, avgdl) attach
     "q75_semantic_dedup",   // 1-row broadcast centroid array (assignCells)
-    "q78_lm_perplexity")    // 1-row broadcast vocab-size scalar attach
+    "q78_lm_perplexity",    // 1-row broadcast vocab-size scalar attach
+    "q79_kmeans")           // 1-row broadcast centroid array (assignment fold)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
