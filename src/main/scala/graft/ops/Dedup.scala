@@ -102,39 +102,80 @@ object Dedup {
     * blow-up in [[jaccardPairs]]' full self-join) never generate
     * candidates from the prefix side — candidate volume is Σ over rare
     * shingles of (prefix-df × df) instead of Σ over all shingles of
-    * df². Every stage is shuffle-on-key: one df aggregation, one
-    * per-doc rank window, one prefix-probe join, one verification
-    * join. [[jaccardPairs]] remains the cheaper plan for small/clean
+    * df².
+    *
+    * Plan shape: the expensive exploded stages run ONCE — the corpus is
+    * shingled/hashed a single time and reduced to a per-document
+    * df-ordered shingle ARRAY (a doc-level frame, materialized with an
+    * eager localCheckpoint so the four downstream consumers don't each
+    * replay tokenization; same lineage-truncation pattern as the CC /
+    * PageRank loops). Prefix = array slice (no per-doc rank window over
+    * the exploded corpus), candidate generation is one shuffle-on-sk
+    * join of the exploded slices, and verification is
+    * `array_intersect` on the two candidates' full sets attached by
+    * doc-id hash joins — no second pass over exploded shingles.
+    * [[jaccardPairs]] remains the cheaper plan for small/clean
     * bucketed inputs (fewer stages); this one survives scale-up. */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val ex = shingleTable(df, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("s")).as("sk"), col("n"))
     val dfreq = ex.groupBy(col("sk")).agg(count(lit(1)).as("__df"))
-    val wRank = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("sk"))
-    val prefix = ex.join(dfreq, "sk")
-      .withColumn("__rn", row_number().over(wRank))
-      .where(col("__rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col(idCol).as("doc_p"), col("sk"), col("n").as("np"))
-    val full = ex.select(col(idCol).as("doc_f"), col("sk"), col("n").as("nf"))
+    // one row per doc: shingle set ordered by (global df asc, hash) —
+    // the AllPairs canonical order — plus the set size
+    val docs = ex.join(dfreq, "sk")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__df"), col("sk")))).as("__ord"),
+        max(col("n")).as("nn"))
+      .select(col(idCol),
+        transform(col("__ord"), e => e.getField("sk")).as("arr"), col("nn"))
+      .localCheckpoint(true)
+    val prefixLen = (col("nn") - ceil(lit(threshold) * col("nn")) + 1).cast("int")
+    val prefix = docs.select(col(idCol).as("doc_p"),
+      posexplode(slice(col("arr"), lit(1), prefixLen)).as(Seq("pp", "sk")),
+      col("nn").as("np"), prefixLen.as("pl"))
+    val full = docs.select(col(idCol).as("doc_f"),
+      posexplode(col("arr")).as(Seq("pf", "sk")), col("nn").as("nf"))
     // smaller side (by shingle count, id tie-break) probes with its
     // prefix against the other side's full set; each unordered pair is
-    // generated from exactly one orientation
+    // generated from exactly one orientation. The length-ratio prune
+    // (exact, as in jaccardPairs) runs per row inside the join; the
+    // matches then aggregate per pair — the exchange the naive form
+    // spent on distinct() instead carries two PPJoin-style exact
+    // overlap bounds (Xiao et al. 2008) that kill near-miss pairs
+    // before the verification join:
+    //  - positional: J ≥ t needs overlap ≥ α = ⌈t/(1+t)·(np+nf)⌉, and
+    //    the globally-FIRST common shingle — which sits in the smaller
+    //    side's prefix, prefixes being downward-closed in the global
+    //    order — admits at most min(np−pp, nf−pf) total common
+    //    shingles from its (0-based) positions, so a qualifying pair
+    //    has max over matches of that bound ≥ α;
+    //  - prefix-count: every common shingle is a prefix match or in
+    //    the smaller side's suffix, so overlap ≤ m + (np − pl).
     val cand = prefix.join(full,
         prefix("sk") === full("sk") &&
           (col("np") < col("nf") ||
             (col("np") === col("nf") && col("doc_p") < col("doc_f"))))
-      // exact length-ratio prune, as in jaccardPairs
       .where(col("np") >= lit(threshold) * col("nf")
         && col("nf") >= lit(threshold) * col("np"))
+      .groupBy(col("doc_p"), col("doc_f"))
+      .agg(count(lit(1)).as("m"),
+        max(least(col("np") - col("pp"), col("nf") - col("pf"))).as("ub"),
+        max(col("np")).as("np"), max(col("nf")).as("nf"), max(col("pl")).as("pl"))
+      .where({
+        val alpha = ceil(lit(threshold) / (1 + threshold) * (col("np") + col("nf")))
+        col("ub") >= alpha && (col("m") + col("np") - col("pl")) >= alpha
+      })
       .select(least(col("doc_p"), col("doc_f")).as("doc_a"),
         greatest(col("doc_p"), col("doc_f")).as("doc_b"))
-      .distinct()
-    val a = ex.select(col(idCol).as("doc_a"), col("sk"), col("n").as("na"))
-    val b = ex.select(col(idCol).as("doc_b"), col("sk"), col("n").as("nb"))
-    cand.join(a, "doc_a").join(b, Seq("doc_b", "sk"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nb").as("nb"))
+    val a = docs.select(col(idCol).as("doc_a"), col("arr").as("__sa"),
+      col("nn").as("na"))
+    val b = docs.select(col(idCol).as("doc_b"), col("arr").as("__sb"),
+      col("nn").as("nb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("inter"),
+        col("na"), col("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
