@@ -997,7 +997,34 @@ object SparkEntry {
     "q84_inverted_index" -> ((s, dir) =>
       graft.ops.Vocab.invertedIndex(t(s, dir, "documents"), "doc_id",
           "text", k = 5)
-        .orderBy("token"))
+        .orderBy("token")),
+
+    // Overlapping token-window chunking (retrieval/embedding prep):
+    // 50-token windows every 40 tokens. Narrow + posexplode — no
+    // shuffle before the ORDER BY.
+    "q85_chunking" -> ((s, dir) =>
+      graft.ops.Chunking.chunkByTokens(t(s, dir, "documents"), "doc_id",
+          "text", width = 50, stride = 40)
+        .orderBy("doc_id", "chunk_id")),
+
+    // Per-user bounded-window normalized EWMA over event values (the
+    // keyed smoothing feature): one shuffle on user_id, O(window) fold
+    // per row.
+    "q86_ewma" -> ((s, dir) =>
+      graft.ops.TimeSeries.ewma(t(s, dir, "events"), "user_id",
+          Seq("ts", "event_id"), "value", alpha = 0.3, window = 20)
+        .select(col("event_id"), col("user_id"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy("event_id")),
+
+    // Median/MAD robust outlier profile per event type: two median
+    // passes with the bounded group stats broadcast back between them.
+    "q87_robust_outliers" -> ((s, dir) =>
+      graft.ops.Quality.robustOutliers(t(s, dir, "events"), "event_type",
+          "value", z = 3.0)
+        .select(col("event_type"), col("n"), round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"), col("n_outliers"))
+        .orderBy("event_type"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -2203,7 +2230,53 @@ ORDER BY 1, 2"""
         |)
         |SELECT s.token, s.df, s.tf_total, tops.top_docs
         |FROM s JOIN tops USING (token)
-        |ORDER BY s.token""".stripMargin
+        |ORDER BY s.token""".stripMargin,
+
+    "q85_chunking" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), ck AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0,
+        |      GREATEST(0, CAST(ceil((len(w) - 50) / 40.0) AS INT)))) AS chunk_id
+        |  FROM tk
+        |)
+        |SELECT doc_id, chunk_id,
+        |  len(list_slice(w, chunk_id*40 + 1, chunk_id*40 + 50)) AS n_tokens,
+        |  array_to_string(list_slice(w, chunk_id*40 + 1, chunk_id*40 + 50), ' ')
+        |    AS chunk
+        |FROM ck ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q86_ewma" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT a.event_id, a.user_id,
+        |  ROUND(SUM(b.value * POWER(0.7, a.rn - b.rn))
+        |        / SUM(POWER(0.7, a.rn - b.rn)), 6) AS ewma
+        |FROM r a JOIN r b
+        |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+        |GROUP BY a.event_id, a.user_id
+        |ORDER BY a.event_id""".stripMargin,
+
+    "q87_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY 1
+        |), mad AS (
+        |  SELECT event_type, MEDIAN(ABS(value - med)) AS mad
+        |  FROM events JOIN med USING (event_type) GROUP BY 1
+        |)
+        |SELECT event_type, COUNT(1) AS n,
+        |  ROUND(MAX(med), 6) AS med, ROUND(MAX(mad), 6) AS mad,
+        |  SUM(CASE WHEN mad > 0
+        |        AND ROUND(ABS(value - med) / (1.4826 * mad), 6) > 3.0
+        |      THEN 1 ELSE 0 END) AS n_outliers
+        |FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

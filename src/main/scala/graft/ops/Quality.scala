@@ -137,4 +137,36 @@ object Quality {
       (c, nulls, if (total == 0) 0.0 else nulls.toDouble / total)
     }.toDF("column", "n_nulls", "null_ratio")
   }
+
+  /** Robust per-group outlier profile via median/MAD (the
+    * distribution-shape guard a pipeline runs on metric columns —
+    * mean/stddev z-scores are themselves dragged by the outliers they
+    * should flag; the median/MAD form is 50%-breakdown robust).
+    * Per group: n, median, MAD, and the count of rows whose robust
+    * z-score |x − med| / (1.4826·MAD) exceeds `z` (1.4826 scales MAD
+    * to σ under normality). The z-score is rounded to 6 digits before
+    * the cut so the flag is stable across engines/libm.
+    *
+    * Shape: two median aggregations with the group medians broadcast
+    * back between them — the group count stays bounded, the data is
+    * scanned twice and shuffled only by the group key. Exact medians
+    * sort within groups; at unbounded group width the drop-in scale
+    * path is [[Approx]]'s GK quantile sketch. MAD-zero groups (>50%
+    * identical values) flag nothing — degenerate by definition. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      z: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(median(col(valueCol)).as("med"))
+    val withMed = df.join(broadcast(med), groupCol)
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(median(abs(col(valueCol) - col("med"))).as("mad"))
+    val score = round(
+      abs(col(valueCol) - col("med")) / (lit(1.4826) * col("mad")), 6)
+    withMed.join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("mad") > 0 && score > z, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed time-series smoothing features.
+  *
+  * Scale shape: one shuffle on the series key, then per-key ordered
+  * window work; per-row cost is O(window), state is O(window) —
+  * nothing global, nothing quadratic.
+  */
+object TimeSeries {
+
+  /** Normalized exponentially-weighted moving average over the last
+    * `window` observations of each key's series:
+    *
+    *   ewma_t = Σ_{k<min(window,t+1)} (1−α)^k · x_{t−k}
+    *          / Σ_{k<min(window,t+1)} (1−α)^k
+    *
+    * — the adjusted (weighted-mean) EWMA form, truncated to a bounded
+    * frame so weights never underflow and window state stays O(window).
+    * The recursive form is a strictly sequential scan per key; this
+    * windowed form is the distributed-friendly equivalent (the dropped
+    * tail carries relative weight (1−α)^window — at the defaults,
+    * 0.7²⁰ ≈ 8·10⁻⁴).
+    *
+    * The fold over the collected frame runs per row on ≤ `window`
+    * elements; `orderCols` must be a deterministic total order within
+    * each key (pass a tie-break column).
+    * Output: input columns + `ewma`. */
+  def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double, window: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    require(window > 0, "window must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val decay = lit(1.0 - alpha)
+    // frame is oldest→newest; element i of n carries weight (1−α)^(n−1−i).
+    // The frame lands in its own projection first so the window
+    // expression evaluates once, not once per reference in the fold.
+    val folded = aggregate(
+      col("__frame"),
+      struct(lit(0).as("i"), lit(0.0).as("num"), lit(0.0).as("den")),
+      (acc: Column, x: Column) => {
+        val wt = pow(decay, size(col("__frame")) - 1 - acc.getField("i"))
+        struct((acc.getField("i") + 1).as("i"),
+          (acc.getField("num") + x * wt).as("num"),
+          (acc.getField("den") + wt).as("den"))
+      },
+      acc => acc.getField("num") / acc.getField("den"))
+    df.withColumn("__frame", collect_list(col(valueCol)).over(w))
+      .withColumn("ewma", folded)
+      .drop("__frame")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Chunking, Quality, TimeSeries}
+
+class ChunkingTimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Chunking ----
+
+  private def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+
+  test("chunkByTokens covers every token, respects width/stride, skips redundant tails") {
+    val df = Seq((1L, doc(5)), (2L, doc(50)), (3L, doc(51)), (4L, doc(130)))
+      .toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(df, "doc_id", "text", width = 50, stride = 40)
+      .orderBy("doc_id", "chunk_id")
+      .collect()
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.toSeq).toMap
+    // shorter than width -> exactly one chunk with all tokens
+    assert(byDoc(1L).map(r => (r.getLong(1), r.getLong(2))) == Seq((0L, 5L)))
+    assert(byDoc(1L).head.getString(3) == doc(5))
+    // exactly width -> one chunk
+    assert(byDoc(2L).map(_.getLong(1)) == Seq(0L))
+    // width+1 -> second chunk starts at stride, carries the overlap
+    assert(byDoc(3L).map(r => (r.getLong(1), r.getLong(2))) ==
+      Seq((0L, 50L), (1L, 11L)))
+    assert(byDoc(3L)(1).getString(3).startsWith("t41 "))
+    // 130 tokens: chunks at 0, 40, 80 cover 1..130; no 4th chunk
+    assert(byDoc(4L).map(r => (r.getLong(1), r.getLong(2))) ==
+      Seq((0L, 50L), (1L, 50L), (2L, 50L)))
+    // every token of every doc appears in at least one of its chunks
+    for ((id, rows) <- byDoc) {
+      val n = Map(1L -> 5, 2L -> 50, 3L -> 51, 4L -> 130)(id)
+      val covered = rows.flatMap(_.getString(3).split(" ")).toSet
+      assert((1 to n).map(i => s"t$i").toSet == covered, s"doc $id coverage")
+    }
+  }
+
+  test("chunkByTokens is narrow: no shuffle exchange in the plan") {
+    val df = Seq((1L, doc(130))).toDF("doc_id", "text")
+    val plan = Chunking.chunkByTokens(df, "doc_id", "text", 50, 40)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ---- EWMA ----
+
+  private def refEwma(xs: Seq[Double], alpha: Double, window: Int): Seq[Double] =
+    xs.indices.map { t =>
+      val lo = math.max(0, t - window + 1)
+      val frame = xs.slice(lo, t + 1)
+      val ws = frame.indices.map(i => math.pow(1 - alpha, frame.size - 1 - i))
+      frame.zip(ws).map { case (x, w) => x * w }.sum / ws.sum
+    }
+
+  test("ewma matches the brute-force weighted mean per key") {
+    val a = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0)
+    val b = Seq(10.0, 20.0, 30.0)
+    val rows = a.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
+      b.zipWithIndex.map { case (v, i) => ("b", i.toLong, v) }
+    val df = rows.toDF("k", "seq", "v")
+    val got = TimeSeries.ewma(df, "k", Seq("seq"), "v", alpha = 0.3, window = 3)
+      .orderBy("k", "seq").select("k", "ewma").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val exp = refEwma(a, 0.3, 3).map(("a", _)) ++ refEwma(b, 0.3, 3).map(("b", _))
+    got.zip(exp).foreach { case ((gk, gv), (ek, ev)) =>
+      assert(gk == ek && math.abs(gv - ev) < 1e-12, s"$gk $gv vs $ev")
+    }
+  }
+
+  test("ewma with window 1 is the identity; full window equals pandas-adjust form") {
+    val xs = Seq(3.0, 1.0, 4.0, 1.0, 5.0)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "seq", "v")
+    val id = TimeSeries.ewma(df, "k", Seq("seq"), "v", 0.5, 1)
+      .orderBy("seq").select("ewma").as[Double].collect()
+    assert(id.toSeq == xs)
+    // window >= series length: the classic adjusted EWMA over all history
+    val full = TimeSeries.ewma(df, "k", Seq("seq"), "v", 0.5, 100)
+      .orderBy("seq").select("ewma").as[Double].collect()
+    val exp = refEwma(xs, 0.5, 100)
+    full.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
+  // ---- robust outliers ----
+
+  test("robustOutliers finds planted outliers and ignores MAD-zero groups") {
+    // group g: symmetric values around 10 with two gross outliers
+    val g = Seq(8.0, 9.0, 10.0, 11.0, 12.0, 9.5, 10.5, 1000.0, -1000.0)
+    // group z: constant (MAD = 0) -> nothing flagged
+    val z = Seq.fill(6)(7.0)
+    val df = (g.map(("g", _)) ++ z.map(("z", _))).toDF("grp", "v")
+    val out = Quality.robustOutliers(df, "grp", "v", z = 3.0)
+      .orderBy("grp").collect()
+    val gRow = out(0)
+    assert(gRow.getString(0) == "g" && gRow.getLong(1) == 9)
+    assert(gRow.getDouble(2) == 10.0)   // median
+    assert(gRow.getDouble(3) == 1.0)    // MAD: |v-10| = 0.5..2, 990, 1010 -> median 1
+    assert(gRow.getLong(4) == 2)        // the two planted outliers
+    val zRow = out(1)
+    assert(zRow.getString(0) == "z" && zRow.getDouble(3) == 0.0
+      && zRow.getLong(4) == 0)
+  }
+}
