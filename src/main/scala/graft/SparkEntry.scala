@@ -1024,7 +1024,31 @@ object SparkEntry {
           "value", z = 3.0)
         .select(col("event_type"), col("n"), round(col("med"), 6).as("med"),
           round(col("mad"), 6).as("mad"), col("n_outliers"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Ordered funnel signup -> click -> purchase: earliest-match
+    // chaining, one user-key shuffle, per-user fold.
+    "q88_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.funnelCounts(t(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("signup", "click", "purchase"))
+        .orderBy("step")),
+
+    // Weekly cohort retention over events.
+    "q89_retention" -> ((s, dir) =>
+      graft.ops.Cohorts.retention(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+
+    // Temperature-T=2 source rebalancing over documents (the data-
+    // mixing rule): per-source keep probability sqrt(n_min-ish shape),
+    // portable-hash Bernoulli gate; gated on the per-source outcome.
+    "q90_temperature_resample" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureResample(t(s, dir, "documents"),
+          "source", "doc_id", temperature = 2.0, seed = "t1")
+        .groupBy(col("source"))
+        .agg(max(col("n_before")).as("n_before"),
+          max(col("keep_prob")).as("keep_prob"),
+          count(lit(1)).as("n_after"))
+        .orderBy("source"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -2276,7 +2300,63 @@ ORDER BY 1, 2"""
         |      THEN 1 ELSE 0 END) AS n_outliers
         |FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q88_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, MIN(ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, MIN(ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS step, 'signup' AS step_name,
+        |         (SELECT COUNT(1) FROM s1) AS n_users
+        |  UNION ALL
+        |  SELECT 2::BIGINT, 'click', (SELECT COUNT(1) FROM s2)
+        |  UNION ALL
+        |  SELECT 3::BIGINT, 'purchase', (SELECT COUNT(1) FROM s3)
+        |) ORDER BY step""".stripMargin,
+
+    "q89_retention" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', ts) AS DATE) AS activity_week
+        |  FROM events
+        |)
+        |SELECT cohort_week,
+        |       CAST(datediff('day', cohort_week, activity_week) / 7 AS BIGINT)
+        |         AS week_offset,
+        |       COUNT(1) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q90_temperature_resample" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(1) AS n_before FROM documents GROUP BY 1
+        |), p AS (
+        |  SELECT source, n_before,
+        |         ROUND(POWER(n_before, -0.5)
+        |               / MAX(POWER(n_before, -0.5)) OVER (), 6) AS keep_prob
+        |  FROM c
+        |)
+        |SELECT d.source, MAX(p.n_before) AS n_before,
+        |       MAX(p.keep_prob) AS keep_prob, COUNT(1) AS n_after
+        |FROM documents d JOIN p USING (source)
+        |WHERE CAST(('0x'||substr(md5('t1:'||CAST(doc_id AS VARCHAR)),1,8))
+        |        AS BIGINT) % 1000000
+        |      < CAST(ROUND(p.keep_prob * 1000000) AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel completion counts — the product-analytics operator
+  * over an event stream: how many users performed step 1, then step 2
+  * strictly later, then step 3 strictly later than that, ….
+  *
+  * Semantics are earliest-match chaining: t₁ = the user's first
+  * step-1 event; tᵢ = the first step-i event with ts > tᵢ₋₁ (greedy =
+  * minimal, so a user reaches step i iff ANY strictly-increasing
+  * assignment exists).
+  *
+  * Scale shape: the input is pre-filtered to the step types (filter
+  * pushed to the scan), then ONE shuffle on the user key collects each
+  * user's step events; the chain match is a per-user O(events) fold —
+  * no joins, no per-step passes. Per-user state is that user's step
+  * events only. The final step-count frame is k rows.
+  */
+object Funnel {
+
+  def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    val stepArr = array(steps.map(lit): _*)
+    val k = steps.size
+    // (ts, type) sorted ascending per user; ts-first makes the scan
+    // order the event-time order
+    val perUser = events
+      .where(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col(typeCol).as("tp")))).as("__evs"))
+    val reached = aggregate(
+      col("__evs"),
+      struct(lit(0).as("r"),
+        lit(null).cast(events.schema(tsCol).dataType).as("last")),
+      (acc: Column, x: Column) => {
+        val want = element_at(stepArr, acc.getField("r") + 1)
+        val matches = acc.getField("r") < k &&
+          x.getField("tp") === want &&
+          (acc.getField("r") === 0 || x.getField("ts") > acc.getField("last"))
+        when(matches,
+          struct((acc.getField("r") + 1).as("r"), x.getField("ts").as("last")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("r"))
+    val stepSums = (1 to k).map(i =>
+      sum(when(col("__reached") >= i, 1L).otherwise(0L)).as(s"__c$i"))
+    val counts = perUser.withColumn("__reached", reached)
+      .agg(stepSums.head, stepSums.tail: _*)
+    counts.select(explode(array((1 to k).map(i =>
+        struct(lit(i.toLong).as("step"), lit(steps(i - 1)).as("step_name"),
+          col(s"__c$i").as("n_users"))): _*)).as("__s"))
+      .select(col("__s.step").as("step"), col("__s.step_name").as("step_name"),
+        col("__s.n_users").as("n_users"))
+  }
+}

@@ -90,4 +90,39 @@ object Sampling {
     df.withColumn("split",
       when(b < valCut, "val").when(b < testCut, "test").otherwise("train"))
   }
+
+  /** Temperature-based mixture rebalancing (the multilingual /
+    * multi-source data-mixing rule, e.g. mC4/XLM-R): target share of
+    * group g ∝ p_g^(1/T), flattening the source distribution as T
+    * grows. Realized by deterministic downsampling — each group keeps
+    * rows with probability
+    *
+    *   r_g = p_g^(1/T − 1) / max_h p_h^(1/T − 1)
+    *
+    * (the rarest group keeps everything at T > 1; corpus sizes N
+    * cancel, so r depends only on group counts). The keep decision is
+    * the portable [[shuffleKey]] Bernoulli gate on the row key —
+    * retry-stable and engine-portable (oracle-gated bit-for-bit,
+    * q90). Keep probabilities are rounded to the 1e-6 gate grid.
+    *
+    * Shape: one bounded group-count aggregation; the max-weight
+    * normalizer is a window over THAT bounded frame (group
+    * cardinality, not data); probabilities broadcast back; the gate
+    * itself is a narrow filter. The corpus is scanned once and never
+    * shuffled. Output: input columns + n_before + keep_prob. */
+  def temperatureResample(df: DataFrame, groupCol: String, keyCol: String,
+      temperature: Double, seed: String): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val a = 1.0 / temperature - 1.0
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_before"))
+      .withColumn("__w", pow(col("n_before").cast("double"), lit(a)))
+    val probs = counts
+      .withColumn("keep_prob",
+        round(col("__w") / max(col("__w")).over(Window.partitionBy(lit(1))), 6))
+      .drop("__w")
+    df.join(broadcast(probs), groupCol)
+      .where(pmod(shuffleKey(col(keyCol), seed), lit(1000000L))
+        < round(col("keep_prob") * 1000000L).cast("long"))
+  }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Cohorts, Funnel, Sampling}
+
+class FunnelCohortSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnelCounts chains steps strictly in event-time order") {
+    val events = Seq(
+      // u1 completes the funnel in order
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // u2: purchase BEFORE click -> reaches step 2 only
+      (2L, ts("2024-01-02 10:00:00"), "signup"),
+      (2L, ts("2024-01-02 10:30:00"), "purchase"),
+      (2L, ts("2024-01-02 11:00:00"), "click"),
+      // u3: click at the SAME instant as signup does not count (strict >),
+      // but a later click does; no purchase
+      (3L, ts("2024-01-03 09:00:00"), "signup"),
+      (3L, ts("2024-01-03 09:00:00"), "click"),
+      (3L, ts("2024-01-03 09:05:00"), "click"),
+      // u4: never signs up -> reaches nothing
+      (4L, ts("2024-01-04 09:00:00"), "click"),
+      (4L, ts("2024-01-04 10:00:00"), "purchase"),
+      // u5: signup only
+      (5L, ts("2024-01-05 09:00:00"), "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnelCounts(events, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .orderBy("step")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "signup", 4L),   // u1 u2 u3 u5
+      (2L, "click", 3L),    // u1 u3, and u2 (its click follows its purchase
+                            //        but still follows signup -> step 2 yes)
+      (3L, "purchase", 1L)  // u1 only
+    ))
+  }
+
+  test("funnelCounts strict-same-ts edge: same-instant next step is not reached") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 10:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnelCounts(events, "user_id", "ts", "event_type",
+        Seq("signup", "click")).orderBy("step")
+      .collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(1L, 0L))
+  }
+
+  test("retention counts cohort users by week offset") {
+    val events = Seq(
+      // u1 first active week of Jan 1 (Monday), returns weeks 0, 1, 3
+      (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-05 10:00:00")),
+      (1L, ts("2024-01-10 10:00:00")),
+      (1L, ts("2024-01-22 10:00:00")),
+      // u2 first active week of Jan 8, returns week 1
+      (2L, ts("2024-01-08 09:00:00")),
+      (2L, ts("2024-01-19 09:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Cohorts.retention(events, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-01", 3L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
+
+  test("temperatureResample keeps all of the rarest group, downsamples the rest") {
+    val rows = (1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 1000).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "src")
+    val out = Sampling.temperatureResample(df, "src", "id", 2.0, "s1")
+    val stats = out.groupBy("src")
+      .agg(max("keep_prob").as("p"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // rarest group: keep_prob exactly 1, all rows survive
+    assert(stats("small") == ((1.0, 100L)))
+    // big group: keep_prob = sqrt(100/900) = 1/3, kept count near 300
+    assert(math.abs(stats("big")._1 - 0.333333) < 1e-9)
+    assert(stats("big")._2 > 240 && stats("big")._2 < 360, stats("big"))
+    // deterministic: a reshuffled input yields the identical kept set
+    val again = Sampling.temperatureResample(
+      df.repartition(7), "src", "id", 2.0, "s1")
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+}
