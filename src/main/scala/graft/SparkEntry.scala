@@ -1048,7 +1048,27 @@ object SparkEntry {
         .agg(max(col("n_before")).as("n_before"),
           max(col("keep_prob")).as("keep_prob"),
           count(lit(1)).as("n_after"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // Per-node triangle counts over the derived nation trade graph
+    // (degree-oriented wedge join; counts are orientation-independent,
+    // so the oracle's a<b<c form cross-validates the algorithm).
+    "q91_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangles(
+          graft.ops.Graph.tradeEdges(t(s, dir, "lineitem"),
+            t(s, dir, "orders"), t(s, dir, "customer"),
+            t(s, dir, "supplier")))
+        .orderBy("node")),
+
+    // Decile binning of documents by length via exact quantile cut
+    // points (no global ntile window); per-band profile.
+    "q92_length_deciles" -> ((s, dir) =>
+      graft.ops.Binning.quantileBins(t(s, dir, "documents"), "n_chars", 10)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy("bin"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -2356,7 +2376,45 @@ ORDER BY 1, 2"""
         |WHERE CAST(('0x'||substr(md5('t1:'||CAST(doc_id AS VARCHAR)),1,8))
         |        AS BIGINT) % 1000000
         |      < CAST(ROUND(p.keep_prob * 1000000) AS BIGINT)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q91_triangles" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |), und AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |  FROM e0 WHERE src <> dst
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT node, COUNT(1) AS n_triangles FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q92_length_deciles" ->
+      """WITH c AS (
+        |  SELECT list_transform(
+        |    quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    x -> ROUND(x, 6)) AS cuts
+        |  FROM documents
+        |), b AS (
+        |  SELECT n_chars,
+        |    CAST(len(list_filter((SELECT cuts FROM c), x -> n_chars > x))
+        |      AS BIGINT) AS bin
+        |  FROM documents
+        |)
+        |SELECT bin, COUNT(1) AS n, MIN(n_chars) AS min_chars,
+        |       MAX(n_chars) AS max_chars, ROUND(AVG(n_chars), 6) AS avg_chars
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

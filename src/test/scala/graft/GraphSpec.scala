@@ -57,4 +57,39 @@ class GraphSpec extends SparkSpec {
     // total edge weight = number of lineitems (every lineitem is one trade)
     assert(rows.map(_.getLong(2)).sum == t("lineitem").count())
   }
+
+  test("triangles counts each triangle once per corner on planted graphs") {
+    // K4 on 1..4 plus a pendant 5: every K4 node is in C(3,2)=3
+    // triangles, the pendant in none
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 :+ ((4L, 5L))).toDF("src", "dst")
+    val got = Graph.triangles(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // direction, duplicates and self-loops collapse to the same graph
+    val messy = edges
+      .union(Seq((2L, 1L), (3L, 1L), (1L, 1L), (2L, 3L)).toDF("src", "dst"))
+    val got2 = Graph.triangles(messy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+    // a pure star has no triangles
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    assert(Graph.triangles(star).isEmpty)
+  }
+
+  test("quantileBins assigns by exact quantile thresholds, ties to the lower band") {
+    val df = (1 to 100).map(_.toLong).toDF("v")
+    val out = graft.ops.Binning.quantileBins(df, "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cuts at 25.75, 50.5, 75.25 -> quartile bands of size 25
+    assert((1 to 25).forall(i => out(i.toLong) == 0L))
+    assert((26 to 50).forall(i => out(i.toLong) == 1L))
+    assert((51 to 75).forall(i => out(i.toLong) == 2L))
+    assert((76 to 100).forall(i => out(i.toLong) == 3L))
+    // a value equal to a cut point stays in the lower band
+    val tie = Seq(1L, 2L, 3L).toDF("v") // median cut = 2
+    val tb = graft.ops.Binning.quantileBins(tie, "v", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tb == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
 }

@@ -24,7 +24,8 @@ class PlanQualitySpec extends SparkSpec {
     "q74_bm25",             // 1-row broadcast corpus-stats (N, avgdl) attach
     "q75_semantic_dedup",   // 1-row broadcast centroid array (assignCells)
     "q78_lm_perplexity",    // 1-row broadcast vocab-size scalar attach
-    "q79_kmeans")           // 1-row broadcast centroid array (assignment fold)
+    "q79_kmeans",           // 1-row broadcast centroid array (assignment fold)
+    "q92_length_deciles")   // 1-row broadcast quantile-cut array attach
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
