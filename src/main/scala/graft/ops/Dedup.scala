@@ -267,7 +267,7 @@ object Dedup {
 
   /** The exploded band-bucket table of a signature frame:
     * (id, band, bkey) — the join key surface of the LSH index. */
-  private def bandTable(sig: DataFrame, idCol: String, bands: Int,
+  private[graft] def bandTable(sig: DataFrame, idCol: String, bands: Int,
       rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { i =>
       struct(lit(i).as("band"),

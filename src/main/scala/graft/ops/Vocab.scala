@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,5 +72,67 @@ object Vocab {
         transform(col("ps"), x => x.getField("doc").cast("string")))
         .as("top_docs"))
     stats.join(tops, "token")
+  }
+
+  /** Greedy left-to-right merge of one adjacent symbol pair
+    * (`a`,`b`) → `a+b` inside a symbol array — the BPE merge-apply
+    * step, as a pure fold expression (leftmost-first,
+    * non-overlapping: merging "a a" over "a a a" yields ["aa","a"]). */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Full BPE merge training (Sennrich et al. 2016): learn `nMerges`
+    * merge rules over the corpus. Output: (rank, left, right, n) — the
+    * merge table in training order, n = the pair's weighted frequency
+    * when it was chosen (ties broken by (left, right) — fully
+    * deterministic).
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct-word
+    * frequency table (one explode + hash agg — the only pass over the
+    * corpus); every merge iteration then runs on that bounded
+    * vocabulary frame: adjacent-pair weighted counts (zip_with — no
+    * per-symbol explode of positions), a single-row argmax collected
+    * to the driver (metadata-scale, the same bounded-collect pattern
+    * as the IVF probe list), and a narrow fold applying the merge.
+    * The frame is eagerly localCheckpoint'ed per iteration to stop
+    * plan growth (CC/PageRank lesson). */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(nMerges > 0, "nMerges must be positive")
+    var words = docs.select(explode(tokens(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(split(col("word"), "").as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val top = words
+        .select(col("freq"), explode(zip_with(
+          col("syms"), slice(col("syms"), lit(2), size(col("syms"))),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .where(col("p.b").isNotNull)
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r.toLong, a, b, n))
+        words = words
+          .select(mergePair(col("syms"), a, b).as("syms"), col("freq"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "n")
   }
 }
