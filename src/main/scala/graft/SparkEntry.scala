@@ -1069,6 +1069,21 @@ object SparkEntry {
           max(col("n_chars")).as("max_chars"),
           round(avg(col("n_chars")), 6).as("avg_chars"))
         .orderBy("bin"))
+  ,
+
+    // SCD2 validity intervals: collapse each user's consecutive runs
+    // of an unchanged event_type (gaps-and-islands, one key shuffle).
+    "q93_scd2_intervals" -> ((s, dir) =>
+      graft.ops.Scd.runIntervals(t(s, dir, "events"), "user_id",
+          Seq("ts", "event_id"), "event_type", "ts")
+        .orderBy("user_id", "valid_from")),
+
+    // Lexical "related documents": TF-IDF sparse cosine top-3 via the
+    // inverted term join over the df-capped vocabulary.
+    "q94_sparse_cosine" -> ((s, dir) =>
+      graft.ops.Tfidf.similarDocs(t(s, dir, "documents"), "doc_id",
+          "text", maxDf = 100, k = 3)
+        .orderBy("doc_id", "rank"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -2414,7 +2429,65 @@ ORDER BY 1, 2"""
         |)
         |SELECT bin, COUNT(1) AS n, MIN(n_chars) AS min_chars,
         |       MAX(n_chars) AS max_chars, ROUND(AVG(n_chars), 6) AS avg_chars
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q93_scd2_intervals" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |           OR event_type <> LAG(event_type) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), r AS (
+        |  SELECT *, SUM(chg) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS run
+        |  FROM x
+        |), g AS (
+        |  SELECT user_id, run, MIN(event_type) AS event_type,
+        |         MIN(ts) AS valid_from
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT user_id, event_type, valid_from,
+        |  LEAD(valid_from) OVER
+        |    (PARTITION BY user_id ORDER BY run) AS valid_to
+        |FROM g ORDER BY user_id, valid_from""".stripMargin,
+
+    "q94_sparse_cosine" ->
+      """WITH tf AS (
+        |  SELECT doc_id AS doc, token, COUNT(1) AS tf FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |    FROM documents
+        |  ) GROUP BY 1, 2
+        |), n AS (SELECT COUNT(1) AS nn FROM documents),
+        |wtd AS (
+        |  SELECT doc, token,
+        |         COUNT(1) OVER (PARTITION BY token) AS df,
+        |         tf * ln((SELECT nn FROM n) * 1.0
+        |                 / COUNT(1) OVER (PARTITION BY token)) AS w
+        |  FROM tf
+        |  QUALIFY df <= 100 AND w > 0
+        |), norms AS (
+        |  SELECT doc, sqrt(SUM(w * w)) AS norm FROM wtd GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc, b.doc AS doc_b, SUM(a.w * b.w) AS dot
+        |  FROM wtd a JOIN wtd b ON a.token = b.token AND a.doc <> b.doc
+        |  WHERE a.df >= 2
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT p.doc, p.doc_b,
+        |         ROUND(p.dot / (na.norm * nb.norm), 6) AS score
+        |  FROM pairs p
+        |  JOIN norms na ON na.doc = p.doc
+        |  JOIN norms nb ON nb.doc = p.doc_b
+        |)
+        |SELECT doc AS doc_id, doc_b AS other_id, score,
+        |       ROW_NUMBER() OVER
+        |         (PARTITION BY doc ORDER BY score DESC, doc_b) AS rank
+        |FROM scored
+        |QUALIFY rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —
