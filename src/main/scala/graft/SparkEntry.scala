@@ -2394,13 +2394,13 @@ ORDER BY 1, 2"""
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q91_triangles" ->
-      """WITH e0 AS (
+      """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN supplier ON l_suppkey = s_suppkey
-        |), und AS (
+        |), und AS MATERIALIZED (
         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
         |  FROM e0 WHERE src <> dst
         |), tri AS (

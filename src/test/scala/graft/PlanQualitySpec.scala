@@ -25,7 +25,8 @@ class PlanQualitySpec extends SparkSpec {
     "q75_semantic_dedup",   // 1-row broadcast centroid array (assignCells)
     "q78_lm_perplexity",    // 1-row broadcast vocab-size scalar attach
     "q79_kmeans",           // 1-row broadcast centroid array (assignment fold)
-    "q92_length_deciles")   // 1-row broadcast quantile-cut array attach
+    "q92_length_deciles",   // 1-row broadcast quantile-cut array attach
+    "q94_sparse_cosine")    // 1-row broadcast corpus-count scalar attach
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
