@@ -1083,7 +1083,23 @@ object SparkEntry {
     "q94_sparse_cosine" -> ((s, dir) =>
       graft.ops.Tfidf.similarDocs(t(s, dir, "documents"), "doc_id",
           "text", maxDf = 100, k = 3)
-        .orderBy("doc_id", "rank"))
+        .orderBy("doc_id", "rank")),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences (one key shuffle + bounded-state agg).
+    "q95_transitions" -> ((s, dir) =>
+      graft.ops.Markov.transitions(t(s, dir, "events"), "user_id",
+          Seq("ts", "event_id"), "event_type")
+        .orderBy("from_type", "to_type")),
+
+    // Rolling z-score anomaly flags on each user's value series
+    // (trailing 20-row frame, sample stddev).
+    "q96_rolling_z" -> ((s, dir) =>
+      graft.ops.TimeSeries.rollingZ(t(s, dir, "events"), "user_id",
+          Seq("ts", "event_id"), "value", window = 20, z = 3.0)
+        .select(col("event_id"), col("user_id"), col("zscore"),
+          col("is_anomaly"))
+        .orderBy("event_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -2487,7 +2503,36 @@ ORDER BY 1, 2"""
         |         (PARTITION BY doc ORDER BY score DESC, doc_b) AS rank
         |FROM scored
         |QUALIFY rank <= 3
-        |ORDER BY doc_id, rank""".stripMargin
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q95_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, COUNT(1) AS n FROM s
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q96_rolling_z" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN s > 0 THEN ROUND((value - m) / s, 4) END AS zscore,
+        |  COALESCE(CASE WHEN s > 0
+        |    THEN ABS(ROUND((value - m) / s, 4)) > 3.0 END, FALSE)
+        |    AS is_anomaly
+        |FROM (
+        |  SELECT event_id, user_id, value,
+        |    AVG(value) OVER w AS m, STDDEV_SAMP(value) OVER w AS s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |ORDER BY event_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

@@ -86,4 +86,65 @@ object Approx {
         .as("tok"))
       .agg(fi(col("tok")).as("heavy_hitters"))
   }
+
+  // ---- Bloom-filter semi-join ----
+  //
+  // The shuffle-avoidance primitive for selective semi-joins: when the
+  // probe side is huge and the build side's KEY SET fits a few MB of
+  // bits, a Bloom filter broadcast as a plain literal turns the
+  // semi-join into a NARROW filter (no probe-side shuffle at all), at
+  // the price of a bounded false-positive rate. Use it as a pre-filter
+  // in front of an exact join (false positives then cost only wasted
+  // shuffle rows, never wrong results) or stand-alone where the FPR is
+  // acceptable. No false negatives ever. Everything below is
+  // codegen'd built-in expressions — no UDF on either path.
+
+  /** Hash h_i of a key: xxhash64 of the key salted with the round.
+    * Position = pmod(h_i, numBits). */
+  private def bloomPos(key: Column, i: Int, numBits: Int): Column =
+    pmod(xxhash64(lit(i), key), lit(numBits.toLong))
+
+  /** Build the filter: distributed OR-fold of the k hash positions
+    * into a word array. The shuffle carries ≤ numBits/64 (word,
+    * bits) partial rows; the driver collect is the FILTER ITSELF
+    * (numBits/8 bytes — the same bounded-metadata collect as the IVF
+    * probe list), which then travels to probes as a literal. */
+  def bloomBuild(df: DataFrame, keyCol: String, numBits: Int,
+      numHashes: Int): Array[Long] = {
+    require(numBits > 0 && numBits % 64 == 0, "numBits must be a multiple of 64")
+    require(numHashes > 0, "numHashes must be positive")
+    val pos = explode(array((0 until numHashes).map(i =>
+      bloomPos(col(keyCol), i, numBits)): _*))
+    val words = df.select(pos.as("p"))
+      .select((col("p") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")).as("b"))
+      .groupBy("w").agg(bit_or(col("b")).as("bits"))
+      .collect()
+    val arr = new Array[Long](numBits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Membership-test column against a built filter (pure built-in
+    * expressions: element_at + bit math — stays in whole-stage
+    * codegen). */
+  def bloomMightContain(key: Column, filter: Array[Long],
+      numHashes: Int): Column = {
+    val numBits = filter.length * 64
+    val bits = lit(filter)
+    (0 until numHashes).map { i =>
+      val p = bloomPos(key, i, numBits)
+      (element_at(bits, (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int")))) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  /** Approximate semi-join: rows of `probe` whose `probeKey` might be
+    * in `build`'s `buildKey` set. Superset of the exact semi-join
+    * (never drops a matching row); FPR ≈ (1 − e^(−kn/m))^k. */
+  def bloomSemiJoin(probe: DataFrame, probeKey: String, build: DataFrame,
+      buildKey: String, numBits: Int, numHashes: Int): DataFrame = {
+    val filter = bloomBuild(build, buildKey, numBits, numHashes)
+    probe.where(bloomMightContain(col(probeKey), filter, numHashes))
+  }
 }

@@ -54,4 +54,29 @@ object TimeSeries {
       .withColumn("ewma", folded)
       .drop("__frame")
   }
+
+  /** Rolling z-score anomaly flags over the trailing `window`
+    * observations of each key's series: z = (x − mean)/stddev over
+    * the frame (sample stddev), rounded to 4 digits for cross-engine
+    * stability; `is_anomaly` iff |z| > `z` and the frame has spread.
+    * Early rows score against their short prefix frame — the
+    * cold-start convention that flags nothing on the first row
+    * (stddev of one sample is null). Same shape as [[ewma]]: one
+    * key shuffle, O(window) state. */
+  def rollingZ(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, window: Int, z: Double = 3.0): DataFrame = {
+    require(window > 1, "window must exceed 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val mean = avg(col(valueCol)).over(w)
+    val sd = stddev_samp(col(valueCol)).over(w)
+    df.withColumn("__m", mean).withColumn("__s", sd)
+      .withColumn("zscore",
+        when(col("__s") > 0,
+          round((col(valueCol) - col("__m")) / col("__s"), 4)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("zscore")) > z, lit(false)))
+      .drop("__m", "__s")
+  }
 }

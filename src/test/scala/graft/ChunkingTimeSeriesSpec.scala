@@ -84,6 +84,44 @@ class ChunkingTimeSeriesSpec extends SparkSpec {
     full.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
   }
 
+  // ---- rolling z ----
+
+  test("rollingZ flags a planted spike and nothing on flat prefixes") {
+    // 15 in-band rows, then a spike: with a trailing frame of n rows
+    // the spike's own z is bounded by (n−1)/√n (it inflates its own
+    // frame's stddev), so the prefix must be long enough for z > 3
+    val vals = Seq.tabulate(15)(i => 10.0 + (i % 3) - 1) ++ Seq(100.0, 10.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("u", i.toLong, v) }
+      .toDF("k", "seq", "v")
+    val out = graft.ops.TimeSeries.rollingZ(df, "k", Seq("seq"), "v",
+        window = 20, z = 3.0)
+      .orderBy("seq").collect()
+    // first row: stddev of one sample is null -> no flag, null z
+    assert(out(0).isNullAt(out(0).fieldIndex("zscore")))
+    assert(!out(0).getBoolean(out(0).fieldIndex("is_anomaly")))
+    // only the spike is flagged
+    val flagged = out.zipWithIndex.filter(_._1.getBoolean(
+      out(0).fieldIndex("is_anomaly"))).map(_._2)
+    assert(flagged.toSeq == Seq(15))
+  }
+
+  // ---- Markov transitions ----
+
+  test("transitions counts consecutive pairs per key and row-normalizes") {
+    val events = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"), ("u1", 4L, "b"),
+      ("u2", 1L, "a"), ("u2", 2L, "c")
+    ).toDF("user_id", "seq", "t")
+    val got = graft.ops.Markov.transitions(events, "user_id", Seq("seq"), "t")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // a->b twice, a->c once (from a: 2/3, 1/3), b->a once (1.0);
+    // u2's boundary does NOT chain into u1
+    assert(got.toSeq == Seq(
+      ("a", "b", 2L, 0.666667), ("a", "c", 1L, 0.333333),
+      ("b", "a", 1L, 1.0)))
+  }
+
   // ---- robust outliers ----
 
   test("robustOutliers finds planted outliers and ignores MAD-zero groups") {

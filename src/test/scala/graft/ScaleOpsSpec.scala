@@ -66,4 +66,32 @@ class ScaleOpsSpec extends SparkSpec {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bloom semi-join never drops matches and bounds false positives") {
+    val build = (1L to 1000L).toDF("k")
+    // probe: half overlapping, half disjoint
+    val probe = (501L to 1500L).toDF("pk")
+    val m = 64 * 256 // 16384 bits, n=1000, k=7 -> FPR ~ 0.8%
+    val got = Approx.bloomSemiJoin(probe, "pk", build, "k", m, 7)
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives: every true match survives
+    assert((501L to 1000L).forall(got))
+    // false positives bounded: of the 500 disjoint keys, well under 5%
+    val fps = got.count(_ > 1000L)
+    assert(fps <= 25, s"$fps false positives of 500 disjoint keys")
+    // pre-filter composition is exact: bloom then exact semi-join
+    // equals the exact semi-join
+    val exact = probe.join(build, $"pk" === $"k", "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val composed = Approx.bloomSemiJoin(probe, "pk", build, "k", m, 7)
+      .join(build, $"pk" === $"k", "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(composed == exact)
+    // the probe side stays narrow: no shuffle exchange in the plan
+    val plan = Approx.bloomSemiJoin(probe, "pk", build, "k", m, 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange ") || !plan.split("\n")
+      .exists(l => l.contains("Exchange") && !l.contains("Broadcast")),
+      s"probe side shuffles:\n$plan")
+  }
 }
