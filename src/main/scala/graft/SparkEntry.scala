@@ -1099,6 +1099,34 @@ object SparkEntry {
           Seq("ts", "event_id"), "value", window = 20, z = 3.0)
         .select(col("event_id"), col("user_id"), col("zscore"),
           col("is_anomaly"))
+        .orderBy("event_id")),
+
+    // Efraimidis-Spirakis weighted sample-without-replacement: top-200
+    // documents weighted by length, content-hash randomness.
+    "q97_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", n = 200, seed = "ws1")
+        .orderBy(col("es_key").desc, col("doc_id"))),
+
+    // BFS hop levels from nation 0 over the directed trade graph;
+    // iterative frontier expansion vs the oracle's recursive CTE -
+    // different algorithm, same levels.
+    "q98_bfs_levels" -> ((s, dir) =>
+      graft.ops.Graph.bfsLevels(
+          graft.ops.Graph.tradeEdges(t(s, dir, "lineitem"),
+            t(s, dir, "orders"), t(s, dir, "customer"),
+            t(s, dir, "supplier")).select("src", "dst"),
+          source = 0L, maxHops = 3)
+        .select(col("node").cast("long").as("node"), col("lvl"))
+        .orderBy("node")),
+
+    // Last-touch attribution: each purchase attributed to the user's
+    // most recent preceding non-purchase event type.
+    "q99_attribution" -> ((s, dir) =>
+      graft.ops.Funnel.lastTouch(t(s, dir, "events"), "user_id",
+          Seq("ts", "event_id"), "event_type", convType = "purchase")
+        .select(col("event_id"), col("user_id"), col("last_touch"))
         .orderBy("event_id"))
   )
 
@@ -2532,6 +2560,42 @@ ORDER BY 1, 2"""
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         |)
+        |ORDER BY event_id""".stripMargin,
+
+    "q97_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  ROUND(ln((CAST(('0x'||substr(md5('ws1:'||CAST(doc_id AS VARCHAR)),
+        |                  1,8)) AS BIGINT) % 1000000 + 0.5) / 1000000.0)
+        |        / n_chars, 9) AS es_key
+        |FROM documents
+        |ORDER BY es_key DESC, doc_id LIMIT 200""".stripMargin,
+
+    "q98_bfs_levels" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |), r AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS lvl
+        |  UNION ALL
+        |  SELECT CAST(e.dst AS BIGINT), r.lvl + 1
+        |  FROM r JOIN e ON e.src = r.node WHERE r.lvl < 3
+        |)
+        |SELECT node, MIN(lvl) AS lvl FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q99_attribution" ->
+      """SELECT event_id, user_id, last_touch FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_touch
+        |  FROM events
+        |)
+        |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin
   )
 

@@ -57,4 +57,22 @@ object Funnel {
       .select(col("__s.step").as("step"), col("__s.step_name").as("step_name"),
         col("__s.n_users").as("n_users"))
   }
+
+  /** Last-touch attribution: each conversion event (type =
+    * `convType`) attributed to the key's most recent PRECEDING
+    * non-conversion event type (null when the conversion has no prior
+    * touch). One key shuffle; the carry is last(..., ignoreNulls)
+    * over the strictly-preceding frame. Output: conversion rows +
+    * `last_touch`. */
+  def lastTouch(events: DataFrame, userCol: String, orderCols: Seq[String],
+      typeCol: String, convType: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .withColumn("last_touch",
+        last(when(col(typeCol) =!= convType, col(typeCol)), ignoreNulls = true)
+          .over(w))
+      .where(col(typeCol) === convType)
+  }
 }

@@ -110,4 +110,37 @@ object Graph {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** BFS hop levels from `source` over the directed edge list:
+    * (node, lvl) with lvl = the minimum hop count, nodes unreachable
+    * within `maxHops` absent. Iterative frontier expansion — each hop
+    * is one join of the CURRENT FRONTIER (not the visited set) against
+    * the edges plus an anti-join against the visited set; O(diameter)
+    * rounds, each checkpoint-truncated (the CC/PageRank lesson). The
+    * per-hop emptiness probe is a bounded driver action on the
+    * frontier — the loop-control edge, not a data collect. */
+  def bfsLevels(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    require(maxHops >= 0, "maxHops must be non-negative")
+    var levels = Seq((source, 0L)).toDF("node", "lvl").localCheckpoint(true)
+    var frontier = levels
+    var hop = 1L
+    var done = maxHops == 0
+    while (!done) {
+      val next = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(levels, Seq("node"), "left_anti")
+        .withColumn("lvl", lit(hop))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        levels = levels.union(next).localCheckpoint(true)
+        frontier = next
+        hop += 1
+        if (hop > maxHops) done = true
+      }
+    }
+    levels
+  }
 }

@@ -125,4 +125,26 @@ object Sampling {
       .where(pmod(shuffleKey(col(keyCol), seed), lit(1000000L))
         < round(col("keep_prob") * 1000000L).cast("long"))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis 2006): each row draws u ∈ (0,1) from the
+    * portable seeded hash of its key and scores key = ln(u)/w; the
+    * top-n scores ARE a weighted sample without replacement (row i
+    * wins proportionally to w_i at every selection step). Content-
+    * derived u ⇒ the sample reproduces across runs, retries, and
+    * engines (oracle-gated bit-for-bit); scores round to 9 digits
+    * (ln differs in the last ulp across libms) with the key as
+    * tie-break.
+    *
+    * Shape: a narrow per-row projection + global top-n
+    * (TakeOrdered — no full sort). Output: input + `es_key`. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      n: Int, seed: String): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (pmod(shuffleKey(col(keyCol), seed), lit(1000000L))
+      .cast("double") + 0.5) / 1000000.0
+    df.withColumn("es_key", round(log(u) / col(weightCol), 9))
+      .orderBy(col("es_key").desc, col(keyCol))
+      .limit(n)
+  }
 }

@@ -56,6 +56,24 @@ class FunnelCohortSpec extends SparkSpec {
     assert(got == Seq(1L, 0L))
   }
 
+  test("lastTouch attributes conversions to the latest preceding touch") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "click"),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "purchase"), // <- click
+      (1L, ts("2024-01-01 13:00:00"), 4L, "purchase"), // still click (a
+                                                       //   purchase is not a touch)
+      (2L, ts("2024-01-02 09:00:00"), 5L, "purchase"), // no prior touch -> null
+      (2L, ts("2024-01-02 10:00:00"), 6L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.Funnel.lastTouch(events, "user_id",
+        Seq("ts", "event_id"), "event_type", "purchase")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(2), Option(r.getAs[String]("last_touch"))))
+    assert(got.toSeq == Seq(
+      (3L, Some("click")), (4L, Some("click")), (5L, None)))
+  }
+
   test("retention counts cohort users by week offset") {
     val events = Seq(
       // u1 first active week of Jan 1 (Monday), returns weeks 0, 1, 3

@@ -77,6 +77,23 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangles(star).isEmpty)
   }
 
+  test("bfsLevels assigns minimum hop counts and respects maxHops") {
+    // chain 1->2->3->4 plus shortcut 1->3; 9 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.bfsLevels(edges, source = 1L, maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 is reached at hop 1 via the shortcut, NOT hop 2
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // hop budget cuts the frontier
+    val capped = Graph.bfsLevels(edges, 1L, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+    // cycles terminate (no infinite loop): 1->2->1
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(Graph.bfsLevels(cyc, 1L, 10).count() == 2)
+  }
+
   test("quantileBins assigns by exact quantile thresholds, ties to the lower band") {
     val df = (1 to 100).map(_.toLong).toDF("v")
     val out = graft.ops.Binning.quantileBins(df, "v", 4)

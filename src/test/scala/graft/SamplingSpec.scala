@@ -119,4 +119,22 @@ class SamplingSpec extends SparkSpec {
     // bounded state: at most k counters survive
     assert(hh.size <= k)
   }
+
+  test("weightedSample is deterministic, partition-independent, and weight-biased") {
+    val rows = (1L to 2000L).map(i => (i, if (i <= 1000) 1.0 else 10.0))
+    val df = rows.toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", 200, "s1")
+      .select("id").as[Long].collect().toSet
+    // identical sample from a differently-partitioned input
+    val b = Sampling.weightedSample(df.repartition(13), "id", "w", 200, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.size == 200)
+    // 10x-weighted half dominates the sample (expected share ~91%)
+    val heavy = a.count(_ > 1000L)
+    assert(heavy > 150, s"heavy=$heavy of 200")
+    // changing the seed changes the sample
+    val c = Sampling.weightedSample(df, "id", "w", 200, "s2")
+      .select("id").as[Long].collect().toSet
+    assert(a != c)
+  }
 }
