@@ -1127,7 +1127,22 @@ object SparkEntry {
       graft.ops.Funnel.lastTouch(t(s, dir, "events"), "user_id",
           Seq("ts", "event_id"), "event_type", convType = "purchase")
         .select(col("event_id"), col("user_id"), col("last_touch"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Exact global cume_dist WITHOUT the single-partition sort window:
+    // per-value counts + cumulative window over the reduced distinct-
+    // value frame + broadcast join back.
+    "q100_percentile_rank" -> ((s, dir) =>
+      graft.ops.Binning.percentileRanks(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "n_chars")
+        .select(col("doc_id"), col("n_chars"), col("cume_dist"))
+        .orderBy("doc_id")),
+
+    // Equi-width 20-band histogram of event values.
+    "q101_histogram" -> ((s, dir) =>
+      graft.ops.Binning.histogram(t(s, dir, "events"), "value", nBins = 20)
+        .orderBy("bin"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -2596,7 +2611,28 @@ ORDER BY 1, 2"""
         |  FROM events
         |)
         |WHERE event_type = 'purchase'
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q100_percentile_rank" ->
+      """SELECT doc_id, n_chars,
+        |  ROUND(CUME_DIST() OVER (ORDER BY n_chars), 9) AS cume_dist
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q101_histogram" ->
+      """WITH s AS (
+        |  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+        |), b AS (
+        |  SELECT CASE WHEN s.hi = s.lo THEN 0
+        |    ELSE LEAST(CAST(floor((value - s.lo) / ((s.hi - s.lo) / 20))
+        |               AS BIGINT), 19) END AS bin,
+        |    s.lo, s.hi
+        |  FROM events, s
+        |)
+        |SELECT bin,
+        |  ROUND(lo + (hi - lo) / 20 * bin, 6) AS lo,
+        |  ROUND(lo + (hi - lo) / 20 * (bin + 1), 6) AS hi,
+        |  COUNT(1) AS n
+        |FROM b GROUP BY bin, lo, hi ORDER BY bin""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

@@ -109,4 +109,31 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tb == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
+
+  test("percentileRanks equals the cume_dist window, without a global row sort") {
+    val df = Seq(10L, 20L, 20L, 30L, 40L).toDF("v")
+    val got = graft.ops.Binning.percentileRanks(df, "v")
+      .select("v", "cume_dist").distinct().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(10L -> 0.2, 20L -> 0.6, 30L -> 0.8, 40L -> 1.0))
+    // the full-frame window formulation agrees
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+    val ref = df.withColumn("cd", round(cume_dist().over(w), 9))
+      .distinct().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == ref)
+  }
+
+  test("histogram bands cover [min,max], max in last band, degenerate collapses") {
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val h = graft.ops.Binning.histogram(df, "v", 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(h.length == 10)
+    assert(h.head == ((0L, 0.0, 10.0, 10L)))      // 0..9
+    assert(h.last == ((9L, 90.0, 100.0, 11L)))    // 90..100 incl. max
+    assert(h.map(_._4).sum == 101)
+    val flat = Seq(5.0, 5.0, 5.0).toDF("v")
+    val hf = graft.ops.Binning.histogram(flat, "v", 10).collect()
+    assert(hf.length == 1 && hf.head.getLong(3) == 3)
+  }
 }

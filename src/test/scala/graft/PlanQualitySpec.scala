@@ -26,7 +26,8 @@ class PlanQualitySpec extends SparkSpec {
     "q78_lm_perplexity",    // 1-row broadcast vocab-size scalar attach
     "q79_kmeans",           // 1-row broadcast centroid array (assignment fold)
     "q92_length_deciles",   // 1-row broadcast quantile-cut array attach
-    "q94_sparse_cosine")    // 1-row broadcast corpus-count scalar attach
+    "q94_sparse_cosine",    // 1-row broadcast corpus-count scalar attach
+    "q101_histogram")       // 1-row broadcast min/max scalar attach
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
