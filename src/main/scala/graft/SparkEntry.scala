@@ -1142,7 +1142,25 @@ object SparkEntry {
     // Equi-width 20-band histogram of event values.
     "q101_histogram" -> ((s, dir) =>
       graft.ops.Binning.histogram(t(s, dir, "events"), "value", nBins = 20)
-        .orderBy("bin"))
+        .orderBy("bin")),
+
+    // Array higher-order-function pack: filter/transform/sort/slice
+    // lambdas stay narrow per-row expressions (no explode round-trip).
+    "q102_hof_pack" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("__w"))
+        .select(col("doc_id"),
+          size(filter(col("__w"), w => length(w) > 4)).as("n_long"),
+          concat_ws(",", slice(array_sort(array_distinct(
+            transform(filter(col("__w"), w => length(w) > 4), w => upper(w)))),
+            1, 5)).as("top5_long"),
+          size(filter(col("__w"), w => w.rlike("^[0-9]+$"))).as("n_numeric"),
+          round(aggregate(transform(col("__w"),
+              w => length(w).cast("double")),
+            lit(0.0), (acc, x) => acc + x,
+            acc => acc / size(col("__w"))), 6).as("mean_len"))
+        .orderBy("doc_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -2632,7 +2650,25 @@ ORDER BY 1, 2"""
         |  ROUND(lo + (hi - lo) / 20 * bin, 6) AS lo,
         |  ROUND(lo + (hi - lo) / 20 * (bin + 1), 6) AS hi,
         |  COUNT(1) AS n
-        |FROM b GROUP BY bin, lo, hi ORDER BY bin""".stripMargin
+        |FROM b GROUP BY bin, lo, hi ORDER BY bin""".stripMargin,
+
+    "q102_hof_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(w, x -> length(x) > 4)) AS BIGINT)
+        |    AS n_long,
+        |  array_to_string(list_slice(list_sort(list_distinct(
+        |    list_transform(list_filter(w, x -> length(x) > 4),
+        |      x -> upper(x)))), 1, 5), ',') AS top5_long,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '^[0-9]+$')))
+        |    AS BIGINT) AS n_numeric,
+        |  ROUND(list_reduce(list_transform(w,
+        |      x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
+        |    / len(w), 6) AS mean_len
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

@@ -59,4 +59,32 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. The file-count decision reads ONLY
+    * filesystem metadata (listing sizes — a driver-side metadata walk,
+    * no data read); the rewrite itself is one scan + shuffle-free
+    * coalesce when shrinking the file count (the normal case), or a
+    * round-robin repartition when growing it. The streaming-ingest
+    * companion: micro-batches land thousands of KB-sized files whose
+    * per-file open/footer cost dominates scans until compacted. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val out = if (nFiles <= files.length) df.coalesce(nFiles)
+      else df.repartition(nFiles)
+    // write beside, then swap — the source is being replaced in place
+    val tmp = path.stripSuffix("/") + "__compacting"
+    out.write.mode("overwrite").parquet(tmp)
+    fs.delete(hPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
+    nFiles
+  }
 }

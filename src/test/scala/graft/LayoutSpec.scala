@@ -50,4 +50,19 @@ class LayoutSpec extends SparkSpec {
       .head().getDouble(0)
     assert(avgFileWidth(s"$base/zorder", "t") < 0.8 * globalTWidth)
   }
+
+  test("compact rewrites a many-small-file directory into few files, same rows") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = (1L to 10000L).toDF("id")
+      .withColumn("payload", concat_ws("-", lit("row"), col("id")))
+    df.repartition(40).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 40)
+    val n = Layout.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(n == 1 && parquetFiles == 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000
+      && back.agg(sum("id")).head().getLong(0) == 10000L * 10001 / 2)
+  }
 }

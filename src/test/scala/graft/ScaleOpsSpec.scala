@@ -94,4 +94,24 @@ class ScaleOpsSpec extends SparkSpec {
       .exists(l => l.contains("Exchange") && !l.contains("Broadcast")),
       s"probe side shuffles:\n$plan")
   }
+
+  test("bloom-accelerated anti-join (ingest dedup) equals the exact anti-join") {
+    // standing corpus keys vs an incoming batch: bloom-negative rows
+    // are PROVABLY novel (no false negatives) and skip the join; only
+    // bloom-positive rows shuffle into the exact anti-join
+    val standing = (1L to 5000L).toDF("k")
+    val batch = (4001L to 9000L).toDF("k")
+    val m = 64 * 1024
+    val filter = Approx.bloomBuild(standing, "k", m, 7)
+    val might = Approx.bloomMightContain(col("k"), filter, 7)
+    val fast = batch.where(!might)                       // provably novel
+    val checked = batch.where(might)
+      .join(standing, Seq("k"), "left_anti")             // verify the rest
+    val composed = fast.union(checked).collect().map(_.getLong(0)).toSet
+    val exact = batch.join(standing, Seq("k"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(composed == exact)
+    // the fast path carries real traffic (most novel keys skip the join)
+    assert(fast.count() > 3000, s"fast path only ${fast.count()} rows")
+  }
 }
