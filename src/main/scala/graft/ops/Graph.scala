@@ -32,7 +32,9 @@ object Graph {
     * iterations of  pr'(v) = (1-d)/N + d * Σ_{u→v} pr(u) * w_uv / W_u.
     */
   def pageRank(nodes: DataFrame, edges: DataFrame,
-      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+      iters: Int = 5, damping: Double = 0.85,
+      checkpointEvery: Int = 2): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     // N as a broadcast 1-row aggregate, not a driver-side count()
     val n = nodes.agg(count(lit(1)).cast("double").as("__n"))
     val outw = edges.groupBy("src").agg(sum(col("w").cast("double")).as("ow"))
@@ -41,7 +43,7 @@ object Graph {
       .cache()
     var ranks = nodes.join(broadcast(n), lit(true))
       .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy("dst").agg(sum(col("pr") * col("w") / col("ow")).as("c"))
         .withColumnRenamed("dst", "node")
@@ -50,7 +52,12 @@ object Graph {
         .select(col("node"),
           round((lit(1.0) - lit(damping)) / col("__n")
             + lit(damping) * coalesce(col("c"), lit(0.0)), 9).as("pr"))
-        .localCheckpoint(true) // truncate the iterative lineage
+      // truncate the iterative lineage every `checkpointEvery` rounds:
+      // every round costs an extra eager job; a small bounded plan-depth
+      // window between truncations keeps analysis cost flat at half the
+      // materializations
+      if (i % checkpointEvery == 0 || i == iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
