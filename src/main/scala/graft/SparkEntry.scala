@@ -1144,6 +1144,16 @@ object SparkEntry {
       graft.ops.Binning.histogram(t(s, dir, "events"), "value", nBins = 20)
         .orderBy("bin")),
 
+    // Window aggregates Spark lacks natively (DISTINCT-in-window,
+    // median-in-window), re-expressed as frame-array expressions.
+    "q103_window_rewrites" -> ((s, dir) =>
+      graft.ops.TimeSeries.rollingDistinctMedian(t(s, dir, "events"),
+          "user_id", Seq("ts", "event_id"), "event_type", "value",
+          window = 20)
+        .select(col("event_id"), col("user_id"), col("n_distinct"),
+          col("rolling_median"))
+        .orderBy("event_id")),
+
     // Array higher-order-function pack: filter/transform/sort/slice
     // lambdas stay narrow per-row expressions (no explode round-trip).
     "q102_hof_pack" -> ((s, dir) =>
@@ -2668,7 +2678,16 @@ ORDER BY 1, 2"""
         |  ROUND(list_reduce(list_transform(w,
         |      x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
         |    / len(w), 6) AS mean_len
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q103_window_rewrites" ->
+      """SELECT event_id, user_id,
+        |  CAST(COUNT(DISTINCT event_type) OVER w AS BIGINT) AS n_distinct,
+        |  ROUND(MEDIAN(value) OVER w, 6) AS rolling_median
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

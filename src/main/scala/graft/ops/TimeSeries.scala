@@ -63,6 +63,34 @@ object TimeSeries {
     * cold-start convention that flags nothing on the first row
     * (stddev of one sample is null). Same shape as [[ewma]]: one
     * key shuffle, O(window) state. */
+  /** Rolling DISTINCT count and rolling MEDIAN over the trailing
+    * `window` rows of each key's series — two window aggregates Spark
+    * has no native window form for (no DISTINCT inside windows, no
+    * percentile window function), re-expressed as narrow array
+    * expressions over one collected frame: distinct count =
+    * size∘array_distinct, median = sorted-array midpoint (average of
+    * the two middles on even frames — quantile_cont(0.5) semantics).
+    * One shuffle, O(window log window) per row, a single window
+    * operator evaluates the frame once for both outputs. */
+  def rollingDistinctMedian(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], typeCol: String, valueCol: String,
+      window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val sorted = array_sort(col("__vals"))
+    val n = size(sorted)
+    val mid = (element_at(sorted, ((n + 1) / 2).cast("int"))
+      + element_at(sorted, (n / 2 + 1).cast("int"))) / 2.0
+    df.withColumn("__types", collect_list(col(typeCol)).over(w))
+      .withColumn("__vals", collect_list(col(valueCol)).over(w))
+      .withColumn("n_distinct",
+        size(array_distinct(col("__types"))).cast("long"))
+      .withColumn("rolling_median", round(mid, 6))
+      .drop("__types", "__vals")
+  }
+
   def rollingZ(df: DataFrame, keyCol: String, orderCols: Seq[String],
       valueCol: String, window: Int, z: Double = 3.0): DataFrame = {
     require(window > 1, "window must exceed 1")

@@ -105,6 +105,23 @@ class ChunkingTimeSeriesSpec extends SparkSpec {
     assert(flagged.toSeq == Seq(15))
   }
 
+  test("rollingDistinctMedian matches hand-computed frames, odd and even") {
+    val rows = Seq(
+      ("u", 1L, "a", 10.0), ("u", 2L, "b", 30.0), ("u", 3L, "a", 20.0),
+      ("u", 4L, "c", 40.0))
+    val df = rows.toDF("k", "seq", "t", "v")
+    val got = graft.ops.TimeSeries.rollingDistinctMedian(df, "k",
+        Seq("seq"), "t", "v", window = 3)
+      .orderBy("seq")
+      .select("n_distinct", "rolling_median").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(
+      (1L, 10.0),   // [10]
+      (2L, 20.0),   // [10,30] even -> interpolated midpoint
+      (2L, 20.0),   // [10,30,20] odd -> 20
+      (3L, 30.0)))  // frame slides to [30,20,40] -> types {b,a,c}
+  }
+
   // ---- Markov transitions ----
 
   test("transitions counts consecutive pairs per key and row-normalizes") {
