@@ -1144,6 +1144,13 @@ object SparkEntry {
       graft.ops.Binning.histogram(t(s, dir, "events"), "value", nBins = 20)
         .orderBy("bin")),
 
+    // OHLC 6-hour resampling bars per user: one hash agg, endpoint
+    // values via min_by/max_by (no per-bar sort).
+    "q104_ohlc_bars" -> ((s, dir) =>
+      graft.ops.TimeSeries.ohlcBars(t(s, dir, "events"), "user_id",
+          "ts", "value", barSeconds = 21600L)
+        .orderBy("user_id", "bar_start")),
+
     // Window aggregates Spark lacks natively (DISTINCT-in-window,
     // median-in-window), re-expressed as frame-array expressions.
     "q103_window_rewrites" -> ((s, dir) =>
@@ -2679,6 +2686,14 @@ ORDER BY 1, 2"""
         |      x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
         |    / len(w), 6) AS mean_len
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q104_ohlc_bars" ->
+      """SELECT user_id,
+        |  CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bar_start,
+        |  arg_min(value, ts) AS open, MAX(value) AS high,
+        |  MIN(value) AS low, arg_max(value, ts) AS close,
+        |  COUNT(1) AS n, ROUND(AVG(value), 6) AS mean
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, bar_start""".stripMargin,
 
     "q103_window_rewrites" ->
       """SELECT event_id, user_id,

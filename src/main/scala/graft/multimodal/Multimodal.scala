@@ -278,6 +278,47 @@ object Multimodal {
       .toDF("media_id", "phash")
   }
 
+  /** Intensity-grid image embeddings: decode → resample to
+    * `grid`×`grid` grayscale → L2-normalized float vector (dim
+    * grid²). The bridge from media payloads into the vector ops —
+    * the output column composes directly with
+    * [[graft.ops.Similarity]] (cosine top-k, sign-LSH, IVF) and the
+    * int8 quantizer. Same partition-batch decode shape (and the same
+    * fixture fallback) as [[imageHashes]]; constant images embed as
+    * the uniform unit vector rather than 0/0. */
+  def imageEmbeddings(media: DataFrame, grid: Int = 8): DataFrame = {
+    import media.sparkSession.implicits._
+    require(grid > 0, "grid must be positive")
+    def embed(pixels: Array[Byte], w: Int, h: Int): Array[Float] = {
+      val g = ImageCodec.resampleGray(pixels, w, h, grid, grid)
+      val v = new Array[Float](grid * grid)
+      var i = 0
+      while (i < v.length) { v(i) = (g(i) & 0xFF).toFloat; i += 1 }
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (norm > 0) {
+        var j = 0
+        while (j < v.length) { v(j) = (v(j) / norm).toFloat; j += 1 }
+        v
+      } else Array.fill(v.length)((1.0 / math.sqrt(v.length)).toFloat)
+    }
+    media.where(col("kind") === "image")
+      .select(col("media_id"), col("meta.width").as("w"),
+        col("meta.height").as("h"), col("content"))
+      .as[(Long, Option[Int], Option[Int], Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, w, h, bytes) =>
+          ImageCodec.decodeGray(bytes) match {
+            case Some(g) => Some((id, embed(g.pixels, g.width, g.height)))
+            case None => (w, h) match {
+              case (Some(sw), Some(sh)) => Some((id, embed(bytes, sw, sh)))
+              case _ => None
+            }
+          }
+        }
+      }
+      .toDF("media_id", "embedding")
+  }
+
   /** Image near-duplicate pairs within a Hamming radius over the
     * 64-bit dHash, found by byte-band bucketing exactly like
     * [[graft.ops.Dedup.simhashNearDups]]: 8 bands x 8 bits, pigeonhole

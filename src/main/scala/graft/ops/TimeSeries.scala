@@ -63,6 +63,27 @@ object TimeSeries {
     * cold-start convention that flags nothing on the first row
     * (stddev of one sample is null). Same shape as [[ewma]]: one
     * key shuffle, O(window) state. */
+  /** OHLC resampling bars: collapse each key's series into
+    * `barSeconds`-wide epoch-aligned buckets with open (first value by
+    * time), high, low, close (last), count, and mean. ONE hash
+    * aggregation — min_by/max_by carry the endpoint values without
+    * any per-bar sort or window. `tsCol` must be unique within a key
+    * (first/last are otherwise tie-ambiguous). The bar key is emitted
+    * as epoch seconds (timezone-free, engine-portable). */
+  def ohlcBars(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, barSeconds: Long): DataFrame = {
+    require(barSeconds > 0, "barSeconds must be positive")
+    val bar = (unix_timestamp(col(tsCol)).divide(barSeconds)).cast("long")
+    df.withColumn("__bar", (bar * barSeconds).cast("long"))
+      .groupBy(col(keyCol), col("__bar").as("bar_start"))
+      .agg(min_by(col(valueCol), col(tsCol)).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), col(tsCol)).as("close"),
+        count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 6).as("mean"))
+  }
+
   /** Rolling DISTINCT count and rolling MEDIAN over the trailing
     * `window` rows of each key's series — two window aggregates Spark
     * has no native window form for (no DISTINCT inside windows, no

@@ -105,6 +105,25 @@ class ChunkingTimeSeriesSpec extends SparkSpec {
     assert(flagged.toSeq == Seq(15))
   }
 
+  test("ohlcBars picks time-ordered endpoints per epoch-aligned bucket") {
+    val ts0 = 1_700_006_400L // multiple of 21600 -> bar boundary
+    def t(off: Long) = new java.sql.Timestamp((ts0 + off) * 1000)
+    val rows = Seq(
+      ("u", t(10), 5.0), ("u", t(20), 9.0), ("u", t(30), 1.0),
+      ("u", t(40), 7.0),               // bar 1: open 5, high 9, low 1, close 7
+      ("u", t(21600 + 5), 2.0),        // bar 2: singleton
+      ("v", t(15), 4.0))
+    val df = rows.toDF("k", "ts", "v")
+    val got = graft.ops.TimeSeries.ohlcBars(df, "k", "ts", "v", 21600L)
+      .orderBy("k", "bar_start").collect()
+      .map(r => (r.getString(0), r.getLong(1) - ts0, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      ("u", 0L, 5.0, 9.0, 1.0, 7.0, 4L),
+      ("u", 21600L, 2.0, 2.0, 2.0, 2.0, 1L),
+      ("v", 0L, 4.0, 4.0, 4.0, 4.0, 1L)))
+  }
+
   test("rollingDistinctMedian matches hand-computed frames, odd and even") {
     val rows = Seq(
       ("u", 1L, "a", 10.0), ("u", 2L, "b", 30.0), ("u", 3L, "a", 20.0),

@@ -295,4 +295,33 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
       Seq((1L, 0), (1L, 4), (1L, 8)))
   }
+
+  test("imageEmbeddings compose with Similarity: ANN retrieves the edited scene") {
+    val w = 64; val h = 48
+    val base = scene(w, h, 0)
+    val near = base.clone()
+    for (y <- 20 until 24; x <- 30 until 34)
+      near(y * w + x) = math.min((near(y * w + x) & 0xFF) + 60, 255).toByte
+    val unrelated = Array.tabulate(w * h)(i => ((i * i * 13 + 5) % 250).toByte)
+    val rows = Seq(
+      mediaRow(1L, "image", ImageCodec.encodePng(base, w, h)),
+      mediaRow(2L, "image", bmpGray(near, w, h)),  // edited + other format
+      mediaRow(3L, "image", ImageCodec.encodePng(unrelated, w, h)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val emb = Multimodal.imageEmbeddings(media, grid = 8)
+    // unit-norm vectors of dim 64
+    val norms = emb.collect().map(r =>
+      r.getSeq[Float](1).map(x => x.toDouble * x).sum)
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-3))
+    // the vector ops consume the embedding column directly: query with
+    // image 1, the edited re-encoded scene must outrank the unrelated one
+    val top = graft.ops.Similarity.cosineTopK(emb, "media_id", "embedding",
+        org.apache.spark.sql.functions.col("media_id") === 1L, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(top.head._1 == 2L, s"expected edited scene first, got ${top.toSeq}")
+    assert(top.head._2 > 0.99 && top.head._2 > top(1)._2 + 0.005,
+      s"cosines ${top.toSeq}")
+  }
 }
