@@ -186,4 +186,30 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
     df.sparkSession.table(name)
   }
+
+  /** Idempotent foreachBatch parquet landing — the exactly-once write
+    * pattern for sinks without transactional support: each micro-batch
+    * lands under `batch_id=<id>/`, and a batch id whose directory
+    * already committed (its `_SUCCESS` marker exists) is SKIPPED, so
+    * the epoch replayed after a crash-between-commit-and-checkpoint
+    * does not double-write. Readers see `spark.read.parquet(root)`
+    * with `batch_id` as a partition column; the check is one
+    * driver-side metadata probe per epoch. */
+  def idempotentParquetSink(df: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) => { landBatch(batch.toDF(), batchId, root); () }
+    }
+
+  /** The per-epoch commit of [[idempotentParquetSink]]: write iff this
+    * batch id has not already committed. Returns whether it wrote. */
+  def landBatch(batch: DataFrame, batchId: Long, root: String): Boolean = {
+    val dir = s"$root/batch_id=$batchId"
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+    if (!committed) batch.write.mode("overwrite").parquet(dir)
+    !committed
+  }
 }

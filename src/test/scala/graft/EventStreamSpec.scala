@@ -216,4 +216,31 @@ class EventStreamSpec extends SparkSpec {
     val got = out.groupBy("user_id").agg(max("session_id").as("max_sid"))
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
+
+  test("idempotent sink lands each batch once; replayed epochs are skipped") {
+    import graft.streaming.EventStream
+    val root = java.nio.file.Files.createTempDirectory("idem").toString + "/out"
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // first commit writes
+    assert(EventStream.landBatch(d1, 0L, root))
+    // the replayed epoch (same batchId, even different data) is a no-op
+    val d1replay = Seq((9L, "ZZZ")).toDF("id", "v")
+    assert(!EventStream.landBatch(d1replay, 0L, root))
+    // the next epoch lands
+    assert(EventStream.landBatch(Seq((3L, "c")).toDF("id", "v"), 1L, root))
+    val back = spark.read.parquet(root)
+    assert(back.count() == 3)
+    assert(back.columns.contains("batch_id")) // partition column surface
+    assert(!back.where($"v" === "ZZZ").isEmpty == false)
+    // the streaming writer drives the same commit path end-to-end
+    val inDir = java.nio.file.Files.createTempDirectory("idem_in").toString
+    Seq((10L, "x"), (11L, "y")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$inDir/b1")
+    val stream = spark.readStream.schema("id long, v string")
+      .parquet(s"$inDir/*")
+    val root2 = java.nio.file.Files.createTempDirectory("idem2").toString + "/out"
+    val q = EventStream.idempotentParquetSink(stream, root2).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(root2).count() == 2)
+  }
 }
