@@ -1144,6 +1144,16 @@ object SparkEntry {
       graft.ops.Binning.histogram(t(s, dir, "events"), "value", nBins = 20)
         .orderBy("bin")),
 
+    // END-TO-END composite gate: the full corpus-cleaning pipeline
+    // (exact dedup -> quality/lang gates -> MinHash-LSH near-dedup with
+    // transitive min-label clustering) in one hash-gated query.
+    "q105_corpus_clean" -> ((s, dir) =>
+      graft.ops.CorpusClean.clean(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy("doc_id")),
+
     // OHLC 6-hour resampling bars per user: one hash agg, endpoint
     // values via min_by/max_by (no per-bar sort).
     "q104_ohlc_bars" -> ((s, dir) =>
@@ -1184,9 +1194,13 @@ object SparkEntry {
     * band) MinHash near-dup pipeline up through exact verification —
     * interpolated into the q15 and q67 oracles so both gate the SAME
     * pair computation. */
-  private val MinhashGateCtes: String =
+  private val MinhashGateCtes: String = minhashGateCtes("documents")
+
+  /** Same chain over an arbitrary source relation (used by the
+    * composite corpus-clean gate, which runs LSH on the GATED subset). */
+  private def minhashGateCtes(src: String): String =
     s"""toks AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $src
        |), sh AS (
        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
        |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM toks
@@ -2686,6 +2700,51 @@ ORDER BY 1, 2"""
         |      x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
         |    / len(w), 6) AS mean_len
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q105_corpus_clean" ->
+      s"""WITH RECURSIVE dedup AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1
+         |), tokg AS (
+         |  SELECT doc_id, text,
+         |         regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM dedup
+         |), gated AS (
+         |  SELECT doc_id, text FROM tokg
+         |  WHERE len(w) BETWEEN 20 AND 100000
+         |    AND len(list_filter(w, x ->
+         |          x IN ('the','a','of','and','to','in','is')))*1.0/len(w)
+         |        >= 0.01
+         |    AND (length(text) - length(regexp_replace(text,
+         |          '[^A-Za-z0-9\\s]', '', 'g')))*1.0/length(text) <= 0.3
+         |    AND greatest(
+         |          len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))),
+         |          len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un'))),
+         |          len(list_filter(w, x -> x IN ('le','la','de','et','un','les','des')))) > 0
+         |    AND len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+         |        >= len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un')))
+         |    AND len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+         |        >= len(list_filter(w, x -> x IN ('le','la','de','et','un','les','des')))
+         |), ${minhashGateCtes("gated")},
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM verified
+         |  WHERE inter*1.0/(na+nb-inter) >= 0.8
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), losers AS (
+         |  SELECT src AS doc_id FROM reach GROUP BY src
+         |  HAVING src <> LEAST(src, MIN(dst))
+         |)
+         |SELECT doc_id FROM gated
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     "q104_ohlc_bars" ->
       """SELECT user_id,
