@@ -1144,6 +1144,26 @@ object SparkEntry {
       graft.ops.Binning.histogram(t(s, dir, "events"), "value", nBins = 20)
         .orderBy("bin")),
 
+    // Text normalization (lower, collapse whitespace, trim) with a
+    // portable content hash of the normalized form.
+    "q106_normalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+            .as("norm_text"))
+        .select(col("doc_id"), md5(col("norm_text")).as("norm_hash"),
+          length(col("norm_text")).cast("long").as("norm_len"))
+        .orderBy("doc_id")),
+
+    // Near-dup survivorship: transitive LSH clusters keep their
+    // highest-quality member (longest doc, ties to min id).
+    "q107_survivorship" -> ((s, dir) =>
+      graft.ops.CorpusClean.canonicalize(
+          t(s, dir, "documents").select(col("doc_id"), col("text"),
+            col("n_chars")),
+          "doc_id", "text", "n_chars")
+        .orderBy("component")),
+
     // END-TO-END composite gate: the full corpus-cleaning pipeline
     // (exact dedup -> quality/lang gates -> MinHash-LSH near-dedup with
     // transitive min-label clustering) in one hash-gated query.
@@ -2700,6 +2720,42 @@ ORDER BY 1, 2"""
         |      x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
         |    / len(w), 6) AS mean_len
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q106_normalize" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
+        |  CAST(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |    AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q107_survivorship" ->
+      s"""WITH RECURSIVE $MinhashGateCtes,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM verified
+         |  WHERE inter*1.0/(na+nb-inter) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), comp AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+         |  FROM reach GROUP BY src
+         |), member AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+         |         d.n_chars
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)
+         |), ranked AS (
+         |  SELECT component, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY component
+         |                       ORDER BY n_chars DESC, doc_id) AS rn,
+         |    COUNT(1) OVER (PARTITION BY component) AS n_members
+         |  FROM member
+         |)
+         |SELECT component, doc_id AS survivor_id, n_members
+         |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin,
 
     "q105_corpus_clean" ->
       s"""WITH RECURSIVE dedup AS (

@@ -75,6 +75,27 @@ object CorpusClean {
     corpus.unionByName(novel)
   }
 
+  /** Near-dup survivorship with a QUALITY policy (entity-resolution
+    * canonicalization): cluster documents by transitive LSH near-dup
+    * pairs, then keep, per cluster, the document maximizing
+    * `scoreCol` (ties → minimum id) — the "best copy wins" rule a
+    * curation pipeline wants where [[clean]]'s min-id rule is
+    * arbitrary. Documents in no pair are their own singleton
+    * clusters. One max_by aggregation per cluster — no per-cluster
+    * sort. Output: (component, survivor_id, n_members). */
+  def canonicalize(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashNearDups(docs, idCol, textCol, n, threshold)
+    val comps = Dedup.nearDupComponents(pairs)
+    val membership = docs.select(col(idCol).as("id"), col(scoreCol))
+      .join(comps, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+    membership.groupBy(col("component"))
+      .agg(max_by(col("id"),
+          struct(col(scoreCol), (-col("id")).as("__neg"))).as("survivor_id"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** Per-stage survival counts (diagnostic; triggers jobs). */
   def report(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): Map[String, Long] = {

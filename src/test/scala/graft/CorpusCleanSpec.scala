@@ -121,4 +121,27 @@ class CorpusCleanSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString.contains("HashJoin"),
       "equality should plan a hash join")
   }
+
+  test("canonicalize keeps the highest-quality member per near-dup cluster") {
+    // 1 and 2 near-identical (2 longer); 3 unrelated singleton
+    val base = (1 to 40).map(i => s"tok$i common words the a of and to in is").mkString(" ")
+    val docs = Seq(
+      (1L, base, base.length.toLong),
+      (2L, base + " extra tail words", base.length.toLong + 17),
+      (3L, (1 to 40).map(i => s"zz$i qq$i").mkString(" "), 100L)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = graft.ops.CorpusClean.canonicalize(docs, "doc_id", "text",
+        "n_chars", n = 3, threshold = 0.5)
+      .orderBy("component").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L),   // cluster {1,2}: longer doc 2 survives, NOT min-id 1
+      (3L, 3L, 1L)))  // singleton keeps itself
+    // tie on score -> min id survives
+    val tied = Seq(
+      (5L, base, 10L), (4L, base, 10L)).toDF("doc_id", "text", "n_chars")
+    val t2 = graft.ops.CorpusClean.canonicalize(tied, "doc_id", "text",
+        "n_chars", 3, 0.5).collect()
+    assert(t2.length == 1 && t2.head.getLong(1) == 4L)
+  }
 }

@@ -64,6 +64,19 @@ class PlanQualitySpec extends SparkSpec {
     // q06 count and q10 grouped agg must show partial_ then final agg
     assert(planOf("q06_count").contains("partial_count"))
     assert(planOf("q10_having_avg").contains("partial_count"))
+    // OHLC bars: the min_by/max_by endpoints must also partial-agg
+    assert(planOf("q104_ohlc_bars").contains("partial_min_by"))
+  }
+
+  test("global percentile rank joins the value table back by broadcast") {
+    // percentileRanks must NOT plan a per-row global-order window over
+    // the full frame; the join back from the reduced distinct-value
+    // frame is a broadcast hash join
+    val docs = graft.etl.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val plan = graft.ops.Binning.percentileRanks(docs, "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("range join resolves to an equi hash/sort-merge join on the bucket key") {
