@@ -1144,6 +1144,18 @@ object SparkEntry {
       graft.ops.Binning.histogram(t(s, dir, "events"), "value", nBins = 20)
         .orderBy("bin")),
 
+    // Snapshot diff: old = documents minus every 11th doc; new = all
+    // docs with every 13th uppercased -> added/removed/changed rows.
+    "q108_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val oldSnap = d.where(col("doc_id") % 11 =!= 0)
+      val newSnap = d.withColumn("text",
+        when(col("doc_id") % 13 === 0, upper(col("text")))
+          .otherwise(col("text")))
+      graft.ops.Quality.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Text normalization (lower, collapse whitespace, trim) with a
     // portable content hash of the normalized form.
     "q106_normalize" -> ((s, dir) =>
@@ -2720,6 +2732,24 @@ ORDER BY 1, 2"""
         |      x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
         |    / len(w), 6) AS mean_len
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q108_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS ho FROM documents WHERE doc_id % 11 <> 0
+        |), n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END) AS hn
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN ho IS NULL THEN 'added'
+        |       WHEN hn IS NULL THEN 'removed'
+        |       WHEN ho <> hn THEN 'changed' END AS status
+        |FROM o FULL OUTER JOIN n USING (doc_id)
+        |WHERE (CASE WHEN ho IS NULL THEN 'added'
+        |            WHEN hn IS NULL THEN 'removed'
+        |            WHEN ho <> hn THEN 'changed' END) IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     "q106_normalize" ->
       """SELECT doc_id,

@@ -138,6 +138,27 @@ object Quality {
     }.toDF("column", "n_nulls", "null_ratio")
   }
 
+  /** Snapshot diff (change-data derivation between two table
+    * versions): full outer join on the key, rows classified as
+    * `added` (key only in the new snapshot), `removed` (only in the
+    * old), or `changed` (both sides, content hash differs);
+    * unchanged rows are dropped. ONE key-shuffle join; content
+    * comparison rides on 16-byte md5 hashes, never on the payload.
+    * The input to an incremental downstream refresh ([[graft.etl.WarehouseSink]]
+    * upsert) or a replication audit. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      payloadCol: String): DataFrame = {
+    val o = oldDf.select(col(keyCol), md5(col(payloadCol)).as("__ho"))
+    val n = newDf.select(col(keyCol), md5(col(payloadCol)).as("__hn"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") =!= col("__hn"), "changed"))
+      .where(col("status").isNotNull)
+      .select(col(keyCol), col("status"))
+  }
+
   /** Robust per-group outlier profile via median/MAD (the
     * distribution-shape guard a pipeline runs on metric columns —
     * mean/stddev z-scores are themselves dragged by the outliers they

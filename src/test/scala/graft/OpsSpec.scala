@@ -154,4 +154,14 @@ class OpsSpec extends SparkSpec {
       assert(n > 0, s"$name returned no rows")
     }
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val newDf = Seq((2L, "b"), (3L, "CHANGED"), (4L, "d")).toDF("id", "v")
+    val got = Quality.snapshotDiff(oldDf, newDf, "id", "v")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
 }
