@@ -1144,6 +1144,41 @@ object SparkEntry {
       graft.ops.Binning.histogram(t(s, dir, "events"), "value", nBins = 20)
         .orderBy("bin")),
 
+    // UNPIVOT (wide -> long): lineitem measures melt into
+    // (metric, value) rows - the native unpivot API, no union-of-selects.
+    "q109_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 97 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity").cast("double").as("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
+    // Hourly spine gap-fill with forward fill (the timeseries
+    // interpolation op): a generated per-user hourly spine left-joins
+    // observed means, missing hours carry the last seen value.
+    "q110_gap_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("user_id") % 199 === 0)
+      val hourly = ev.groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val bounds = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+      val spine = bounds.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "hour"), "left")
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .withColumn("observed", col("v").isNotNull)
+        .select(col("user_id"), col("hour"), col("filled"), col("observed"))
+        .orderBy("user_id", "hour")
+    }),
+
     // Snapshot diff: old = documents minus every 11th doc; new = all
     // docs with every 13th uppercased -> added/removed/changed rows.
     "q108_snapshot_diff" -> ((s, dir) => {
@@ -2732,6 +2767,47 @@ ORDER BY 1, 2"""
         |      x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
         |    / len(w), 6) AS mean_len
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q109_unpivot" ->
+      """WITH src AS (
+        |  SELECT * FROM lineitem WHERE l_orderkey % 97 = 0
+        |)
+        |SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |         CAST(l_quantity AS DOUBLE) AS value FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+        |)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q110_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT * FROM events WHERE user_id % 199 = 0
+        |), hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |         ROUND(AVG(value), 6) AS v
+        |  FROM ev GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+        |         date_trunc('hour', MAX(ts)) AS h1
+        |  FROM ev GROUP BY 1
+        |), spine AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds
+        |)
+        |SELECT s.user_id, s.hour,
+        |  LAST_VALUE(h.v IGNORE NULLS) OVER
+        |    (PARTITION BY s.user_id ORDER BY s.hour
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  h.v IS NOT NULL AS observed
+        |FROM spine s LEFT JOIN hourly h USING (user_id, hour)
+        |ORDER BY user_id, hour""".stripMargin,
 
     "q108_snapshot_diff" ->
       """WITH o AS (

@@ -105,6 +105,29 @@ class ChunkingTimeSeriesSpec extends SparkSpec {
     assert(flagged.toSeq == Seq(15))
   }
 
+  test("q110 gap-fill spine carries the last observation across missing hours") {
+    // drive the full contract query on the fixture dir and check the
+    // invariants on real data: spine is dense hourly per user, filled
+    // is never null after the first observation, observed rows equal
+    // the hourly aggregate count
+    val df = SparkEntry.queries("q110_gap_fill")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(df.nonEmpty)
+    val byUser = df.groupBy(_.getLong(0))
+    for ((_, rows) <- byUser) {
+      val hours = rows.map(_.getTimestamp(1).getTime)
+      // dense: consecutive spine points are exactly one hour apart
+      assert(hours.sliding(2).forall {
+        case Array(a, b) => b - a == 3600000L
+        case _ => true
+      })
+      // forward fill: after the first row every filled value is present
+      assert(rows.forall(r => !r.isNullAt(2)))
+    }
+    // at least one gap actually exercised the fill
+    assert(df.exists(r => !r.getBoolean(3)))
+  }
+
   test("ohlcBars picks time-ordered endpoints per epoch-aligned bucket") {
     val ts0 = 1_700_006_400L // multiple of 21600 -> bar boundary
     def t(off: Long) = new java.sql.Timestamp((ts0 + off) * 1000)
