@@ -2004,7 +2004,7 @@ ORDER BY 1, 2"""
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
          |  FROM t
          |)
-         |SELECT doc_id, n_tokens, off // 4096 AS shard
+         |SELECT doc_id, n_tokens, CAST(off // 4096 AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "q68_hash_split" ->
@@ -2060,7 +2060,8 @@ ORDER BY 1, 2"""
          |  SELECT * FROM ex WHERE doc_id % 97 <> 0
          |)
          |SELECT doc_id, MAX(n) AS n_shingles,
-         |       SUM(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END) AS n_hit,
+         |       CAST(SUM(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_hit,
          |       ROUND(SUM(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END)
          |             * 1.0 / MAX(n), 6) AS contamination
          |FROM cand GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -2452,7 +2453,8 @@ ORDER BY 1, 2"""
         |), p AS (
         |  SELECT token, doc_id, COUNT(1) AS tf FROM toks GROUP BY 1, 2
         |), s AS (
-        |  SELECT token, COUNT(1) AS df, SUM(tf) AS tf_total FROM p GROUP BY 1
+        |  SELECT token, COUNT(1) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+        |  FROM p GROUP BY 1
         |), t AS (
         |  SELECT token, doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
@@ -2505,9 +2507,9 @@ ORDER BY 1, 2"""
         |)
         |SELECT event_type, COUNT(1) AS n,
         |  ROUND(MAX(med), 6) AS med, ROUND(MAX(mad), 6) AS mad,
-        |  SUM(CASE WHEN mad > 0
+        |  CAST(SUM(CASE WHEN mad > 0
         |        AND ROUND(ABS(value - med) / (1.4826 * mad), 6) > 3.0
-        |      THEN 1 ELSE 0 END) AS n_outliers
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

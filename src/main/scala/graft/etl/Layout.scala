@@ -73,18 +73,36 @@ object Layout {
     require(targetBytes > 0, "targetBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(hPath)
+    val entries = fs.listStatus(hPath)
+    // A partitioned layout (key=value subdirs) would be silently
+    // flattened by a read+rewrite — refuse it; compact leaf dirs.
+    require(!entries.exists(_.isDirectory),
+      s"compact() rewrites FLAT parquet dirs only; $path contains " +
+        "subdirectories (partitioned layout) — compact each leaf instead")
+    val files = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = files.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path)
     val out = if (nFiles <= files.length) df.coalesce(nFiles)
       else df.repartition(nFiles)
-    // write beside, then swap — the source is being replaced in place
-    val tmp = path.stripSuffix("/") + "__compacting"
-    out.write.mode("overwrite").parquet(tmp)
-    fs.delete(hPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
+    // Write beside, then swap via rename-aside: the published path is
+    // replaced by two renames, so a crash at any point leaves either
+    // the old or the new data recoverable on disk (never only a
+    // half-deleted dir, as delete-then-rename would).
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__compacting")
+    val aside = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__precompact")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (!fs.rename(hPath, aside))
+      throw new java.io.IOException(s"compact: could not move $hPath aside")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(aside, hPath) // roll back so the path never stays absent
+      throw new java.io.IOException(s"compact: could not publish $tmp")
+    }
+    fs.delete(aside, true)
     nFiles
   }
 }

@@ -148,13 +148,19 @@ object Quality {
     * upsert) or a replication audit. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
       payloadCol: String): DataFrame = {
-    val o = oldDf.select(col(keyCol), md5(col(payloadCol)).as("__ho"))
-    val n = newDf.select(col(keyCol), md5(col(payloadCol)).as("__hn"))
+    // Presence is carried explicitly (a NULL payload hashes to NULL,
+    // so hash-nullness would misread present-with-null-payload as
+    // added/removed); the hash compare is null-safe for the same
+    // reason (NULL vs non-NULL payload IS a change).
+    val o = oldDf.select(col(keyCol), md5(col(payloadCol)).as("__ho"),
+      lit(true).as("__po"))
+    val n = newDf.select(col(keyCol), md5(col(payloadCol)).as("__hn"),
+      lit(true).as("__pn"))
     o.join(n, Seq(keyCol), "full_outer")
       .withColumn("status",
-        when(col("__ho").isNull, "added")
-          .when(col("__hn").isNull, "removed")
-          .when(col("__ho") =!= col("__hn"), "changed"))
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(!(col("__ho") <=> col("__hn")), "changed"))
       .where(col("status").isNotNull)
       .select(col(keyCol), col("status"))
   }

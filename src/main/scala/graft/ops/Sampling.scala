@@ -137,13 +137,20 @@ object Sampling {
     * tie-break.
     *
     * Shape: a narrow per-row projection + global top-n
-    * (TakeOrdered — no full sort). Output: input + `es_key`. */
+    * (TakeOrdered — no full sort). Output: input + `es_key`.
+    *
+    * Rows with NULL or non-positive weight are excluded up front: the
+    * Efraimidis–Spirakis keying requires w > 0 (w < 0 flips ln(u)/w
+    * positive and would always win; w = 0 is −∞; NULL would silently
+    * drop rows inside the sort) — filtering them is the documented
+    * semantics "weight 0 ⇒ never sampled". */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       n: Int, seed: String): DataFrame = {
     require(n > 0, "n must be positive")
     val u = (pmod(shuffleKey(col(keyCol), seed), lit(1000000L))
       .cast("double") + 0.5) / 1000000.0
-    df.withColumn("es_key", round(log(u) / col(weightCol), 9))
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key", round(log(u) / col(weightCol), 9))
       .orderBy(col("es_key").desc, col(keyCol))
       .limit(n)
   }

@@ -55,14 +55,6 @@ object TimeSeries {
       .drop("__frame")
   }
 
-  /** Rolling z-score anomaly flags over the trailing `window`
-    * observations of each key's series: z = (x − mean)/stddev over
-    * the frame (sample stddev), rounded to 4 digits for cross-engine
-    * stability; `is_anomaly` iff |z| > `z` and the frame has spread.
-    * Early rows score against their short prefix frame — the
-    * cold-start convention that flags nothing on the first row
-    * (stddev of one sample is null). Same shape as [[ewma]]: one
-    * key shuffle, O(window) state. */
   /** OHLC resampling bars: collapse each key's series into
     * `barSeconds`-wide epoch-aligned buckets with open (first value by
     * time), high, low, close (last), count, and mean. ONE hash
@@ -112,6 +104,14 @@ object TimeSeries {
       .drop("__types", "__vals")
   }
 
+  /** Rolling z-score anomaly flags over the trailing `window`
+    * observations of each key's series: z = (x − mean)/stddev over
+    * the frame (sample stddev), rounded to 4 digits for cross-engine
+    * stability; `is_anomaly` iff |z| > `z` and the frame has spread.
+    * Early rows score against their short prefix frame — the
+    * cold-start convention that flags nothing on the first row
+    * (stddev of one sample is null). Same shape as [[ewma]]: one
+    * key shuffle, O(window) state. */
   def rollingZ(df: DataFrame, keyCol: String, orderCols: Seq[String],
       valueCol: String, window: Int, z: Double = 3.0): DataFrame = {
     require(window > 1, "window must exceed 1")

@@ -65,4 +65,16 @@ class LayoutSpec extends SparkSpec {
     assert(back.count() == 10000
       && back.agg(sum("id")).head().getLong(0) == 10000L * 10001 / 2)
   }
+
+  test("compact refuses a partitioned (subdirectory) layout") {
+    val dir = java.nio.file.Files.createTempDirectory("compactp").toString + "/t"
+    (1L to 100L).toDF("id").withColumn("p", col("id") % 2)
+      .write.partitionBy("p").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    }
+    assert(e.getMessage.contains("FLAT"))
+    // the refused dataset is untouched
+    assert(spark.read.parquet(dir).count() == 100)
+  }
 }

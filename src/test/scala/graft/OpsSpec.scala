@@ -164,4 +164,22 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
   }
+
+  test("snapshotDiff treats NULL payloads as presence, not absence") {
+    import spark.implicits._
+    // id 1: null -> null (unchanged); id 2: value -> null (changed);
+    // id 3: null -> value (changed); id 4: only-new with null payload
+    // (added); id 5: only-old with null payload (removed).
+    val oldDf = Seq((1L, None), (2L, Some("b")), (3L, None),
+        (5L, None): (Long, Option[String]))
+      .toDF("id", "v")
+    val newDf = Seq((1L, None), (2L, None), (3L, Some("c")),
+        (4L, None): (Long, Option[String]))
+      .toDF("id", "v")
+    val got = Quality.snapshotDiff(oldDf, newDf, "id", "v")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((2L, "changed"), (3L, "changed"),
+      (4L, "added"), (5L, "removed")))
+  }
 }

@@ -137,4 +137,17 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(a != c)
   }
+
+  test("weightedSample excludes null and non-positive weights") {
+    // negative weights would otherwise ALWAYS win (ln(u)/w flips
+    // positive); zero is -inf; null silently drops in the sort.
+    val df = Seq[(Long, java.lang.Double)](
+      (1L, 1.0), (2L, 2.0), (3L, -5.0), (4L, 0.0), (5L, null),
+      (6L, 3.0), (7L, 1.0), (8L, 2.0))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", 8, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 6L, 7L, 8L),
+      s"sample must contain exactly the positive-weight rows, got $got")
+  }
 }

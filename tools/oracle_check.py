@@ -34,16 +34,29 @@ def main(sfdir, outdir, prefixes=()):
         exp = exp.reindex(sorted(exp.columns), axis=1)
         schema_ok = list(got.columns) == list(exp.columns)
         ok = schema_ok and got.shape == exp.shape and got.equals(exp)
+        # The driver hashes stringified values, so int64 5 vs float64 5.0
+        # is a FAIL there; only same-kind dtype widths are tolerated.
+        def kind_ok(c):
+            kg, ke = got[c].dtype.kind, exp[c].dtype.kind
+            return kg == ke or {kg, ke} <= {"i", "u"}
         if not ok and schema_ok and got.shape == exp.shape:
-            # dtype-tolerant value compare (int32 vs int64 etc.)
+            # width-tolerant value compare (int32 vs int64 etc.)
             try:
                 ok = all(
-                    (got[c].astype("object").where(got[c].notna(), None)
-                     == exp[c].astype("object").where(exp[c].notna(), None)).all()
-                    or got[c].equals(exp[c])
+                    kind_ok(c)
+                    and ((got[c].astype("object").where(got[c].notna(), None)
+                          == exp[c].astype("object").where(exp[c].notna(), None)).all()
+                         or got[c].equals(exp[c]))
                     for c in got.columns)
             except Exception:
                 ok = False
+        if ok and schema_ok:
+            bad_kinds = [c for c in got.columns if not kind_ok(c)]
+            if bad_kinds:
+                ok = False
+                print(f"  dtype-kind mismatch (driver hash would fail): "
+                      + ", ".join(f"{c}: {got[c].dtype} vs {exp[c].dtype}"
+                                  for c in bad_kinds))
         print(f"{name}: {'OK' if ok else 'FAIL'} got={got.shape} exp={exp.shape}")
         if not ok:
             fails += 1
