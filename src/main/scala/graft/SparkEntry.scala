@@ -1254,6 +1254,73 @@ object SparkEntry {
               w => length(w).cast("double")),
             lit(0.0), (acc, x) => acc + x,
             acc => acc / size(col("__w"))), 6).as("mean_len"))
+        .orderBy("doc_id")),
+
+    // As-of NEAREST: closer of the backward/forward effective rows,
+    // ties to backward — completes the q31/q51 direction matrix. Same
+    // one-shuffle union+window shape; DuckDB cross-validates with two
+    // ASOF joins + an interval comparison (a different algorithm).
+    "q111_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wFirst = Window.partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      val rates = ev
+        .withColumn("__rn", row_number().over(wFirst))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("ts").as("upd_ts"), col("value").as("rate"))
+      graft.ops.AsOf.joinAsOf(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          rates, Seq("user_id"), "ts", "upd_ts", Seq("rate"),
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("rate"))
+        .orderBy("event_id")
+    }),
+
+    // Hybrid retrieval: BM25 and TF-IDF-cosine top-20 lists fused by
+    // reciprocal-rank fusion (both rankers broadcast the query set;
+    // the fusion join is bounded at |queries| x k).
+    "q112_hybrid_rrf" -> ((s, dir) => {
+      val qs = s.createDataFrame(Seq(
+        (1L, "spark join fast"), (2L, "hash table scan"),
+        (3L, "stream window state"))).toDF("query_id", "qtext")
+      val docs = t(s, dir, "documents")
+      val bm = graft.ops.Bm25.topK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 20)
+      val tfidf = graft.ops.Retrieval.tfidfSearchTopK(docs, "doc_id",
+        "text", qs, "query_id", "qtext", k = 20)
+      graft.ops.Retrieval.rrfFuse(bm, tfidf, "doc_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Deterministic round-robin source interleave (the data-mixing
+    // ORDER): per-source seeded-hash shuffle rank, global position
+    // (rn-1)*K + sourceIdx — a total order with NO global window.
+    "q113_interleave" -> ((s, dir) =>
+      graft.ops.Sampling.interleaveBySource(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", "v1")
+        .select(col("doc_id"), col("source"), col("rn"), col("pos"))
+        .orderBy("pos")),
+
+    // Leakage-safe split: every member of a transitive LSH near-dup
+    // cluster lands in the same train/val/test split (split key =
+    // cluster representative, portable md5 bucketing).
+    "q114_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      Dedup.leakageSafeSplit(docs.select(col("doc_id")), "doc_id",
+          pairs, valFrac = 0.1, testFrac = 0.1, seed = "v1")
+        .select(col("doc_id"), col("group_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-document 5-gram novelty vs all earlier documents (first-
+    // occurrence contribution scoring; near-dup late arrivals -> 0).
+    "q115_novelty" -> ((s, dir) =>
+      Dedup.noveltyScores(t(s, dir, "documents"), "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          col("novelty"))
         .orderBy("doc_id"))
   )
 
@@ -2925,7 +2992,180 @@ ORDER BY 1, 2"""
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q111_asof_nearest" ->
+      """WITH rates AS (
+        |  SELECT user_id, ts AS upd_ts, value AS rate
+        |  FROM (SELECT user_id, ts, value,
+        |          ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                             ORDER BY ts, event_id) AS rn
+        |        FROM events) WHERE rn = 1
+        |), b AS (
+        |  SELECT e.event_id, e.user_id, e.ts, r.upd_ts AS bts, r.rate AS brate
+        |  FROM events e
+        |  ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND r.upd_ts <= e.ts
+        |), f AS (
+        |  SELECT e.event_id, r.upd_ts AS fts, r.rate AS frate
+        |  FROM events e
+        |  ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND r.upd_ts >= e.ts
+        |)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN bts IS NOT NULL AND fts IS NOT NULL THEN
+        |         CASE WHEN (ts - bts) <= (fts - ts) THEN brate ELSE frate END
+        |       WHEN bts IS NOT NULL THEN brate ELSE frate END AS rate
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q112_hybrid_rrf" ->
+      """WITH q(query_id, qtext) AS (
+        |  VALUES (1, 'spark join fast'), (2, 'hash table scan'),
+        |         (3, 'stream window state')
+        |), post AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, COUNT(1) AS tf FROM post GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT COUNT(1) AS n, AVG(dl) AS avgdl FROM dl
+        |), dfreq AS (
+        |  SELECT token, COUNT(1) AS df FROM tf GROUP BY 1
+        |), qt AS (
+        |  SELECT query_id, unnest(list_distinct(regexp_split_to_array(qtext, '\s+'))) AS token
+        |  FROM q
+        |), scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ROUND(SUM(ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5))
+        |      * tf.tf * (1.2 + 1.0)
+        |      / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*dl.dl/s.avgdl))), 6) AS score
+        |  FROM tf
+        |  JOIN qt ON qt.token = tf.token
+        |  JOIN dfreq d ON d.token = tf.token
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2
+        |), bml AS (
+        |  SELECT query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored
+        |  QUALIFY rank <= 20
+        |), wtd AS (
+        |  SELECT doc_id, token, tf,
+        |    COUNT(1) OVER (PARTITION BY token) AS df,
+        |    tf * ln((SELECT n FROM stats) * 1.0
+        |            / COUNT(1) OVER (PARTITION BY token)) AS w
+        |  FROM tf
+        |  QUALIFY w > 0
+        |), dnorm AS (
+        |  SELECT doc_id, sqrt(SUM(w*w)) AS dn FROM wtd GROUP BY 1
+        |), vocab AS (
+        |  SELECT token, MAX(df) AS df FROM wtd GROUP BY 1
+        |), qw AS (
+        |  SELECT query_id, qt.token,
+        |    ln((SELECT n FROM stats) * 1.0 / df) AS qw
+        |  FROM qt JOIN vocab USING (token)
+        |  WHERE ln((SELECT n FROM stats) * 1.0 / df) > 0
+        |), qnorm AS (
+        |  SELECT query_id, sqrt(SUM(qw*qw)) AS qn FROM qw GROUP BY 1
+        |), tdots AS (
+        |  SELECT qw.query_id, wtd.doc_id, SUM(wtd.w * qw.qw) AS dot
+        |  FROM wtd JOIN qw ON qw.token = wtd.token
+        |  GROUP BY 1, 2
+        |), tscored AS (
+        |  SELECT query_id, doc_id, ROUND(dot/(dn*qn), 6) AS score
+        |  FROM tdots JOIN dnorm USING (doc_id) JOIN qnorm USING (query_id)
+        |), tfl AS (
+        |  SELECT query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS rank
+        |  FROM tscored
+        |  QUALIFY rank <= 20
+        |), fused AS (
+        |  SELECT COALESCE(b.query_id, t.query_id) AS query_id,
+        |         COALESCE(b.doc_id, t.doc_id) AS doc_id,
+        |         ROUND(COALESCE(CAST(1 AS DOUBLE)/(60 + b.rank), 0)
+        |             + COALESCE(CAST(1 AS DOUBLE)/(60 + t.rank), 0), 6) AS rrf
+        |  FROM bml b FULL OUTER JOIN tfl t
+        |    ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+        |)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf,
+        |       CAST(rnk AS BIGINT) AS rank
+        |FROM (SELECT query_id, doc_id, rrf,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY rrf DESC, doc_id) AS rnk
+        |      FROM fused)
+        |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q113_interleave" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x'||substr(md5('v1:'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS hk
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+        |  FROM h
+        |), reg AS (
+        |  SELECT source,
+        |    ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx,
+        |    COUNT(1) OVER () AS k
+        |  FROM (SELECT DISTINCT source FROM documents)
+        |)
+        |SELECT doc_id, s.source, CAST(rn AS BIGINT) AS rn,
+        |       CAST((rn - 1) * k + sidx AS BIGINT) AS pos
+        |FROM s JOIN reg USING (source)
+        |ORDER BY pos""".stripMargin,
+
+    "q114_leakage_safe_split" ->
+      s"""WITH RECURSIVE $MinhashGateCtes,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM verified
+         |  WHERE inter*1.0/(na+nb-inter) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), comp AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+         |  FROM reach GROUP BY src
+         |), g AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)
+         |)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN b < 1000 THEN 'val'
+         |       WHEN b < 2000 THEN 'test' ELSE 'train' END AS split
+         |FROM (SELECT doc_id, group_id,
+         |        CAST(('0x'||substr(md5('v1:'||CAST(group_id AS VARCHAR)),1,8))
+         |          AS BIGINT) % 10000 AS b
+         |      FROM g)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q115_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-4),
+         |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS shingles
+         |  FROM toks WHERE len(w) >= 5
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+         |), own AS (
+         |  SELECT s, MIN(doc_id) AS first_doc FROM ex GROUP BY 1
+         |)
+         |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |        * 1.0 / MAX(n), 6) AS novelty
+         |FROM ex JOIN own USING (s)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

@@ -87,6 +87,66 @@ object Approx {
       .agg(fi(col("tok")).as("heavy_hitters"))
   }
 
+  /** Mergeable Count-Min sketch over a string column: `d` hash rows ×
+    * `w` counters of longs (fixed w·d·8 bytes regardless of key
+    * cardinality). Point estimate = min over rows — NEVER undercounts;
+    * overcounts by ≤ ε·N with probability 1−δ for w = ⌈e/ε⌉,
+    * d = ⌈ln(1/δ)⌉. The dual of [[FrequentItems]]: MG keeps only the
+    * top keys, CMS answers a count estimate for ANY key after the
+    * fact (the "how often did THIS n-gram appear corpus-wide"
+    * follow-up) — and sketches from disjoint shards merge by
+    * element-wise addition, so per-day sketches roll up to per-month
+    * for free. Counter updates commute, so the result is independent
+    * of partitioning and merge order (asserted in the spec). */
+  class CountMin(w: Int, d: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Array[Long], Array[Long]] {
+    require(w > 0 && d > 0, "w and d must be positive")
+
+    override def zero: Array[Long] = new Array[Long](w * d)
+
+    override def reduce(b: Array[Long], a: String): Array[Long] = {
+      var r = 0
+      while (r < d) {
+        b(r * w + java.lang.Math.floorMod(
+          scala.util.hashing.MurmurHash3.stringHash(a, r), w)) += 1L
+        r += 1
+      }
+      b
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+    override def finish(b: Array[Long]): Array[Long] = b
+
+    override def bufferEncoder =
+      org.apache.spark.sql.Encoders.kryo[Array[Long]]
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Build a CMS over the tokens of a text column: one pass, bounded
+    * state; the returned array IS the sketch (w·d longs — the same
+    * bounded-result collect as [[bloomBuild]]). */
+  def cmsTokens(df: DataFrame, textCol: String, w: Int, d: Int): Array[Long] = {
+    val cms = udaf(new CountMin(w, d), org.apache.spark.sql.Encoders.STRING)
+    df.select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("tok"))
+      .agg(cms(col("tok")).as("sketch"))
+      .head().getSeq[Long](0).toArray
+  }
+
+  /** Point estimate from a built sketch: min over the d rows. */
+  def cmsEstimate(sketch: Array[Long], w: Int, d: Int, key: String): Long = {
+    require(sketch.length == w * d, "sketch size mismatch")
+    (0 until d).map(r => sketch(r * w + java.lang.Math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash(key, r), w))).min
+  }
+
   // ---- Bloom-filter semi-join ----
   //
   // The shuffle-avoidance primitive for selective semi-joins: when the

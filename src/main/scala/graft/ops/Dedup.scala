@@ -432,6 +432,69 @@ object Dedup {
     nearDupComponents(pairs).where(col("id") =!= col("component"))
       .select(col("id"))
 
+  /** Leakage-safe train/val/test split: assign every member of a
+    * near-dup cluster to the SAME split, so near-duplicate documents
+    * never straddle the train/eval boundary (per-document hash splits
+    * leak — a q15-grade near-dup pair lands its twin in the eval set
+    * with probability 2·valFrac·trainFrac). `pairs` is any near-dup
+    * pair frame (doc_a, doc_b) — LSH, SimHash, or semantic; the split
+    * key is the cluster representative (min id; singleton documents
+    * are their own cluster), hashed with [[Sampling.hashSplit]]'s
+    * portable md5 bucketing.
+    *
+    * Shape: components over the (small) pair set, one left join back
+    * to the corpus, then the narrow hash gate — the corpus itself is
+    * never shuffled beyond that join. Output: input columns +
+    * group_id + split. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      valFrac: Double, testFrac: Double, seed: String): DataFrame = {
+    val comp = nearDupComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    val grouped = docs.join(comp, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    Sampling.hashSplit(grouped, "group_id", valFrac, testFrac, seed)
+  }
+
+  /** Per-document n-gram novelty — the "contribution" scoring of an
+    * ordered corpus (ingestion order = id order here): a document's
+    * novelty is the fraction of its distinct word n-grams whose FIRST
+    * occurrence (minimum owning doc id) is the document itself.
+    * Boilerplate-heavy or near-duplicate late arrivals score near 0;
+    * genuinely new text scores near 1 — the streaming-ingest
+    * prioritization signal (D4-style novelty pruning) computed
+    * exactly, in batch.
+    *
+    * Shape: a shingle's owner IS min(doc) — so the whole frame
+    * reduces with one PARTIAL-aggregating groupBy on the shingle
+    * (map-side combine shrinks the exchange below the raw shingle
+    * count; no window sort, no join-back of the full shingle frame),
+    * then n_novel = rows per owner (a doc-cardinality aggregate) left-
+    * joins the narrow per-doc shingle counts. Shingles stay STRINGS
+    * here for engine portability (the oracle gate); at 100 TB swap
+    * the shuffle key for xxhash64(shingle) — same plan, 8-byte keys.
+    * Output: (id, n_shingles, n_novel, novelty); documents with fewer
+    * than `n` tokens have no n-grams and are absent. */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val w = tokens(col(textCol))
+    val grams = array_distinct(transform(
+      sequence(lit(0), size(col("__w")) - n),
+      i => concat_ws(" ", slice(col("__w"), i + 1, lit(n)))))
+    val sh = df.select(col(idCol), w.as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(col(idCol), grams.as("__sh"))
+    val owned = sh
+      .select(col(idCol), explode(col("__sh")).as("s"))
+      .groupBy(col("s")).agg(min(col(idCol)).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_novel"))
+    sh.select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"))
+      .join(owned, Seq(idCol), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty",
+        round(col("n_novel") / col("n_shingles"), 6))
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce
     * and Beyond") — the web-scale swap for [[nearDupComponents]]:

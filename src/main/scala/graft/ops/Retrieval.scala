@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Query-driven retrieval rankers beyond BM25 ([[Bm25]]) and their
+  * fusion — the hybrid-search step of a retrieval/deduplication
+  * pipeline: run a lexical ranker and a second independent ranker
+  * over the same query set, then merge the two rankings with
+  * reciprocal-rank fusion (RRF, Cormack et al. 2009):
+  *
+  *   rrf(d) = Σ_lists 1 / (c + rank_list(d)),   c = 60 by default
+  *
+  * RRF needs only ranks (no score calibration between rankers), which
+  * is why it is the standard fusion for BM25 + vector search.
+  *
+  * Scale shape: both rankers emit per-query top-k frames (bounded:
+  * |queries| × k rows), so the fusion join is tiny regardless of
+  * corpus size; all heavy lifting stays inside the rankers, which
+  * broadcast the query set and never shuffle the corpus beyond their
+  * own posting aggregation.
+  */
+object Retrieval {
+
+  /** TF-IDF cosine retrieval: rank documents against a bounded query
+    * set by cosine between the query's idf vector (distinct terms,
+    * qtf = 1) and the document's tf·idf vector. The sparse dual of
+    * [[Similarity.cosineTopK]], and the second lexical leg (besides
+    * [[Bm25.topK]]) for [[rrfFuse]].
+    *
+    * Shape: one posting aggregation (doc × token), df as a window
+    * over it (no second tokenize pass — the [[Tfidf]] lesson);
+    * document norms from the same frame. Query-term weights join
+    * against the vocabulary (token-keyed, vocabulary-sized), and the
+    * scoring join BROADCASTS the weighted query terms against the
+    * postings, so only query-term postings reach the score
+    * aggregation. Document norms cover the FULL df < N vocabulary
+    * (non-matching terms count toward length, as in any honest
+    * cosine). Scores round to 6 digits before ranking; ties break on
+    * the document id. Output: (query_id, <idCol>, score, rank). */
+  def tfidfSearchTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val total = docs.select(count(lit(1)).as("__n"))
+    val wtd = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(total))
+      .withColumn("w", col("tf") * log(col("__n").cast("double") / col("df")))
+      // df = N terms carry zero idf — out of the feature space (an
+      // all-stopword doc would otherwise have an undefined 0-norm)
+      .where(col("w") > 0)
+    val norms = wtd.groupBy(col(idCol))
+      .agg(sqrt(sum(col("w") * col("w"))).as("__dnorm"))
+    // vocabulary frame: token → (df, N); df is functional in token so
+    // max() is exact, and the frame is vocabulary-sized
+    val vocab = wtd.groupBy(col("token"))
+      .agg(max(col("df")).as("df"), max(col("__n")).as("__n"))
+    val qterms = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(tokens(col(qtextCol)))).as("token"))
+    val qw = qterms.join(vocab, "token")
+      .withColumn("qw", log(col("__n").cast("double") / col("df")))
+      .where(col("qw") > 0)
+    val qnorms = qw.groupBy(col("query_id"))
+      .agg(sqrt(sum(col("qw") * col("qw"))).as("__qnorm"))
+    val dots = wtd
+      .join(broadcast(qw.select(col("query_id"), col("token"), col("qw"))),
+        "token")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("w") * col("qw")).as("__dot"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    dots
+      .join(norms, idCol)
+      .join(broadcast(qnorms), "query_id")
+      .withColumn("score",
+        round(col("__dot") / (col("__dnorm") * col("__qnorm")), 6))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion of two per-query rankings. Inputs are
+    * (query_id, <idCol>, ..., rank) frames (any extra columns are
+    * ignored); a document missing from one list simply contributes
+    * nothing from it. The fused score is rounded to 6 digits before
+    * re-ranking (sums of 1/(c+r) terms differ in the last ulp across
+    * engines depending on addition order) and ties break on the id.
+    * Output: (query_id, <idCol>, rrf, rank) — top `k` per query. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+      k: Int = 10, c: Int = 60): DataFrame = {
+    require(k > 0 && c >= 0, "k must be positive, c non-negative")
+    val aa = a.select(col("query_id"), col(idCol), col("rank").as("__ra"))
+    val bb = b.select(col("query_id"), col(idCol), col("rank").as("__rb"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col(idCol))
+    aa.join(bb, Seq("query_id", idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("__ra")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c) + col("__rb")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rrf"), col("rank"))
+  }
+}

@@ -91,6 +91,39 @@ object Sampling {
       when(b < valCut, "val").when(b < testCut, "test").otherwise("train"))
   }
 
+  /** Deterministic round-robin source interleave — the data-mixing
+    * ORDER operator: training reads the corpus as source1[0],
+    * source2[0], ..., sourceK[0], source1[1], ... so no long
+    * single-source run ever reaches the trainer (the usual fix of
+    * "global shuffle then hope" gives no per-batch mixing guarantee).
+    * Within each source, rows order by the portable seeded hash
+    * ([[shuffleKey]]) — a deterministic per-source shuffle.
+    *
+    * The emitted `pos = (rn − 1) · K + sourceIdx` is a total order:
+    * sorting by it yields the interleave. With unequal source sizes
+    * the positions of exhausted sources are simply absent (gaps don't
+    * disturb the order). NO global window is involved: rn is a
+    * per-source window (one shuffle on source), and the source
+    * registry (idx, K) is a bounded frame window joined back as a
+    * broadcast — the [[temperatureResample]] shape.
+    * Output: input columns + rn + pos. */
+  def interleaveBySource(df: DataFrame, sourceCol: String, keyCol: String,
+      seed: String): DataFrame = {
+    val rn = row_number().over(Window.partitionBy(col(sourceCol))
+      .orderBy(shuffleKey(col(keyCol), seed), col(keyCol))).cast("long")
+    // bounded source registry: idx by source order + source count K
+    val reg = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__cnt"))
+      .select(col(sourceCol),
+        (row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col(sourceCol))) - 1).cast("long").as("__sidx"),
+        count(lit(1)).over(Window.partitionBy(lit(1))).cast("long")
+          .as("__k"))
+    df.withColumn("rn", rn)
+      .join(broadcast(reg), sourceCol)
+      .withColumn("pos", (col("rn") - 1) * col("__k") + col("__sidx"))
+      .drop("__sidx", "__k")
+  }
+
   /** Temperature-based mixture rebalancing (the multilingual /
     * multi-source data-mixing rule, e.g. mC4/XLM-R): target share of
     * group g ∝ p_g^(1/T), flattening the source distribution as T

@@ -27,7 +27,8 @@ class PlanQualitySpec extends SparkSpec {
     "q79_kmeans",           // 1-row broadcast centroid array (assignment fold)
     "q92_length_deciles",   // 1-row broadcast quantile-cut array attach
     "q94_sparse_cosine",    // 1-row broadcast corpus-count scalar attach
-    "q101_histogram")       // 1-row broadcast min/max scalar attach
+    "q101_histogram",       // 1-row broadcast min/max scalar attach
+    "q112_hybrid_rrf")      // 1-row broadcast corpus-stats attach (both legs)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>

@@ -120,6 +120,31 @@ class SamplingSpec extends SparkSpec {
     assert(hh.size <= k)
   }
 
+  test("Count-Min sketch never undercounts, bounds overcount, merges partition-independently") {
+    import graft.ops.Approx
+    // 2 hot tokens + a long tail, known exact counts
+    val rows = (Seq.fill(400)("HOT_A") ++ Seq.fill(250)("HOT_B")
+      ++ (1 to 350).map(i => s"tail_${i % 120}")).map(Tuple1(_))
+    val df = rows.toDF("text") // single-token docs -> tokens() = identity
+    val (w, d) = (256, 4)
+    val sketch = Approx.cmsTokens(df, "text", w, d)
+    val n = rows.size
+    val exact = rows.groupBy(_._1).map { case (k, xs) => k -> xs.size.toLong }
+    for ((k, c) <- exact) {
+      val est = Approx.cmsEstimate(sketch, w, d, k)
+      assert(est >= c, s"$k undercounted: $est < $c")
+      // ε = e/w bound (holds deterministically on this fixed data)
+      assert(est <= c + (math.E / w * n).ceil.toLong,
+        s"$k overcounted: $est vs $c")
+    }
+    // absent key estimates stay within the same bound of zero
+    assert(Approx.cmsEstimate(sketch, w, d, "never_seen")
+      <= (math.E / w * n).ceil.toLong)
+    // counter addition commutes: repartitioned build = identical sketch
+    val again = Approx.cmsTokens(df.repartition(13), "text", w, d)
+    assert(sketch.toSeq == again.toSeq)
+  }
+
   test("weightedSample is deterministic, partition-independent, and weight-biased") {
     val rows = (1L to 2000L).map(i => (i, if (i <= 1000) 1.0 else 10.0))
     val df = rows.toDF("id", "w")
