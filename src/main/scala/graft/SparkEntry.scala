@@ -1321,7 +1321,29 @@ object SparkEntry {
       Dedup.noveltyScores(t(s, dir, "documents"), "doc_id", "text", n = 5)
         .select(col("doc_id"), col("n_shingles"), col("n_novel"),
           col("novelty"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Point-in-time feature aggregation (the feature-store join,
+    // leakage-free by construction): for every purchase, that user's
+    // click count/value over the strictly-preceding 24h — a RANGE
+    // window on epoch seconds, ONE user-key shuffle, no self-join,
+    // no row explosion (the naive time-range self-join is O(events x
+    // window) at 100 TB; the frame walk is O(events)).
+    "q116_pit_features" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__sec"))
+        .rangeBetween(-86400L, -1L)
+      t(s, dir, "events")
+        .withColumn("__sec", unix_timestamp(col("ts")))
+        .withColumn("n_clicks_24h",
+          count(when(col("event_type") === "click", 1)).over(w))
+        .withColumn("sum_clicks_24h",
+          round(coalesce(sum(when(col("event_type") === "click",
+            col("value"))).over(w), lit(0.0)), 6))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("n_clicks_24h"),
+          col("sum_clicks_24h"))
+        .orderBy("event_id")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -3165,7 +3187,27 @@ ORDER BY 1, 2"""
          |  ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
          |        * 1.0 / MAX(n), 6) AS novelty
          |FROM ex JOIN own USING (s)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q116_pit_features" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), f AS (
+        |  SELECT event_id, user_id, event_type,
+        |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w
+        |      AS n_clicks_24h,
+        |    SUM(CASE WHEN event_type = 'click' THEN value END) OVER w AS s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |               RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id,
+        |       CAST(n_clicks_24h AS BIGINT) AS n_clicks_24h,
+        |       ROUND(COALESCE(s, 0), 6) AS sum_clicks_24h
+        |FROM f WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

@@ -77,6 +77,18 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-static enrichment: join each micro-batch against a
+    * BROADCAST dimension table — the streaming analog of the batch
+    * calendar join (graft.ops.Calendar). Stateless (no watermark, no
+    * join state: the static side is re-resolvable per batch), so it
+    * adds zero streaming state at any rate; the static side must stay
+    * broadcast-sized, which is exactly the dimension-table contract.
+    * Left join: events with no dim row pass through with nulls
+    * (enrichment must never drop facts). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Stream-stream inner join bounded to a time window: right rows
     * joining left rows of the same keys with
     * `leftTs <= rightTs <= leftTs + within`. BOTH the watermarks and

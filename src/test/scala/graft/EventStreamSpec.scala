@@ -55,6 +55,24 @@ class EventStreamSpec extends SparkSpec {
     assert(got.groupBy("event_id").count().where($"count" > 1).isEmpty)
   }
 
+  test("stream-static enrichWithDim matches the batch broadcast join and drops no facts") {
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue")).toDF("event_type", "category")
+    // signup/other event types have NO dim row -> must survive with null
+    val stream = EventStream.readEvents(spark, dir)
+    val got = EventStream.runToMemory(
+      EventStream.enrichWithDim(stream, dim, Seq("event_type")),
+      "stream_enrich", OutputMode.Append())
+      .select("event_id", "event_type", "category")
+    val ev = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val want = ev.join(broadcast(dim), Seq("event_type"), "left")
+      .select("event_id", "event_type", "category")
+    assert(got.count() == ev.count(), "enrichment dropped facts")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(got.where($"category".isNull).count() > 0,
+      "expected unmatched event types to pass through with nulls")
+  }
+
   test("stream-stream joinWithin matches the batch time-bounded join") {
     val views = EventStream.readEvents(spark, dir)
       .where($"event_type" === "view")
