@@ -10,8 +10,12 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+    // args beyond the SF dir are name PREFIXES (same contract as
+    // Verify/Bench), so `Explain <dir> q112` just works
+    val names = if (args.length > 1)
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => args.drop(1).exists(n.startsWith))
+    else SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

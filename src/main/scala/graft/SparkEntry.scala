@@ -1283,12 +1283,8 @@ object SparkEntry {
       val qs = s.createDataFrame(Seq(
         (1L, "spark join fast"), (2L, "hash table scan"),
         (3L, "stream window state"))).toDF("query_id", "qtext")
-      val docs = t(s, dir, "documents")
-      val bm = graft.ops.Bm25.topK(docs, "doc_id", "text",
-        qs, "query_id", "qtext", k = 20)
-      val tfidf = graft.ops.Retrieval.tfidfSearchTopK(docs, "doc_id",
-        "text", qs, "query_id", "qtext", k = 20)
-      graft.ops.Retrieval.rrfFuse(bm, tfidf, "doc_id", k = 10)
+      graft.ops.Retrieval.hybridTopK(t(s, dir, "documents"), "doc_id",
+          "text", qs, "query_id", "qtext", kPerLeg = 20, k = 10)
         .orderBy("query_id", "rank")
     }),
 

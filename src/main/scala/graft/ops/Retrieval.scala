@@ -43,13 +43,23 @@ object Retrieval {
     * the document id. Output: (query_id, <idCol>, score, rank). */
   def tfidfSearchTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 10): DataFrame =
+    tfidfSearchFromPostings(
+      Bm25.postings(docs, idCol, textCol), idCol,
+      queries, qidCol, qtextCol, k)
+
+  /** [[tfidfSearchTopK]] over a precomputed [[Bm25.postings]] frame
+    * (id, token, tf, dl) — the persisted-index path shared with
+    * [[Bm25.topKFromPostings]]: ONE posting aggregation (or one read
+    * of the persisted index) serves both hybrid legs; no pass
+    * re-reads the raw text. */
+  def tfidfSearchFromPostings(post: DataFrame, idCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 10): DataFrame = {
     require(k > 0, "k must be positive")
-    val tf = docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val total = docs.select(count(lit(1)).as("__n"))
+    val tf = post.select(col(idCol), col("token"), col("tf"))
+    val total = post.select(col(idCol)).distinct()
+      .select(count(lit(1)).as("__n"))
     val wtd = tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .crossJoin(broadcast(total))
@@ -94,6 +104,37 @@ object Retrieval {
     * re-ranking (sums of 1/(c+r) terms differ in the last ulp across
     * engines depending on addition order) and ties break on the id.
     * Output: (query_id, <idCol>, rrf, rank) — top `k` per query. */
+  /** Hybrid BM25 + TF-IDF-cosine retrieval with RRF fusion over ONE
+    * posting frame: both legs read the same [[Bm25.postings]]
+    * aggregation (structurally identical subtrees — Catalyst's
+    * ReuseExchange materializes the postings shuffle once), so the
+    * corpus is tokenized and shuffled a single time. With a persisted
+    * postings index, pass it to the `FromPostings` variants directly
+    * and no pass touches raw text at all. */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      kPerLeg: Int = 20, k: Int = 10, c: Int = 60): DataFrame =
+    hybridTopKFromPostings(Bm25.postings(docs, idCol, textCol), idCol,
+      queries, qidCol, qtextCol, kPerLeg, k, c)
+
+  /** [[hybridTopK]] over a (typically PERSISTED) posting frame — at
+    * scale, write [[Bm25.postings]] to parquet once and both legs
+    * read the compact index instead of re-tokenizing text. Passed
+    * inline, each leg re-derives the postings independently (the two
+    * legs prune different columns — BM25 keeps dl, tf-idf drops it —
+    * so their exchanges never canonicalize equal for ReuseExchange;
+    * measured at sf0.1, recomputing the cheap narrow scan+agg twice
+    * beats caching the token-string frame into executor storage). */
+  def hybridTopKFromPostings(post: DataFrame, idCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      kPerLeg: Int = 20, k: Int = 10, c: Int = 60): DataFrame = {
+    val bm = Bm25.topKFromPostings(post, idCol,
+      queries, qidCol, qtextCol, kPerLeg)
+    val tfidf = tfidfSearchFromPostings(post, idCol,
+      queries, qidCol, qtextCol, kPerLeg)
+    rrfFuse(bm, tfidf, idCol, k, c)
+  }
+
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
       k: Int = 10, c: Int = 60): DataFrame = {
     require(k > 0 && c >= 0, "k must be positive, c non-negative")

@@ -36,6 +36,25 @@ class RetrievalSpec extends SparkSpec {
       == again.sortBy(r => (r._1, r._4)).toSeq)
   }
 
+  test("hybridTopK inline equals the persisted-postings path") {
+    val docs = corpus.toDF("doc_id", "text")
+    val qs = Seq((1L, "apple banana"), (2L, "durian")).toDF("qid", "qtext")
+    val inline = graft.ops.Retrieval.hybridTopK(docs, "doc_id", "text",
+      qs, "qid", "qtext", kPerLeg = 4, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // materialize the postings index to parquet, query from it
+    val idx = java.nio.file.Files.createTempDirectory("postidx").toString
+    graft.ops.Bm25.postings(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(idx)
+    val fromIndex = graft.ops.Retrieval.hybridTopKFromPostings(
+      spark.read.parquet(idx), "doc_id", qs, "qid", "qtext",
+      kPerLeg = 4, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(inline.sortBy(r => (r._1, r._4)).toSeq
+      == fromIndex.sortBy(r => (r._1, r._4)).toSeq)
+    assert(inline.nonEmpty)
+  }
+
   test("rrfFuse merges ranks, handles one-list-only docs, respects k") {
     val a = Seq((1L, 100L, 1L), (1L, 101L, 2L), (1L, 102L, 3L))
       .toDF("query_id", "doc_id", "rank")
