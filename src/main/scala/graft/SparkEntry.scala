@@ -1339,7 +1339,44 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("n_clicks_24h"),
           col("sum_clicks_24h"))
         .orderBy("event_id")
-    })
+    }),
+
+    // Salted two-phase aggregation over a pathologically hot key set
+    // (3 return flags across all of lineitem): each key splits over 32
+    // content-derived salt buckets before the final re-aggregation, so
+    // no single reducer owns a whole hot key — gated equal to the
+    // plain one-phase GROUP BY it replaces.
+    "q117_skew_salted" -> ((s, dir) =>
+      graft.ops.Skew.saltedAgg(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          col("l_orderkey"), buckets = 32,
+          Map(
+            "n" -> (((c: org.apache.spark.sql.Column) => count(c),
+              (c: org.apache.spark.sql.Column) => sum(c))),
+            "sum_qty" -> (((c: org.apache.spark.sql.Column) => sum(c),
+              (c: org.apache.spark.sql.Column) => sum(c)))),
+          "l_quantity")
+        .select(col("l_returnflag"), col("n"),
+          round(col("sum_qty"), 4).as("sum_qty"))
+        .orderBy("l_returnflag")),
+
+    // Per-group winsorized robust aggregates: values clamp to the
+    // group's [p05, p95] band before summing — one bounded quantile
+    // agg broadcast back, narrow clamp, no extra shuffle.
+    "q118_winsorize" -> ((s, dir) =>
+      graft.ops.Binning.winsorize(t(s, dir, "events"), "event_type",
+          "value", lo = 0.05, hi = 0.95)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value_w")), 6).as("sum_w"),
+          round(avg(col("value_w")), 6).as("mean_w"))
+        .orderBy("event_type")),
+
+    // Windowed PMI collocations over the corpus (word2vec statistic):
+    // pair generation via positional equi-joins, top-50 by PMI.
+    "q119_pmi" -> ((s, dir) =>
+      graft.ops.Vocab.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
+          window = 2, minPairCount = 5, k = 50)
+        .orderBy("rank"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -3203,7 +3240,62 @@ ORDER BY 1, 2"""
         |       CAST(n_clicks_24h AS BIGINT) AS n_clicks_24h,
         |       ROUND(COALESCE(s, 0), 6) AS sum_clicks_24h
         |FROM f WHERE event_type = 'purchase'
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q117_skew_salted" ->
+      """SELECT l_returnflag, COUNT(1) AS n,
+        |       ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q118_winsorize" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         ROUND(quantile_cont(value, 0.05), 6) AS lo,
+        |         ROUND(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_type, COUNT(1) AS n,
+        |  ROUND(SUM(LEAST(GREATEST(value, lo), hi)), 6) AS sum_w,
+        |  ROUND(AVG(LEAST(GREATEST(value, lo), hi)), 6) AS mean_w
+        |FROM events e JOIN c USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q119_pmi" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents
+         |), ts AS (
+         |  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM d
+         |), toks AS (
+         |  SELECT doc_id, i AS pos, w[i] AS token FROM ts
+         |), off AS (
+         |  SELECT doc_id, pos, token, unnest(generate_series(1, 2)) AS o
+         |  FROM toks
+         |), p0 AS (
+         |  SELECT LEAST(a.token, b.token) AS tok_a,
+         |         GREATEST(a.token, b.token) AS tok_b
+         |  FROM off a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + a.o
+         |), pc AS (
+         |  SELECT tok_a, tok_b, COUNT(1) AS n_ab FROM p0 GROUP BY 1, 2
+         |), tc AS (
+         |  SELECT token, COUNT(1) AS n FROM toks GROUP BY 1
+         |), tt AS (SELECT COUNT(1) AS t FROM toks),
+         |pt AS (SELECT SUM(n_ab) AS p FROM pc),
+         |scored AS (
+         |  SELECT tok_a, tok_b, n_ab,
+         |    ROUND(ln((n_ab * 1.0 / pt.p)
+         |          / ((na.n * 1.0 / tt.t) * (nb.n * 1.0 / tt.t))), 6) AS pmi
+         |  FROM pc
+         |  JOIN tc na ON na.token = pc.tok_a
+         |  JOIN tc nb ON nb.token = pc.tok_b
+         |  CROSS JOIN tt CROSS JOIN pt
+         |  WHERE n_ab >= 5
+         |)
+         |SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab, pmi,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, tok_a, tok_b)
+         |       AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 50 ORDER BY rank""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

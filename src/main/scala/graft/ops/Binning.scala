@@ -58,6 +58,31 @@ object Binning {
     df.join(broadcast(cum), valueCol)
   }
 
+  /** Per-group winsorization (robust-stats clipping): values below
+    * the group's `lo` quantile clamp up to it, above `hi` clamp down —
+    * the standard outlier guard before means/regressions (the
+    * complement of [[Quality.robustOutliers]], which FLAGS; this
+    * REPAIRS). Quantiles are exact interpolated (`percentile` ≡
+    * quantile_cont), rounded to 6 digits so the clamp threshold is
+    * engine-stable.
+    *
+    * Shape: ONE bounded per-group quantile aggregation broadcast back;
+    * the clamp itself is a narrow projection — the corpus is scanned
+    * twice and never shuffled (group cardinality bounded; for
+    * unbounded groups swap the cuts for [[Approx]] GK sketches).
+    * Output: input + `<valueCol>_w` (clamped). */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, s"bad quantiles [$lo, $hi]")
+    val cuts = df.groupBy(col(groupCol)).agg(
+      round(percentile(col(valueCol), lit(lo)), 6).as("__lo"),
+      round(percentile(col(valueCol), lit(hi)), 6).as("__hi"))
+    df.join(broadcast(cuts), groupCol)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Equi-width histogram: (bin, lo, hi, n) over `nBins` bands of
     * [min, max] (the max lands in the last band). One min/max
     * aggregation broadcast as a 1-row scalar, then a narrow bin

@@ -78,6 +78,66 @@ object Vocab {
     * (`a`,`b`) → `a+b` inside a symbol array — the BPE merge-apply
     * step, as a pure fold expression (leftmost-first,
     * non-overlapping: merging "a a" over "a a a" yields ["aa","a"]). */
+  /** Windowed PMI co-occurrence: pointwise mutual information of
+    * unordered token pairs co-occurring within `window` positions in
+    * a document (the word2vec/GloVe statistic, and the collocation
+    * detector of a corpus-analysis pass):
+    *
+    *   pmi(a,b) = ln( (n_ab / P) / ((n_a / T) · (n_b / T)) )
+    *
+    * with n_ab = windowed pair occurrences, P = total pairs, n_x =
+    * token occurrences, T = total tokens.
+    *
+    * Shape: pair generation is `window` EQUI-joins of the position
+    * frame against itself (join key (doc, pos+off) — never a range
+    * self-join), pairs reduce by hash aggregation with map-side
+    * combine, token counts reduce the same way, and the two 1-row
+    * totals attach by broadcast. The rank window runs on the
+    * (`minPairCount`-filtered, vocabulary²-bounded) pair frame only.
+    * PMI rounds to 6 before ranking; ties break on the pair.
+    * Output: (tok_a ≤ tok_b, n_ab, pmi, rank) — top `k`. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 2, minPairCount: Long = 5, k: Int = 50): DataFrame = {
+    require(window > 0 && k > 0, "window and k must be positive")
+    val toks = docs
+      .select(col(idCol).as("doc"), posexplode(tokens(col(textCol))))
+      .toDF("doc", "pos", "token")
+    val left = toks
+      .withColumn("__off",
+        explode(sequence(lit(1), lit(window))))
+      .select(col("doc"), (col("pos") + col("__off")).as("pos_b"),
+        col("token").as("__ta"))
+    val pairs = left
+      .join(toks.select(col("doc"), col("pos").as("pos_b"),
+        col("token").as("__tb")), Seq("doc", "pos_b"))
+      .select(least(col("__ta"), col("__tb")).as("tok_a"),
+        greatest(col("__ta"), col("__tb")).as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val tokCounts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val totals = toks.agg(count(lit(1)).as("__t"))
+    val pairTotal = pairs.agg(sum(col("n_ab")).as("__p"))
+    val scored = pairs.where(col("n_ab") >= minPairCount)
+      .join(tokCounts.select(col("token").as("tok_a"), col("n").as("__na")),
+        "tok_a")
+      .join(tokCounts.select(col("token").as("tok_b"), col("n").as("__nb")),
+        "tok_b")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(pairTotal))
+      .withColumn("pmi", round(
+        log((col("n_ab") / col("__p"))
+          / ((col("__na") / col("__t")) * (col("__nb") / col("__t")))), 6))
+    // top-k via TakeOrdered (no full sort); the rank window then runs
+    // on the k surviving rows only — the [[vocabulary]] pattern
+    scored
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("tok_a"), col("tok_b")))
+        .cast("long"))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("pmi"),
+        col("rank"))
+  }
+
   private def mergePair(syms: Column, a: String, b: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) =>

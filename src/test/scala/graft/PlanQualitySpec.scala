@@ -28,7 +28,8 @@ class PlanQualitySpec extends SparkSpec {
     "q92_length_deciles",   // 1-row broadcast quantile-cut array attach
     "q94_sparse_cosine",    // 1-row broadcast corpus-count scalar attach
     "q101_histogram",       // 1-row broadcast min/max scalar attach
-    "q112_hybrid_rrf")      // 1-row broadcast corpus-stats attach (both legs)
+    "q112_hybrid_rrf",      // 1-row broadcast corpus-stats attach (both legs)
+    "q119_pmi")             // 1-row broadcast token/pair-total attach
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>

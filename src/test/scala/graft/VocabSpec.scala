@@ -55,4 +55,64 @@ class VocabSpec extends SparkSpec {
     assert(ix.getString(3) == "1")
     assert(ix.getLong(1) == 3L) // df still counts ALL postings
   }
+
+  test("pmiPairs matches a driver-side reference on a tiny corpus") {
+    // collocation 'x y' always adjacent; 'a' ubiquitous
+    val d = Seq(
+      (1L, "x y a x y a"),
+      (2L, "a x y a x y"),
+      (3L, "x y b a")
+    ).toDF("doc_id", "text")
+    // driver-side reference with the same definition
+    val texts = Seq("x y a x y a", "a x y a x y", "x y b a")
+      .map(_.split(" ").toSeq)
+    val tokCount = texts.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toDouble }
+    val totalToks = texts.map(_.size).sum.toDouble
+    val rawPairs = for {
+      ts <- texts; i <- ts.indices; o <- 1 to 2 if i + o < ts.size
+    } yield {
+      val (a, b) = (ts(i), ts(i + o))
+      if (a <= b) (a, b) else (b, a)
+    }
+    val pairCount = rawPairs.groupBy(identity)
+      .map { case (p, xs) => p -> xs.size.toDouble }
+    val totalPairs = rawPairs.size.toDouble
+    def refPmi(p: (String, String)): Double = BigDecimal(
+      math.log((pairCount(p) / totalPairs)
+        / ((tokCount(p._1) / totalToks) * (tokCount(p._2) / totalToks))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Vocab.pmiPairs(d, "doc_id", "text",
+        window = 2, minPairCount = 2, k = 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    for ((p, (nAb, pmi)) <- got) {
+      assert(nAb.toDouble == pairCount(p), s"$p count")
+      assert(math.abs(pmi - refPmi(p)) < 1e-9, s"$p pmi $pmi vs ${refPmi(p)}")
+    }
+    // ranking agrees with the reference ordering (pmi desc, pair asc)
+    val expTop = pairCount.keys.filter(p => pairCount(p) >= 2).toSeq
+      .sortBy(p => (-refPmi(p), p._1, p._2)).head
+    val ranked = Vocab.pmiPairs(d, "doc_id", "text", 2, 2, 50)
+      .orderBy("rank").collect()
+    assert((ranked.head.getString(0), ranked.head.getString(1)) == expTop)
+  }
+
+  test("winsorize clamps to the group quantile band, preserves inliers") {
+    import graft.ops.Binning
+    val df = ((1 to 98).map(i => ("g", i.toDouble))
+      ++ Seq(("g", -1000.0), ("g", 1000.0))
+      ++ (1 to 50).map(i => ("h", 10.0))).toDF("grp", "v")
+    val out = Binning.winsorize(df, "grp", "v", 0.05, 0.95)
+    val g = out.where($"grp" === "g")
+    // outliers clamp to the 5/95 band; inliers in the band untouched
+    val (lo, hi) = (g.agg(min($"v_w")).head().getDouble(0),
+      g.agg(max($"v_w")).head().getDouble(0))
+    assert(lo > -1000.0 && hi < 1000.0, s"outliers not clamped: $lo $hi")
+    assert(g.where($"v" === 50.0 && $"v_w" === 50.0).count() == 1)
+    // constant group: everything maps to the constant
+    assert(out.where($"grp" === "h" && $"v_w" === 10.0).count() == 50)
+    // row count preserved
+    assert(out.count() == df.count())
+  }
 }
