@@ -12,12 +12,13 @@ import org.apache.spark.sql.types._
   * with an area-average box filter, perceptually hashed, and
   * re-encoded — no external codec dependency. The AUDIO leg is real
   * for the JDK's built-in containers (WAV/AIFF/AU via
-  * [[AudioCodec]] — `javax.sound.sampled`). Payloads that do not
-  * decode (compressed audio codecs and the video kind, for which this
-  * container genuinely has no codec) fall back to the deterministic
-  * STUB paths ([[decodeStub]]/[[resizeStub]]), which keep the
-  * plumbing — schema, partitioning, batch iteration with one codec
-  * handle per partition, feature-vector output shape — exercised with
+  * [[AudioCodec]] — `javax.sound.sampled`). The VIDEO leg is real for
+  * the [[VideoContainer]] frame container (sampling, per-frame ImageIO
+  * decode, dHash, banded near-dup) — only foreign codec formats
+  * (MP4/H.264, compressed audio) fall back to the deterministic STUB
+  * paths ([[decodeStub]]/[[resizeStub]]), which keep the plumbing —
+  * schema, partitioning, batch iteration with one codec handle per
+  * partition, feature-vector output shape — exercised with
   * reproducible values; swap the stub for JavaCV/ffmpeg bindings
   * without touching any of it.
   */

@@ -324,4 +324,51 @@ class MultimodalSpec extends SparkSpec {
     assert(top.head._2 > 0.99 && top.head._2 > top(1)._2 + 0.005,
       s"cosines ${top.toSeq}")
   }
+
+  test("VideoContainer: encode/decode round-trip; corrupt bytes are None") {
+    import graft.multimodal.VideoContainer
+    val frames = (0 until 4).map(i =>
+      ImageCodec.encodePng(scene(32, 24, i), 32, 24))
+    val vid = VideoContainer.encode(frames)
+    val back = VideoContainer.decodeFrames(vid)
+    assert(back.isDefined && back.get.size == 4)
+    assert(back.get.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    assert(VideoContainer.decodeFrames(null).isEmpty)
+    assert(VideoContainer.decodeFrames("notavid".getBytes).isEmpty)
+    assert(VideoContainer.decodeFrames(vid.take(20)).isEmpty) // truncated
+  }
+
+  test("videoNearDups pairs a re-encoded near-dup video, skips unrelated") {
+    import graft.multimodal.VideoContainer
+    val w = 32; val h = 24
+    def pngFrames(seed: Int, perturb: Boolean) = (0 until 6).map { i =>
+      val px = scene(w, h, seed + i * 3)
+      if (perturb) px(5 * w + 7) = ((px(5 * w + 7) & 0xFF) ^ 0x10).toByte
+      ImageCodec.encodePng(px, w, h)
+    }
+    // video 2 = video 1 with a tiny per-frame edit, re-encoded as BMP
+    // (cross-format); video 3 = different scenes entirely
+    val v1 = VideoContainer.encode(pngFrames(0, perturb = false))
+    val v2 = VideoContainer.encode((0 until 6).map { i =>
+      val px = scene(w, h, 0 + i * 3)
+      px(5 * w + 7) = ((px(5 * w + 7) & 0xFF) ^ 0x10).toByte
+      bmpGray(px, w, h)
+    })
+    val v3 = VideoContainer.encode(pngFrames(40, perturb = false))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        mediaRow(1L, "video", v1), mediaRow(2L, "video", v2),
+        mediaRow(3L, "video", v3),
+        mediaRow(4L, "image", ImageCodec.encodePng(scene(w, h, 0), w, h)))),
+      Multimodal.MediaSchema)
+    // every sampled frame really decodes: 3 videos x 3 sampled frames
+    val fh = VideoContainer.videoFrameHashes(media, everyNth = 2)
+    assert(fh.count() == 9, s"expected 9 sampled frame hashes")
+    assert(fh.where(col("media_id") === 4L).count() == 0) // images excluded
+    val pairs = VideoContainer.videoNearDups(media, everyNth = 2,
+      maxHamming = 6, minMatchFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      s"expected only the planted near-dup pair, got ${pairs.toSeq}")
+  }
 }
