@@ -150,4 +150,47 @@ class PropertiesSpec extends SparkSpec {
       col(s"mh$i") < 0 || col(s"mh$i") >= graft.functions.TextFunctions.MinhashMod)
     assert(sig.where(conds.reduce(_ || _)).count() == 0L)
   }
+
+  test("property: interleaveBySource is a bijective total order, sources cycle") {
+    // random UNEQUAL source sizes, random seeds
+    for (seed <- Seq("a", "b")) {
+      val sizes = sample(Gen.chooseNum(1, 40), 5, 7L)
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (1 to n).map(i => (s * 1000L + i, s"src$s"))
+      }
+      val got = graft.ops.Sampling
+        .interleaveBySource(rows.toDF("id", "source"), "source", "id", seed)
+        .select("id", "source", "rn", "pos").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // pos is unique (a total order), and equals (rn-1)*K + sourceIdx
+      assert(got.map(_._4).distinct.length == got.length)
+      val k = sizes.length
+      val srcIdx = got.map(_._2).distinct.sorted.zipWithIndex.toMap
+      assert(got.forall { case (_, s, rn, pos) =>
+        pos == (rn - 1) * k + srcIdx(s) })
+      // within each source, rn is a 1..n permutation (no gaps, no dups)
+      got.groupBy(_._2).foreach { case (_, xs) =>
+        assert(xs.map(_._3).sorted.toSeq == (1L to xs.length))
+      }
+    }
+  }
+
+  test("property: winsorize output always lies within the group's observed range") {
+    val vals = sample(Gen.chooseNum(-1e6, 1e6), 300, 23L)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (s"g${i % 3}", v) }.toDF("grp", "v")
+    val out = graft.ops.Binning.winsorize(df, "grp", "v", 0.1, 0.9)
+    // clamped values are bounded by the group's own min/max, order-stats
+    // monotone: v_w <= v when v above the band, >= when below
+    val joined = out.join(
+      df.groupBy("grp").agg(min($"v").as("lo"), max($"v").as("hi")), "grp")
+    assert(joined.where($"v_w" < $"lo" || $"v_w" > $"hi").count() == 0)
+    assert(out.count() == df.count())
+    // only the tails move: at most ~(lo + 1-hi) of each group changes
+    // (continuous values, ties negligible at this sample size)
+    val moved = out.where(abs($"v_w" - $"v") > 0).count().toDouble
+    assert(moved / df.count() <= 0.25, s"moved fraction ${moved / df.count()}")
+    // and both tails DID clamp something (the property isn't vacuous)
+    assert(moved > 0)
+  }
 }

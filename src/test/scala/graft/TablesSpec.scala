@@ -25,4 +25,19 @@ class TablesSpec extends SparkSpec {
     val want = nanos.map(_ / 1000L).sorted.toArray
     assert(got.toSeq == want.toSeq)
   }
+
+  test("ORC round-trips with predicate pushdown (second columnar format)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orc-spec").toString
+    val df = (1L to 5000L).map(i => (i, s"cat${i % 7}", i * 1.5))
+      .toDF("id", "cat", "v")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 5000
+      && back.agg(sum($"id")).head().getLong(0) == 5000L * 5001 / 2)
+    // selective filter reaches the ORC reader as a pushed filter
+    val plan = back.where($"cat" === "cat3").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("cat3"), plan)
+    assert(back.where($"cat" === "cat3").count() == df.where($"cat" === "cat3").count())
+  }
 }
