@@ -1376,7 +1376,44 @@ object SparkEntry {
     "q119_pmi" -> ((s, dir) =>
       graft.ops.Vocab.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
           window = 2, minPairCount = 5, k = 50)
-        .orderBy("rank"))
+        .orderBy("rank")),
+
+    // CAPSTONE composite: the full training-data prep in ONE gated
+    // query — exact dedup -> quality/lang gates -> LSH near-dedup
+    // (0.8 losers dropped) -> leakage-safe split (0.5-clusters share a
+    // split) -> per-split token-budget shards. The LSH pipeline runs
+    // ONCE: candidates are threshold-independent, so the 0.8 drop and
+    // the 0.5 split clusters filter the same verified pair set.
+    "q120_training_prep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cfg = graft.ops.CorpusClean.Config()
+      val gated = graft.ops.CorpusClean.gate(
+        Dedup.dropExactDuplicates(docs, "doc_id", "text"),
+        "doc_id", "text", cfg)
+      val pairs = Dedup.minhashNearDups(gated, "doc_id", "text",
+        n = cfg.shingleSize, threshold = 0.5)
+      val losers = Dedup.nearDupLosers(
+          pairs.where(col("jaccard") >= cfg.nearDupThreshold))
+        .withColumnRenamed("id", "doc_id")
+      val cleaned = gated.join(losers, Seq("doc_id"), "left_anti")
+      val cleanedIds = cleaned.select(col("doc_id"))
+      val splitPairs = pairs
+        .join(cleanedIds.withColumnRenamed("doc_id", "doc_a"),
+          Seq("doc_a"), "left_semi")
+        .join(cleanedIds.withColumnRenamed("doc_id", "doc_b"),
+          Seq("doc_b"), "left_semi")
+      val split = Dedup.leakageSafeSplit(cleanedIds, "doc_id", splitPairs,
+        valFrac = 0.1, testFrac = 0.1, seed = "v1")
+      val withTok = split.join(
+        cleaned.select(col("doc_id"),
+          tokenCount(tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id")
+      graft.ops.Packing.packByBudget(withTok, "doc_id", "n_tokens", 4096L,
+          expr("doc_id div 100"), partitionCols = Seq("split"))
+        .select(col("doc_id"), col("group_id"), col("split"),
+          col("n_tokens"), col("shard"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -3295,7 +3332,89 @@ ORDER BY 1, 2"""
          |SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab, pmi,
          |  CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, tok_a, tok_b)
          |       AS BIGINT) AS rank
-         |FROM scored QUALIFY rank <= 50 ORDER BY rank""".stripMargin
+         |FROM scored QUALIFY rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q120_training_prep" ->
+      s"""WITH RECURSIVE dedup AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1
+         |), tokg AS (
+         |  SELECT doc_id, text,
+         |         regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM dedup
+         |), gated AS (
+         |  SELECT doc_id, text FROM tokg
+         |  WHERE len(w) BETWEEN 20 AND 100000
+         |    AND len(list_filter(w, x ->
+         |          x IN ('the','a','of','and','to','in','is')))*1.0/len(w)
+         |        >= 0.01
+         |    AND (length(text) - length(regexp_replace(text,
+         |          '[^A-Za-z0-9\\s]', '', 'g')))*1.0/length(text) <= 0.3
+         |    AND greatest(
+         |          len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))),
+         |          len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un'))),
+         |          len(list_filter(w, x -> x IN ('le','la','de','et','un','les','des')))) > 0
+         |    AND len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+         |        >= len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un')))
+         |    AND len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+         |        >= len(list_filter(w, x -> x IN ('le','la','de','et','un','les','des')))
+         |), ${minhashGateCtes("gated")},
+         |pairs05 AS (
+         |  SELECT doc_a, doc_b, inter*1.0/(na+nb-inter) AS j FROM verified
+         |  WHERE inter*1.0/(na+nb-inter) >= 0.5
+         |), edges08 AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs05 WHERE j >= 0.8
+         |  UNION SELECT doc_b, doc_a FROM pairs05 WHERE j >= 0.8
+         |), reach08(src, dst) AS (
+         |  SELECT src, dst FROM edges08
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach08 r JOIN edges08 e ON r.dst = e.src
+         |), losers AS (
+         |  SELECT src AS doc_id FROM reach08 GROUP BY src
+         |  HAVING src <> LEAST(src, MIN(dst))
+         |), cleaned AS (
+         |  SELECT doc_id FROM gated
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |), sp AS (
+         |  SELECT doc_a, doc_b FROM pairs05
+         |  WHERE doc_a IN (SELECT doc_id FROM cleaned)
+         |    AND doc_b IN (SELECT doc_id FROM cleaned)
+         |), edges05 AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM sp
+         |  UNION SELECT doc_b, doc_a FROM sp
+         |), reach05(src, dst) AS (
+         |  SELECT src, dst FROM edges05
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach05 r JOIN edges05 e ON r.dst = e.src
+         |), comp AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+         |  FROM reach05 GROUP BY src
+         |), sg AS (
+         |  SELECT c.doc_id, COALESCE(p.component, c.doc_id) AS group_id
+         |  FROM cleaned c LEFT JOIN comp p USING (doc_id)
+         |), spl AS (
+         |  SELECT doc_id, group_id,
+         |    CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test'
+         |         ELSE 'train' END AS split
+         |  FROM (SELECT doc_id, group_id,
+         |          CAST(('0x'||substr(md5('v1:'||CAST(group_id AS VARCHAR)),1,8))
+         |            AS BIGINT) % 10000 AS b
+         |        FROM sg)
+         |), wt AS (
+         |  SELECT s.doc_id, s.group_id, s.split,
+         |         CAST(len(t.w) AS BIGINT) AS n_tokens
+         |  FROM spl s JOIN tokg t USING (doc_id)
+         |), c2 AS (
+         |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY split
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM wt
+         |)
+         |SELECT doc_id, group_id, split, n_tokens,
+         |       CAST(off // 4096 AS BIGINT) AS shard
+         |FROM c2 ORDER BY doc_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

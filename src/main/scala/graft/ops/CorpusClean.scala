@@ -33,18 +33,27 @@ object CorpusClean {
       * the web-scale switch when chains can run long. */
     starComponents: Boolean = false)
 
-  /** Returns the cleaned corpus (same schema as input). */
-  def clean(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): DataFrame = {
-    val deduped = Dedup.dropExactDuplicates(docs, idCol, textCol)
-
-    val gated = deduped
+  /** The narrow quality/language gates of [[clean]] alone (no dedup):
+    * length band, stopword floor, punctuation ceiling, language
+    * allowlist — all per-row projections, no shuffle. Exposed so
+    * composite pipelines (e.g. the q120 training-prep gate) can reuse
+    * the exact gate the cleaner applies. */
+  def gate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame =
+    docs
       .withColumn("__w", tokens(col(textCol)))
       .where(size(col("__w")).between(cfg.minTokens, cfg.maxTokens))
       .where(stopwordRatio(col("__w")) >= cfg.minStopwordRatio)
       .where(punctRatio(col(textCol)) <= cfg.maxPunctRatio)
       .where(langId(col("__w")).isInCollection(cfg.langs))
       .drop("__w")
+
+  /** Returns the cleaned corpus (same schema as input). */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val deduped = Dedup.dropExactDuplicates(docs, idCol, textCol)
+
+    val gated = gate(deduped, idCol, textCol, cfg)
 
     // transitive clustering: one survivor per chained near-dup group
     val pairs = Dedup.minhashNearDups(gated, idCol, textCol,

@@ -26,23 +26,31 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** `partitionCols` scopes the running total: each partition (e.g. a
+    * train/val/test split) packs its own shard sequence from 0 — the
+    * cumsum, block offsets, and join keys all gain the partition
+    * columns, so the shape (partitioned windows + bounded offset
+    * frame) is unchanged. */
   def packByBudget(df: DataFrame, orderCol: String, tokensCol: String,
-      tokensPerShard: Long, blockExpr: Column): DataFrame = {
+      tokensPerShard: Long, blockExpr: Column,
+      partitionCols: Seq[String] = Nil): DataFrame = {
     require(tokensPerShard > 0, "tokensPerShard must be positive")
+    val pCols = partitionCols.map(col)
     val withBlock = df.withColumn("__block", blockExpr)
-    val wLocal = Window.partitionBy(col("__block")).orderBy(col(orderCol))
+    val wLocal = Window.partitionBy(pCols :+ col("__block"): _*)
+      .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = withBlock.withColumn("__local",
       coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)))
-    // block aggregates: one row per block — the only global-order window
-    // runs over THIS frame, never the data
-    val wBlocks = Window.orderBy(col("__block"))
+    // block aggregates: one row per (partition, block) — the only
+    // order-by-block window runs over THIS frame, never the data
+    val wBlocks = Window.partitionBy(pCols: _*).orderBy(col("__block"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withBlock.groupBy(col("__block"))
+    val offsets = withBlock.groupBy(pCols :+ col("__block"): _*)
       .agg(sum(col(tokensCol)).as("__btot"))
       .withColumn("__off", coalesce(sum(col("__btot")).over(wBlocks), lit(0L)))
-      .select(col("__block"), col("__off"))
-    local.join(broadcast(offsets), "__block")
+      .select(pCols :+ col("__block") :+ col("__off"): _*)
+    local.join(broadcast(offsets), partitionCols :+ "__block")
       .withColumn("shard",
         expr(s"(__off + __local) div $tokensPerShard"))
       .drop("__block", "__local", "__off")
