@@ -26,6 +26,22 @@ class TablesSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("parquet schema evolution: mergeSchema unions columns, old rows null-fill") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    // v1 writer: (id, v); later writer adds a column (id, v, tag)
+    (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    (101L to 150L).map(i => (i, i * 2.0, s"t${i % 3}")).toDF("id", "v", "tag")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "tag", "v"))
+    assert(merged.count() == 150)
+    // pre-evolution rows surface the new column as null
+    assert(merged.where($"id" <= 100 && $"tag".isNull).count() == 100)
+    assert(merged.where($"id" > 100 && $"tag".isNotNull).count() == 50)
+  }
+
   test("ORC round-trips with predicate pushdown (second columnar format)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("orc-spec").toString
