@@ -1413,7 +1413,20 @@ object SparkEntry {
         .select(col("doc_id"), col("group_id"), col("split"),
           col("n_tokens"), col("shard"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // GPT-2-style regex pre-tokenization (RE2-compatible subset so the
+    // IDENTICAL pattern runs in both engines): per-doc piece count and
+    // an md5 over the exact piece sequence — a bit-level tokenizer-
+    // fidelity gate, narrow projection only.
+    "q121_pretokenize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.preTokens(col("text")).as("__p"))
+        .select(col("doc_id"),
+          size(col("__p")).cast("long").as("n_pieces"),
+          md5(concat_ws("", col("__p"))).as("piece_hash"))
+        .orderBy("doc_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -3414,7 +3427,18 @@ ORDER BY 1, 2"""
          |)
          |SELECT doc_id, group_id, split, n_tokens,
          |       CAST(off // 4096 AS BIGINT) AS shard
-         |FROM c2 ORDER BY doc_id""".stripMargin
+         |FROM c2 ORDER BY doc_id""".stripMargin,
+
+    "q121_pretokenize" ->
+      """WITH p AS (
+        |  SELECT doc_id, regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')
+        |    AS pieces
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+        |       md5(array_to_string(pieces, chr(1))) AS piece_hash
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

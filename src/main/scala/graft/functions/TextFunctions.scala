@@ -17,6 +17,21 @@ object TextFunctions {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** GPT-2-style regex pre-tokenization pattern, simplified to the
+    * RE2-compatible subset (no lookahead, ASCII classes) so the SAME
+    * pattern runs bit-identically in Spark (java.util.regex) and the
+    * DuckDB oracle (RE2): contraction suffixes, space-prefixed
+    * letter/digit/symbol runs, whitespace runs. The piece boundaries
+    * a subword tokenizer (BPE) never merges across. */
+  val PreTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Pre-tokenizer pieces of `text` (array of strings, in order) —
+    * the tokenizer-fidelity view of a document, vs the whitespace
+    * [[tokens]] used for shingles/stats. */
+  def preTokens(text: Column): Column =
+    regexp_extract_all(text, lit(PreTokenPattern), lit(0))
+
   /** Distinct word n-gram shingles, joined with single spaces. Empty
     * array when the document has fewer than n tokens. Evaluated by the
     * flat-loop custom expression (see

@@ -199,6 +199,29 @@ object Dedup {
     * (`__sig` is a multi-use non-cheap alias, so CollapseProject keeps
     * the stage boundary and the expression evaluates once per row —
     * same reasoning as [[shingleTable]].) */
+  /** LSH parameter auto-tuning: among factorizations b·r = `nPerms`,
+    * pick the (bands, rowsPerBand) whose S-curve midpoint
+    * (1/b)^(1/r) — the Jaccard similarity at which candidate
+    * probability p(s) = 1 − (1 − s^r)^b crosses ~0.5 — lands closest
+    * to `targetThreshold`. This is how the q65 production shape
+    * (128 perms → 32×4 for t = 0.5) was chosen; exposing it makes the
+    * choice reproducible for any budget. Returns (bands, rowsPerBand,
+    * curve midpoint). */
+  def lshTune(nPerms: Int, targetThreshold: Double): (Int, Int, Double) = {
+    require(nPerms > 0 && targetThreshold > 0 && targetThreshold < 1,
+      "need nPerms > 0 and threshold in (0,1)")
+    val configs = (1 to nPerms).filter(nPerms % _ == 0).map { b =>
+      val r = nPerms / b
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    configs.minBy { case (_, _, mid) => math.abs(mid - targetThreshold) }
+  }
+
+  /** Candidate probability of the (bands, rows) curve at Jaccard `s`:
+    * p(s) = 1 − (1 − s^r)^b. */
+  def lshCandidateProb(bands: Int, rowsPerBand: Int, s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, nPerms: Int = 8): DataFrame = {
     val sig = df.select(col(idCol), tokens(col(textCol)).as("__w"))

@@ -114,4 +114,43 @@ class TextFunctionsSpec extends SparkSpec {
     val r = spark.sql("SELECT char_entropy('ab') AS h").head().getDouble(0)
     assert(math.abs(r - math.log(2)) < 1e-12)
   }
+
+  test("preTokens splits like a GPT-2-style pre-tokenizer; pieces rebuild the text") {
+    import graft.functions.TextFunctions.preTokens
+    val cases = Seq(
+      "hello world" -> Seq("hello", " world"),
+      "it's done" -> Seq("it", "'s", " done"),
+      "a1b2" -> Seq("a", "1", "b", "2"),
+      // no lookahead in the RE2-compatible subset: a multi-space run
+      // stays one whitespace piece (GPT-2's \s+(?!\S) would split it)
+      "x  y" -> Seq("x", "  ", "y"),
+      "end." -> Seq("end", "."),
+      "price: $5.99!" -> Seq("price", ":", " $", "5", ".", "99", "!"))
+    val got = cases.map(_._1).toDF("s")
+      .select(preTokens($"s").as("p")).as[Seq[String]].collect()
+    cases.zip(got).foreach { case ((in, want), gotP) =>
+      assert(gotP == want, s"'$in' -> $gotP, want $want")
+      // lossless: concatenating pieces rebuilds the input
+      assert(gotP.mkString == in)
+    }
+  }
+
+  test("lshTune picks the production shapes; S-curve behaves") {
+    import graft.ops.Dedup
+    // 128 perms at t=0.5 -> the q65 production 32x4 shape
+    val (b1, r1, mid1) = Dedup.lshTune(128, 0.5)
+    assert((b1, r1) == ((32, 4)), s"got ($b1, $r1)")
+    assert(math.abs(mid1 - math.pow(1.0 / 32, 0.25)) < 1e-12)
+    // higher threshold -> fewer, wider bands
+    val (b2, r2, _) = Dedup.lshTune(128, 0.8)
+    assert(b2 < b1 && r2 > r1)
+    // curve: near-certain above the midpoint, steep falloff below
+    assert(Dedup.lshCandidateProb(b1, r1, 0.8) > 0.95)
+    assert(Dedup.lshCandidateProb(b1, r1, 0.2) < 0.2)
+    // bands * rows always equals the permutation budget
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9); n <- Seq(8, 64, 128)) {
+      val (b, r, _) = Dedup.lshTune(n, t)
+      assert(b * r == n)
+    }
+  }
 }
