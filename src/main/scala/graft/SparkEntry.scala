@@ -1425,7 +1425,7 @@ object SparkEntry {
           graft.functions.TextFunctions.preTokens(col("text")).as("__p"))
         .select(col("doc_id"),
           size(col("__p")).cast("long").as("n_pieces"),
-          md5(concat_ws("", col("__p"))).as("piece_hash"))
+          md5(concat_ws("\u0001", col("__p"))).as("piece_hash"))
         .orderBy("doc_id"))
   )
 
@@ -2873,6 +2873,7 @@ ORDER BY 1, 2"""
         |                  1,8)) AS BIGINT) % 1000000 + 0.5) / 1000000.0)
         |        / n_chars, 9) AS es_key
         |FROM documents
+        |WHERE n_chars IS NOT NULL AND n_chars > 0
         |ORDER BY es_key DESC, doc_id LIMIT 200""".stripMargin,
 
     "q98_bfs_levels" ->

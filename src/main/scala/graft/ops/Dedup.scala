@@ -181,24 +181,6 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature per document: `nPerms` permutations of the
-    * 32-bit md5-derived shingle hash (the classic 8-constant table
-    * first, then md5-derived constants — see
-    * [[graft.functions.TextFunctions.minhashPermsFor]]).
-    * Columns: id, mh0..mh{nPerms-1}. Documents with fewer than n tokens
-    * (no shingles) are dropped.
-    *
-    * Shuffle-FREE: the whole signature is ONE narrow per-row pass via
-    * the [[graft.expressions.MinhashSig]] expression (each shingle
-    * hashed once, all nPerms minima folded in a single traversal) —
-    * where the explode + groupBy(nPerms aggs) formulation shuffled
-    * every shingle row and kept nPerms partial-min agg columns. At 128
-    * perms on a 100 TB corpus that exchange was the dominant cost of
-    * signature computation; now signatures pipeline straight into the
-    * band-table projection with zero exchanges before the bucket join.
-    * (`__sig` is a multi-use non-cheap alias, so CollapseProject keeps
-    * the stage boundary and the expression evaluates once per row —
-    * same reasoning as [[shingleTable]].) */
   /** LSH parameter auto-tuning: among factorizations b·r = `nPerms`,
     * pick the (bands, rowsPerBand) whose S-curve midpoint
     * (1/b)^(1/r) — the Jaccard similarity at which candidate
@@ -222,6 +204,24 @@ object Dedup {
   def lshCandidateProb(bands: Int, rowsPerBand: Int, s: Double): Double =
     1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
 
+  /** MinHash signature per document: `nPerms` permutations of the
+    * 32-bit md5-derived shingle hash (the classic 8-constant table
+    * first, then md5-derived constants — see
+    * [[graft.functions.TextFunctions.minhashPermsFor]]).
+    * Columns: id, mh0..mh{nPerms-1}. Documents with fewer than n tokens
+    * (no shingles) are dropped.
+    *
+    * Shuffle-FREE: the whole signature is ONE narrow per-row pass via
+    * the [[graft.expressions.MinhashSig]] expression (each shingle
+    * hashed once, all nPerms minima folded in a single traversal) —
+    * where the explode + groupBy(nPerms aggs) formulation shuffled
+    * every shingle row and kept nPerms partial-min agg columns. At 128
+    * perms on a 100 TB corpus that exchange was the dominant cost of
+    * signature computation; now signatures pipeline straight into the
+    * band-table projection with zero exchanges before the bucket join.
+    * (`__sig` is a multi-use non-cheap alias, so CollapseProject keeps
+    * the stage boundary and the expression evaluates once per row —
+    * same reasoning as [[shingleTable]].) */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, nPerms: Int = 8): DataFrame = {
     val sig = df.select(col(idCol), tokens(col(textCol)).as("__w"))

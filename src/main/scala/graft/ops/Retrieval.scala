@@ -97,20 +97,11 @@ object Retrieval {
       .select(col("query_id"), col(idCol), col("score"), col("rank"))
   }
 
-  /** Reciprocal-rank fusion of two per-query rankings. Inputs are
-    * (query_id, <idCol>, ..., rank) frames (any extra columns are
-    * ignored); a document missing from one list simply contributes
-    * nothing from it. The fused score is rounded to 6 digits before
-    * re-ranking (sums of 1/(c+r) terms differ in the last ulp across
-    * engines depending on addition order) and ties break on the id.
-    * Output: (query_id, <idCol>, rrf, rank) — top `k` per query. */
-  /** Hybrid BM25 + TF-IDF-cosine retrieval with RRF fusion over ONE
-    * posting frame: both legs read the same [[Bm25.postings]]
-    * aggregation (structurally identical subtrees — Catalyst's
-    * ReuseExchange materializes the postings shuffle once), so the
-    * corpus is tokenized and shuffled a single time. With a persisted
-    * postings index, pass it to the `FromPostings` variants directly
-    * and no pass touches raw text at all. */
+  /** Hybrid BM25 + TF-IDF-cosine retrieval with RRF fusion, inline:
+    * each leg derives its own postings from the raw text (two narrow
+    * scan+agg passes — see [[hybridTopKFromPostings]] for why they
+    * are NOT shared inline, and for the persisted-index path where
+    * one materialized posting frame serves both legs). */
   def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       kPerLeg: Int = 20, k: Int = 10, c: Int = 60): DataFrame =
@@ -135,6 +126,13 @@ object Retrieval {
     rrfFuse(bm, tfidf, idCol, k, c)
   }
 
+  /** Reciprocal-rank fusion of two per-query rankings. Inputs are
+    * (query_id, <idCol>, ..., rank) frames (any extra columns are
+    * ignored); a document missing from one list simply contributes
+    * nothing from it. The fused score is rounded to 6 digits before
+    * re-ranking (sums of 1/(c+r) terms differ in the last ulp across
+    * engines depending on addition order) and ties break on the id.
+    * Output: (query_id, <idCol>, rrf, rank) — top `k` per query. */
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
       k: Int = 10, c: Int = 60): DataFrame = {
     require(k > 0 && c >= 0, "k must be positive, c non-negative")

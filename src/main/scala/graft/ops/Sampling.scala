@@ -105,23 +105,33 @@ object Sampling {
     * disturb the order). NO global window is involved: rn is a
     * per-source window (one shuffle on source), and the source
     * registry (idx, K) is a bounded frame window joined back as a
-    * broadcast — the [[temperatureResample]] shape.
-    * Output: input columns + rn + pos. */
+    * broadcast — the [[temperatureResample]] shape. A NULL source is
+    * its own source (sorted first in the registry) — a mixing ORDER
+    * must never silently lose part of the corpus, so the internal
+    * join key is null-coalesced rather than dropping null-source rows
+    * on the equi-join. Output: input columns + rn + pos. */
   def interleaveBySource(df: DataFrame, sourceCol: String, keyCol: String,
       seed: String): DataFrame = {
-    val rn = row_number().over(Window.partitionBy(col(sourceCol))
+    // internal null-safe source key: "0" for NULL, "1"+string form
+    // otherwise — the prefix disambiguates NULL from every real value
+    // (including the empty string) and sorts the NULL source first;
+    // the original source column passes through untouched
+    val srcKey = when(col(sourceCol).isNull, lit("0"))
+      .otherwise(concat(lit("1"), col(sourceCol).cast("string")))
+    val withKey = df.withColumn("__src", srcKey)
+    val rn = row_number().over(Window.partitionBy(col("__src"))
       .orderBy(shuffleKey(col(keyCol), seed), col(keyCol))).cast("long")
-    // bounded source registry: idx by source order + source count K
-    val reg = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__cnt"))
-      .select(col(sourceCol),
+    // bounded source registry: idx by source-key order + source count K
+    val reg = withKey.groupBy(col("__src")).agg(count(lit(1)).as("__cnt"))
+      .select(col("__src"),
         (row_number().over(Window.partitionBy(lit(1))
-          .orderBy(col(sourceCol))) - 1).cast("long").as("__sidx"),
+          .orderBy(col("__src"))) - 1).cast("long").as("__sidx"),
         count(lit(1)).over(Window.partitionBy(lit(1))).cast("long")
           .as("__k"))
-    df.withColumn("rn", rn)
-      .join(broadcast(reg), sourceCol)
+    withKey.withColumn("rn", rn)
+      .join(broadcast(reg), "__src")
       .withColumn("pos", (col("rn") - 1) * col("__k") + col("__sidx"))
-      .drop("__sidx", "__k")
+      .drop("__src", "__sidx", "__k")
   }
 
   /** Temperature-based mixture rebalancing (the multilingual /

@@ -74,10 +74,6 @@ object Vocab {
     stats.join(tops, "token")
   }
 
-  /** Greedy left-to-right merge of one adjacent symbol pair
-    * (`a`,`b`) → `a+b` inside a symbol array — the BPE merge-apply
-    * step, as a pure fold expression (leftmost-first,
-    * non-overlapping: merging "a a" over "a a a" yields ["aa","a"]). */
   /** Windowed PMI co-occurrence: pointwise mutual information of
     * unordered token pairs co-occurring within `window` positions in
     * a document (the word2vec/GloVe statistic, and the collocation
@@ -138,6 +134,10 @@ object Vocab {
         col("rank"))
   }
 
+  /** Greedy left-to-right merge of one adjacent symbol pair
+    * (`a`,`b`) → `a+b` inside a symbol array — the BPE merge-apply
+    * step, as a pure fold expression (leftmost-first,
+    * non-overlapping: merging "a a" over "a a a" yields ["aa","a"]). */
   private def mergePair(syms: Column, a: String, b: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) =>

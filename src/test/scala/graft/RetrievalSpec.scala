@@ -100,6 +100,21 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("interleaveBySource keeps NULL-source rows as their own source") {
+    // a mixing ORDER must never silently lose corpus rows
+    val df = Seq[(Long, String)]((1L, "a"), (2L, null), (3L, "b"),
+      (4L, null), (5L, ""), (6L, "a")).toDF("id", "source")
+    val got = Sampling.interleaveBySource(df, "source", "id", "s1")
+      .select("id", "source", "pos").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    assert(got.length == 6, s"rows lost: ${got.toSeq}")
+    assert(got.count(_._2.isEmpty) == 2)       // both null-source rows kept
+    assert(got.map(_._3).distinct.length == 6) // pos still a total order
+    // NULL and empty-string sources are distinct interleave slots
+    val slots = got.map(x => x._2 -> x._3 % 4).distinct
+    assert(slots.count(_._1.isEmpty) == 1 && slots.count(_._1.contains("")) == 1)
+  }
+
   test("leakageSafeSplit keeps every near-dup cluster in one split") {
     // 3 clusters of near-identical docs + loners
     val base = "the quick brown fox jumps over the lazy dog again and again "
