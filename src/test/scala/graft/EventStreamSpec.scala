@@ -55,6 +55,37 @@ class EventStreamSpec extends SparkSpec {
     assert(got.groupBy("event_id").count().where($"count" > 1).isEmpty)
   }
 
+  test("restart from checkpoint resumes exactly-once over newly arrived files") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("ckpt-restart")
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val ev = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "value")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(in)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    // batch 1 lands, first run processes it
+    ev.where($"event_id" < 200).write.mode("overwrite").parquet(in)
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == 200, s"first run wrote $afterFirst")
+    // new files arrive; a RESTARTED query (same checkpoint) must pick
+    // up only the new ones — no reprocessing, no loss
+    ev.where($"event_id" >= 200 && $"event_id" < 350)
+      .write.mode("append").parquet(in)
+    runOnce()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 350, s"after restart: ${rows.count()}")
+    assert(rows.groupBy("event_id").count().where($"count" > 1).isEmpty,
+      "restart reprocessed already-committed input")
+  }
+
   test("stream-static enrichWithDim matches the batch broadcast join and drops no facts") {
     val dim = Seq(("click", "engagement"), ("view", "engagement"),
       ("purchase", "revenue")).toDF("event_type", "category")
