@@ -1426,7 +1426,16 @@ object SparkEntry {
         .select(col("doc_id"),
           size(col("__p")).cast("long").as("n_pieces"),
           md5(concat_ws("\u0001", col("__p"))).as("piece_hash"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Recency-weighted user activity: exponentially time-decayed click
+    // value per user, 7-day half-life, reference = the frame's own max
+    // timestamp (1-row broadcast; deterministic, never wall-clock).
+    "q122_decayed_sum" -> ((s, dir) =>
+      graft.ops.TimeSeries.decayedSum(
+          t(s, dir, "events").where(col("event_type") === "click"),
+          "user_id", "ts", "value", halfLifeSeconds = 604800.0)
+        .orderBy("user_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -3439,7 +3448,17 @@ ORDER BY 1, 2"""
         |)
         |SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
         |       md5(array_to_string(pieces, chr(1))) AS piece_hash
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q122_decayed_sum" ->
+      """WITH c AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT MAX(epoch(ts)) AS tref FROM c)
+        |SELECT user_id, COUNT(1) AS n,
+        |  ROUND(SUM(value * POWER(0.5,
+        |        (r.tref - epoch(ts)) / 604800.0)), 6) AS decayed
+        |FROM c CROSS JOIN r
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

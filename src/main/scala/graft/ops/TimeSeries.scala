@@ -55,6 +55,29 @@ object TimeSeries {
       .drop("__frame")
   }
 
+  /** Exponentially time-decayed sum per key (recency-weighted feature
+    * aggregation — the feature-store standard for "how active was
+    * this user, recently"): each row contributes
+    * `value · 0.5^((t_ref − t) / halfLifeSeconds)`. The reference
+    * instant defaults to the frame's own max timestamp (one bounded
+    * aggregate attached by broadcast), so the result is deterministic
+    * and engine-portable — never wall-clock. Timestamps enter as
+    * fractional epoch seconds (micros-exact doubles in both Spark and
+    * DuckDB). ONE narrow weighting projection + one hash aggregation;
+    * the decayed sum rounds to 6 digits.
+    * Output: (key, n, decayed). */
+  def decayedSum(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfLifeSeconds: Double): DataFrame = {
+    require(halfLifeSeconds > 0, "halfLifeSeconds must be positive")
+    val ref = df.agg(max(col(tsCol).cast("double")).as("__tref"))
+    df.crossJoin(broadcast(ref))
+      .withColumn("__w", pow(lit(0.5),
+        (col("__tref") - col(tsCol).cast("double")) / halfLifeSeconds))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol) * col("__w")), 6).as("decayed"))
+  }
+
   /** OHLC resampling bars: collapse each key's series into
     * `barSeconds`-wide epoch-aligned buckets with open (first value by
     * time), high, low, close (last), count, and mean. ONE hash

@@ -200,4 +200,20 @@ class ChunkingTimeSeriesSpec extends SparkSpec {
     assert(zRow.getString(0) == "z" && zRow.getDouble(3) == 0.0
       && zRow.getLong(4) == 0)
   }
+
+  test("decayedSum: latest row weighs 1, one half-life halves, sums per key") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-08 00:00:00") // = tref
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00") // 1 half-life
+    val t2 = java.sql.Timestamp.valueOf("2023-12-25 00:00:00") // 2 half-lives
+    val df = Seq(
+      ("u1", t0, 10.0), ("u1", t1, 8.0), ("u1", t2, 4.0),
+      ("u2", t1, 100.0)).toDF("user", "ts", "v")
+    val got = TimeSeries.decayedSum(df, "user", "ts", "v",
+        halfLifeSeconds = 7 * 86400.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // u1: 10*1 + 8*0.5 + 4*0.25 = 15; u2: 100*0.5 = 50
+    assert(got("u1") == ((3L, 15.0)))
+    assert(got("u2") == ((1L, 50.0)))
+  }
 }
