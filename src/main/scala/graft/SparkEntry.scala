@@ -1435,7 +1435,14 @@ object SparkEntry {
       graft.ops.TimeSeries.decayedSum(
           t(s, dir, "events").where(col("event_type") === "click"),
           "user_id", "ts", "value", halfLifeSeconds = 604800.0)
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Distribution-drift detection: two-sample KS statistic between
+    // two document sources over n_chars (per-value counts once, CDFs
+    // over the reduced distinct-value frame, 1-row argmax).
+    "q123_ks_drift" -> ((s, dir) =>
+      graft.ops.Quality.ksStatistic(t(s, dir, "documents"),
+        "n_chars", "source", "src0", "src1"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -3458,7 +3465,26 @@ ORDER BY 1, 2"""
         |  ROUND(SUM(value * POWER(0.5,
         |        (r.tref - epoch(ts)) / 604800.0)), 6) AS decayed
         |FROM c CROSS JOIN r
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q123_ks_drift" ->
+      """WITH f AS (
+        |  SELECT n_chars AS v, source AS g FROM documents
+        |  WHERE source IN ('src0', 'src1')
+        |), c AS (
+        |  SELECT v,
+        |    SUM(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb
+        |  FROM f GROUP BY 1
+        |), cum AS (
+        |  SELECT v,
+        |    ROUND(ABS(SUM(ca) OVER (ORDER BY v) * 1.0 / SUM(ca) OVER ()
+        |            - SUM(cb) OVER (ORDER BY v) * 1.0 / SUM(cb) OVER ()),
+        |          9) AS d
+        |  FROM c
+        |)
+        |SELECT ROUND(d, 6) AS ks, v AS ks_at
+        |FROM cum ORDER BY d DESC, v LIMIT 1""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

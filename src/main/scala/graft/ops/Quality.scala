@@ -165,6 +165,42 @@ object Quality {
       .select(col(keyCol), col("status"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between groups `a` and
+    * `b` of `groupCol` over `valueCol`: max |F_a(v) − F_b(v)| and the
+    * smallest value attaining it — the distribution-drift detector a
+    * data pipeline runs between sources, snapshots, or train/serve
+    * windows (KS needs no binning choices, unlike a χ² over
+    * histograms).
+    *
+    * Shape: one hash aggregation to per-VALUE counts for both groups
+    * at once, cumulative fractions via a window over that REDUCED
+    * distinct-value frame (bounded when the value domain is — the
+    * [[Binning.percentileRanks]] precedent; for unbounded continuous
+    * domains quantize first), and a 1-row TakeOrdered argmax. The
+    * data is scanned once. |diff| rounds to 9 digits before the
+    * argmax (ties → smallest value); `ks` reports at 6. */
+  def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = df.where(col(groupCol).isin(a, b))
+      .select(col(valueCol).as("v"), col(groupCol).as("g"))
+    val counts = f.groupBy(col("v")).agg(
+      sum(when(col("g") === a, 1L).otherwise(0L)).as("__ca"),
+      sum(when(col("g") === b, 1L).otherwise(0L)).as("__cb"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(lit(1))
+    counts
+      .withColumn("__fa", sum(col("__ca")).over(wCum)
+        / sum(col("__ca")).over(wTot))
+      .withColumn("__fb", sum(col("__cb")).over(wCum)
+        / sum(col("__cb")).over(wTot))
+      .withColumn("__d", round(abs(col("__fa") - col("__fb")), 9))
+      .orderBy(col("__d").desc, col("v"))
+      .limit(1)
+      .select(round(col("__d"), 6).as("ks"), col("v").as("ks_at"))
+  }
+
   /** Robust per-group outlier profile via median/MAD (the
     * distribution-shape guard a pipeline runs on metric columns —
     * mean/stddev z-scores are themselves dragged by the outliers they

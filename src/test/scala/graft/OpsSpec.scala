@@ -165,6 +165,25 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
   }
 
+  test("ksStatistic: 0 for identical samples, 1 for disjoint, hand case exact") {
+    import spark.implicits._
+    def ks(rows: Seq[(Long, String)]): (Double, Long) = {
+      val r = Quality.ksStatistic(rows.toDF("v", "g"), "v", "g", "a", "b")
+        .head()
+      (r.getDouble(0), r.getLong(1))
+    }
+    // identical samples -> 0
+    val same = (1L to 50L).flatMap(i => Seq((i, "a"), (i, "b")))
+    assert(ks(same)._1 == 0.0)
+    // fully disjoint supports -> 1 at the boundary (end of a's support)
+    val disjoint = (1L to 30L).map((_, "a")) ++ (100L to 129L).map((_, "b"))
+    assert(ks(disjoint) == ((1.0, 30L)))
+    // hand case: a={1,2,3,4}, b={3,4,5,6} -> max |Fa-Fb| = 0.5 at v=2
+    val hand = Seq(1L, 2L, 3L, 4L).map((_, "a")) ++
+      Seq(3L, 4L, 5L, 6L).map((_, "b"))
+    assert(ks(hand) == ((0.5, 2L)))
+  }
+
   test("snapshotDiff treats NULL payloads as presence, not absence") {
     import spark.implicits._
     // id 1: null -> null (unchanged); id 2: value -> null (changed);
