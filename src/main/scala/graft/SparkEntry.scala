@@ -1442,7 +1442,15 @@ object SparkEntry {
     // over the reduced distinct-value frame, 1-row argmax).
     "q123_ks_drift" -> ((s, dir) =>
       graft.ops.Quality.ksStatistic(t(s, dir, "documents"),
-        "n_chars", "source", "src0", "src1"))
+        "n_chars", "source", "src0", "src1")),
+
+    // Categorical drift (chi-squared homogeneity + PSI) of the
+    // event-type mix between even and odd user cohorts.
+    "q124_categorical_drift" -> ((s, dir) =>
+      graft.ops.Quality.categoricalDrift(
+        t(s, dir, "events").withColumn("grp",
+          when(col("user_id") % 2 === 0, "even").otherwise("odd")),
+        "event_type", "grp", "even", "odd"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -3484,7 +3492,39 @@ ORDER BY 1, 2"""
         |  FROM c
         |)
         |SELECT ROUND(d, 6) AS ks, v AS ks_at
-        |FROM cum ORDER BY d DESC, v LIMIT 1""".stripMargin
+        |FROM cum ORDER BY d DESC, v LIMIT 1""".stripMargin,
+
+    "q124_categorical_drift" ->
+      """WITH f AS (
+        |  SELECT event_type AS c,
+        |    CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g
+        |  FROM events
+        |), k AS (
+        |  SELECT c,
+        |    SUM(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS oa,
+        |    SUM(CASE WHEN g = 'odd' THEN 1 ELSE 0 END) AS ob
+        |  FROM f GROUP BY 1
+        |), t AS (
+        |  SELECT c, oa, ob,
+        |    SUM(oa) OVER () AS na, SUM(ob) OVER () AS nb,
+        |    COUNT(1) OVER () AS nk
+        |  FROM k
+        |), s AS (
+        |  SELECT
+        |    POWER(oa - na * (oa + ob) * 1.0 / (na + nb), 2)
+        |      / (na * (oa + ob) * 1.0 / (na + nb))
+        |    + POWER(ob - nb * (oa + ob) * 1.0 / (na + nb), 2)
+        |      / (nb * (oa + ob) * 1.0 / (na + nb)) AS chi,
+        |    ((oa + 0.5) / (na + 0.5 * nk) - (ob + 0.5) / (nb + 0.5 * nk))
+        |      * ln(((oa + 0.5) / (na + 0.5 * nk))
+        |           / ((ob + 0.5) / (nb + 0.5 * nk))) AS psi,
+        |    nk
+        |  FROM t
+        |)
+        |SELECT ROUND(SUM(chi), 6) AS chi2,
+        |       CAST(MAX(nk) - 1 AS BIGINT) AS dof,
+        |       ROUND(SUM(psi), 6) AS psi
+        |FROM s""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

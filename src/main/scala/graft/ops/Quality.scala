@@ -201,6 +201,47 @@ object Quality {
       .select(round(col("__d"), 6).as("ks"), col("v").as("ks_at"))
   }
 
+  /** Categorical drift between groups `a` and `b` of `groupCol` over
+    * the categories of `catCol` — the companion of [[ksStatistic]]
+    * for discrete columns. One row out:
+    *  - `chi2`: two-sample homogeneity χ² = Σ (o − e)²/e over both
+    *    groups' category counts (e from the pooled distribution);
+    *  - `dof`: #categories − 1;
+    *  - `psi`: population stability index
+    *    Σ (p_a − p_b)·ln(p_a / p_b), with +0.5 Laplace smoothing on
+    *    every (group, category) count so absent categories stay
+    *    finite (the standard monitoring convention).
+    * Shape: one hash aggregation to per-category counts for both
+    * groups at once, totals as windows over that bounded category
+    * frame, one 1-row final aggregate. Scanned once; both statistics
+    * round to 6 digits. */
+  def categoricalDrift(df: DataFrame, catCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(groupCol).isin(a, b))
+      .groupBy(col(catCol).as("c")).agg(
+        sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__oa"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__ob"))
+    val w = Window.partitionBy(lit(1))
+    val withTot = counts
+      .withColumn("__na", sum(col("__oa")).over(w))
+      .withColumn("__nb", sum(col("__ob")).over(w))
+      .withColumn("__k", count(lit(1)).over(w))
+    val pooled =
+      (col("__oa") + col("__ob")) / (col("__na") + col("__nb"))
+    val ea = col("__na") * pooled
+    val eb = col("__nb") * pooled
+    val pa = (col("__oa") + 0.5) / (col("__na") + col("__k") * 0.5)
+    val pb = (col("__ob") + 0.5) / (col("__nb") + col("__k") * 0.5)
+    withTot
+      .withColumn("__chi",
+        pow(col("__oa") - ea, 2) / ea + pow(col("__ob") - eb, 2) / eb)
+      .withColumn("__psi", (pa - pb) * log(pa / pb))
+      .agg(round(sum(col("__chi")), 6).as("chi2"),
+        (max(col("__k")) - 1).cast("long").as("dof"),
+        round(sum(col("__psi")), 6).as("psi"))
+  }
+
   /** Robust per-group outlier profile via median/MAD (the
     * distribution-shape guard a pipeline runs on metric columns —
     * mean/stddev z-scores are themselves dragged by the outliers they

@@ -184,6 +184,32 @@ class OpsSpec extends SparkSpec {
     assert(ks(hand) == ((0.5, 2L)))
   }
 
+  test("categoricalDrift: zero on identical mixes, grows with divergence") {
+    import spark.implicits._
+    def drift(rows: Seq[(String, String)]): (Double, Long, Double) = {
+      val r = Quality.categoricalDrift(rows.toDF("cat", "g"), "cat", "g",
+        "a", "b").head()
+      (r.getDouble(0), r.getLong(1), r.getDouble(2))
+    }
+    // identical category mixes -> chi2 = 0, psi = 0
+    val same = Seq("x", "x", "y", "z").flatMap(c => Seq((c, "a"), (c, "b")))
+    val (c0, dof0, p0) = drift(same)
+    assert(c0 == 0.0 && p0 == 0.0 && dof0 == 2)
+    // mild vs severe divergence: both metrics strictly increase
+    val mild = Seq.fill(60)(("x", "a")) ++ Seq.fill(40)(("y", "a")) ++
+      Seq.fill(50)(("x", "b")) ++ Seq.fill(50)(("y", "b"))
+    val severe = Seq.fill(95)(("x", "a")) ++ Seq.fill(5)(("y", "a")) ++
+      Seq.fill(5)(("x", "b")) ++ Seq.fill(95)(("y", "b"))
+    val (cm, _, pm) = drift(mild)
+    val (cs, _, ps) = drift(severe)
+    assert(cm > 0 && pm > 0)
+    assert(cs > cm && ps > pm, s"severe ($cs,$ps) !> mild ($cm,$pm)")
+    // a category absent from one group stays finite (smoothing)
+    val absent = Seq.fill(10)(("x", "a")) ++ Seq.fill(10)(("y", "b"))
+    val (ca2, _, pa2) = drift(absent)
+    assert(!ca2.isNaN && !pa2.isNaN && !pa2.isInfinite && pa2 > 0)
+  }
+
   test("snapshotDiff treats NULL payloads as presence, not absence") {
     import spark.implicits._
     // id 1: null -> null (unchanged); id 2: value -> null (changed);
