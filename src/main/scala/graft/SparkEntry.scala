@@ -3229,24 +3229,31 @@ ORDER BY 1, 2"""
         |      FROM fused)
         |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // the null-coalesced srck mirrors interleaveBySource's internal
+    // key ('0' for NULL, '1'||source otherwise) so the oracle encodes
+    // the same NULL-source contract the spec tests: NULL-source rows
+    // survive the join and sort first
     "q113_interleave" ->
       """WITH h AS (
         |  SELECT doc_id, source,
+        |    CASE WHEN source IS NULL THEN '0' ELSE '1'||source END AS srck,
         |    CAST(('0x'||substr(md5('v1:'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS hk
         |  FROM documents
         |), s AS (
-        |  SELECT doc_id, source,
-        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+        |  SELECT doc_id, source, srck,
+        |    ROW_NUMBER() OVER (PARTITION BY srck ORDER BY hk, doc_id) AS rn
         |  FROM h
         |), reg AS (
-        |  SELECT source,
-        |    ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx,
+        |  SELECT srck,
+        |    ROW_NUMBER() OVER (ORDER BY srck) - 1 AS sidx,
         |    COUNT(1) OVER () AS k
-        |  FROM (SELECT DISTINCT source FROM documents)
+        |  FROM (SELECT DISTINCT
+        |          CASE WHEN source IS NULL THEN '0' ELSE '1'||source END AS srck
+        |        FROM documents)
         |)
         |SELECT doc_id, s.source, CAST(rn AS BIGINT) AS rn,
         |       CAST((rn - 1) * k + sidx AS BIGINT) AS pos
-        |FROM s JOIN reg USING (source)
+        |FROM s JOIN reg USING (srck)
         |ORDER BY pos""".stripMargin,
 
     "q114_leakage_safe_split" ->

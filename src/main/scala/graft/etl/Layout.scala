@@ -76,7 +76,13 @@ object Layout {
     val entries = fs.listStatus(hPath)
     // A partitioned layout (key=value subdirs) would be silently
     // flattened by a read+rewrite — refuse it; compact leaf dirs.
-    require(!entries.exists(_.isDirectory),
+    // Hidden/metadata dirs (_temporary from a crashed write, .crc
+    // dirs) are not partition layout — ignore them like the .parquet
+    // file filter below ignores non-data files.
+    require(!entries.exists(e => e.isDirectory && {
+        val n = e.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }),
       s"compact() rewrites FLAT parquet dirs only; $path contains " +
         "subdirectories (partitioned layout) — compact each leaf instead")
     val files = entries
@@ -100,6 +106,7 @@ object Layout {
       throw new java.io.IOException(s"compact: could not move $hPath aside")
     if (!fs.rename(tmp, hPath)) {
       fs.rename(aside, hPath) // roll back so the path never stays absent
+      fs.delete(tmp, true) // don't leave the temp dir behind on rollback
       throw new java.io.IOException(s"compact: could not publish $tmp")
     }
     fs.delete(aside, true)

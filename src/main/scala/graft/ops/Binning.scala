@@ -70,17 +70,21 @@ object Binning {
     * the clamp itself is a narrow projection — the corpus is scanned
     * twice and never shuffled (group cardinality bounded; for
     * unbounded groups swap the cuts for [[Approx]] GK sketches).
-    * Output: input + `<valueCol>_w` (clamped). */
+    * Output: input + `<valueCol>_w` (clamped). Row-preserving even for
+    * NULL group keys (null-safe join), and NULL values stay NULL —
+    * a missing measurement is not an outlier at the low cut. */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     require(0 <= lo && lo < hi && hi <= 1, s"bad quantiles [$lo, $hi]")
     val cuts = df.groupBy(col(groupCol)).agg(
       round(percentile(col(valueCol), lit(lo)), 6).as("__lo"),
       round(percentile(col(valueCol), lit(hi)), 6).as("__hi"))
-    df.join(broadcast(cuts), groupCol)
+      .withColumnRenamed(groupCol, "__g")
+    df.join(broadcast(cuts), col(groupCol) <=> col("__g"))
       .withColumn(s"${valueCol}_w",
-        least(greatest(col(valueCol), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol), col("__lo")), col("__hi"))))
+      .drop("__g", "__lo", "__hi")
   }
 
   /** Equi-width histogram: (bin, lo, hi, n) over `nBins` bands of

@@ -178,11 +178,18 @@ object Quality {
     * [[Binning.percentileRanks]] precedent; for unbounded continuous
     * domains quantize first), and a 1-row TakeOrdered argmax. The
     * data is scanned once. |diff| rounds to 9 digits before the
-    * argmax (ties → smallest value); `ks` reports at 6. */
+    * argmax (ties → smallest value); `ks` reports at 6.
+    *
+    * NULL `valueCol` rows are excluded up front — an empirical CDF is
+    * defined over observed values only, and NULL ordering differs
+    * across engines (Spark windows put NULLS FIRST, DuckDB ORDER BY
+    * puts them LAST), so counting them would make the statistic
+    * engine-dependent (the [[graft.ops.Sampling.weightedSample]]
+    * precedent of excluding undefined inputs explicitly). */
   def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
       a: String, b: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val f = df.where(col(groupCol).isin(a, b))
+    val f = df.where(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
       .select(col(valueCol).as("v"), col(groupCol).as("g"))
     val counts = f.groupBy(col("v")).agg(
       sum(when(col("g") === a, 1L).otherwise(0L)).as("__ca"),

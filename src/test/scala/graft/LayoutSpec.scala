@@ -66,6 +66,15 @@ class LayoutSpec extends SparkSpec {
       && back.agg(sum("id")).head().getLong(0) == 10000L * 10001 / 2)
   }
 
+  test("compact tolerates a leftover _temporary dir from a crashed write") {
+    val dir = java.nio.file.Files.createTempDirectory("compactt").toString + "/t"
+    (1L to 1000L).toDF("id").repartition(8).write.parquet(dir)
+    // simulate a previously crashed Spark write leaving _temporary behind
+    assert(new java.io.File(dir, "_temporary/0").mkdirs())
+    val n = Layout.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(n == 1 && spark.read.parquet(dir).count() == 1000)
+  }
+
   test("compact refuses a partitioned (subdirectory) layout") {
     val dir = java.nio.file.Files.createTempDirectory("compactp").toString + "/t"
     (1L to 100L).toDF("id").withColumn("p", col("id") % 2)

@@ -184,6 +184,17 @@ class OpsSpec extends SparkSpec {
     assert(ks(hand) == ((0.5, 2L)))
   }
 
+  test("ksStatistic excludes NULL values: statistic defined over observed CDF only") {
+    import spark.implicits._
+    val withNulls = Seq(
+      (Some(1L), "a"), (Some(2L), "a"), (Some(3L), "a"), (Some(4L), "a"),
+      (None, "a"), (None, "a"), // NULLs must not shift F_a
+      (Some(3L), "b"), (Some(4L), "b"), (Some(5L), "b"), (Some(6L), "b"),
+      (None, "b")).toDF("v", "g")
+    val r = Quality.ksStatistic(withNulls, "v", "g", "a", "b").head()
+    assert((r.getDouble(0), r.getLong(1)) == ((0.5, 2L)))
+  }
+
   test("categoricalDrift: zero on identical mixes, grows with divergence") {
     import spark.implicits._
     def drift(rows: Seq[(String, String)]): (Double, Long, Double) = {

@@ -115,4 +115,22 @@ class VocabSpec extends SparkSpec {
     // row count preserved
     assert(out.count() == df.count())
   }
+
+  test("winsorize is row-preserving for NULL group keys and passes NULL values through") {
+    import graft.ops.Binning
+    val df = Seq((Some("g"), Some(1.0)), (Some("g"), Some(2.0)),
+      (Some("g"), Some(100.0)), (Some("g"), None),
+      (None, Some(5.0)), (None, Some(6.0)), (None, None))
+      .toDF("grp", "v")
+    val out = Binning.winsorize(df, "grp", "v", 0.25, 0.75)
+    // every input row survives, including the NULL-group rows
+    assert(out.count() == 7)
+    assert(out.where($"grp".isNull).count() == 3)
+    // NULL values stay NULL (not rewritten to the group's low cut)
+    assert(out.where($"v".isNull && $"v_w".isNull).count() == 2)
+    // NULL-group rows still clamp against their own group's cuts
+    val nullG = out.where($"grp".isNull && $"v".isNotNull)
+      .select($"v_w").collect().map(_.getDouble(0)).sorted
+    assert(nullG.head >= 5.0 && nullG.last <= 6.0)
+  }
 }
