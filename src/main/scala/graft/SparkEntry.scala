@@ -1450,7 +1450,36 @@ object SparkEntry {
       graft.ops.Quality.categoricalDrift(
         t(s, dir, "events").withColumn("grp",
           when(col("user_id") % 2 === 0, "even").otherwise("odd")),
-        "event_type", "grp", "even", "odd"))
+        "event_type", "grp", "even", "odd")),
+
+    // Raw-web entry gate: plant HTML markup (script/style bodies,
+    // comments, tags, entities, zero-width chars) on every 3rd doc and
+    // decomposed Unicode (combining acute) on another third, then
+    // strip + NFC-normalize — gating the full stripMarkup chain and
+    // the NormalizeUnicode expression byte-for-byte vs DuckDB's
+    // regexp_replace/nfc_normalize. All narrow projections, no shuffle.
+    "q125_strip_markup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(
+              lit("<html><head><style>p { color: red; }</style>" +
+                "<script type=\"text/javascript\">var x = 1 < 2;" +
+                "</script></head><body class=\"main\">" +
+                "<!-- boilerplate --><p>"),
+              col("text"),
+              lit("</p><br/>Tom &amp; Jerry &lt;3 &quot;quoted&quot; " +
+                "&#39;s&nbsp;end\u200B\uFEFF</body></html>")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" cafe\u0301 re\u0301sume\u0301")))
+          .otherwise(col("text")).as("t"))
+      val clean = graft.functions.TextFunctions.normalizeNfc(
+        graft.functions.TextFunctions.stripMarkup(col("t")))
+      planted
+        .select(col("doc_id"), md5(clean).as("clean_hash"),
+          length(clean).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -3531,7 +3560,42 @@ ORDER BY 1, 2"""
         |SELECT ROUND(SUM(chi), 6) AS chi2,
         |       CAST(MAX(nk) - 1 AS BIGINT) AS dof,
         |       ROUND(SUM(psi), 6) AS psi
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // Same planted markup, same RE2-safe strip chain, DuckDB's
+    // nfc_normalize vs the NormalizeUnicode expression. chr(8203)/
+    // chr(65279)/chr(769) = ZWSP / BOM / combining acute.
+    "q125_strip_markup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 3 = 0 THEN
+        |        '<html><head><style>p { color: red; }</style><script type="text/javascript">var x = 1 < 2;</script></head><body class="main"><!-- boilerplate --><p>'
+        |        || text ||
+        |        '</p><br/>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;s&nbsp;end'
+        |        || chr(8203) || chr(65279) || '</body></html>'
+        |      WHEN doc_id % 3 = 1 THEN
+        |        text || ' cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769)
+        |      ELSE text
+        |    END AS t
+        |  FROM documents
+        |), stripped AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |        '(?s)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |        '(?s)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '</?[A-Za-z][^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS s
+        |  FROM planted
+        |)
+        |SELECT doc_id, md5(nfc_normalize(s)) AS clean_hash,
+        |  CAST(length(nfc_normalize(s)) AS BIGINT) AS clean_len
+        |FROM stripped ORDER BY doc_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

@@ -90,6 +90,58 @@ object TextFunctions {
     }
   }
 
+  /** HTML/markup stripping — the raw-web-corpus entry gate that runs
+    * BEFORE tokenization and quality rules (tags inflate punctuation
+    * ratios and script bodies pollute the token stream). The chain is
+    * built only from `regexp_replace`/`replace` with RE2-compatible
+    * patterns (inline `(?s)`, lazy quantifiers, `\x{...}` classes — no
+    * lookahead, no backreferences) so the IDENTICAL patterns run in the
+    * DuckDB oracle:
+    *
+    *   1. `<script>`/`<style>` elements drop with their BODY (code and
+    *      CSS are not prose),
+    *   2. comments `<!-- -->` and remaining tags become a space (tags
+    *      are word boundaries: `a<br>b` is two words),
+    *   3. a fixed entity table decodes literally — `&amp;` LAST so
+    *      double-escaped text (`&amp;lt;`) decodes one level per pass,
+    *      the HTML5 semantics,
+    *   4. zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) vanish — invisible
+    *      codepoints that break exact dedup and fingerprinting,
+    *   5. whitespace collapses to single spaces, trimmed.
+    *
+    * Everything is a narrow per-row projection (one codegen'd stage, no
+    * shuffle) — at 100 TB this runs at scan speed. */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?s)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?s)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTag = regexp_replace(noComment, "</?[A-Za-z][^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTag) { case (c, (e, ch)) =>
+      replace(c, lit(e), lit(ch))
+    }
+    val noZw = regexp_replace(decoded,
+      "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
+    trim(regexp_replace(noZw, "\\s+", " "))
+  }
+
+  /** Unicode NFC normalization (canonical compose: "e"+combining-acute
+    * → "é") — the form DuckDB's `nfc_normalize` implements, used by the
+    * oracle gate. See [[graft.expressions.NormalizeUnicode]]. */
+  def normalizeNfc(text: Column): Column =
+    graft.expressions.NormalizeUnicode(text, "NFC")
+
+  /** Unicode NFKC normalization (compatibility compose: fullwidth
+    * "Ａ" → "A", ligature "ﬁ" → "fi", plus everything NFC does) — the
+    * training-pipeline convention (GPT-2/SentencePiece lineage): without
+    * it visually-identical strings hash differently, so exact dedup
+    * misses duplicates and the tokenizer vocabulary fragments. */
+  def normalizeNfkc(text: Column): Column =
+    graft.expressions.NormalizeUnicode(text, "NFKC")
+
   /** Number of whitespace tokens. */
   def tokenCount(toks: Column): Column = size(toks)
 

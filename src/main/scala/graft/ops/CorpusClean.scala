@@ -31,7 +31,32 @@ object CorpusClean {
     /** Use large-star/small-star CC (O(log n) rounds) for the
       * transitive near-dup clusters instead of min-label propagation —
       * the web-scale switch when chains can run long. */
-    starComponents: Boolean = false)
+    starComponents: Boolean = false,
+    /** Strip HTML/markup (tags, script/style bodies, entities,
+      * zero-width chars) from the text column BEFORE the quality
+      * gates — the raw-web-corpus entry path. Off by default: curated
+      * inputs (the gated q105/q120 corpora) are already plain text. */
+    stripMarkup: Boolean = false,
+    /** Unicode-normalize the text column (NFC/NFKC/NFD/NFKD) before
+      * the gates, after markup stripping. NFKC is the training-data
+      * convention; None skips. */
+    normalizeForm: Option[String] = None)
+
+  /** The raw-text entry transform of the pipeline: markup stripping
+    * then Unicode normalization, per [[Config]]. Rewrites `textCol` in
+    * place (downstream stages see the cleaned text). Both legs are
+    * narrow per-row projections — no shuffle, scan-speed at 100 TB. */
+  def normalizeText(docs: DataFrame, textCol: String,
+      cfg: Config): DataFrame = {
+    val stripped =
+      if (cfg.stripMarkup)
+        docs.withColumn(textCol, stripMarkup(col(textCol)))
+      else docs
+    cfg.normalizeForm.fold(stripped) { form =>
+      stripped.withColumn(textCol,
+        graft.expressions.NormalizeUnicode(col(textCol), form))
+    }
+  }
 
   /** The narrow quality/language gates of [[clean]] alone (no dedup):
     * length band, stopword floor, punctuation ceiling, language
@@ -40,7 +65,7 @@ object CorpusClean {
     * the exact gate the cleaner applies. */
   def gate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame =
-    docs
+    normalizeText(docs, textCol, cfg)
       .withColumn("__w", tokens(col(textCol)))
       .where(size(col("__w")).between(cfg.minTokens, cfg.maxTokens))
       .where(stopwordRatio(col("__w")) >= cfg.minStopwordRatio)
@@ -48,12 +73,19 @@ object CorpusClean {
       .where(langId(col("__w")).isInCollection(cfg.langs))
       .drop("__w")
 
-  /** Returns the cleaned corpus (same schema as input). */
+  /** Returns the cleaned corpus (same schema as input, text rewritten
+    * by the normalize leg when enabled). Normalization runs ONCE and
+    * FIRST — before exact dedup, so markup-only and encoding-only
+    * variants hash identically (the reason the normalize leg exists) —
+    * and is disabled inside the gate call because entity decoding is
+    * not idempotent (`&amp;lt;` must decode exactly one level). */
   def clean(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
-    val deduped = Dedup.dropExactDuplicates(docs, idCol, textCol)
+    val normalized = normalizeText(docs, textCol, cfg)
+    val deduped = Dedup.dropExactDuplicates(normalized, idCol, textCol)
 
-    val gated = gate(deduped, idCol, textCol, cfg)
+    val gated = gate(deduped, idCol, textCol,
+      cfg.copy(stripMarkup = false, normalizeForm = None))
 
     // transitive clustering: one survivor per chained near-dup group
     val pairs = Dedup.minhashNearDups(gated, idCol, textCol,

@@ -153,4 +153,68 @@ class TextFunctionsSpec extends SparkSpec {
       assert(b * r == n)
     }
   }
+
+  test("stripMarkup drops tags, script/style bodies, comments") {
+    def strip(s: String): String =
+      one[String](Seq(s).toDF("s").select(stripMarkup($"s")))
+    assert(strip("<p>hello <b>world</b></p>") == "hello world")
+    // script/style BODIES go; tag-only removal would leave the code
+    assert(strip("a<script>var x = 1 < 2;</script>b") == "a b")
+    assert(strip("a<style>p { color: red }</style>b") == "a b")
+    assert(strip("a<!-- secret\nnote -->b") == "a b")
+    // tags are word boundaries, then whitespace collapses
+    assert(strip("one<br>two<br/>three") == "one two three")
+    // attributes, uppercase tags, multiline tags
+    assert(strip("<A HREF=\"x\">link</A>") == "link")
+    // a bare '<' that never closes is NOT a tag - stays
+    assert(strip("1 < 2 and 3 > 2") == "1 < 2 and 3 > 2")
+  }
+
+  test("stripMarkup decodes entities one level, &amp; last") {
+    def strip(s: String): String =
+      one[String](Seq(s).toDF("s").select(stripMarkup($"s")))
+    assert(strip("Tom &amp; Jerry") == "Tom & Jerry")
+    assert(strip("&lt;tag&gt; &quot;q&quot; &#39;a&#39;") == "<tag> \"q\" 'a'")
+    assert(strip("a&nbsp;b") == "a b")
+    // double-escaped decodes exactly ONE level (&amp; runs last)
+    assert(strip("&amp;lt;") == "&lt;")
+  }
+
+  test("stripMarkup removes zero-width characters") {
+    def strip(s: String): String =
+      one[String](Seq(s).toDF("s").select(stripMarkup($"s")))
+    assert(strip("a​b‌c‍d﻿e") == "abcde")
+    // so invisible-char variants of the same text hash identically
+    assert(strip("dup​ text") == strip("dup text"))
+  }
+
+  test("normalizeNfc composes; normalizeNfkc also folds compatibility") {
+    def nfc(s: String): String =
+      one[String](Seq(s).toDF("s").select(normalizeNfc($"s")))
+    def nfkc(s: String): String =
+      one[String](Seq(s).toDF("s").select(normalizeNfkc($"s")))
+    // e + combining acute (2 code points) -> precomposed é (1)
+    assert(nfc("café") == "café")
+    assert(nfc("café") == "café") // already-normalized fast path
+    // NFC preserves compatibility characters; NFKC folds them
+    assert(nfc("Ａﬁ") == "Ａﬁ") // fullwidth A, fi ligature
+    assert(nfkc("Ａﬁ") == "Afi")
+    assert(nfkc("café") == "café")
+    // NULL passes through
+    val n = Seq(Option.empty[String]).toDF("s").select(normalizeNfkc($"s"))
+    assert(n.head().isNullAt(0))
+  }
+
+  test("normalizeText wires strip+NFKC ahead of the corpus gates") {
+    import graft.ops.CorpusClean
+    val cfg = CorpusClean.Config(stripMarkup = true,
+      normalizeForm = Some("NFKC"))
+    val docs = Seq(
+      (1L, "<p>café &amp; Ａ</p>"),
+      (2L, "café & A")).toDF("doc_id", "text")
+    val out = CorpusClean.normalizeText(docs, "text", cfg)
+      .select($"text").as[String].collect()
+    assert(out(0) == out(1)) // variants converge -> exact dedup catches them
+    assert(out(0) == "café & A")
+  }
 }
