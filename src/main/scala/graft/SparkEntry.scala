@@ -1404,9 +1404,13 @@ object SparkEntry {
           Seq("doc_b"), "left_semi")
       val split = Dedup.leakageSafeSplit(cleanedIds, "doc_id", splitPairs,
         valFrac = 0.1, testFrac = 0.1, seed = "v1")
+      // REAL token counts: the pinned BPE tokenizer (q126's merge
+      // table), not the whitespace proxy — shard budgets now mean
+      // actual subword tokens. Narrow expression, still no shuffle.
       val withTok = split.join(
         cleaned.select(col("doc_id"),
-          tokenCount(tokens(col("text"))).cast("long").as("n_tokens")),
+          size(graft.expressions.BpePieces(col("text"), PinnedBpeMerges))
+            .cast("long").as("n_tokens")),
         "doc_id")
       graft.ops.Packing.packByBudget(withTok, "doc_id", "n_tokens", 4096L,
           expr("doc_id div 100"), partitionCols = Seq("split"))
@@ -1479,7 +1483,19 @@ object SparkEntry {
         .select(col("doc_id"), md5(clean).as("clean_hash"),
           length(clean).cast("long").as("clean_len"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // BPE ENCODING with the pinned merge table: real subword token
+    // counts + an md5 over the space-joined piece sequence — gating the
+    // BpePieces expression (greedy rank-order application, per-word
+    // memo) against DuckDB's replace-fold mirror generated from the
+    // SAME table. Narrow single-pass, no shuffle.
+    "q126_bpe_encode" -> ((s, dir) =>
+      graft.ops.Vocab.bpeEncode(t(s, dir, "documents"),
+          "doc_id", "text", PinnedBpeMerges)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(concat_ws(" ", col("pieces"))).as("pieces_hash"))
+        .orderBy("doc_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -1487,6 +1503,32 @@ object SparkEntry {
     * interpolated into the q15 and q67 oracles so both gate the SAME
     * pair computation. */
   private val MinhashGateCtes: String = minhashGateCtes("documents")
+
+  /** Pinned BPE merge table for the q126 encode gate and the q120
+    * token-budget counts — the production posture: a tokenizer is a
+    * RELEASED artifact applied by rank, not retrained per job (the
+    * training loop itself is [[graft.ops.Vocab.bpeTrain]], spec-gated
+    * against a single-threaded reference). Rules chosen to exercise
+    * multi-level cascades on the corpus vocabulary (s,c→sc→sca→scan;
+    * j,o→jo→joi→join) and leftmost non-overlap (l,l on "small"). */
+  val PinnedBpeMerges: Seq[(String, String)] = Seq(
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("j", "o"), ("jo", "i"), ("joi", "n"),
+    ("h", "a"), ("ha", "s"), ("has", "h"),
+    ("r", "o"), ("ro", "w"),
+    ("a", "t"), ("e", "r"), ("l", "l"))
+
+  /** DuckDB mirror of [[graft.ops.Vocab.bpeEncodeFold]] over
+    * [[PinnedBpeMerges]], GENERATED from the same table so the two
+    * engines can never drift: frame every non-space char as
+    * chr(31)‹c›chr(31), then one literal replace per merge rule in
+    * rank order. */
+  private val BpeApplySql: String = {
+    val framed = """regexp_replace(trim(regexp_replace(text, '\s+', ' ', 'g')), '(\S)', chr(31)||'\1'||chr(31), 'g')"""
+    PinnedBpeMerges.foldLeft(framed) { case (acc, (a, b)) =>
+      s"replace($acc, chr(31)||'$a'||chr(31)||chr(31)||'$b'||chr(31), chr(31)||'$a$b'||chr(31))"
+    }
+  }
 
   /** Same chain over an arbitrary source relation (used by the
     * composite corpus-clean gate, which runs LSH on the GATED subset). */
@@ -3478,8 +3520,10 @@ ORDER BY 1, 2"""
          |        FROM sg)
          |), wt AS (
          |  SELECT s.doc_id, s.group_id, s.split,
-         |         CAST(len(t.w) AS BIGINT) AS n_tokens
-         |  FROM spl s JOIN tokg t USING (doc_id)
+         |         CAST((length(t.m) - length(replace(t.m, chr(31), ''))) / 2
+         |           AS BIGINT) AS n_tokens
+         |  FROM spl s JOIN (SELECT doc_id, $BpeApplySql AS m FROM tokg) t
+         |    USING (doc_id)
          |), c2 AS (
          |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY split
          |    ORDER BY doc_id
@@ -3595,7 +3639,18 @@ ORDER BY 1, 2"""
         |)
         |SELECT doc_id, md5(nfc_normalize(s)) AS clean_hash,
         |  CAST(length(nfc_normalize(s)) AS BIGINT) AS clean_len
-        |FROM stripped ORDER BY doc_id""".stripMargin
+        |FROM stripped ORDER BY doc_id""".stripMargin,
+
+    "q126_bpe_encode" ->
+      s"""WITH enc AS (
+         |  SELECT doc_id, $BpeApplySql AS m FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST((length(m) - length(replace(m, chr(31), ''))) / 2
+         |    AS BIGINT) AS n_tokens,
+         |  md5(replace(replace(m, chr(31)||chr(31), ' '), chr(31), ''))
+         |    AS pieces_hash
+         |FROM enc ORDER BY doc_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

@@ -195,4 +195,58 @@ object Vocab {
     }
     merges.toSeq.toDF("rank", "left", "right", "n")
   }
+
+  /** Framing separator for the portable merge-apply representation:
+    * each symbol rides as U+001F‹sym›U+001F, words separated by a raw
+    * space, so a merge (a,b)→ab is the literal string replacement
+    * ␟a␟␟b␟ → ␟ab␟ — leftmost-first non-overlapping in every engine's
+    * replace(), and unable to match inside a symbol or across a word
+    * boundary. Precondition: text contains no U+001F (a C0 control no
+    * real corpus carries; strip in the normalize leg if in doubt). */
+  val BpeSep = "\u001F"
+
+  /** Collect a [[bpeTrain]] output (or any (rank,left,right) frame)
+    * into an in-order merge table. The table is a bounded trained
+    * artifact (metadata-scale — the IVF-probe-list collect pattern),
+    * pinned and shipped with the plan. */
+  def bpeMergeTable(merges: DataFrame): Seq[(String, String)] =
+    merges.orderBy(col("rank")).select(col("left"), col("right"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+
+  /** BPE-encode the corpus with a trained merge table: one narrow
+    * expression pass (see [[graft.expressions.BpePieces]] — per-word
+    * memo gives the distinct-word-once economy without a join-back).
+    * Output: (idCol, pieces array<string>, n_tokens) — REAL subword
+    * token counts, the unit a token-budget shard pack should use.
+    * No shuffle: at 100 TB this is scan-speed. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol),
+      graft.expressions.BpePieces(col(textCol), merges).as("pieces"))
+      .withColumn("n_tokens", size(col("pieces")).cast("long"))
+
+  /** The composed-built-ins reference form of [[bpeEncode]]: frame
+    * every non-space char as ␟c␟, fold the merge table as literal
+    * replace()s (rank order ≡ Sennrich application order), then read
+    * pieces back (within-word ␟␟ boundaries → space, word-edge ␟
+    * dropped). Mirrored verbatim by the DuckDB oracle (q126); asserted
+    * equal to the expression in VocabSpec. Plan size grows with the
+    * merge table, so this form is for oracle parity and bounded
+    * tables — the expression is the production path. */
+  def bpeEncodeFold(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val norm = trim(regexp_replace(col(textCol), "\\s+", " "))
+    val framed = regexp_replace(norm, "(\\S)", BpeSep + "$1" + BpeSep)
+    val merged = merges.foldLeft(framed) { case (c, (a, b)) =>
+      replace(c, lit(s"$BpeSep$a$BpeSep$BpeSep$b$BpeSep"),
+        lit(s"$BpeSep$a$b$BpeSep"))
+    }
+    val piecesStr =
+      replace(replace(merged, lit(BpeSep + BpeSep), lit(" ")),
+        lit(BpeSep), lit(""))
+    docs.select(col(idCol),
+      when(length(piecesStr) === 0, array().cast("array<string>"))
+        .otherwise(split(piecesStr, " ")).as("pieces"))
+      .withColumn("n_tokens", size(col("pieces")).cast("long"))
+  }
 }

