@@ -45,17 +45,55 @@ object Binning {
     * [[quantileBins]]/[[Approx]]), and a broadcast join back. The data
     * is scanned once and never globally sorted. Output: input +
     * `cume_dist` (exact long-ratio, rounded to 9). */
-  def percentileRanks(df: DataFrame, valueCol: String): DataFrame = {
+  def percentileRanks(df: DataFrame, valueCol: String): DataFrame =
+    percentileRanks(df, valueCol, None)
+
+  /** [[percentileRanks]] with an optional quantize-first reduction:
+    * when `nBuckets` is set, rows first map to <= nBuckets equi-width
+    * bands (one min/max aggregation broadcast back — the
+    * [[histogram]] pattern), the cumulative window runs over that
+    * BOUNDED band frame, and ranks join back by band id — the
+    * unbounded-continuous-domain path where the distinct-value frame
+    * would itself be data-sized. Rank granularity is one band
+    * (every row in a band gets the band's cumulative fraction);
+    * discrete data with distinct values in distinct bands reproduces
+    * the exact statistic. */
+  def percentileRanks(df: DataFrame, valueCol: String,
+      nBuckets: Option[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
-    val cum = counts
-      .withColumn("__cum", sum(col("__c")).over(
-        Window.orderBy(col(valueCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(lit(1))))
-      .select(col(valueCol),
-        round(col("__cum") / col("__n"), 9).as("cume_dist"))
-    df.join(broadcast(cum), valueCol)
+    nBuckets match {
+      case None =>
+        val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+        val cum = counts
+          .withColumn("__cum", sum(col("__c")).over(
+            Window.orderBy(col(valueCol))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("__n",
+            sum(col("__c")).over(Window.partitionBy(lit(1))))
+          .select(col(valueCol),
+            round(col("__cum") / col("__n"), 9).as("cume_dist"))
+        df.join(broadcast(cum), valueCol)
+      case Some(k) =>
+        require(k >= 2, "nBuckets must be at least 2")
+        val vd = col(valueCol).cast("double")
+        val stats = df.agg(min(vd).as("__lo"), max(vd).as("__hi"))
+        val width = (col("__hi") - col("__lo")) / k
+        val banded = df.join(broadcast(stats), lit(true))
+          .withColumn("__b", when(col("__hi") === col("__lo"), 0L)
+            .otherwise(least(floor((vd - col("__lo")) / width),
+              lit(k - 1L)).cast("long")))
+          .drop("__lo", "__hi")
+        val counts = banded.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+        val cum = counts
+          .withColumn("__cum", sum(col("__c")).over(
+            Window.orderBy(col("__b"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("__n",
+            sum(col("__c")).over(Window.partitionBy(lit(1))))
+          .select(col("__b"),
+            round(col("__cum") / col("__n"), 9).as("cume_dist"))
+        banded.join(broadcast(cum), "__b").drop("__b")
+    }
   }
 
   /** Per-group winsorization (robust-stats clipping): values below

@@ -187,13 +187,32 @@ object Quality {
     * engine-dependent (the [[graft.ops.Sampling.weightedSample]]
     * precedent of excluding undefined inputs explicitly). */
   def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
-      a: String, b: String): DataFrame = {
+      a: String, b: String, nBuckets: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val f = df.where(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
       .select(col(valueCol).as("v"), col(groupCol).as("g"))
-    val counts = f.groupBy(col("v")).agg(
-      sum(when(col("g") === a, 1L).otherwise(0L)).as("__ca"),
-      sum(when(col("g") === b, 1L).otherwise(0L)).as("__cb"))
+    // quantize-first: for continuous domains the distinct-value frame
+    // is data-sized, so reduce to <= nBuckets equi-width bands BEFORE
+    // the cumulative window (each band reports its min observed value,
+    // so discrete data with enough buckets reproduces the exact
+    // statistic; error otherwise bounded by one band of probability).
+    val counts = nBuckets.fold(
+      f.groupBy(col("v")).agg(
+        sum(when(col("g") === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("g") === b, 1L).otherwise(0L)).as("__cb"))) { k =>
+      require(k >= 2, "nBuckets must be at least 2")
+      val vd = col("v").cast("double")
+      val stats = f.agg(min(vd).as("__lo"), max(vd).as("__hi"))
+      val width = (col("__hi") - col("__lo")) / k
+      f.join(broadcast(stats), lit(true))
+        .withColumn("__b", when(col("__hi") === col("__lo"), 0L)
+          .otherwise(least(floor((vd - col("__lo")) / width),
+            lit(k - 1L)).cast("long")))
+        .groupBy(col("__b")).agg(min(col("v")).as("v"),
+          sum(when(col("g") === a, 1L).otherwise(0L)).as("__ca"),
+          sum(when(col("g") === b, 1L).otherwise(0L)).as("__cb"))
+        .drop("__b")
+    }
     val wCum = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy(lit(1))
@@ -223,12 +242,32 @@ object Quality {
     * frame, one 1-row final aggregate. Scanned once; both statistics
     * round to 6 digits. */
   def categoricalDrift(df: DataFrame, catCol: String, groupCol: String,
-      a: String, b: String): DataFrame = {
+      a: String, b: String, nBuckets: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = df.where(col(groupCol).isin(a, b))
-      .groupBy(col(catCol).as("c")).agg(
-        sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__oa"),
-        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__ob"))
+    val base0 = df.where(col(groupCol).isin(a, b))
+    // quantize-first: a continuous "category" column reduces to
+    // <= nBuckets equi-width bands before the per-category counts
+    // (χ²/PSI depend only on the partition, not the labels, so the
+    // band id IS the category; NULLs are excluded like ksStatistic's
+    // undefined inputs). dof then counts OBSERVED bands − 1.
+    val base = nBuckets.fold(
+      base0.select(col(catCol).as("c"), col(groupCol).as("g"))) { k =>
+      require(k >= 2, "nBuckets must be at least 2")
+      val f = base0.where(col(catCol).isNotNull)
+        .select(col(catCol).cast("double").as("v"),
+          col(groupCol).as("g"))
+      val stats = f.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+      val width = (col("__hi") - col("__lo")) / k
+      f.join(broadcast(stats), lit(true))
+        .select(when(col("__hi") === col("__lo"), 0L)
+          .otherwise(least(floor((col("v") - col("__lo")) / width),
+            lit(k - 1L)).cast("long")).as("c"),
+          col("g"))
+    }
+    val counts = base
+      .groupBy(col("c")).agg(
+        sum(when(col("g") === a, 1L).otherwise(0L)).as("__oa"),
+        sum(when(col("g") === b, 1L).otherwise(0L)).as("__ob"))
     val w = Window.partitionBy(lit(1))
     val withTot = counts
       .withColumn("__na", sum(col("__oa")).over(w))

@@ -121,6 +121,13 @@ class GraphSpec extends SparkSpec {
     val ref = df.withColumn("cd", round(cume_dist().over(w), 9))
       .distinct().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == ref)
+    // quantize-first path: distinct values land in distinct bands, so
+    // the banded ranks reproduce the exact ones — while the cumulative
+    // window frame is bounded at nBuckets rows
+    val quant = graft.ops.Binning.percentileRanks(df, "v", Some(100))
+      .select("v", "cume_dist").distinct().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(quant == got)
   }
 
   test("histogram bands cover [min,max], max in last band, degenerate collapses") {

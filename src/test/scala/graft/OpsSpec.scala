@@ -195,6 +195,45 @@ class OpsSpec extends SparkSpec {
     assert((r.getDouble(0), r.getLong(1)) == ((0.5, 2L)))
   }
 
+  test("ksStatistic quantize-first reproduces the exact statistic on discrete data") {
+    import spark.implicits._
+    // discrete values with enough buckets -> every distinct value gets
+    // its own band whose representative is the value itself: EXACT
+    val hand = (Seq(1L, 2L, 3L, 4L).map((_, "a")) ++
+      Seq(3L, 4L, 5L, 6L).map((_, "b"))).toDF("v", "g")
+    val exact = Quality.ksStatistic(hand, "v", "g", "a", "b").head()
+    val quant = Quality.ksStatistic(hand, "v", "g", "a", "b",
+      nBuckets = Some(100)).head()
+    assert((exact.getDouble(0), exact.getLong(1)) ==
+      ((quant.getDouble(0), quant.getLong(1))))
+    // continuous domain: the banded statistic tracks the exact one
+    // within one band of probability mass
+    val cont = ((1 to 500).map(i => (i * 0.01, "a")) ++
+      (1 to 500).map(i => (1.0 + i * 0.01, "b"))).toDF("v", "g")
+    val e = Quality.ksStatistic(cont, "v", "g", "a", "b")
+      .head().getDouble(0)
+    val q = Quality.ksStatistic(cont, "v", "g", "a", "b",
+      nBuckets = Some(50)).head().getDouble(0)
+    assert(math.abs(e - q) <= 0.05, s"exact $e vs quantized $q")
+    // degenerate single-value domain collapses to one band, ks = 0
+    val one = Seq((7L, "a"), (7L, "b"), (7L, "a")).toDF("v", "g")
+    assert(Quality.ksStatistic(one, "v", "g", "a", "b",
+      nBuckets = Some(10)).head().getDouble(0) == 0.0)
+  }
+
+  test("categoricalDrift quantize-first equals exact when bands separate the values") {
+    import spark.implicits._
+    val rows = (Seq.fill(60)((1.0, "a")) ++ Seq.fill(40)((2.0, "a")) ++
+      Seq.fill(50)((1.0, "b")) ++ Seq.fill(50)((3.0, "b"))).toDF("cat", "g")
+    val exact = Quality.categoricalDrift(rows, "cat", "g", "a", "b").head()
+    val quant = Quality.categoricalDrift(rows, "cat", "g", "a", "b",
+      nBuckets = Some(50)).head()
+    // same partition of rows -> identical chi2 / dof / psi
+    assert(exact.getDouble(0) == quant.getDouble(0))
+    assert(exact.getLong(1) == quant.getLong(1))
+    assert(exact.getDouble(2) == quant.getDouble(2))
+  }
+
   test("categoricalDrift: zero on identical mixes, grows with divergence") {
     import spark.implicits._
     def drift(rows: Seq[(String, String)]): (Double, Long, Double) = {

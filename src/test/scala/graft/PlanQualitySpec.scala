@@ -80,6 +80,12 @@ class PlanQualitySpec extends SparkSpec {
     val plan = graft.ops.Binning.percentileRanks(docs, "n_chars")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // quantize-first path: the band stats attach by broadcast and the
+    // rank table joins back by broadcast — never a per-row global sort
+    val qplan = graft.ops.Binning.percentileRanks(docs, "n_chars", Some(64))
+      .queryExecution.executedPlan.toString
+    assert(qplan.contains("BroadcastHashJoin"), qplan)
+    assert(!qplan.contains("CartesianProduct"), qplan)
   }
 
   test("range join resolves to an equi hash/sort-merge join on the bucket key") {
