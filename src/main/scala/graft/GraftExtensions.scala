@@ -74,6 +74,67 @@ object GraftExtensions {
       args => {
         require(args.length == 2, "z_order2(a, b) takes 2 arguments")
         colExpr(graft.etl.Layout.zOrder2(asCol(args.head), asCol(args(1))))
+      }),
+    ("pre_tokens",
+      "pre_tokens(text) - GPT-2-style pre-tokenizer pieces (RE2-safe)",
+      args => {
+        require(args.length == 1, "pre_tokens(text) takes 1 argument")
+        colExpr(graft.functions.TextFunctions.preTokens(asCol(args.head)))
+      }),
+    ("strip_markup",
+      "strip_markup(text) - drop HTML tags/script/style/entities/zero-width",
+      args => {
+        require(args.length == 1, "strip_markup(text) takes 1 argument")
+        colExpr(graft.functions.TextFunctions.stripMarkup(asCol(args.head)))
+      }),
+    ("normalize_unicode",
+      "normalize_unicode(text, 'NFC'|'NFD'|'NFKC'|'NFKD') - java.text.Normalizer",
+      args => {
+        require(args.length == 2,
+          "normalize_unicode(text, form) takes 2 arguments")
+        graft.expressions.NormalizeUnicode(args.head,
+          args(1).eval().toString)
+      }),
+    ("quality_score",
+      "quality_score(text) - composite [0,1] document quality heuristic",
+      args => {
+        require(args.length == 1, "quality_score(text) takes 1 argument")
+        val t = asCol(args.head)
+        colExpr(graft.functions.TextFunctions.qualityScore(t,
+          graft.functions.TextFunctions.tokens(t)))
+      }),
+    ("stopword_ratio",
+      "stopword_ratio(text) - fraction of tokens in the EN stopword panel",
+      args => {
+        require(args.length == 1, "stopword_ratio(text) takes 1 argument")
+        colExpr(graft.functions.TextFunctions.stopwordRatio(
+          graft.functions.TextFunctions.tokens(asCol(args.head))))
+      }),
+    ("punct_ratio",
+      "punct_ratio(text) - fraction of punctuation characters",
+      args => {
+        require(args.length == 1, "punct_ratio(text) takes 1 argument")
+        colExpr(graft.functions.TextFunctions.punctRatio(asCol(args.head)))
+      }),
+    ("lang_id",
+      "lang_id(text) - n-gram-heuristic language id over en/es/fr",
+      args => {
+        require(args.length == 1, "lang_id(text) takes 1 argument")
+        colExpr(graft.functions.TextFunctions.langId(
+          graft.functions.TextFunctions.tokens(asCol(args.head))))
+      }),
+    ("bpe_token_estimate",
+      "bpe_token_estimate(text) - ~4-chars-per-token subword count estimate",
+      args => {
+        require(args.length == 1, "bpe_token_estimate(text) takes 1 argument")
+        colExpr(graft.functions.TextFunctions.bpeTokenEstimate(
+          graft.functions.TextFunctions.tokens(asCol(args.head))))
+      }),
+    ("h32",
+      "h32(text) - deterministic unsigned 32-bit md5-prefix hash",
+      args => {
+        require(args.length == 1, "h32(text) takes 1 argument")
+        colExpr(graft.functions.TextFunctions.h32(asCol(args.head)))
       }))
 
   private def asCol(e: Expression) =

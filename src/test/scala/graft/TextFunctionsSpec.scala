@@ -115,6 +115,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(r - math.log(2)) < 1e-12)
   }
 
+  test("the full pipeline function surface is callable from pure SQL") {
+    GraftExtensions.register(spark)
+    def one(sql: String): Any = spark.sql(sql).head().get(0)
+    // each row: (SQL invocation, expected value) — every registered
+    // function reachable without a line of Scala
+    assert(one("SELECT pre_tokens('it''s done')") ==
+      Seq("it", "'s", " done"))
+    assert(one("SELECT strip_markup('<p>hi &amp; bye</p>')") == "hi & bye")
+    assert(one("SELECT normalize_unicode('café', 'NFC')") == "café")
+    assert(one("SELECT normalize_unicode('Ａ', 'NFKC')") == "A")
+    val q = one("SELECT quality_score('the cat sat on the mat')")
+      .asInstanceOf[Double]
+    assert(q > 0.0 && q <= 1.0)
+    assert(one("SELECT stopword_ratio('the cat')") == 0.5)
+    val pr = one("SELECT punct_ratio('ab!')").asInstanceOf[Double]
+    assert(math.abs(pr - 1.0 / 3) < 1e-12)
+    assert(one("SELECT lang_id('the cat and the dog')") == "en")
+    assert(one("SELECT bpe_token_estimate('hello hi abcdefgh')") == 5L)
+    assert(one("SELECT h32('abc')") ==
+      java.lang.Long.parseLong("90015098", 16))
+    assert(one("SELECT year_week(DATE'2024-01-01')") == "2024-01")
+    assert(one("SELECT simhash32(array('a','b'))") != null)
+    assert(one("SELECT fingerprint('hello world')") != null)
+    assert(one("SELECT z_order2(1L, 2L)") != null)
+    assert(one("SELECT word_shingles(array('a','b','c'), 2)") ==
+      Seq("a b", "b c"))
+    assert(one("SELECT dot_product(array(1.0F,2.0F), array(3.0F,4.0F))") ==
+      11.0)
+  }
+
   test("preTokens splits like a GPT-2-style pre-tokenizer; pieces rebuild the text") {
     import graft.functions.TextFunctions.preTokens
     val cases = Seq(
