@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.ops.{CorpusClean, Dedup}
+
+/** The CONTINUOUS-INGEST loop of the training-corpus pipeline, closed
+  * end to end: a document stream lands, each micro-batch is cleaned in
+  * isolation, de-duplicated against the standing corpus (exact by
+  * content hash, near by querying the persistent LSH index), and the
+  * survivors are appended to BOTH the corpus and the index — so the
+  * standing corpus is never re-read beyond a hash column and never
+  * re-signatured, and each epoch costs O(|batch|) regardless of corpus
+  * size (the [[graft.ops.Dedup.appendToLshIndex]] lifecycle, driven by
+  * a restartable streaming query).
+  *
+  * Exactly-once posture (parquet has no transactions — the
+  * [[EventStream.landBatch]] pattern, applied twice):
+  *  - the corpus append writes `batch_id=<id>/` in OVERWRITE mode, so
+  *    an epoch replayed after a crash rewrites the same directory
+  *    instead of double-appending;
+  *  - the index append is guarded by a `_batch_<id>` marker created
+  *    after the append commits; a replay with the marker present
+  *    skips the mutation. The hash-guard recompute EXCLUDES this
+  *    batch's own corpus partition, so a replay reproduces the same
+  *    survivor set it appended the first time.
+  *  - first committed epoch BUILDS the index (overwrite — wiping any
+  *    half-written attempt); later epochs append. "Committed" is
+  *    attested by markers, not directory existence, so a crashed
+  *    build cannot masquerade as an appendable index.
+  * The residual window — a crash between the index append and its
+  * marker — replays as a duplicate band/shingle append (at-least-once,
+  * the floor every non-transactional store shares); `jaccard` from
+  * [[Dedup.lshQueryIndex]] can then exceed the clean value for those
+  * ids until a compaction rebuild.
+  */
+object CorpusIngest {
+
+  /** Start the restartable ingest query over a STREAMING frame with
+    * (`idCol` long, `textCol` string). Doc ids must be globally
+    * unique across the stream's lifetime (they key the index). The
+    * cross-corpus near-dup threshold is cfg.nearDupThreshold — ONE
+    * knob for within-batch and cross-corpus dedup, which also makes
+    * epoch replay deterministic (a replayed batch can meet its own
+    * batch-mates in the index, and only pairs the in-batch pass
+    * already resolved are at stake). */
+  def start(docs: DataFrame, idCol: String, textCol: String,
+      corpusRoot: String, indexPath: String, checkpoint: String,
+      cfg: CorpusClean.Config = CorpusClean.Config()): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        ingestBatch(b.toDF(), id, idCol, textCol, corpusRoot, indexPath,
+          cfg)
+        ()
+      }.start()
+
+  /** One epoch of the loop (callable directly for batch backfill).
+    * Returns the number of documents admitted (0 for a fully-replayed
+    * or fully-duplicate batch). */
+  def ingestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, corpusRoot: String, indexPath: String,
+      cfg: CorpusClean.Config = CorpusClean.Config()): Long = {
+    val spark = batch.sparkSession
+    val fs = new Path(corpusRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpusDir = s"$corpusRoot/batch_id=$batchId"
+    val myMarker = new Path(indexPath, s"_batch_$batchId")
+    if (fs.exists(new Path(corpusDir, "_SUCCESS")) && fs.exists(myMarker))
+      return 0L
+
+    // batch cleaned in isolation (markup/normalize legs per cfg, exact
+    // dedup, quality gates, within-batch near-dedup)
+    val cleaned = CorpusClean.clean(batch, idCol, textCol, cfg)
+
+    // exact cross-corpus dedup: one hash anti-join against committed
+    // partitions OTHER than this batch's own (replay-stable)
+    val committedCorpus = fs.globStatus(
+      new Path(s"$corpusRoot/batch_id=*/_SUCCESS")).nonEmpty
+    val novel =
+      if (!committedCorpus) cleaned
+      else {
+        val hashes = spark.read.parquet(corpusRoot)
+          .where(col("batch_id") =!= batchId)
+          .select(md5(col(textCol)).as("__h")).distinct()
+        cleaned.withColumn("__h", md5(col(textCol)))
+          .join(hashes, Seq("__h"), "left_anti").drop("__h")
+      }
+
+    // near-dup cross-corpus dedup: query the index (committed epochs
+    // only), drop batch docs matching any standing document
+    val committedIndex =
+      fs.globStatus(new Path(indexPath, "_batch_*")).nonEmpty
+    val survivors =
+      if (!committedIndex) novel
+      else {
+        val losers = Dedup.lshQueryIndex(spark, indexPath, novel, idCol,
+            textCol, cfg.nearDupThreshold, cfg.shingleSize)
+          .where(col("doc_a") =!= col("doc_b"))
+          .select(col("doc_b").as(idCol)).distinct()
+        novel.join(losers, Seq(idCol), "left_anti")
+      }
+    survivors.cache()
+    try {
+      val admitted = survivors.count()
+      // index first (its replay guard is the marker; the corpus guard
+      // below is overwrite-idempotent either way)
+      if (!fs.exists(myMarker)) {
+        if (committedIndex)
+          Dedup.appendToLshIndex(survivors, idCol, textCol, indexPath,
+            cfg.shingleSize)
+        else
+          Dedup.buildLshIndex(survivors, idCol, textCol, indexPath,
+            cfg.shingleSize)
+        fs.createNewFile(myMarker)
+      }
+      survivors.write.mode("overwrite").parquet(corpusDir)
+      admitted
+    } finally survivors.unpersist()
+  }
+}
