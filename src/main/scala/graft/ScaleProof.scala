@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-evidence main: runs the heavy dedup/clean/capstone pipelines
+  * (q65 production-shape LSH, q67 clustering, q105 corpus clean, q120
+  * training prep) on each given documents dir and reports wall time
+  * AND result cardinalities — including the raw LSH candidate-pair
+  * count, the quantity that would betray quadratic blowup. Run on
+  * sf0.1 and a synthesized 10x corpus (tools/gen_scale.py) to convert
+  * the "bucketed join, never all-pairs" design claims into measured
+  * growth rates.
+  *
+  *   sbt "runMain graft.ScaleProof /root/testdata/sf0.1 /tmp/scale10"
+  */
+object ScaleProof {
+
+  private val Timed = Seq("q65_minhash_prod", "q67_dedup_clusters",
+    "q105_corpus_clean", "q120_training_prep")
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleProof <docsDir> [<docsDir> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "128m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    args.foreach { dir =>
+      val docs = graft.etl.Tables.table(spark, dir, "documents")
+        .select("doc_id", "text")
+      val nDocs = docs.count()
+      // raw band-bucket candidates at the q65 production shape — the
+      // pre-verification pair surface
+      val t0 = System.nanoTime()
+      val cands = graft.ops.Dedup.lshCandidates(
+        graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 128),
+        "doc_id", 32, 4).count()
+      val candSec = (System.nanoTime() - t0) / 1e9
+      val per = Timed.map { name =>
+        val t = System.nanoTime()
+        val rows = SparkEntry.queries(name)(spark, dir).count()
+        val sec = (System.nanoTime() - t) / 1e9
+        f"""\"$name\":{\"rows\":$rows,\"sec\":$sec%.2f}"""
+      }
+      println(s"""{"dir":"$dir","docs":$nDocs,""" +
+        f""""lsh_candidates":{"rows":$cands,"sec":$candSec%.2f},""" +
+        per.mkString(",") + "}")
+    }
+    spark.stop()
+  }
+}
