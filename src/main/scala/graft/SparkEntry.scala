@@ -1495,7 +1495,44 @@ object SparkEntry {
           "doc_id", "text", PinnedBpeMerges)
         .select(col("doc_id"), col("n_tokens"),
           md5(concat_ws(" ", col("pieces"))).as("pieces_hash"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Substring-level duplicate spans (hash-approximate suffix-array
+    // dedup, Lee et al. 2022): every positional token 8-gram is hashed
+    // to a portable 60-bit key, grams occurring >= 2 times corpus-wide
+    // mark their positions, and overlapping-or-adjacent hits merge
+    // into maximal spans in one per-doc gaps-and-islands window.
+    // Narrow gram generation, one hash agg on a long key, one bounded
+    // per-doc window — no all-pairs surface anywhere.
+    "q127_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+          n = 8, minOccurrences = 2)
+        .orderBy("doc_id", "span_start")),
+
+    // The removal leg: duplicated spans stripped, survivors
+    // reassembled in token order (empty string when the whole doc was
+    // duplicated) — the substring-level complement of document-level
+    // dropExactDuplicates and paragraph-level stripBoilerplate.
+    "q128_span_strip" -> ((s, dir) =>
+      Dedup.stripDuplicateSpans(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 8, minOccurrences = 2)
+        .select(col("doc_id"), col("text").as("clean_text"))
+        .orderBy("doc_id")),
+
+    // Product-quantization ANN (Jegou et al. 2011): 8 subspaces x
+    // 16-entry hash-seeded codebooks compress each 64-float vector to
+    // 8 codes (32x); queries rank by asymmetric distance — exact
+    // subspace distances to each codebook entry collapse into one
+    // broadcast LUT row per query, every corpus row costs 8 array
+    // lookups and never decompresses. Deterministic end-to-end
+    // (hash-ranked seeds, 9-digit argmin rounding, id tie-breaks), so
+    // the full train->encode->ADC chain mirrors in DuckDB.
+    "q129_pq_topk" -> ((s, dir) =>
+      graft.ops.Pq.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, m = 8, ksub = 16)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -1503,6 +1540,43 @@ object SparkEntry {
     * interpolated into the q15 and q67 oracles so both gate the SAME
     * pair computation. */
   private val MinhashGateCtes: String = minhashGateCtes("documents")
+
+  /** Shared DuckDB CTE chain for the duplicate-span queries:
+    * positional 8-gram 60-bit hashes -> corpus-wide hot grams ->
+    * merged maximal spans, mirroring
+    * [[graft.ops.Dedup.duplicateSpans]] step for step. */
+  private val DupSpanCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents
+       |), gpos AS (
+       |  SELECT doc_id, w, unnest(range(0, len(w) - 7)) AS pos FROM tok
+       |), g AS (
+       |  SELECT doc_id, pos,
+       |    CAST(('0x'||substr(md5(
+       |      array_to_string(list_slice(w, pos+1, pos+8), ' ')),1,15))
+       |      AS BIGINT) AS gh
+       |  FROM gpos
+       |), hot AS (
+       |  SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2
+       |), hit AS (
+       |  SELECT doc_id, pos, pos + 7 AS e FROM g JOIN hot USING (gh)
+       |), brk AS (
+       |  SELECT doc_id, pos, e,
+       |    CASE WHEN COALESCE(MAX(e) OVER (PARTITION BY doc_id
+       |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+       |        AND 1 PRECEDING), -2) < pos - 1
+       |      THEN 1 ELSE 0 END AS b
+       |  FROM hit
+       |), isl AS (
+       |  SELECT doc_id, pos, e,
+       |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM brk
+       |), spans AS (
+       |  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |    CAST(MAX(e) AS BIGINT) AS span_end
+       |  FROM isl GROUP BY doc_id, grp
+       |)""".stripMargin
 
   /** Pinned BPE merge table for the q126 encode gate and the q120
     * token-budget counts — the production posture: a tokenizer is a
@@ -3650,7 +3724,74 @@ ORDER BY 1, 2"""
          |    AS BIGINT) AS n_tokens,
          |  md5(replace(replace(m, chr(31)||chr(31), ' '), chr(31), ''))
          |    AS pieces_hash
-         |FROM enc ORDER BY doc_id""".stripMargin
+         |FROM enc ORDER BY doc_id""".stripMargin,
+
+    "q127_dup_spans" ->
+      s"""WITH $DupSpanCtes
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start + 1 AS span_tokens
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "q128_span_strip" ->
+      s"""WITH $DupSpanCtes, tokp AS (
+         |  SELECT doc_id, w, unnest(range(0, len(w))) AS pos FROM tok
+         |), kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.w[tp.pos+1] AS tok FROM tokp tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = tp.doc_id
+         |      AND tp.pos BETWEEN s.span_start AND s.span_end)
+         |), clean AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, COALESCE(c.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN clean c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q129_pq_topk" ->
+      """WITH ex AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), sub AS (
+        |  SELECT vec_id, s AS sub, list_slice(v, s*8+1, s*8+8) AS sv
+        |  FROM (SELECT vec_id, v, unnest(range(0, 8)) AS s FROM ex)
+        |), seeds AS (
+        |  SELECT id, row_number() OVER (ORDER BY h, id) - 1 AS cent_id
+        |  FROM (
+        |    SELECT vec_id AS id,
+        |      CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT) AS h
+        |    FROM (SELECT DISTINCT vec_id FROM embeddings)
+        |    ORDER BY h, vec_id LIMIT 16)
+        |), cents AS (
+        |  SELECT s.sub, d.cent_id, s.sv AS cv,
+        |    list_dot_product(s.sv, s.sv) AS sc
+        |  FROM sub s JOIN seeds d ON s.vec_id = d.id
+        |), asg AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT s.vec_id, s.sub, c.cent_id AS code,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+        |        ORDER BY round(list_dot_product(s.sv, s.sv)
+        |          - 2*list_dot_product(s.sv, c.cv) + c.sc, 9), c.cent_id) AS rn
+        |    FROM sub s JOIN cents c ON c.sub = s.sub)
+        |  WHERE rn = 1
+        |), qlut AS (
+        |  SELECT q.vec_id AS query_id, c.sub, c.cent_id,
+        |    round(list_dot_product(q.sv, q.sv)
+        |      - 2*list_dot_product(q.sv, c.cv) + c.sc, 9) AS d
+        |  FROM sub q JOIN cents c ON c.sub = q.sub WHERE q.vec_id < 10
+        |), adist AS (
+        |  SELECT l.query_id, a.vec_id AS target_id, round(SUM(l.d), 6) AS adist
+        |  FROM asg a JOIN qlut l ON l.sub = a.sub AND l.cent_id = a.code
+        |  WHERE l.query_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, target_id, adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist, target_id) AS rnk
+        |  FROM adist
+        |)
+        |SELECT query_id, target_id, adist, CAST(rnk AS BIGINT) AS rank
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

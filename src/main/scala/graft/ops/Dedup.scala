@@ -719,4 +719,91 @@ object Dedup {
       .withColumn(textCol, coalesce(col("__clean"), lit("")))
       .drop("__clean")
   }
+
+  // ------------------------------------------------------------------
+  // Duplicate-span (substring-level) dedup — the hash-approximate form
+  // of suffix-array training-data dedup (Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better"): a
+  // true distributed suffix array is impractical, but hashing every
+  // positional token n-gram and counting corpus-wide occurrences finds
+  // the same repeated substrings of length >= n. Gram generation is a
+  // narrow projection (no shuffle), counting is one partial-agg hash
+  // aggregation on a 60-bit gram hash (one long per row through the
+  // shuffle, not the n-word string), and span assembly is one bounded
+  // per-document gaps-and-islands window — the plan survives 100 TB.
+
+  /** Positional (non-distinct) token n-gram table: (id, pos, gram)
+    * with `pos` the 0-based index of the gram's first token. Documents
+    * shorter than n tokens produce no rows. */
+  private def posGramTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    // Same staged-projection shape as shingleTable: tokenize once per
+    // row in its own projection so Catalyst cannot inline split() into
+    // every slice() call of the gram lambda.
+    df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        when(size(col("__w")) >= n,
+          transform(sequence(lit(1), size(col("__w")) - lit(n - 1)),
+            i => array_join(slice(col("__w"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")).as("__g"))
+      .select(col(idCol), posexplode(col("__g")).as(Seq("pos", "gram")))
+
+  /** Duplicated spans per document: maximal token ranges
+    * [span_start, span_end] (0-based, inclusive) covered by token
+    * n-grams occurring at least `minOccurrences` times corpus-wide
+    * (within-document repeats count — a doc repeating its own
+    * boilerplate is flagged too). Overlapping or adjacent gram hits
+    * merge into one span, so a duplicated run of any length >= n
+    * reports as a single row with its `span_tokens` length. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2, got $minOccurrences")
+    val grams = posGramTable(df, idCol, textCol, n)
+      .select(col(idCol), col("pos"), h60(col("gram")).as("__gh"))
+    val hot = grams.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") >= minOccurrences)
+      .select(col("__gh"))
+    val hits = grams.join(hot, Seq("__gh"), "left_semi")
+      .select(col(idCol), col("pos"),
+        (col("pos") + lit(n - 1)).as("__end"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevMax = max(col("__end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("__brk",
+        when(prevMax.isNull || prevMax < col("pos") - 1, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__brk")).over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        max(col("__end")).cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Remove every duplicated span (from [[duplicateSpans]], same
+    * parameters) from the text: surviving tokens reassemble in order,
+    * space-joined; a fully-duplicated document becomes the empty
+    * string. Row-preserving — output is the input with `textCol`
+    * replaced, the [[stripBoilerplate]] contract at token level. */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, n, minOccurrences)
+      .select(col(idCol).as("__sid"), col("span_start"), col("span_end"))
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val kept = toks.join(spans,
+        toks(idCol) === spans("__sid") &&
+          col("pos").between(col("span_start"), col("span_end")),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("__clean"))
+    df.join(kept, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__clean")
+  }
 }

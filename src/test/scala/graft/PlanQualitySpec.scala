@@ -30,7 +30,8 @@ class PlanQualitySpec extends SparkSpec {
     "q101_histogram",       // 1-row broadcast min/max scalar attach
     "q112_hybrid_rrf",      // 1-row broadcast corpus-stats attach (both legs)
     "q119_pmi",             // 1-row broadcast token/pair-total attach
-    "q122_decayed_sum")     // 1-row broadcast reference-instant attach
+    "q122_decayed_sum",     // 1-row broadcast reference-instant attach
+    "q129_pq_topk")         // bounded query-LUT broadcast x codes (ADC scan)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Pq
+
+/** Product quantization: codes are valid and compact, planted twins
+  * rank first under ADC, a saturated codebook reproduces the exact
+  * squared-L2 ranking bit-for-bit, and a Lloyd round does not worsen
+  * assignment error. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private val m = 4
+  private val ksub = 8
+
+  // 10 well-separated cluster centers, 10 members each with a small
+  // deterministic jitter; ids 0 and 1 are exact twins (same vector).
+  private lazy val emb = (0 until 100).map { i =>
+    val c = if (i == 1) 0 else i % 10
+    val v = (0 until dim).map { j =>
+      val base = if (j % 10 == c) 10.0f else 0.0f
+      val jitter = if (i <= 1) 0.0f else ((i * 31 + j * 17) % 7) * 0.05f
+      base + jitter
+    }.toArray
+    (i.toLong, v)
+  }.toDF("vec_id", "embedding")
+
+  private lazy val cents =
+    Pq.pqCodebooks(emb, "vec_id", "embedding", m, ksub)
+  private lazy val codes =
+    Pq.pqEncode(emb, "vec_id", "embedding", cents, m).cache()
+
+  /** Exact squared-L2 ranking with the same rounding and id tie-break
+    * as the ADC side. */
+  private def exactTopK(queryPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val q = emb.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .where(queryPred)
+    emb.select($"vec_id".as("target_id"), $"embedding".as("tv"))
+      .join(broadcast(q), $"query_id" =!= $"target_id")
+      .select($"query_id", $"target_id",
+        round(aggregate(zip_with($"qv", $"tv", (x, y) =>
+            (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, z) => acc + z), 6).as("d2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"d2", $"target_id")))
+      .where($"rnk" <= k)
+  }
+
+  test("codes: one row per vector, m codes each, all within [0, ksub)") {
+    val rows = codes.collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == m)
+      assert(cs.forall(c => c >= 0 && c < ksub))
+    }
+  }
+
+  test("exact twin is the ADC top-1 neighbor of its pair") {
+    val top = Pq.pqTopKWith(codes, cents, emb.where($"vec_id" === 0),
+        "vec_id", "embedding", k = 1, m)
+      .collect()
+    assert(top.length == 1)
+    assert(top.head.getAs[Long]("target_id") == 1L)
+    assert(top.head.getAs[Int]("rank") == 1)
+  }
+
+  test("saturated codebook (every vector a seed) reproduces the exact L2 ranking") {
+    // with ksub = |corpus| each subvector reconstructs exactly, so
+    // adist == d2 under the same rounding and tie-break — the ADC
+    // machinery (LUT build, array indexing, fold) must be lossless
+    val satCents = Pq.pqCodebooks(emb, "vec_id", "embedding", m, ksub = 100)
+    val satCodes = Pq.pqEncode(emb, "vec_id", "embedding", satCents, m)
+    val approx = Pq.pqTopKWith(satCodes, satCents, emb.where($"vec_id" < 10),
+        "vec_id", "embedding", k = 5, m)
+      .select($"query_id", $"rank".cast("long"), $"target_id", $"adist")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val exact = exactTopK($"vec_id" < 10, 5)
+      .select($"query_id", $"rnk".cast("long"), $"target_id", $"d2")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(approx.toSeq == exact.toSeq)
+  }
+
+  test("ADC recall@5 vs exact L2 beats the random baseline on a tie-heavy 8-code book") {
+    // same-cluster members share codes, so ADC tie-breaks by id while
+    // exact ranks by jitter — recall here is bounded by design, and
+    // the whole chain is deterministic: the measured value is 0.30
+    // (random-pick baseline: 5/99 ~= 0.05)
+    val approx = Pq.pqTopKWith(codes, cents, emb.where($"vec_id" < 10),
+        "vec_id", "embedding", k = 5, m)
+      .select($"query_id", $"target_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2).toSet }
+    val exact = exactTopK($"vec_id" < 10, 5)
+      .select($"query_id", $"target_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2).toSet }
+    val recall = exact.keys.map { q =>
+      (approx.getOrElse(q, Set.empty) & exact(q)).size / 5.0
+    }.sum / exact.size
+    assert(recall >= 0.25, s"recall@5 = $recall")
+  }
+
+  test("persisted IVF-PQ index: unpruned probe reproduces the inline ADC ranking, pruned probe reads only probed cell partitions") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Pq.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+      centroidStride = 10, m = m, ksub = ksub)
+    val queries = emb.where($"vec_id" < 10)
+    // nprobe >= nCells disables pruning: the indexed path must equal
+    // the inline one bit-for-bit (same deterministic codebooks)
+    val full = Pq.pqTopKIndexed(spark, path, queries, "vec_id", "embedding",
+        k = 5, nprobe = 100, m = m)
+      .select("query_id", "target_id", "adist", "rank").collect().toSet
+    val inline = Pq.pqTopK(emb, "vec_id", "embedding", $"vec_id" < 10,
+        k = 5, m = m, ksub = ksub)
+      .select("query_id", "target_id", "adist", "rank").collect().toSet
+    assert(full == inline, "indexed IVF-PQ diverged from inline PQ")
+    val pruned = Pq.pqTopKIndexed(spark, path, queries, "vec_id",
+      "embedding", k = 5, nprobe = 2, m = m)
+    assert(pruned.select("query_id").distinct().count() == 10)
+    // the codes scan must carry the probed cells as a PARTITION filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cent_id"), plan)
+  }
+
+  test("a Lloyd refinement round does not increase mean assignment distance") {
+    def meanDist(iters: Int): Double = {
+      val c = Pq.pqCodebooks(emb, "vec_id", "embedding", m, ksub, iters)
+      val sv = Pq.subVectors(emb, "vec_id", "embedding", m)
+      Pq.assignSub(sv, c).agg(avg($"d")).head().getDouble(0)
+    }
+    val d0 = meanDist(0)
+    val d1 = meanDist(1)
+    assert(d1 <= d0 + 1e-6, s"iters=1 mean dist $d1 > iters=0 $d0")
+  }
+}
