@@ -1499,11 +1499,13 @@ object SparkEntry {
 
     // Substring-level duplicate spans (hash-approximate suffix-array
     // dedup, Lee et al. 2022): every positional token 8-gram is hashed
-    // to a portable 60-bit key, grams occurring >= 2 times corpus-wide
-    // mark their positions, and overlapping-or-adjacent hits merge
-    // into maximal spans in one per-doc gaps-and-islands window.
-    // Narrow gram generation, one hash agg on a long key, one bounded
-    // per-doc window — no all-pairs surface anywhere.
+    // to a 64-bit key (collision-free in practice, so the oracle's
+    // independent 60-bit md5 keying agrees), grams occurring >= 2
+    // times corpus-wide mark their positions, and
+    // overlapping-or-adjacent hits merge into maximal spans in one
+    // per-doc gaps-and-islands window. Long-only shuffles, one hash
+    // agg on the gram key, one bounded per-doc window — no all-pairs
+    // surface anywhere.
     "q127_dup_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
           n = 8, minOccurrences = 2)
@@ -1532,7 +1534,84 @@ object SparkEntry {
       graft.ops.Pq.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, m = 8, ksub = 16)
         .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank"))
+        .orderBy("query_id", "rank")),
+
+    // Extended PII scrub (q72's contract widened to SSN / payment-card
+    // / US-domestic phone): per-category audit counts on the raw text
+    // + md5 of the fully-redacted text gating the whole 6-pattern
+    // replace chain. Narrow codegen'd projection, rides the scan.
+    "q130_pii_full" -> ((s, dir) => {
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" ssn 219-09-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" end")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("card 4111 1111 1111 "),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" or 4012888888881881 "), col("text")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("call (555) 867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" or 555-867-1234 "), col("text")))
+          .when(col("doc_id") % 5 === 3,
+            concat(col("text"), lit(" mail user"),
+              col("doc_id").cast("string"),
+              lit("@mail.example.com from 10.1."),
+              (col("doc_id") % 250).cast("string"), lit(".42")))
+          .otherwise(col("text")).as("t"))
+      planted.select(col("doc_id"),
+          graft.ops.Redact.ssnCount(col("t")).cast("long").as("n_ssn"),
+          graft.ops.Redact.cardCount(col("t")).cast("long").as("n_card"),
+          graft.ops.Redact.usPhoneCount(col("t")).cast("long")
+            .as("n_us_phone"),
+          graft.ops.Redact.emailCount(col("t")).cast("long").as("n_email"),
+          md5(graft.ops.Redact.redactPiiFull(col("t")))
+            .as("redacted_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization + provenance keys: scheme/host lowercased,
+    // default ports dropped, tracking params (utm_*/gclid/fbclid)
+    // removed with surviving params in original order, fragment
+    // dropped; host + naive registrable domain as per-site keys; a
+    // malformed leg canonicalizes to NULL (visible, not passed
+    // through). Pure regex projections — the whole op rides the scan.
+    "q131_url_canon" -> ((s, dir) => {
+      val u = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("HTTPS://WWW.Example-"),
+              (col("doc_id") % 20).cast("string"),
+              lit(".COM:443/Docs/"), col("doc_id").cast("string"),
+              lit("?utm_source=rss&id="), (col("doc_id") % 7).cast("string"),
+              lit("&utm_medium=email&page=2#frag")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("http://news.site"), (col("doc_id") % 9).cast("string"),
+              lit(".org:8080/a/"), (col("doc_id") % 5).cast("string")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://cdn.media"), (col("doc_id") % 5).cast("string"),
+              lit(".net/img"), col("doc_id").cast("string"),
+              lit(".jpg?gclid=abc123")))
+          .otherwise(concat(lit("not a url "), col("doc_id").cast("string")))
+          .as("url"))
+      u.select(col("doc_id"),
+          graft.ops.Urls.canonicalizeUrl(col("url")).as("canon_url"),
+          graft.ops.Urls.urlHost(col("url")).as("host"),
+          graft.ops.Urls.registrableDomain(graft.ops.Urls.urlHost(col("url")))
+            .as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): per-doc unigram
+    // log-likelihood ratio toward the lang='en' target slice, add-one
+    // smoothed over the raw vocabulary. Token-keyed aggs + one
+    // broadcast scalar attach — text never shuffles.
+    "q132_dsir_weights" -> ((s, dir) =>
+      graft.ops.Sampling.importanceWeights(t(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -1542,9 +1621,10 @@ object SparkEntry {
   private val MinhashGateCtes: String = minhashGateCtes("documents")
 
   /** Shared DuckDB CTE chain for the duplicate-span queries:
-    * positional 8-gram 60-bit hashes -> corpus-wide hot grams ->
-    * merged maximal spans, mirroring
-    * [[graft.ops.Dedup.duplicateSpans]] step for step. */
+    * positional 8-gram hashes (60-bit md5 — an INDEPENDENT keying
+    * from the Spark side's xxhash64; both collision-free, so the
+    * spans agree) -> corpus-wide hot grams -> merged maximal spans,
+    * mirroring [[graft.ops.Dedup.duplicateSpans]]'s steps. */
   private val DupSpanCtes: String =
     s"""tok AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
@@ -3791,7 +3871,131 @@ ORDER BY 1, 2"""
         |  FROM adist
         |)
         |SELECT query_id, target_id, adist, CAST(rnk AS BIGINT) AS rank
-        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q130_pii_full" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 5 = 0 THEN text || ' ssn 219-09-'
+        |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end'
+        |      WHEN doc_id % 5 = 1 THEN 'card 4111 1111 1111 '
+        |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |        || ' or 4012888888881881 ' || text
+        |      WHEN doc_id % 5 = 2 THEN 'call (555) 867-'
+        |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |        || ' or 555-867-1234 ' || text
+        |      WHEN doc_id % 5 = 3 THEN text || ' mail user'
+        |        || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.1.'
+        |        || CAST(doc_id % 250 AS VARCHAR) || '.42'
+        |      ELSE text
+        |    END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+        |    AS n_ssn,
+        |  len(regexp_extract_all(t,
+        |    '\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\b|\b[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}\b|\b[0-9]{16}\b'))
+        |    AS n_card,
+        |  len(regexp_extract_all(t, '\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b'))
+        |    AS n_us_phone,
+        |  len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  md5(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\b|\b[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}\b|\b[0-9]{16}\b', '[CARD]', 'g'),
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |      '\+[0-9]{1,3}(-[0-9]{2,4}){2,4}', '[PHONE]', 'g'),
+        |      '\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'))
+        |    AS redacted_hash
+        |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "q131_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.Example-'
+        |        || CAST(doc_id % 20 AS VARCHAR) || '.COM:443/Docs/'
+        |        || CAST(doc_id AS VARCHAR) || '?utm_source=rss&id='
+        |        || CAST(doc_id % 7 AS VARCHAR) || '&utm_medium=email&page=2#frag'
+        |      WHEN doc_id % 4 = 1 THEN 'http://news.site'
+        |        || CAST(doc_id % 9 AS VARCHAR) || '.org:8080/a/'
+        |        || CAST(doc_id % 5 AS VARCHAR)
+        |      WHEN doc_id % 4 = 2 THEN 'https://cdn.media'
+        |        || CAST(doc_id % 5 AS VARCHAR) || '.net/img'
+        |        || CAST(doc_id AS VARCHAR) || '.jpg?gclid=abc123'
+        |      ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+        |    END AS url
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+        |    COALESCE(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1), '') AS port,
+        |    COALESCE(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '') AS path,
+        |    COALESCE(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+        |  FROM u
+        |), cleaned AS (
+        |  -- array_to_string of an EMPTY list is NULL in DuckDB
+        |  SELECT *, COALESCE(array_to_string(list_filter(string_split(q, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(p,
+        |      '^(utm_[A-Za-z0-9_]*|gclid|fbclid)=')), '&'), '') AS cq
+        |  FROM parts
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |    ELSE scheme || '://' || host
+        |      || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |           OR (scheme = 'https' AND port = '443')
+        |         THEN '' ELSE ':' || port END
+        |      || CASE WHEN path = '' THEN '/' ELSE path END
+        |      || CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+        |  END AS canon_url,
+        |  host,
+        |  regexp_extract(host, '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1) AS domain
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
+
+    "q132_dsir_weights" ->
+      """WITH dt AS (
+        |  SELECT doc_id, tok, COUNT(1) AS cnt FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2
+        |), raw AS (
+        |  SELECT tok, SUM(cnt) AS cr FROM dt GROUP BY 1
+        |), tgt AS (
+        |  SELECT tok, COUNT(1) AS ct FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents WHERE lang = 'en')
+        |  WHERE tok <> '' GROUP BY 1
+        |), sc AS (
+        |  SELECT (SELECT SUM(cr) FROM raw) AS nr,
+        |    (SELECT COUNT(1) FROM raw) AS v,
+        |    (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt
+        |), ratio AS (
+        |  SELECT r.tok,
+        |    ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / (sc.nt + sc.v))
+        |      - ln(CAST(r.cr + 1 AS DOUBLE) / (sc.nr + sc.v)) AS lr
+        |  FROM raw r LEFT JOIN tgt t USING (tok), sc
+        |), pd AS (
+        |  SELECT d.doc_id, SUM(d.cnt) AS n_tokens,
+        |    ROUND(SUM(d.cnt * ratio.lr), 6) AS log_weight
+        |  FROM dt d JOIN ratio USING (tok) GROUP BY 1
+        |)
+        |SELECT doc.doc_id,
+        |  CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  COALESCE(pd.log_weight, 0.0) AS log_weight
+        |FROM documents doc LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

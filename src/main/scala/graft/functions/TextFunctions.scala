@@ -60,14 +60,6 @@ object TextFunctions {
   def h32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
-  /** Deterministic unsigned 60-bit hash: the first 15 hex digits of
-    * md5, as a long. Engine-portable (DuckDB:
-    * `('0x'||substr(md5(s),1,15))::BIGINT`); wider than [[h32]] for
-    * corpus-wide positional n-gram counting, where 32-bit birthday
-    * collisions would surface from ~10^5 distinct grams up. */
-  def h60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
-
   /** LCG permutations for MinHash: h -> (a*h + b) mod M. Constants are
     * classic LCG multipliers; M = 2^31-1 keeps a*h inside a 64-bit long
     * for 32-bit h in every engine. */

@@ -726,27 +726,41 @@ object Dedup {
   // "Deduplicating Training Data Makes Language Models Better"): a
   // true distributed suffix array is impractical, but hashing every
   // positional token n-gram and counting corpus-wide occurrences finds
-  // the same repeated substrings of length >= n. Gram generation is a
-  // narrow projection (no shuffle), counting is one partial-agg hash
-  // aggregation on a 60-bit gram hash (one long per row through the
+  // the same repeated substrings of length >= n. Tokens hash to longs
+  // before anything shuffles, gram keys come from one codegen'd
+  // xxhash64 over n lead() columns, counting is one partial-agg hash
+  // aggregation on the gram hash (one long per row through the
   // shuffle, not the n-word string), and span assembly is one bounded
   // per-document gaps-and-islands window — the plan survives 100 TB.
 
-  /** Positional (non-distinct) token n-gram table: (id, pos, gram)
-    * with `pos` the 0-based index of the gram's first token. Documents
-    * shorter than n tokens produce no rows. */
+  /** Positional token n-gram HASH table: (id, pos, __gh) with `pos`
+    * the 0-based index of the gram's first token. Documents shorter
+    * than n tokens produce no rows.
+    *
+    * The hash is internal, not part of the semantics: any
+    * collision-free-on-the-observed-grams hash yields identical spans
+    * (grams only ever compare for equality), so the Spark side and the
+    * DuckDB oracle may hash differently — both are birthday-safe
+    * (64-bit here, 60-bit md5 there: ~n²/2⁶⁰ ≪ 1 at any real corpus).
+    * Shape matters more: tokens hash to longs BEFORE the explode (so
+    * the window shuffle moves 8-byte longs, never gram strings), and
+    * the n-gram key is one codegen'd xxhash64 over n lead() columns —
+    * a `transform` lambda that captures the token array falls off
+    * whole-stage codegen and measured ~10x slower per gram. */
   private def posGramTable(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    // Same staged-projection shape as shingleTable: tokenize once per
-    // row in its own projection so Catalyst cannot inline split() into
-    // every slice() call of the gram lambda.
-    df.select(col(idCol), tokens(col(textCol)).as("__w"))
-      .select(col(idCol),
-        when(size(col("__w")) >= n,
-          transform(sequence(lit(1), size(col("__w")) - lit(n - 1)),
-            i => array_join(slice(col("__w"), i, lit(n)), " ")))
-          .otherwise(array().cast("array<string>")).as("__g"))
-      .select(col(idCol), posexplode(col("__g")).as(Seq("pos", "gram")))
+      n: Int): DataFrame = {
+    val tok = df.select(col(idCol),
+      posexplode(transform(tokens(col(textCol)), t => xxhash64(t)))
+        .as(Seq("pos", "__h0")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // same window spec for every lead -> Spark collapses them into ONE
+    // Window node: a single doc-keyed shuffle + sort, n-1 lead columns
+    val led = (1 until n).foldLeft(tok)((d, j) =>
+      d.withColumn(s"__h$j", lead(col("__h0"), j).over(w)))
+    led.where(col(s"__h${n - 1}").isNotNull)
+      .select(col(idCol), col("pos"),
+        xxhash64((0 until n).map(j => col(s"__h$j")): _*).as("__gh"))
+  }
 
   /** Duplicated spans per document: maximal token ranges
     * [span_start, span_end] (0-based, inclusive) covered by token
@@ -761,7 +775,6 @@ object Dedup {
     require(minOccurrences >= 2,
       s"minOccurrences must be >= 2, got $minOccurrences")
     val grams = posGramTable(df, idCol, textCol, n)
-      .select(col(idCol), col("pos"), h60(col("gram")).as("__gh"))
     val hot = grams.groupBy(col("__gh"))
       .agg(count(lit(1)).as("__occ"))
       .where(col("__occ") >= minOccurrences)

@@ -197,4 +197,59 @@ object Sampling {
       .orderBy(col("es_key").desc, col(keyCol))
       .limit(n)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how target-like its unigram distribution is —
+    * log w(d) = Σ_tok count_d(tok) · [ln p̂_target(tok) − ln p̂_raw(tok)]
+    * with add-one smoothing over the raw vocabulary. Feed `log_weight`
+    * (exponentiated, or rank-thresholded) into [[weightedSample]] to
+    * resample a raw crawl toward a high-quality target domain.
+    *
+    * Scale shape: documents collapse to per-doc token COUNTS first
+    * (one hash agg), the two unigram models are token-keyed aggs, the
+    * corpus totals attach as a broadcast 1-row scalar, and the
+    * log-ratio table joins back per token — equi-joins and partial
+    * aggs only; the corpus text is read once and never shuffled as
+    * strings. Tokens absent from the target model still contribute
+    * (smoothed) so off-target docs score genuinely low, not NULL.
+    *
+    * Output: one row per input document — idCol, `n_tokens` (long),
+    * `log_weight` (rounded 6). Empty/whitespace-only docs get
+    * n_tokens = 0 and log_weight = 0.0. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val docTok = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val raw = docTok.groupBy(col("tok")).agg(sum(col("cnt")).as("cr"))
+    val tgt = df.where(targetPred)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    // corpus totals: raw/target token mass + raw vocabulary size —
+    // one 1-row frame, broadcast onto the per-token ratio table
+    val scalars = raw.agg(sum(col("cr")).as("nr"),
+        count(lit(1)).as("v"))
+      .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
+    val ratio = raw.join(tgt, Seq("tok"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("tok"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double")
+            / (col("nt") + col("v")).cast("double"))
+          - log((col("cr") + lit(1)).cast("double")
+            / (col("nr") + col("v")).cast("double"))).as("lr"))
+    val perDoc = docTok.join(ratio, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round(sum(col("cnt").cast("double") * col("lr")), 6)
+          .as("log_weight"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
+  }
 }

@@ -41,4 +41,39 @@ class RedactSpec extends SparkSpec {
     assert(once.head().getString(0) == twice.head().getString(0))
     assert(once.head().getString(0) == "[EMAIL] [PHONE] [IP]")
   }
+
+  test("redactPiiFull scrubs SSN, card (all three shapes), US phones") {
+    val df = Seq(
+      (1L, "ssn 219-09-9999 ok"),
+      (2L, "4111-1111-1111-1111 and 4111 1111 1111 1111 and 4012888888881881"),
+      (3L, "call (555) 867-5309 or 555-867-5309"),
+      (4L, "all bob@ex.io 4111 1111 1111 1111 219-09-9999 10.0.0.1 +1-555-0100 (555) 867-5309"))
+      .toDF("id", "text")
+    val out = df.select($"id", Redact.redactPiiFull($"text").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "ssn [SSN] ok")
+    assert(out(2L) == "[CARD] and [CARD] and [CARD]")
+    assert(out(3L) == "call [PHONE] or [PHONE]")
+    assert(out(4L) == "all [EMAIL] [CARD] [SSN] [IP] [PHONE] [PHONE]")
+  }
+
+  test("full-chain ordering: card groups never half-match as SSN/phone") {
+    // 4-4-4-4 digits must redact as ONE card, not clip into the
+    // 3-2-4 (ssn) or 3-3-4 (phone) shapes
+    val out = Seq((1L, "pay 4111-1111-1111-1111 thanks")).toDF("id", "text")
+      .select(Redact.redactPiiFull($"text")).head().getString(0)
+    assert(out == "pay [CARD] thanks")
+    // ssn/us-phone counts on the raw text are zero for a card string
+    val cnts = Seq((1L, "4111-1111-1111-1111")).toDF("id", "text")
+      .select(Redact.ssnCount($"text").cast("long"),
+        Redact.usPhoneCount($"text").cast("long")).head()
+    assert(cnts.getLong(0) == 0 && cnts.getLong(1) == 0)
+  }
+
+  test("near-miss digit shapes survive the full chain") {
+    val s = "v 1.2.3 date 2024-01-02 num 123-45 12345678901234567"
+    val out = Seq((1L, s)).toDF("id", "text")
+      .select(Redact.redactPiiFull($"text")).head().getString(0)
+    assert(out == s)
+  }
 }

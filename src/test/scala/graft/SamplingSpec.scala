@@ -175,4 +175,31 @@ class SamplingSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 6L, 7L, 8L),
       s"sample must contain exactly the positive-weight rows, got $got")
   }
+
+  test("importanceWeights matches the hand-computed DSIR formula") {
+    val df = Seq((1L, "a a b"), (2L, "c c")).toDF("id", "text")
+    val out = Sampling.importanceWeights(df, "id", "text", $"id" === 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // raw: a=2 b=1 c=2 (V=3, Nr=5); target: a=2 b=1 (Nt=3)
+    def lr(ct: Long, cr: Long) =
+      math.log((ct + 1.0) / (3 + 3)) - math.log((cr + 1.0) / (5 + 3))
+    val w1 = BigDecimal(2 * lr(2, 2) + 1 * lr(1, 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w2 = BigDecimal(2 * lr(0, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - w1) < 2e-6)
+    assert(out(2L)._1 == 2L && math.abs(out(2L)._2 - w2) < 2e-6)
+    // target-like doc scores strictly higher than the off-target doc
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("importanceWeights is row-preserving; empty docs score 0") {
+    val df = Seq((1L, "x y"), (2L, ""), (3L, "   ")).toDF("id", "text")
+    val out = Sampling.importanceWeights(df, "id", "text", $"id" === 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.size == 3)
+    assert(out(2L) == ((0L, 0.0)) && out(3L) == ((0L, 0.0)))
+  }
 }
