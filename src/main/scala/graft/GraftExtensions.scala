@@ -135,6 +135,36 @@ object GraftExtensions {
       args => {
         require(args.length == 1, "h32(text) takes 1 argument")
         colExpr(graft.functions.TextFunctions.h32(asCol(args.head)))
+      }),
+    ("redact_pii",
+      "redact_pii(text) - mask emails, IPv4 addresses, intl phone numbers",
+      args => {
+        require(args.length == 1, "redact_pii(text) takes 1 argument")
+        colExpr(graft.ops.Redact.redactPii(asCol(args.head)))
+      }),
+    ("redact_pii_full",
+      "redact_pii_full(text) - mask email/card/ssn/ip/intl+US phone",
+      args => {
+        require(args.length == 1, "redact_pii_full(text) takes 1 argument")
+        colExpr(graft.ops.Redact.redactPiiFull(asCol(args.head)))
+      }),
+    ("canonical_url",
+      "canonical_url(url) - canonical form (case, ports, trackers, fragment)",
+      args => {
+        require(args.length == 1, "canonical_url(url) takes 1 argument")
+        colExpr(graft.ops.Urls.canonicalizeUrl(asCol(args.head)))
+      }),
+    ("url_host",
+      "url_host(url) - lowercased host of a scheme://... URL",
+      args => {
+        require(args.length == 1, "url_host(url) takes 1 argument")
+        colExpr(graft.ops.Urls.urlHost(asCol(args.head)))
+      }),
+    ("registrable_domain",
+      "registrable_domain(host) - naive last-two-labels domain key",
+      args => {
+        require(args.length == 1, "registrable_domain(host) takes 1 argument")
+        colExpr(graft.ops.Urls.registrableDomain(asCol(args.head)))
       }))
 
   private def asCol(e: Expression) =

@@ -1611,7 +1611,26 @@ object SparkEntry {
     "q132_dsir_weights" -> ((s, dir) =>
       graft.ops.Sampling.importanceWeights(t(s, dir, "documents"),
           "doc_id", "text", col("lang") === "en")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // First-stage crawl dedup by CANONICAL URL: tracking params and
+    // fragments vary per fetch, so raw-URL equality misses what
+    // canonical equality catches (~10 docs collapse per page here);
+    // unparseable URLs keep every row. One hash agg on the canonical
+    // key — runs before any content pass at 100 TB.
+    "q133_url_dedup" -> ((s, dir) => {
+      val u = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 3,
+            concat(lit("no url "), col("doc_id").cast("string")))
+          .otherwise(concat(lit("HTTPS://Site"),
+            (col("doc_id") % 10).cast("string"), lit(".COM/page/"),
+            (col("doc_id") % 50).cast("string"), lit("?utm_campaign=c"),
+            col("doc_id").cast("string"), lit("#s"),
+            (col("doc_id") % 3).cast("string"))).as("url"))
+      graft.ops.Urls.dedupByCanonicalUrl(u, "doc_id", "url")
+        .orderBy("doc_id")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -3995,7 +4014,55 @@ ORDER BY 1, 2"""
         |  CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
         |  COALESCE(pd.log_weight, 0.0) AS log_weight
         |FROM documents doc LEFT JOIN pd USING (doc_id)
-        |ORDER BY doc.doc_id""".stripMargin
+        |ORDER BY doc.doc_id""".stripMargin,
+
+    "q133_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3
+        |      THEN 'no url ' || CAST(doc_id AS VARCHAR)
+        |      ELSE 'HTTPS://Site' || CAST(doc_id % 10 AS VARCHAR)
+        |        || '.COM/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |        || '?utm_campaign=c' || CAST(doc_id AS VARCHAR)
+        |        || '#s' || CAST(doc_id % 3 AS VARCHAR)
+        |    END AS url
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+        |    COALESCE(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1), '') AS port,
+        |    COALESCE(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '') AS path,
+        |    COALESCE(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+        |  FROM u
+        |), cleaned AS (
+        |  SELECT *, COALESCE(array_to_string(list_filter(string_split(q, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(p,
+        |      '^(utm_[A-Za-z0-9_]*|gclid|fbclid)=')), '&'), '') AS cq
+        |  FROM parts
+        |), canon AS (
+        |  SELECT doc_id,
+        |    CASE WHEN scheme = '' OR host = '' THEN NULL
+        |      ELSE scheme || '://' || host
+        |        || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |             OR (scheme = 'https' AND port = '443')
+        |           THEN '' ELSE ':' || port END
+        |        || CASE WHEN path = '' THEN '/' ELSE path END
+        |        || CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+        |    END AS canon_url
+        |  FROM cleaned
+        |)
+        |SELECT MIN(doc_id) AS doc_id, canon_url,
+        |  CAST(COUNT(1) AS BIGINT) AS n_dups
+        |FROM canon WHERE canon_url IS NOT NULL GROUP BY canon_url
+        |UNION ALL
+        |SELECT doc_id, canon_url, 1 AS n_dups
+        |FROM canon WHERE canon_url IS NULL
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

@@ -84,6 +84,27 @@ object Urls {
   def registrableDomain(host: Column): Column =
     regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
 
+  /** First-stage crawl dedup: one representative (min id) per
+    * CANONICAL URL, with the collapse size kept for audit. Rows whose
+    * URL does not canonicalize (NULL key — no provenance to compare
+    * on) all survive with n_dups = 1 rather than collapsing into one
+    * NULL group. One hash aggregation on the canonical key — the
+    * cheapest dedup a web corpus gets, run before any content pass.
+    * Output: idCol, canon_url, n_dups. */
+  def dedupByCanonicalUrl(df: DataFrame, idCol: String,
+      urlCol: String): DataFrame = {
+    val c = df.select(col(idCol),
+      canonicalizeUrl(col(urlCol)).as("canon_url"))
+    val reps = c.where(col("canon_url").isNotNull)
+      .groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+    val unparseable = c.where(col("canon_url").isNull)
+      .withColumn("n_dups", lit(1L))
+    reps.select(col(idCol), col("canon_url"), col("n_dups"))
+      .unionByName(
+        unparseable.select(col(idCol), col("canon_url"), col("n_dups")))
+  }
+
   /** Drop rows whose URL's registrable domain is on the blocklist.
     * The blocklist (bounded: a curated list, not data) broadcasts;
     * the corpus anti-joins without shuffling. */

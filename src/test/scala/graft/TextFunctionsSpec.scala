@@ -143,6 +143,15 @@ class TextFunctionsSpec extends SparkSpec {
       Seq("a b", "b c"))
     assert(one("SELECT dot_product(array(1.0F,2.0F), array(3.0F,4.0F))") ==
       11.0)
+    assert(one("SELECT redact_pii('mail bob@ex.io now')") ==
+      "mail [EMAIL] now")
+    assert(one("SELECT redact_pii_full('ssn 219-09-9999 ok')") ==
+      "ssn [SSN] ok")
+    assert(one("SELECT canonical_url('HTTP://Ex.ORG:80/a?utm_source=x&b=1#f')")
+      == "http://ex.org/a?b=1")
+    assert(one("SELECT url_host('https://WWW.Ex.org/x')") == "www.ex.org")
+    assert(one("SELECT registrable_domain('a.b.example.com')") ==
+      "example.com")
   }
 
   test("preTokens splits like a GPT-2-style pre-tokenizer; pieces rebuild the text") {

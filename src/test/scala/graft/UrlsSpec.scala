@@ -57,4 +57,22 @@ class UrlsSpec extends SparkSpec {
     // labels), case-insensitively on both sides; example.org survives
     assert(kept.toSeq == Seq(2L))
   }
+
+  test("dedupByCanonicalUrl collapses canonical twins, keeps unparseable rows") {
+    val df = Seq(
+      (1L, "https://ex.org/p?utm_source=a"),
+      (2L, "HTTPS://EX.ORG:443/p#frag"),
+      (3L, "https://ex.org/q"),
+      (4L, "garbage"),
+      (5L, "also garbage")).toDF("id", "url")
+    val out = Urls.dedupByCanonicalUrl(df, "id", "url")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "https://ex.org/p", 2L),
+      (3L, "https://ex.org/q", 1L),
+      (4L, null, 1L),
+      (5L, null, 1L)))
+  }
 }
