@@ -187,6 +187,26 @@ object Pq {
       .parquet(s"$path/codes")
   }
 
+  /** Append a new vector batch to a persisted IVF-PQ index: encode
+    * with the EXISTING codebooks and assign to the EXISTING coarse
+    * cells (an index's quantizers are a released artifact — retraining
+    * them would silently re-key every previously stored code), then
+    * append to the partitioned codes directory. O(batch) work per
+    * call, the [[graft.ops.Dedup.appendToLshIndex]] lifecycle
+    * contract. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, vecCol: String, path: String,
+      m: Int = 8): Unit = {
+    val coarse = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/codebooks")
+    val cells = Similarity.assignTo(batch, idCol, vecCol, coarse)
+      .select(col("target_id").as("id"), col("cent_id"))
+    pqEncode(batch, idCol, vecCol, books, m)
+      .join(cells, Seq("id"))
+      .write.mode("append").partitionBy("cent_id")
+      .parquet(s"$path/codes")
+  }
+
   /** ADC top-k over a persisted IVF-PQ index. Queries probe their
     * `nprobe` nearest coarse cells; the probed cell ids (bounded:
     * <= |queries| x nprobe index metadata, not data) become a literal

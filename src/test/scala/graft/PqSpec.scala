@@ -126,6 +126,32 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cent_id"), plan)
   }
 
+  test("appendToIvfPqIndex: append batch == building the codes over the union with the SAME quantizers") {
+    // quantizers are a released artifact: build on batch A, append
+    // batch B, and a query over the appended index must equal a query
+    // over an index whose codes cover A ∪ B under A's codebooks
+    val a = emb.where($"vec_id" < 80)
+    val b = emb.where($"vec_id" >= 80)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-app").toString
+    Pq.buildIvfPqIndex(a, "vec_id", "embedding", path,
+      centroidStride = 10, m = m, ksub = ksub)
+    Pq.appendToIvfPqIndex(spark, b, "vec_id", "embedding", path, m = m)
+    val queries = emb.where($"vec_id" < 5)
+    val appended = Pq.pqTopKIndexed(spark, path, queries, "vec_id",
+        "embedding", k = 5, nprobe = 100, m = m)
+      .select("query_id", "target_id", "adist", "rank").collect().toSet
+    // reference: A's quantizers applied to the full corpus, inline
+    val aCents = Pq.pqCodebooks(a, "vec_id", "embedding", m, ksub)
+    val refCodes = Pq.pqEncode(emb, "vec_id", "embedding", aCents, m)
+    val ref = Pq.pqTopKWith(refCodes, aCents, queries,
+        "vec_id", "embedding", k = 5, m)
+      .select("query_id", "target_id", "adist", "rank").collect().toSet
+    assert(appended == ref, "appended index diverged from union reference")
+    // appended rows are genuinely in the index partitions
+    assert(spark.read.parquet(s"$path/codes")
+      .where($"id" >= 80).count() == 20)
+  }
+
   test("a Lloyd refinement round does not increase mean assignment distance") {
     def meanDist(iters: Int): Double = {
       val c = Pq.pqCodebooks(emb, "vec_id", "embedding", m, ksub, iters)
