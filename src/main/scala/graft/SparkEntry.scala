@@ -1630,7 +1630,19 @@ object SparkEntry {
             (col("doc_id") % 3).cast("string"))).as("url"))
       graft.ops.Urls.dedupByCanonicalUrl(u, "doc_id", "url")
         .orderBy("doc_id")
-    })
+    }),
+
+    // Mixture resampling toward target source proportions (the corpus
+    // assembly/mixing step): feasible-max downsample-only rates from a
+    // bounded source registry, portable md5 hash gate per row — kept
+    // set reproducible in any engine, corpus never shuffles.
+    "q134_mixture_sample" -> ((s, dir) =>
+      graft.ops.Sampling.mixtureSample(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id",
+          Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2), "v1")
+        .select(col("doc_id"), col("source"), col("keep_rate"))
+        .orderBy("doc_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -4062,7 +4074,29 @@ ORDER BY 1, 2"""
         |UNION ALL
         |SELECT doc_id, canon_url, 1 AS n_dups
         |FROM canon WHERE canon_url IS NULL
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q134_mixture_sample" ->
+      """WITH cnt AS (
+        |  SELECT source, CAST(COUNT(1) AS DOUBLE) AS n FROM documents
+        |  WHERE source IN ('src1', 'src2', 'src3') GROUP BY source
+        |), tgt AS (
+        |  SELECT * FROM (VALUES ('src1', 0.5), ('src2', 0.3),
+        |    ('src3', 0.2)) AS t(source, tshare)
+        |), j AS (
+        |  SELECT c.source, c.n, t.tshare FROM cnt c JOIN tgt t USING (source)
+        |), m AS (
+        |  SELECT MIN(n / tshare) AS m FROM j
+        |), rates AS (
+        |  SELECT source, LEAST(1.0, ROUND(tshare * m.m / n, 9)) AS keep_rate
+        |  FROM j, m
+        |)
+        |SELECT d.doc_id, d.source, r.keep_rate
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE CAST(('0x'||substr(md5('v1:'||CAST(doc_id AS VARCHAR)),1,8))
+        |    AS BIGINT) % 1000000
+        |  < CAST(FLOOR(keep_rate * 1000000) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

@@ -198,6 +198,50 @@ object Sampling {
       .limit(n)
   }
 
+  /** Deterministic mixture resampling: downsample each source so the
+    * kept corpus approaches the TARGET mixture proportions, without
+    * ever duplicating a row (downsample-only — upsampling is a
+    * training-loader concern). The kept total is the largest M
+    * feasible under the targets: M = min over targeted non-empty
+    * sources of n_s / t_s, and each source keeps
+    * rate_s = t_s · M / n_s (the binding source keeps 100%). Rows
+    * pass/fail by the portable seeded hash gate
+    * (`shuffleKey mod 10⁶ < rate·10⁶` — the [[hashSplit]] gate), so
+    * the kept set is reproducible across engines, partitionings, and
+    * retries; kept shares match the targets in expectation (hash
+    * binomial, not exact quotas). Sources absent from `targets` (or
+    * with target 0) are DROPPED — a mixture is a whitelist.
+    *
+    * Scale shape: the source registry is a bounded hash agg; the
+    * feasible-M reduction runs on that bounded frame and the per-source
+    * rates broadcast back onto the corpus — one narrow gate per row,
+    * no corpus shuffle. Output: input rows that pass, plus their
+    * `keep_rate`. */
+  def mixtureSample(df: DataFrame, sourceCol: String, keyCol: String,
+      targets: Map[String, Double], seed: String): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ >= 0), "target shares must be >= 0")
+    val total = targets.values.sum
+    require(total > 0, "target shares must sum > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.map { case (s, w) => (s, w / total) }
+      .toDF(sourceCol, "__t")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .join(broadcast(tgt), Seq(sourceCol))
+      .where(col("__t") > 0)
+    // feasible kept total: bounded frame -> 1-row broadcast
+    val feasible = counts.agg(min(col("__n") / col("__t")).as("__m"))
+    val rates = counts.crossJoin(broadcast(feasible))
+      .select(col(sourceCol),
+        least(lit(1.0), round(col("__t") * col("__m") / col("__n"), 9))
+          .as("keep_rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .where(pmod(shuffleKey(col(keyCol), seed), lit(1000000L))
+        < (col("keep_rate") * 1000000.0).cast("long"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by how target-like its unigram distribution is —

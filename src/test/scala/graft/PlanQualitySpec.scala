@@ -32,7 +32,8 @@ class PlanQualitySpec extends SparkSpec {
     "q119_pmi",             // 1-row broadcast token/pair-total attach
     "q122_decayed_sum",     // 1-row broadcast reference-instant attach
     "q129_pq_topk",         // bounded query-LUT broadcast x codes (ADC scan)
-    "q132_dsir_weights")    // 1-row broadcast corpus-totals attach
+    "q132_dsir_weights",    // 1-row broadcast corpus-totals attach
+    "q134_mixture_sample")  // 1-row broadcast feasible-total attach
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>

@@ -176,6 +176,37 @@ class SamplingSpec extends SparkSpec {
       s"sample must contain exactly the positive-weight rows, got $got")
   }
 
+  test("mixtureSample: binding source keeps all, shares track targets, whitelist enforced") {
+    // 1000/2000/4000 rows over three sources + one untargeted source
+    val rows = (1L to 7500L).map { i =>
+      val src = if (i <= 1000) "a" else if (i <= 3000) "b"
+        else if (i <= 7000) "c" else "other"
+      (i, src)
+    }
+    val df = rows.toDF("id", "source")
+    // targets 0.5/0.3/0.2 -> M = min(1000/.5, 2000/.3, 4000/.2) = 2000
+    // rates: a = 1.0 (binding), b = 0.3, c = 0.1
+    val out = Sampling.mixtureSample(df, "source", "id",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), "s1").cache()
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("other"), "untargeted source must drop")
+    assert(bySrc("a") == 1000L, "binding source keeps every row")
+    // hash-binomial tolerance ~4 sigma
+    assert(math.abs(bySrc("b") - 600.0) < 80, s"b kept ${bySrc("b")}")
+    assert(math.abs(bySrc("c") - 400.0) < 80, s"c kept ${bySrc("c")}")
+    // deterministic and partition-independent
+    val again = Sampling.mixtureSample(df.repartition(13), "source", "id",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), "s1")
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // unnormalized targets give the same mixture (shares normalize)
+    val scaled = Sampling.mixtureSample(df, "source", "id",
+      Map("a" -> 5.0, "b" -> 3.0, "c" -> 2.0), "s1")
+      .select("id").as[Long].collect().toSet
+    assert(scaled == out.select("id").as[Long].collect().toSet)
+  }
+
   test("importanceWeights matches the hand-computed DSIR formula") {
     val df = Seq((1L, "a a b"), (2L, "c c")).toDF("id", "text")
     val out = Sampling.importanceWeights(df, "id", "text", $"id" === 1L)
