@@ -58,6 +58,17 @@ class UrlsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L))
   }
 
+  test("canonicalization is a fixed point: canon(canon(u)) == canon(u)") {
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/A/b?utm_source=x&q=1#f",
+      "http://Ex.org:8080", "https://a.b.c.net/p?x=1&y=2",
+      "ftp://Files.EX.com:21/pub").toDF("url")
+    val once = urls.select(Urls.canonicalizeUrl($"url").as("c"))
+    val twice = once.select(Urls.canonicalizeUrl($"c").as("c2"))
+    assert(once.collect().map(_.getString(0)).toSeq ==
+      twice.collect().map(_.getString(0)).toSeq)
+  }
+
   test("dedupByCanonicalUrl collapses canonical twins, keeps unparseable rows") {
     val df = Seq(
       (1L, "https://ex.org/p?utm_source=a"),
