@@ -1642,7 +1642,26 @@ object SparkEntry {
           "source", "doc_id",
           Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2), "v1")
         .select(col("doc_id"), col("source"), col("keep_rate"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // C4-style line-level cleaning: minimum words, terminal
+    // punctuation, curly-brace and boilerplate-phrase tells — one
+    // higher-order filter over the line array per row, no
+    // explode/groupBy round-trip, rides the scan.
+    "q135_line_filter" -> ((s, dir) => {
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(".\n"),
+            lit("short line\n"),
+            lit("This line is long enough to keep.\n"),
+            lit("Lorem Ipsum dolor sit amet.\n"),
+            lit("if (x) { return y; }\n"),
+            lit("Is this kept? Yes it is!")).as("text"))
+      graft.ops.CorpusClean.filterLines(planted, "text")
+        .select(col("doc_id"), md5(col("text")).as("clean_hash"),
+          length(col("text")).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -4096,7 +4115,33 @@ ORDER BY 1, 2"""
         |WHERE CAST(('0x'||substr(md5('v1:'||CAST(doc_id AS VARCHAR)),1,8))
         |    AS BIGINT) % 1000000
         |  < CAST(FLOOR(keep_rate * 1000000) AS BIGINT)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q135_line_filter" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || '.' || chr(10)
+        |    || 'short line' || chr(10)
+        |    || 'This line is long enough to keep.' || chr(10)
+        |    || 'Lorem Ipsum dolor sit amet.' || chr(10)
+        |    || 'if (x) { return y; }' || chr(10)
+        |    || 'Is this kept? Yes it is!' AS t
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, COALESCE(array_to_string(list_filter(
+        |    string_split(t, chr(10)), l ->
+        |      len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |      AND regexp_matches(trim(l), '[.!?]$')
+        |      AND NOT contains(trim(l), '{')
+        |      AND NOT contains(trim(l), '}')
+        |      AND NOT contains(lower(trim(l)), 'lorem ipsum')
+        |      AND NOT contains(lower(trim(l)), 'cookie policy')
+        |      AND NOT contains(lower(trim(l)), 'terms of use')
+        |    ), chr(10)), '') AS clean
+        |  FROM planted
+        |)
+        |SELECT doc_id, md5(clean) AS clean_hash,
+        |  CAST(length(clean) AS BIGINT) AS clean_len
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

@@ -58,6 +58,38 @@ object CorpusClean {
     }
   }
 
+  /** C4-style LINE-level cleaning (Raffel et al. 2020 §2.2's rules at
+    * line granularity): keep only lines that have at least `minWords`
+    * tokens, end in terminal punctuation (when required), contain no
+    * curly brace (code/markup tell), and contain none of the
+    * lowercased `blockPhrases` (boilerplate tells like "lorem ipsum").
+    * Survivors reassemble in order, newline-joined; a doc whose every
+    * line fails becomes the empty string. Row-preserving: output =
+    * input with `textCol` rewritten.
+    *
+    * Scale shape: one higher-order `filter` over the split-line array
+    * per row — a pure narrow projection, NO explode/groupBy
+    * round-trip and no shuffle; the lambda touches only its line
+    * argument (an outer-capture lambda would fall off the fast path,
+    * the q127 lesson). */
+  def filterLines(docs: DataFrame, textCol: String, minWords: Int = 3,
+      requireTerminalPunct: Boolean = true,
+      blockPhrases: Seq[String] =
+        Seq("lorem ipsum", "cookie policy", "terms of use")): DataFrame = {
+    require(minWords >= 0, "minWords must be >= 0")
+    val kept = filter(split(col(textCol), "\n"), l => {
+      val t = trim(l)
+      val wordsOk = size(split(t, "\\s+")) >= minWords
+      val punctOk =
+        if (requireTerminalPunct) t.rlike("[.!?]$") else lit(true)
+      val braceOk = !t.contains("{") && !t.contains("}")
+      val phraseOk = blockPhrases.map(_.toLowerCase)
+        .foldLeft(lit(true))((acc, p) => acc && !lower(t).contains(p))
+      wordsOk && punctOk && braceOk && phraseOk
+    })
+    docs.withColumn(textCol, array_join(kept, "\n"))
+  }
+
   /** The narrow quality/language gates of [[clean]] alone (no dedup):
     * length band, stopword floor, punctuation ceiling, language
     * allowlist — all per-row projections, no shuffle. Exposed so

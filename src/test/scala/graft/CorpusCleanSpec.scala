@@ -144,4 +144,26 @@ class CorpusCleanSpec extends SparkSpec {
         "n_chars", 3, 0.5).collect()
     assert(t2.length == 1 && t2.head.getLong(1) == 4L)
   }
+
+  test("filterLines applies the C4 line rules, preserves order, empties hopeless docs") {
+    val docs = Seq(
+      (1L, "Good first sentence here.\nno punct line here\nok\n" +
+        "A second keeper, yes!\nbad brace { line here.\n" +
+        "our COOKIE Policy applies today."),
+      (2L, "everything fails\nshort\n{ }")).toDF("doc_id", "text")
+    val out = graft.ops.CorpusClean.filterLines(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Good first sentence here.\nA second keeper, yes!")
+    assert(out(2L) == "")
+    // row-preserving and idempotent
+    val once = graft.ops.CorpusClean.filterLines(docs, "text")
+    val twice = graft.ops.CorpusClean.filterLines(once, "text")
+    assert(once.collect().map(_.getString(1)).toSeq ==
+      twice.collect().map(_.getString(1)).toSeq)
+    // optional knobs: punctuation requirement off keeps bare lines
+    val lax = graft.ops.CorpusClean.filterLines(docs, "text",
+      minWords = 2, requireTerminalPunct = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lax(1L).contains("no punct line here"))
+  }
 }
