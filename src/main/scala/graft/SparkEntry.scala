@@ -1661,7 +1661,16 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("clean_hash"),
           length(col("text")).cast("long").as("clean_len"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // D4 prototypicality pruning: drop the quarter of each embedding
+    // cluster closest to its centroid (most prototypical), keep the
+    // diverse tail. Broadcast-fold assignment + one per-cluster rank
+    // window — deterministic end-to-end, mirrored in DuckDB.
+    "q136_proto_prune" -> ((s, dir) =>
+      graft.ops.Cluster.prototypicalityPrune(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 32, 0.25)
+        .orderBy("vec_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -4141,7 +4150,26 @@ ORDER BY 1, 2"""
         |)
         |SELECT doc_id, md5(clean) AS clean_hash,
         |  CAST(length(clean) AS BIGINT) AS clean_len
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q136_proto_prune" ->
+      s"""WITH $IvfAssignCtes, ad AS (
+        |  SELECT target_id, cent_id, dist FROM (
+        |    SELECT vec_id AS target_id, cent_id, dist,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY dist, cent_id) AS rn
+        |    FROM cdist) WHERE rn = 1
+        |), rnk AS (
+        |  SELECT target_id, cent_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY cent_id
+        |                       ORDER BY dist, target_id) AS rn,
+        |    COUNT(1) OVER (PARTITION BY cent_id) AS n
+        |  FROM ad
+        |)
+        |SELECT target_id AS vec_id, cent_id, dist AS cdist,
+        |  CAST(rn - FLOOR(n * 0.25) AS BIGINT) AS rn
+        |FROM rnk WHERE rn > FLOOR(n * 0.25)
+        |ORDER BY vec_id""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -67,4 +68,36 @@ object Cluster {
   def clusterStats(assignment: DataFrame): DataFrame =
     assignment.groupBy("cent_id")
       .agg(count(lit(1)).as("n"), round(avg(col("dist")), 6).as("mean_dist"))
+
+  /** D4-style prototypicality pruning (Tirumala et al. 2023, "D4:
+    * Improving LLM Pretraining via Document De-Duplication and
+    * Diversification"): within each cluster, DROP the
+    * floor(n · dropFrac) members CLOSEST to the centroid — the most
+    * prototypical, least informative examples — and keep the diverse
+    * tail. Runs on the stride-deterministic centroids (the
+    * [[Similarity.ivfCentroids]] posture), distances rounded to 9
+    * before ranking, ties to the smaller id, so the kept set is
+    * engine-reproducible.
+    *
+    * Scale shape: one broadcast-fold assignment pass (corpus never
+    * shuffles for assignment) + one window per cluster keyed by
+    * cent_id (partition ≈ n/k rows; for pathological cluster sizes
+    * swap the rank for a distance-percentile threshold — same
+    * contract). Output: idCol, cent_id, cdist, rn (1 = closest
+    * survivor after the drop). */
+  def prototypicalityPrune(emb: DataFrame, idCol: String, vecCol: String,
+      centroidStride: Int = 32, dropFrac: Double = 0.25): DataFrame = {
+    require(dropFrac >= 0 && dropFrac < 1,
+      s"dropFrac must be in [0, 1), got $dropFrac")
+    val assigned = Similarity.assignTo(emb, idCol, vecCol,
+      Similarity.ivfCentroids(emb, idCol, vecCol, centroidStride))
+    val w = Window.partitionBy(col("cent_id"))
+      .orderBy(col("cdist"), col("target_id"))
+    assigned
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("cent_id"))))
+      .where(col("__rn") > floor(col("__n") * dropFrac))
+      .select(col("target_id").as(idCol), col("cent_id"), col("cdist"),
+        (col("__rn") - floor(col("__n") * dropFrac)).cast("long").as("rn"))
+  }
 }

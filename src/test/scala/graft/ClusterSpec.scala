@@ -44,4 +44,31 @@ class ClusterSpec extends SparkSpec {
     assert(stats.agg(sum("n")).head().getLong(0) == emb.count())
     assert(stats.where($"mean_dist" < 0).isEmpty)
   }
+
+  test("prototypicalityPrune drops exactly the closest floor(n*frac) per cluster") {
+    val full = Cluster.prototypicalityPrune(emb, "vec_id", "embedding",
+      centroidStride = 16, dropFrac = 0.0)
+    val pruned = Cluster.prototypicalityPrune(emb, "vec_id", "embedding",
+      centroidStride = 16, dropFrac = 0.25).cache()
+    // per cluster: survivors = n - floor(n/4), and the dropped members
+    // are precisely the closest-ranked quarter of the full assignment
+    val fullSizes = full.groupBy("cent_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prunedSizes = pruned.groupBy("cent_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fullSizes.foreach { case (c, n) =>
+      assert(prunedSizes.getOrElse(c, 0L) == n - n / 4,
+        s"cluster $c: ${prunedSizes.getOrElse(c, 0L)} of $n kept")
+    }
+    // every survivor's distance >= every dropped member's distance
+    // within its cluster (the drop takes the prototypical head)
+    val dropped = full.select($"vec_id", $"cent_id", $"cdist")
+      .join(pruned.select($"vec_id"), Seq("vec_id"), "left_anti")
+    val maxDropped = dropped.groupBy("cent_id")
+      .agg(max($"cdist").as("maxd"))
+    val minKept = pruned.groupBy("cent_id").agg(min($"cdist").as("mind"))
+    val bad = maxDropped.join(minKept, Seq("cent_id"))
+      .where($"maxd" > $"mind").count()
+    assert(bad == 0, "a dropped member was farther than a kept one")
+  }
 }

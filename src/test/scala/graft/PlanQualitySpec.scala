@@ -33,7 +33,8 @@ class PlanQualitySpec extends SparkSpec {
     "q122_decayed_sum",     // 1-row broadcast reference-instant attach
     "q129_pq_topk",         // bounded query-LUT broadcast x codes (ADC scan)
     "q132_dsir_weights",    // 1-row broadcast corpus-totals attach
-    "q134_mixture_sample")  // 1-row broadcast feasible-total attach
+    "q134_mixture_sample",  // 1-row broadcast feasible-total attach
+    "q136_proto_prune")     // 1-row broadcast centroid array (assignTo fold)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
