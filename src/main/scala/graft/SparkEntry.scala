@@ -1670,7 +1670,15 @@ object SparkEntry {
     "q136_proto_prune" -> ((s, dir) =>
       graft.ops.Cluster.prototypicalityPrune(t(s, dir, "embeddings"),
           "vec_id", "embedding", 32, 0.25)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Hard-negative mining for contrastive training: per anchor, the
+    // 5 most-similar vectors with a DIFFERENT label (null-safe).
+    // Anchor batch broadcasts; corpus streams once, never shuffles.
+    "q137_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", col("vec_id") < 8, k = 5)
+        .orderBy("anchor_id", "rank"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -4169,7 +4177,36 @@ ORDER BY 1, 2"""
         |SELECT target_id AS vec_id, cent_id, dist AS cdist,
         |  CAST(rn - FLOOR(n * 0.25) AS BIGINT) AS rn
         |FROM rnk WHERE rn > FLOOR(n * 0.25)
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "q137_hard_negatives" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(embedding[i] AS DOUBLE) AS v, i AS idx
+        |  FROM embeddings, generate_series(1, 64) AS t(i)
+        |), norms AS (
+        |  SELECT vec_id, ANY_VALUE(label) AS label, sqrt(SUM(v*v)) AS nrm
+        |  FROM ex GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+        |    SUM(a.v*b.v) AS dot
+        |  FROM ex a JOIN ex b ON a.idx = b.idx
+        |   AND a.vec_id < 8 AND b.vec_id <> a.vec_id
+        |   AND b.label IS DISTINCT FROM a.label
+        |  GROUP BY 1, 2
+        |), cos AS (
+        |  SELECT anchor_id, neg_id, nb.label AS neg_label,
+        |    ROUND(dot/(na.nrm*nb.nrm), 6) AS cosine
+        |  FROM dots JOIN norms na ON na.vec_id = anchor_id
+        |            JOIN norms nb ON nb.vec_id = neg_id
+        |), ranked AS (
+        |  SELECT anchor_id, neg_id, neg_label, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+        |                       ORDER BY cosine DESC, neg_id) AS rank
+        |  FROM cos
+        |)
+        |SELECT anchor_id, neg_id, neg_label, cosine,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

@@ -60,6 +60,45 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training (DPR/SimCSE-style
+    * retriever or embedding-model training): for each anchor row
+    * (rows matching `anchorPred`), the k most-cosine-similar vectors
+    * whose `labelCol` DIFFERS from the anchor's — close in embedding
+    * space yet labeled differently, exactly the negatives with
+    * gradient signal. NULL labels compare null-safely (NULL is its
+    * own label class, so a NULL-labeled negative IS hard for a
+    * non-NULL anchor and vice versa).
+    *
+    * Plan posture = [[cosineTopK]]: the anchor slice is the bounded
+    * training batch being mined, so it broadcasts; the corpus streams
+    * through once and never shuffles (only the scored pair frame —
+    * |anchors| x corpus rows wide of 4 scalars — shuffles for the
+    * per-anchor rank window). At 100 TB, pre-restrict the corpus side
+    * to the IVF/PQ candidate cells of each anchor ([[ivfTopKIndexed]])
+    * and feed the survivors through this same scoring contract.
+    * Output: anchor_id, neg_id, neg_label, cosine (rounded 6), rank. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchorPred: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val t = emb.select(col(idCol).as("neg_id"), col(vecCol).as("tv"),
+        col(labelCol).as("neg_label"))
+      .withColumn("nt", sqrt(dot(col("tv"), col("tv"))))
+    val q = emb.where(anchorPred)
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("qv"),
+        col(labelCol).as("__anchor_label"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
+    val scored = t.join(broadcast(q),
+        col("anchor_id") =!= col("neg_id") &&
+          !(col("neg_label") <=> col("__anchor_label")))
+      .select(col("anchor_id"), col("neg_id"), col("neg_label"),
+        round(dot(col("qv"), col("tv")) / (col("nq") * col("nt")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("neg_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Deterministic random hyperplanes for sign-LSH: plane p component j
     * derives from the md5-based 32-bit hash of "p:j" mapped into
     * [-1, 1) — reproducible across runs/engines with no RNG state. */

@@ -33,6 +33,41 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getDouble(0) == 1.5 * 2.0 + -2.0 * 4.0)
   }
 
+  test("hardNegatives returns top-k different-label neighbors only") {
+    val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .where($"vec_id" < 60).cache()
+    val hn = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      $"vec_id" < 4, k = 3).collect()
+    val labels = emb.select($"vec_id", $"label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every mined negative carries a label different from its anchor's
+    assert(hn.forall(r =>
+      labels(r.getAs[Long]("neg_id")) != labels(r.getAs[Long]("anchor_id"))))
+    // ranks are contiguous 1..3 per anchor
+    hn.groupBy(_.getAs[Long]("anchor_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L))
+    }
+    // brute-force check: the rank-1 negative really is the closest
+    // different-label vector (rounded cosine, id tie-break)
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (u, v) => u.toDouble * v.toDouble }.sum
+      BigDecimal(d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    hn.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      val aId = r.getAs[Long]("anchor_id")
+      val best = vecs.keys
+        .filter(id => id != aId && labels(id) != labels(aId))
+        .map(id => (-cos(vecs(aId), vecs(id)), id)).min._2
+      assert(r.getAs[Long]("neg_id") == best,
+        s"anchor $aId: expected $best, got ${r.getAs[Long]("neg_id")}")
+    }
+    emb.unpersist()
+  }
+
   test("cosineTopK returns k ranked neighbors per query, self excluded") {
     val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val top = Similarity.cosineTopK(emb, "vec_id", "embedding", $"vec_id" < 3, 4)
