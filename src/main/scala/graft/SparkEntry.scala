@@ -1678,7 +1678,15 @@ object SparkEntry {
     "q137_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id",
           "embedding", "label", col("vec_id") < 8, k = 5)
-        .orderBy("anchor_id", "rank"))
+        .orderBy("anchor_id", "rank")),
+
+    // JL sign random projection 64->16: deterministic md5 ±1 matrix as
+    // a plan-time literal, one codegen'd dot product per output dim —
+    // zero shuffle; the corpus projects in a single map pass.
+    "q138_random_projection" -> ((s, dir) =>
+      Similarity.signRandomProjection(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64, outDim = 16)
+        .orderBy("vec_id", "dim_idx"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -4206,7 +4214,24 @@ ORDER BY 1, 2"""
         |)
         |SELECT anchor_id, neg_id, neg_label, cosine,
         |  CAST(rank AS BIGINT) AS rank
-        |FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
+        |FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+
+    "q138_random_projection" ->
+      """WITH sg AS (
+        |  SELECT j, i,
+        |    CASE WHEN CAST(('0x'||substr(md5('rp1:'||j||':'||i),1,8))
+        |              AS BIGINT) % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM generate_series(0, 15) AS t(j),
+        |       generate_series(0, 63) AS u(i)
+        |), ex AS (
+        |  SELECT vec_id, CAST(embedding[i+1] AS DOUBLE) AS v, i
+        |  FROM embeddings, generate_series(0, 63) AS t(i)
+        |)
+        |SELECT vec_id, CAST(j AS BIGINT) AS dim_idx,
+        |  ROUND(SUM(v * sgn) / sqrt(16.0), 6) AS proj
+        |FROM ex JOIN sg USING (i)
+        |GROUP BY 1, 2 ORDER BY vec_id, dim_idx""".stripMargin
   )
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —

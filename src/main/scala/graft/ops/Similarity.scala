@@ -99,6 +99,46 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Deterministic ±1 sign matrix for [[signRandomProjection]]:
+    * entry (j, i) is +1 when the md5-derived 32-bit key of
+    * "seed:j:i" is even — reproducible in any engine with md5. */
+  private[ops] def signMatrix(seed: String, outDim: Int,
+      dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, dim) { (j, i) =>
+      val hex = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson–Lindenstrauss sign random projection (Achlioptas 2003,
+    * database-friendly random projections): out_j = (1/sqrt(outDim)) ·
+    * Σ_i sign(j,i)·v_i with the deterministic md5-derived ±1 matrix
+    * from [[signMatrix]] — embedding compression (e.g. 64→16 dims)
+    * that preserves pairwise distances in expectation, feeding
+    * downstream clustering/ANN at a quarter of the width.
+    *
+    * Scale shape: the matrix is a plan-time literal (outDim×dim
+    * doubles, shipped with the plan, no broadcast join); each output
+    * component is one codegen'd [[graft.expressions.DotProduct]]
+    * against the row's vector — zero shuffle, zero per-element
+    * explode; the corpus projects in a single narrow map pass.
+    * Output long-form: idCol, dim_idx (0-based long), proj
+    * (rounded 6). */
+  def signRandomProjection(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int, seed: String = "rp1"): DataFrame = {
+    require(outDim > 0 && dim > 0, s"dims must be positive: $dim->$outDim")
+    val m = signMatrix(seed, outDim, dim)
+    val comps = (0 until outDim).map { j =>
+      struct(lit(j.toLong).as("dim_idx"),
+        round(dot(col(vecCol), typedLit(m(j).toSeq))
+          / math.sqrt(outDim.toDouble), 6).as("proj"))
+    }
+    emb.select(col(idCol), explode(array(comps: _*)).as("__c"))
+      .select(col(idCol), col("__c.dim_idx"), col("__c.proj"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH: plane p component j
     * derives from the md5-based 32-bit hash of "p:j" mapped into
     * [-1, 1) — reproducible across runs/engines with no RNG state. */

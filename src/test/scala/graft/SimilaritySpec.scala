@@ -68,6 +68,35 @@ class SimilaritySpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("signRandomProjection preserves pairwise distance structure") {
+    val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .where($"vec_id" < 15)
+    val proj = Similarity.signRandomProjection(emb, "vec_id", "embedding",
+      dim = 64, outDim = 16)
+    // shape: one row per (vector, output dim)
+    assert(proj.count() == 15 * 16)
+    // deterministic across runs
+    val again = Similarity.signRandomProjection(emb, "vec_id", "embedding",
+      dim = 64, outDim = 16)
+    assert(proj.except(again).isEmpty && again.except(proj).isEmpty)
+    // JL property: E[||proj(v)||^2] = ||v||^2 under a ±1/sqrt(k)
+    // matrix — per-vector ratios spread (chi-sq_16/16) but stay in a
+    // wide band, and their mean concentrates near 1
+    val orig = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val pr = proj.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray }
+    val ratios = orig.collect { case (id, v) if v.map(x => x * x).sum > 0 =>
+      pr(id).map(x => x * x).sum / v.map(x => x * x).sum }.toSeq
+    assert(ratios.forall(r => r > 0.1 && r < 4.0),
+      s"a norm ratio escaped the JL band: ${ratios.min} .. ${ratios.max}")
+    val meanRatio = ratios.sum / ratios.size
+    assert(meanRatio > 0.7 && meanRatio < 1.3,
+      s"mean norm ratio $meanRatio not near 1")
+  }
+
   test("cosineTopK returns k ranked neighbors per query, self excluded") {
     val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val top = Similarity.cosineTopK(emb, "vec_id", "embedding", $"vec_id" < 3, 4)
