@@ -1686,7 +1686,16 @@ object SparkEntry {
     "q138_random_projection" -> ((s, dir) =>
       Similarity.signRandomProjection(t(s, dir, "embeddings"), "vec_id",
           "embedding", dim = 64, outDim = 16)
-        .orderBy("vec_id", "dim_idx"))
+        .orderBy("vec_id", "dim_idx")),
+
+    // MMR diversified top-k: greedy λ·rel − (1−λ)·max-sim-to-selected
+    // re-rank over a 30-candidate pool, all queries advancing together
+    // (one distributed argmax per greedy step, k steps total).
+    // λ = 0.75: binary-exact, so both engines score identically.
+    "q139_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 3, poolSize = 30, k = 8, lambda = 0.75)
+        .orderBy("query_id", "sel_rank"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -2018,7 +2027,7 @@ object SparkEntry {
       """WITH ex AS (
         |  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS v, i AS idx
         |  FROM embeddings, generate_series(1, 64) AS t(i)
-        |), norms AS (
+        |), norms AS MATERIALIZED (
         |  SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM ex GROUP BY 1
         |), dots AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS target_id, SUM(a.v*b.v) AS dot
@@ -2081,7 +2090,7 @@ object SparkEntry {
       """WITH ex AS (
         |  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS v, i AS idx
         |  FROM embeddings, generate_series(1, 64) AS t(i)
-        |), norms AS (
+        |), norms AS MATERIALIZED (
         |  SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM ex GROUP BY 1
         |), dots AS (
         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, SUM(a.v*b.v) AS dot
@@ -3141,7 +3150,7 @@ ORDER BY 1, 2"""
         |                 / COUNT(1) OVER (PARTITION BY token)) AS w
         |  FROM tf
         |  QUALIFY df <= 100 AND w > 0
-        |), norms AS (
+        |), norms AS MATERIALIZED (
         |  SELECT doc, sqrt(SUM(w * w)) AS norm FROM wtd GROUP BY 1
         |), pairs AS (
         |  SELECT a.doc, b.doc AS doc_b, SUM(a.w * b.w) AS dot
@@ -4191,7 +4200,7 @@ ORDER BY 1, 2"""
       """WITH ex AS (
         |  SELECT vec_id, label, CAST(embedding[i] AS DOUBLE) AS v, i AS idx
         |  FROM embeddings, generate_series(1, 64) AS t(i)
-        |), norms AS (
+        |), norms AS MATERIALIZED (
         |  SELECT vec_id, ANY_VALUE(label) AS label, sqrt(SUM(v*v)) AS nrm
         |  FROM ex GROUP BY 1
         |), dots AS (
@@ -4231,8 +4240,87 @@ ORDER BY 1, 2"""
         |SELECT vec_id, CAST(j AS BIGINT) AS dim_idx,
         |  ROUND(SUM(v * sgn) / sqrt(16.0), 6) AS proj
         |FROM ex JOIN sg USING (i)
-        |GROUP BY 1, 2 ORDER BY vec_id, dim_idx""".stripMargin
+        |GROUP BY 1, 2 ORDER BY vec_id, dim_idx""".stripMargin,
+
+    "q139_mmr_rerank" ->
+      s"""WITH ex AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS v, i AS idx
+        |  FROM embeddings, generate_series(1, 64) AS t(i)
+        |), norms AS MATERIALIZED (
+        |  SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM ex GROUP BY 1
+        |), qdots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS target_id,
+        |    SUM(a.v*b.v) AS dot
+        |  FROM ex a JOIN ex b ON a.idx = b.idx
+        |   AND a.vec_id < 3 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), pool AS MATERIALIZED (
+        |  SELECT query_id, target_id, rel FROM (
+        |    SELECT query_id, target_id, rel, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY rel DESC, target_id) AS pr
+        |    FROM (SELECT query_id, target_id,
+        |        ROUND(dot/(na.nrm*nb.nrm), 6) AS rel
+        |      FROM qdots JOIN norms na ON na.vec_id = query_id
+        |                 JOIN norms nb ON nb.vec_id = target_id))
+        |  WHERE pr <= 30
+        |), pd AS (
+        |  SELECT p1.query_id, p1.target_id AS a, p2.target_id AS b,
+        |    SUM(ea.v*eb.v) AS dot
+        |  FROM pool p1 JOIN pool p2 ON p1.query_id = p2.query_id
+        |    AND p1.target_id <> p2.target_id
+        |  JOIN ex ea ON ea.vec_id = p1.target_id
+        |  JOIN ex eb ON eb.vec_id = p2.target_id AND eb.idx = ea.idx
+        |  GROUP BY 1, 2, 3
+        |), sims AS MATERIALIZED (
+        |  SELECT query_id, a, b, ROUND(dot/(na.nrm*nb.nrm), 6) AS sim
+        |  FROM pd JOIN norms na ON na.vec_id = a
+        |           JOIN norms nb ON nb.vec_id = b
+        |), acc1 AS MATERIALIZED (
+        |  SELECT query_id, target_id, 1 AS sel_rank, mmr FROM (
+        |    SELECT query_id, target_id, mmr, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY mmr DESC, target_id) AS rn
+        |    FROM (SELECT query_id, target_id,
+        |      ROUND($MmrLam*rel, 8) AS mmr FROM pool))
+        |  WHERE rn = 1
+        |), ${mmrStepCtes(8, MmrLam)}
+        |SELECT query_id, target_id, CAST(sel_rank AS BIGINT) AS sel_rank,
+        |  mmr
+        |FROM acc8 ORDER BY query_id, sel_rank""".stripMargin
   )
+
+  /** λ for the q139 MMR oracle — binary-exact 0.75 (see
+    * [[graft.ops.Similarity.mmrRerank]]'s rounding note), CAST so
+    * DuckDB computes `1 - λ` in DOUBLE like the Spark side. */
+  private val MmrLam: String = "CAST(0.75 AS DOUBLE)"
+
+  /** One greedy MMR step (score-candidates + accumulate-selection CTE
+    * pair) per rank — the oracle mirror of
+    * [[graft.ops.Similarity.mmrRerank]]'s loop. */
+  private def mmrStepCtes(k: Int, lam: String): String =
+    (2 to k).map { i =>
+      s"""s$i AS (
+         |  SELECT query_id, target_id, mmr FROM (
+         |    SELECT query_id, target_id, mmr, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY mmr DESC, target_id) AS rn
+         |    FROM (
+         |      SELECT c.query_id, c.target_id,
+         |        ROUND($lam*c.rel
+         |          - (CAST(1 AS DOUBLE) - $lam)*m.msim, 8) AS mmr
+         |      FROM pool c
+         |      LEFT JOIN acc${i - 1} d ON d.query_id = c.query_id
+         |        AND d.target_id = c.target_id
+         |      JOIN (SELECT s.query_id, s.a AS target_id,
+         |              MAX(s.sim) AS msim
+         |            FROM sims s JOIN acc${i - 1} x
+         |              ON x.query_id = s.query_id AND x.target_id = s.b
+         |            GROUP BY 1, 2) m ON m.query_id = c.query_id
+         |        AND m.target_id = c.target_id
+         |      WHERE d.target_id IS NULL)) WHERE rn = 1
+         |), acc$i AS MATERIALIZED (
+         |  SELECT * FROM acc${i - 1} UNION ALL
+         |  SELECT query_id, target_id, $i AS sel_rank, mmr FROM s$i
+         |)""".stripMargin
+    }.mkString(", ")
 
   /** One PageRank iteration pair (contribution + rank CTE) per step —
     * the oracle mirror of [[graft.ops.Graph.pageRank]]'s loop. */

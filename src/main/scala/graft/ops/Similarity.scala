@@ -99,6 +99,85 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein 1998): greedily select k results per query maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — relevant results
+    * that are NOT near-duplicates of what's already picked, the
+    * standard diversity re-rank for RAG retrieval and eval-set
+    * assembly. Scoring is over a bounded per-query candidate pool
+    * (the `poolSize` most-relevant vectors, exact), the standard
+    * two-stage shape: stage 1 is [[cosineTopK]]-style retrieval.
+    *
+    * Scale shape: all queries advance TOGETHER — each of the k greedy
+    * steps is one distributed argmax (window rank over query_id), so
+    * the step count is k regardless of |queries|; the pool and its
+    * pairwise-sim frame (|q|·p and |q|·p² rows, p = poolSize) are
+    * cached once. Every score is rounded before the argmax with the
+    * id as tie-break — the selection is engine-reproducible. The
+    * mmr score rounds at 8 digits, not 6: λ·(6-digit rel) lands
+    * EXACTLY on a 7th-digit half for ~half of all rel values with a
+    * one-digit λ, where Spark (shortest-repr HALF_UP) and DuckDB
+    * (binary scaling) disagree — at 8 digits a λ like 0.75 makes the
+    * score an exact decimal with no representable half-tie. Prefer a
+    * binary-exact λ (0.75, 0.5, 0.25) for cross-engine gating.
+    * Output: query_id, target_id, sel_rank (1..k), mmr (rounded 8). */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, poolSize: Int, k: Int,
+      lambda: Double): DataFrame = {
+    require(k > 0 && poolSize >= k, s"need poolSize >= k > 0: $poolSize, $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    val t = withNorm(emb, idCol, vecCol, "target_id", "tv", "nt")
+    val q = withNorm(emb.where(queryPred), idCol, vecCol,
+      "query_id", "qv", "nq")
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("target_id"))
+    val pool = t.join(broadcast(q), col("query_id") =!= col("target_id"))
+      .select(col("query_id"), col("target_id"), col("tv"), col("nt"),
+        round(dot(col("qv"), col("tv")) / (col("nq") * col("nt")), 6)
+          .as("rel"))
+      .withColumn("prank", row_number().over(pw))
+      .where(col("prank") <= poolSize)
+      .select(col("query_id"), col("target_id"), col("tv"), col("nt"),
+        col("rel"))
+      .cache()
+    val sims = pool.select(col("query_id"), col("target_id").as("a"),
+        col("tv").as("va"), col("nt").as("na"))
+      .join(pool.select(col("query_id"), col("target_id").as("b"),
+        col("tv").as("vb"), col("nt").as("nb")), Seq("query_id"))
+      .where(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("sim"))
+      .cache()
+    val rel = pool.select(col("query_id"), col("target_id"), col("rel"))
+    def argmax(scoredCand: DataFrame, step: Int): DataFrame =
+      scoredCand.withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("mmr").desc, col("target_id"))))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("target_id"),
+          lit(step.toLong).as("sel_rank"), col("mmr"))
+    // eager localCheckpoint per step (the pageRank pattern): selected
+    // is referenced three times by the next step, so without cutting
+    // lineage the plan tree grows 3^k
+    var selected = argmax(rel.withColumn("mmr",
+      round(lit(lambda) * col("rel"), 8)), 1).localCheckpoint(true)
+    for (step <- 2 to k) {
+      val cand = rel.join(selected.select(col("query_id"), col("target_id")),
+        Seq("query_id", "target_id"), "left_anti")
+      val maxSim = sims
+        .join(selected.select(col("query_id"), col("target_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("target_id"))
+        .agg(max(col("sim")).as("msim"))
+      val next = argmax(cand.join(maxSim, Seq("query_id", "target_id"))
+        .withColumn("mmr", round(lit(lambda) * col("rel")
+          - lit(1.0 - lambda) * col("msim"), 8)), step)
+      selected = selected.union(next).localCheckpoint(true)
+    }
+    selected
+  }
+
   /** Deterministic ±1 sign matrix for [[signRandomProjection]]:
     * entry (j, i) is +1 when the md5-derived 32-bit key of
     * "seed:j:i" is even — reproducible in any engine with md5. */

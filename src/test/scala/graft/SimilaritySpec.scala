@@ -97,6 +97,43 @@ class SimilaritySpec extends SparkSpec {
       s"mean norm ratio $meanRatio not near 1")
   }
 
+  test("mmrRerank trades relevance for diversity after the first pick") {
+    // query [1,0]; two EXACT-duplicate high-relevance candidates and
+    // one diverse lower-relevance candidate: greedy MMR must take dup1,
+    // then the diverse vector, and only then the second duplicate
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)),
+      (2L, Array(0.99f, 0.1f)), (3L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val sel = Similarity.mmrRerank(emb, "vec_id", "embedding",
+        $"vec_id" === 0L, poolSize = 3, k = 3, lambda = 0.3)
+      .orderBy("sel_rank").collect()
+    assert(sel.map(_.getAs[Long]("target_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(sel.map(_.getAs[Long]("sel_rank")).toSeq == Seq(1L, 2L, 3L))
+    // mmr scores are non-increasing only within what greedy guarantees:
+    // each step's winner beat its own step's alternatives; spot-check
+    // step 2 penalized the exact duplicate below the diverse pick
+    assert(sel(1).getAs[Double]("mmr") > 0.3 * 0.994937 - 0.7 * 1.0 + 1e-9)
+  }
+
+  test("mmrRerank first pick is the pure-relevance argmax per query") {
+    val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val sel = Similarity.mmrRerank(emb, "vec_id", "embedding",
+        $"vec_id" < 3, poolSize = 10, k = 4, lambda = 0.7)
+    val first = sel.where($"sel_rank" === 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top1 = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        $"vec_id" < 3, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first == top1)
+    // k selections per query, ranks contiguous, no repeats
+    sel.collect().groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("sel_rank")).sorted.toSeq ==
+        (1L to 4L).toSeq)
+      assert(rs.map(_.getLong(1)).distinct.length == 4)
+    }
+  }
+
   test("cosineTopK returns k ranked neighbors per query, self excluded") {
     val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val top = Similarity.cosineTopK(emb, "vec_id", "embedding", $"vec_id" < 3, 4)
