@@ -1695,7 +1695,25 @@ object SparkEntry {
     "q139_mmr_rerank" -> ((s, dir) =>
       Similarity.mmrRerank(t(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 3, poolSize = 30, k = 8, lambda = 0.75)
-        .orderBy("query_id", "sel_rank"))
+        .orderBy("query_id", "sel_rank")),
+
+    // Cross-corpus fuzzy join: a synthetic "fresh crawl" (40% of docs,
+    // half verbatim, half with a trailing mutation) matched against
+    // the standing corpus — bipartite LSH buckets, exact-Jaccard
+    // verified, never within-side and never all-pairs.
+    "q140_fuzzy_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val right = docs.where(col("doc_id") % 5 < 2)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          when(col("doc_id") % 5 === 1,
+            concat(col("text"), lit(" graft variant marker tokens")))
+          .otherwise(col("text")).as("text"))
+      Dedup.fuzzyJoin(docs, "doc_id", "text", right, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("left_id"), col("right_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("left_id", "right_id")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -1770,6 +1788,39 @@ object SparkEntry {
 
   /** Same chain over an arbitrary source relation (used by the
     * composite corpus-clean gate, which runs LSH on the GATED subset). */
+  /** One SIDE of the bipartite fuzzy-join oracle: the same
+    * tokens→shingles→md5-hash→8-LCG-minhash→4×2-band chain as
+    * [[minhashGateCtes]], with `sfx`-suffixed CTE names so two sides
+    * coexist in one query (the q140 mirror of
+    * [[graft.ops.Dedup.fuzzyJoin]]). */
+  private def minhashSideCtes(sfx: String, src: String): String =
+    s"""toks$sfx AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $src
+       |), sh$sfx AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+       |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM toks$sfx
+       |), ex$sfx AS (
+       |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh$sfx
+       |), h$sfx AS (
+       |  SELECT doc_id, CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) AS h FROM ex$sfx
+       |), sig$sfx AS (
+       |  SELECT doc_id,
+       |    MIN((1664525*h+1013904223) % 2147483647) AS mh0,
+       |    MIN((22695477*h+1) % 2147483647) AS mh1,
+       |    MIN((1103515245*h+12345) % 2147483647) AS mh2,
+       |    MIN((134775813*h+1) % 2147483647) AS mh3,
+       |    MIN((214013*h+2531011) % 2147483647) AS mh4,
+       |    MIN((69069*h+7) % 2147483647) AS mh5,
+       |    MIN((48271*h+11) % 2147483647) AS mh6,
+       |    MIN((16807*h+3) % 2147483647) AS mh7
+       |  FROM h$sfx GROUP BY 1
+       |), bands$sfx AS (
+       |  SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig$sfx UNION ALL
+       |  SELECT doc_id, 1, mh2, mh3 FROM sig$sfx UNION ALL
+       |  SELECT doc_id, 2, mh4, mh5 FROM sig$sfx UNION ALL
+       |  SELECT doc_id, 3, mh6, mh7 FROM sig$sfx
+       |)""".stripMargin
+
   private def minhashGateCtes(src: String): String =
     s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $src
@@ -4285,7 +4336,33 @@ ORDER BY 1, 2"""
         |), ${mmrStepCtes(8, MmrLam)}
         |SELECT query_id, target_id, CAST(sel_rank AS BIGINT) AS sel_rank,
         |  mmr
-        |FROM acc8 ORDER BY query_id, sel_rank""".stripMargin
+        |FROM acc8 ORDER BY query_id, sel_rank""".stripMargin,
+
+    "q140_fuzzy_join" ->
+      s"""WITH rsrc AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    CASE WHEN doc_id % 5 = 1
+        |         THEN text || ' graft variant marker tokens'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 < 2
+        |), ${minhashSideCtes("l", "documents")},
+        |${minhashSideCtes("r", "rsrc")},
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+        |  FROM bandsl a JOIN bandsr b
+        |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+        |), verified AS (
+        |  SELECT c.left_id, c.right_id, COUNT(1) AS inter,
+        |         MAX(ea.n) AS na, MAX(eb.n) AS nb
+        |  FROM cand c
+        |  JOIN exl ea ON ea.doc_id = c.left_id
+        |  JOIN exr eb ON eb.doc_id = c.right_id AND eb.s = ea.s
+        |  GROUP BY 1, 2
+        |)
+        |SELECT left_id, right_id,
+        |  ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
+        |FROM verified WHERE inter*1.0/(na+nb-inter) >= 0.5
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

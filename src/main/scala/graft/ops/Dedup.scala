@@ -288,6 +288,53 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus fuzzy join (record linkage / crawl-snapshot merge):
+    * near-duplicate pairs BETWEEN two document sets — match a fresh
+    * crawl against the standing corpus, merge two vendor feeds, align
+    * snapshot generations — with the same MinHash+LSH machinery as
+    * [[minhashNearDups]], made bipartite: signatures on each side,
+    * band buckets joined LEFT × RIGHT only (never within a side, so
+    * intra-corpus duplicates cost nothing here), candidates verified
+    * with exact shingle Jaccard under the usual length-ratio prune.
+    * Identical ids on the two sides are NOT excluded (the sides are
+    * different tables; run [[minhashNearDups]] for self-join dedup).
+    *
+    * Scale shape: both sides stream once through signature+banding;
+    * the only wide frames are long-keyed (band buckets, shingle
+    * hashes). Pair generation stays linear in bucket occupancy —
+    * bipartite bucketing never goes all-pairs, so a 100 TB corpus ×
+    * daily-crawl join is bounded by the crawl's bucket load.
+    * Output: left_id, right_id, jaccard (>= threshold, unrounded). */
+  def fuzzyJoin(left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      n: Int = 3, threshold: Double = 0.5, nPerms: Int = 8,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(bands * rowsPerBand <= nPerms,
+      s"bands*rowsPerBand (${bands * rowsPerBand}) exceeds nPerms ($nPerms)")
+    val lb = bandTable(minhashSignatures(left, leftId, leftText, n, nPerms),
+        leftId, bands, rowsPerBand)
+      .select(col(leftId).as("left_id"), col("band"), col("bkey"))
+    val rb = bandTable(minhashSignatures(right, rightId, rightText, n, nPerms),
+        rightId, bands, rowsPerBand)
+      .select(col(rightId).as("right_id"), col("band"), col("bkey"))
+    val cand = lb.join(rb, Seq("band", "bkey"))
+      .select("left_id", "right_id").distinct()
+    val exL = shingleTable(left, leftId, leftText, n)
+      .select(col(leftId).as("left_id"), xxhash64(col("s")).as("sk"),
+        col("n").as("na"))
+    val exR = shingleTable(right, rightId, rightText, n)
+      .select(col(rightId).as("right_id"), xxhash64(col("s")).as("sk"),
+        col("n").as("nb"))
+    cand.join(exL, "left_id").join(exR, Seq("right_id", "sk"))
+      .where(col("na") >= lit(threshold) * col("nb")
+        && col("nb") >= lit(threshold) * col("na"))
+      .groupBy("left_id", "right_id")
+      .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nb").as("nb"))
+      .select(col("left_id"), col("right_id"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** The exploded band-bucket table of a signature frame:
     * (id, band, bkey) — the join key surface of the LSH index. */
   private[graft] def bandTable(sig: DataFrame, idCol: String, bands: Int,

@@ -40,6 +40,27 @@ class DedupSpec extends SparkSpec {
     assert(exact._3 == 1.0)
   }
 
+  test("fuzzyJoin matches exact and mutated twins across two corpora, never within") {
+    val left = docs
+    val right = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"), // exact = doc 1/2
+      (103L, "the quick brown fox jumps over the lazy cat and naps"), // near 3
+      (105L, "totally fresh crawl content sharing nothing at all"),
+      (106L, "completely different content with other words entirely") // exact = 4
+    ).toDF("doc_id", "text")
+    val m = Dedup.fuzzyJoin(left, "doc_id", "text", right, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact twins at jaccard 1.0, from BOTH duplicate left docs
+    assert(m((1L, 101L)) == 1.0 && m((2L, 101L)) == 1.0)
+    assert(m((4L, 106L)) == 1.0)
+    // mutated twin above threshold but below 1
+    assert(m.contains((3L, 103L)) && m((3L, 103L)) < 1.0)
+    // the unrelated crawl doc matches nothing; no within-side pairs
+    assert(!m.keys.exists(_._2 == 105L))
+    assert(m.keys.forall { case (l, r) => l <= 5L && r >= 101L })
+  }
+
   test("maxDocFreq cap drops hot shingles from pairing") {
     // every doc shares shingle "x y z" -> without cap all pairs appear
     val hot = Seq((1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z g h i"))
