@@ -1713,7 +1713,15 @@ object SparkEntry {
         .select(col("left_id"), col("right_id"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("left_id", "right_id")
-    })
+    }),
+
+    // Simplified silhouette per cluster: (b−a)/b from ONE two-minima
+    // broadcast fold over the centroid array — the quadratic full
+    // silhouette replaced by the point×centroid form that scales.
+    "q141_silhouette" -> ((s, dir) =>
+      graft.ops.Cluster.silhouette(t(s, dir, "embeddings"), "vec_id",
+          "embedding", centroidStride = 32)
+        .orderBy("cent_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -4362,7 +4370,30 @@ ORDER BY 1, 2"""
         |SELECT left_id, right_id,
         |  ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
         |FROM verified WHERE inter*1.0/(na+nb-inter) >= 0.5
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q141_silhouette" ->
+      s"""WITH $IvfAssignCtes, rnk AS (
+        |  SELECT vec_id, cent_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                       ORDER BY dist, cent_id) AS rn
+        |  FROM cdist
+        |), ab AS (
+        |  SELECT a.vec_id, a.cent_id,
+        |    CASE WHEN b.dist = 0 THEN 0.0
+        |         ELSE ROUND((sqrt(b.dist) - sqrt(a.dist)) / sqrt(b.dist), 6)
+        |    END AS s
+        |  FROM rnk a JOIN rnk b
+        |    ON b.vec_id = a.vec_id AND a.rn = 1 AND b.rn = 2
+        |), agg AS (
+        |  SELECT cent_id, COUNT(1) AS n,
+        |    SUM(CAST(ROUND(s*1000000, 0) AS BIGINT)) AS sm
+        |  FROM ab GROUP BY 1
+        |)
+        |SELECT cent_id, CAST(n AS BIGINT) AS n,
+        |  SIGN(sm) * FLOOR((10*ABS(sm) + 5*n) * 1.0 / (10*n)) / 1000000.0
+        |    AS mean_silhouette
+        |FROM agg ORDER BY cent_id""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

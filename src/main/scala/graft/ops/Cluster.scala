@@ -69,6 +69,65 @@ object Cluster {
     assignment.groupBy("cent_id")
       .agg(count(lit(1)).as("n"), round(avg(col("dist")), 6).as("mean_dist"))
 
+  /** Simplified silhouette per cluster (Hruschka et al.'s
+    * centroid-based variant of Rousseeuw 1987): for each point,
+    * a = distance to its own centroid, b = distance to the nearest
+    * OTHER centroid, s = (b − a) / max(a, b); since a ≤ b by
+    * construction this is (b − a) / b, with s = 0 when both are 0.
+    * The standard cluster-quality check after [[kmeans]] /
+    * [[prototypicalityPrune]] — full silhouette needs all pairwise
+    * point distances (quadratic, impossible at 100 TB); the
+    * simplified form needs only point×centroid distances.
+    *
+    * Scale shape: ONE broadcast fold over the sorted centroid array
+    * tracking the two smallest rounded distances (the [[Similarity]]
+    * assignment posture — the corpus never shuffles for scoring, and
+    * no corpus×centroids frame ever exists); the only shuffle is the
+    * final k-row aggregation. Distances round at 9 before comparison,
+    * ties to the smaller cent_id; s rounds at 6 before averaging.
+    * The cluster mean is then computed in integer MICRO-UNITS with
+    * explicit half-away-from-zero rounding — `ROUND(AVG(s), 6)` is
+    * nondeterministic across engines whenever the exact mean of the
+    * 6-decimal s values lands on a digit-7 half (float sum order
+    * decides the side); integer arithmetic cannot straddle.
+    * Output: cent_id, n, mean_silhouette (6 decimals, bit-exact). */
+  def silhouette(emb: DataFrame, idCol: String, vecCol: String,
+      centroidStride: Int = 32): DataFrame = {
+    val centsArr = Similarity.ivfCentroids(emb, idCol, vecCol, centroidStride)
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cv"),
+        col("sc")))).as("__cents"))
+    val init = struct(lit(Double.MaxValue).as("d1"),
+      lit(null).cast("bigint").as("cent_id"),
+      lit(Double.MaxValue).as("d2"))
+    val best2 = aggregate(col("__cents"), init, (acc, c) => {
+      val d = round(col("st") - lit(2.0) * dot(col("tv"), c.getField("cv"))
+        + c.getField("sc"), 9)
+      when(d < acc.getField("d1"),
+        struct(d.as("d1"),
+          c.getField("cent_id").cast("bigint").as("cent_id"),
+          acc.getField("d1").as("d2")))
+        .when(d < acc.getField("d2"),
+          struct(acc.getField("d1").as("d1"), acc.getField("cent_id")
+            .as("cent_id"), d.as("d2")))
+        .otherwise(acc)
+    })
+    val scored = emb.select(col(idCol).as("target_id"), col(vecCol).as("tv"))
+      .withColumn("st", dot(col("tv"), col("tv")))
+      .join(broadcast(centsArr), lit(true)) // 1-row nested-loop broadcast
+      .select(col("target_id"), best2.getField("cent_id").as("cent_id"),
+        sqrt(best2.getField("d1")).as("a"), sqrt(best2.getField("d2")).as("b"))
+      .select(col("target_id"), col("cent_id"),
+        when(col("b") === 0, lit(0.0))
+          .otherwise(round((col("b") - col("a")) / col("b"), 6)).as("s"))
+    scored.groupBy("cent_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("s") * 1e6).cast("long")).as("__sm"))
+      .select(col("cent_id"), col("n"),
+        (signum(col("__sm"))
+          * floor((lit(10L) * abs(col("__sm")) + lit(5L) * col("n"))
+            / (lit(10L) * col("n"))) / lit(1e6)).as("mean_silhouette"))
+  }
+
   /** D4-style prototypicality pruning (Tirumala et al. 2023, "D4:
     * Improving LLM Pretraining via Document De-Duplication and
     * Diversification"): within each cluster, DROP the

@@ -45,6 +45,29 @@ class ClusterSpec extends SparkSpec {
     assert(stats.where($"mean_dist" < 0).isEmpty)
   }
 
+  test("silhouette: separated clusters score near 1, degenerate data scores 0") {
+    // stride 4 over ids 0..7 -> centroids are vec 0 (~origin) and
+    // vec 4 (~[10,0]); two tight, well-separated blobs
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.2f, 0.1f)),
+      (2L, Array(-0.1f, 0.2f)), (3L, Array(0.1f, -0.2f)),
+      (4L, Array(10.0f, 0.0f)), (5L, Array(10.2f, 0.1f)),
+      (6L, Array(9.9f, 0.2f)), (7L, Array(10.1f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val sil = Cluster.silhouette(pts, "vec_id", "embedding",
+      centroidStride = 4).collect()
+    assert(sil.map(_.getAs[Long]("n")).sum == 8L)
+    assert(sil.forall(_.getAs[Double]("mean_silhouette") > 0.8),
+      sil.mkString(", "))
+    // coincident points: a = b = 0 everywhere -> silhouette exactly 0
+    val same = Seq.tabulate(8)(i => (i.toLong, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val degenerate = Cluster.silhouette(same, "vec_id", "embedding",
+      centroidStride = 4).collect()
+    assert(degenerate.map(_.getAs[Long]("n")).sum == 8L)
+    assert(degenerate.forall(_.getAs[Double]("mean_silhouette") == 0.0))
+  }
+
   test("prototypicalityPrune drops exactly the closest floor(n*frac) per cluster") {
     val full = Cluster.prototypicalityPrune(emb, "vec_id", "embedding",
       centroidStride = 16, dropFrac = 0.0)
