@@ -1721,7 +1721,15 @@ object SparkEntry {
     "q141_silhouette" -> ((s, dir) =>
       graft.ops.Cluster.silhouette(t(s, dir, "embeddings"), "vec_id",
           "embedding", centroidStride = 32)
-        .orderBy("cent_id"))
+        .orderBy("cent_id")),
+
+    // Exact positional phrase search: postings pruned to the phrase
+    // vocabulary BEFORE the position-shift equi-joins — the corpus
+    // token stream never reaches a shuffle.
+    "q142_phrase_search" -> ((s, dir) =>
+      graft.ops.Retrieval.phraseSearch(t(s, dir, "documents"), "doc_id",
+          "text", "stream table hash")
+        .orderBy("doc_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -4393,7 +4401,26 @@ ORDER BY 1, 2"""
         |SELECT cent_id, CAST(n AS BIGINT) AS n,
         |  SIGN(sm) * FLOOR((10*ABS(sm) + 5*n) * 1.0 / (10*n)) / 1000000.0
         |    AS mean_silhouette
-        |FROM agg ORDER BY cent_id""".stripMargin
+        |FROM agg ORDER BY cent_id""".stripMargin,
+
+    "q142_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i AS pos, w[i] AS tok FROM (
+        |    SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+        |    FROM (SELECT doc_id,
+        |      regexp_split_to_array(trim(text), '\s+') AS w
+        |      FROM documents))
+        |  WHERE w[i] IN ('stream', 'table', 'hash')
+        |)
+        |SELECT s.doc_id, CAST(COUNT(1) AS BIGINT) AS n_matches,
+        |  CAST(MIN(s.pos) AS BIGINT) AS first_pos
+        |FROM toks s
+        |JOIN toks t1 ON t1.doc_id = s.doc_id AND t1.pos = s.pos + 1
+        |  AND t1.tok = 'table'
+        |JOIN toks t2 ON t2.doc_id = s.doc_id AND t2.pos = s.pos + 2
+        |  AND t2.tok = 'hash'
+        |WHERE s.tok = 'stream'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -111,11 +111,16 @@ object Cluster {
             .as("cent_id"), d.as("d2")))
         .otherwise(acc)
     })
+    // alias the fold ONCE before extracting fields — extracting three
+    // fields from the raw expression re-evaluates the whole centroid
+    // fold three times per row (CollapseProject inlines cheap aliases
+    // but keeps a multi-referenced non-cheap one like this aggregate)
     val scored = emb.select(col(idCol).as("target_id"), col(vecCol).as("tv"))
       .withColumn("st", dot(col("tv"), col("tv")))
       .join(broadcast(centsArr), lit(true)) // 1-row nested-loop broadcast
-      .select(col("target_id"), best2.getField("cent_id").as("cent_id"),
-        sqrt(best2.getField("d1")).as("a"), sqrt(best2.getField("d2")).as("b"))
+      .select(col("target_id"), best2.as("__best"))
+      .select(col("target_id"), col("__best.cent_id").as("cent_id"),
+        sqrt(col("__best.d1")).as("a"), sqrt(col("__best.d2")).as("b"))
       .select(col("target_id"), col("cent_id"),
         when(col("b") === 0, lit(0.0))
           .otherwise(round((col("b") - col("a")) / col("b"), 6)).as("s"))

@@ -148,4 +148,39 @@ object Retrieval {
       .where(col("rank") <= k)
       .select(col("query_id"), col(idCol), col("rrf"), col("rank"))
   }
+
+  /** Exact phrase search over the positional token stream: documents
+    * where the words of `phrase` occur CONSECUTIVELY (whitespace
+    * tokenization, the corpus-wide [[tokens]] convention), with the
+    * occurrence count and the first match position (1-based). The
+    * positional leg the bag-of-words rankers ([[Bm25.topK]],
+    * [[tfidfSearchTopK]]) cannot express — "hash join" as a phrase,
+    * not two independent terms.
+    *
+    * Scale shape: the positional postings are pruned to the phrase's
+    * own vocabulary BEFORE any join (an `isin` filter riding the
+    * scan-side explode), so the m−1 position-shift equi-joins see
+    * only |phrase-term postings| rows, never the corpus token stream;
+    * each join keys on (doc, position) — long-keyed, equi, AQE-safe.
+    * A phrase of one word degenerates to the filter alone.
+    * Output: idCol, n_matches, first_pos. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val words = phrase.trim.split("\\s+").toSeq
+    require(words.nonEmpty && words.head.nonEmpty, "phrase must be non-empty")
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("p0", "tok")))
+      .where(col("tok").isin(words: _*))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("tok"))
+    val start = toks.where(col("tok") === words.head)
+      .select(col(idCol), col("pos"))
+    val matched = words.zipWithIndex.drop(1)
+      .foldLeft(start) { case (acc, (w, i)) =>
+        acc.join(toks.where(col("tok") === w)
+          .select(col(idCol), (col("pos") - i).as("pos")), Seq(idCol, "pos"))
+      }
+    matched.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).cast("long").as("first_pos"))
+  }
 }

@@ -68,6 +68,13 @@ class ClusterSpec extends SparkSpec {
     assert(degenerate.forall(_.getAs[Double]("mean_silhouette") == 0.0))
   }
 
+  test("silhouette evaluates the centroid fold once, not per extracted field") {
+    val plan = Cluster.silhouette(emb, "vec_id", "embedding",
+      centroidStride = 16).queryExecution.optimizedPlan.toString
+    val folds = "aggregate\\(".r.findAllMatchIn(plan).size
+    assert(folds == 1, s"centroid fold duplicated $folds times in plan")
+  }
+
   test("prototypicalityPrune drops exactly the closest floor(n*frac) per cluster") {
     val full = Cluster.prototypicalityPrune(emb, "vec_id", "embedding",
       centroidStride = 16, dropFrac = 0.0)

@@ -34,7 +34,10 @@ class PlanQualitySpec extends SparkSpec {
     "q129_pq_topk",         // bounded query-LUT broadcast x codes (ADC scan)
     "q132_dsir_weights",    // 1-row broadcast corpus-totals attach
     "q134_mixture_sample",  // 1-row broadcast feasible-total attach
-    "q136_proto_prune")     // 1-row broadcast centroid array (assignTo fold)
+    "q136_proto_prune",     // 1-row broadcast centroid array (assignTo fold)
+    "q137_hard_negatives",  // bounded anchor batch x corpus (cosineTopK shape)
+    "q139_mmr_rerank",      // bounded query set x corpus (pool retrieval)
+    "q141_silhouette")      // 1-row broadcast centroid array (two-min fold)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>

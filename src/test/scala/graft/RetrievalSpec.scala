@@ -55,6 +55,22 @@ class RetrievalSpec extends SparkSpec {
     assert(inline.nonEmpty)
   }
 
+  test("phraseSearch counts consecutive matches, overlaps included") {
+    val docs = Seq(
+      (1L, "a b a b a"),            // "a b a" at pos 1 and 3 (overlap)
+      (2L, "x a b a y"),            // one match at pos 2
+      (3L, "a x b x a"),            // words present, never consecutive
+      (4L, "b a a b nothing here")) // no match
+      .toDF("doc_id", "text")
+    val hits = Retrieval.phraseSearch(docs, "doc_id", "text", "a b a")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hits == Map(1L -> ((2L, 1L)), 2L -> ((1L, 2L))))
+    // single-word phrase degenerates to a token-occurrence count
+    val one = Retrieval.phraseSearch(docs, "doc_id", "text", "a")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
   test("rrfFuse merges ranks, handles one-list-only docs, respects k") {
     val a = Seq((1L, 100L, 1L), (1L, 101L, 2L), (1L, 102L, 3L))
       .toDF("query_id", "doc_id", "rank")
