@@ -353,12 +353,16 @@ object Similarity {
         struct(d.as("cdist"), c.getField("cent_id").cast("bigint").as("cent_id")))
         .otherwise(acc)
     })
+    // alias the fold ONCE before extracting fields: extracting cent_id
+    // and cdist from the raw expression would re-run the whole centroid
+    // fold twice per row (CollapseProject inlines cheap aliases but
+    // keeps a multi-referenced non-cheap one like this aggregate)
     emb.select(col(idCol).as("target_id"), col(vecCol).as("tv"))
       .withColumn("st", dot(col("tv"), col("tv")))
       .join(broadcast(centsArr), lit(true)) // 1-row nested-loop broadcast
-      .withColumn("cent_id", best.getField("cent_id"))
-      .withColumn("cdist", best.getField("cdist"))
-      .select("target_id", "tv", "st", "cent_id", "cdist")
+      .select(col("target_id"), col("tv"), col("st"), best.as("__best"))
+      .select(col("target_id"), col("tv"), col("st"),
+        col("__best.cent_id").as("cent_id"), col("__best.cdist").as("cdist"))
   }
 
   /** Persist an IVF index: the centroid table plus the cell-assigned

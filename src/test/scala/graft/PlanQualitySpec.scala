@@ -115,5 +115,10 @@ class PlanQualitySpec extends SparkSpec {
     val shuffles = "(?m)(?<!Broadcast)Exchange [^,\\n]+".r.findAllIn(plan).toList
     assert(shuffles.nonEmpty && shuffles.forall(_.contains("SinglePartition")),
       s"corpus-side shuffle in assignment plan: $shuffles\n$plan")
+    // and the centroid fold runs ONCE per row, not once per extracted
+    // field (cent_id + cdist would each inline a full re-evaluation)
+    val folds = "aggregate\\(".r
+      .findAllMatchIn(assigned.queryExecution.optimizedPlan.toString).size
+    assert(folds == 1, s"centroid fold duplicated $folds times in plan")
   }
 }
