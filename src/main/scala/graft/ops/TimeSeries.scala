@@ -69,10 +69,19 @@ object TimeSeries {
   def decayedSum(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, halfLifeSeconds: Double): DataFrame = {
     require(halfLifeSeconds > 0, "halfLifeSeconds must be positive")
-    val ref = df.agg(max(col(tsCol).cast("double")).as("__tref"))
+    // TIMESTAMP_NTZ has no direct double cast — route it through the
+    // session-zoned TimestampType first (UTC-pinned sessions make this
+    // the naive-as-UTC reading the oracle uses). Everything else casts
+    // to fractional epoch seconds directly.
+    val tsd = df.schema.find(_.name == tsCol).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        col(tsCol).cast(org.apache.spark.sql.types.TimestampType).cast("double")
+      case _ => col(tsCol).cast("double")
+    }
+    val ref = df.agg(max(tsd).as("__tref"))
     df.crossJoin(broadcast(ref))
       .withColumn("__w", pow(lit(0.5),
-        (col("__tref") - col(tsCol).cast("double")) / halfLifeSeconds))
+        (col("__tref") - tsd) / halfLifeSeconds))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         round(sum(col(valueCol) * col("__w")), 6).as("decayed"))

@@ -19,18 +19,18 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Schema of the driver's events table as the streaming reader sees it
-    * (ts surfaces as nanos-long under `nanosAsLong`; rebuilt to a
-    * micros timestamp like `graft.etl.Tables`). */
-  val EventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** File stream over an events parquet path — a directory (normal
     * Spark output layout) or a single file. For a file, `basePath` must
     * be pinned to the parent directory: the parquet source otherwise
-    * infers basePath = the file itself and rejects it. */
+    * infers basePath = the file itself and rejects it.
+    *
+    * The stream schema is NOT pinned: the driver's testdata has shipped
+    * `ts` as nanos-long, TIMESTAMP_NTZ, and TIMESTAMP across
+    * generations, so we take the raw schema from the files themselves
+    * (one driver-side batch footer read) and apply the same canonical
+    * normalization as `graft.etl.Tables` — downstream operators always
+    * see a session-zoned TimestampType `ts`, which watermarks accept
+    * (TIMESTAMP_NTZ event time is rejected by Structured Streaming). */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     // FileStreamSource force-overrides a user basePath with the stream
     // path itself UNLESS the path is a glob (FileStreamSource.scala,
@@ -45,11 +45,11 @@ object EventStream {
         val glob = name.dropRight(1) + "[" + name.last + "]"
         (p.getParent.resolve(glob).toString, p.getParent.toString)
       } else (path, path)
-    // `ts div 1000` (integer division), not `/`: see graft.etl.Tables —
-    // double round-trip loses 1µs on ~2% of nano timestamps.
-    spark.readStream.schema(EventsRawSchema).option("basePath", base)
-      .parquet(streamPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(path).schema
+    graft.etl.Tables.normalizeEventTime(
+      spark.readStream.schema(rawSchema).option("basePath", base)
+        .parquet(streamPath))
   }
 
   /** Tumbling-window counts/sums with a watermark for state eviction:

@@ -26,6 +26,64 @@ class TablesSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("TIMESTAMP_NTZ events normalize to session-zoned micros (round-6 testdata shape)") {
+    import spark.implicits._
+    // Write a timestamp[us] isAdjustedToUTC=false file the way the driver
+    // does: an NTZ column. Spark 4 infers TIMESTAMP_NTZ on read; Tables
+    // must rewrite it to TimestampType with the naive-as-UTC micro values.
+    val dir = java.nio.file.Files.createTempDirectory("tables-ntz").toString
+    val micros = Seq(1700000000000000L, 1700000000000001L, 1700003600123456L)
+    micros.toDF("us")
+      .select(col("us"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assert(raw.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType, "fixture must be NTZ")
+    val got = graft.etl.Tables.table(spark, dir, "events")
+    assert(got.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val back = got.select(unix_micros(col("ts")).as("us")).as[Long].collect().sorted
+    assert(back.toSeq == micros.sorted)
+  }
+
+  test("TRIPWIRE: driver testdata physical shape matches what graft normalizes for") {
+    // Round 6 lost six queries SILENTLY when the driver regenerated
+    // events.parquet with ts as timestamp[us]/NTZ instead of
+    // TIMESTAMP(NANOS)-as-long. This spec pins the raw shape of every
+    // testdata table so the next regeneration fails HERE, with a message
+    // naming the drifted column, not downstream in an analysis error.
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    def raw(name: String) = spark.read.parquet(s"$dir/$name.parquet").schema
+    val evTs = raw("events").find(_.name == "ts").map(_.dataType)
+    val handled: Set[DataType] = Set(LongType, TimestampNTZType, TimestampType)
+    assert(evTs.exists(handled.contains),
+      s"TESTDATA DRIFT: events.ts is $evTs — not a layout " +
+        s"graft.etl.Tables.normalizeEventTime handles ($handled). " +
+        "Update Tables.normalizedTs for the new physical type.")
+    // And the normalized contract every operator relies on:
+    assert(graft.etl.Tables.table(spark, dir, "events")
+      .schema("ts").dataType == TimestampType,
+      "Tables.table must always yield a session-zoned TimestampType ts")
+    // Key columns of the other hot tables: a type drift here breaks
+    // encoders/joins quietly, so name them explicitly.
+    val docSchema = raw("documents")
+    assert(docSchema.find(_.name == "doc_id").exists(_.dataType == LongType)
+      && docSchema.find(_.name == "text").exists(_.dataType == StringType),
+      s"TESTDATA DRIFT: documents schema changed: $docSchema")
+    val embSchema = raw("embeddings")
+    assert(embSchema.find(_.name == "embedding").exists(f =>
+      f.dataType.isInstanceOf[ArrayType] &&
+        f.dataType.asInstanceOf[ArrayType].elementType == FloatType),
+      s"TESTDATA DRIFT: embeddings.embedding changed: $embSchema")
+    assert(embSchema.find(_.name == "vec_id").exists(_.dataType == LongType),
+      s"TESTDATA DRIFT: embeddings.vec_id changed: $embSchema")
+    val liSchema = raw("lineitem")
+    assert(liSchema.find(_.name == "l_quantity").isDefined
+      && liSchema.find(_.name == "l_shipdate").isDefined,
+      s"TESTDATA DRIFT: lineitem schema changed: $liSchema")
+  }
+
   test("parquet schema evolution: mergeSchema unions columns, old rows null-fill") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evolve").toString
