@@ -1,38 +1,46 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
 
-/** Plan-inspection harness: prints the formatted physical plan and a
-  * timed execution for the named queries (all queries if none named).
-  *
-  *   sbt "runMain graft.Explain /root/testdata/sf0.01 q14_ngram_jaccard"
-  */
+/** Dev tool: print the formatted physical plan of one or more gate
+  * queries (`runMain graft.Explain <sfDir> <queryPrefix>...`) — the
+  * explain-and-iterate loop for shuffle/pushdown/codegen auditing
+  * without wiring a notebook. Summarizes exchange/reuse/window counts
+  * per query so plan regressions show up as one greppable line. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    // args beyond the SF dir are name PREFIXES (same contract as
-    // Verify/Bench), so `Explain <dir> q112` just works
-    val names = if (args.length > 1)
-      SparkEntry.queries.keys.toSeq.sorted
-        .filter(n => args.drop(1).exists(n.startsWith))
-    else SparkEntry.queries.keys.toSeq.sorted
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
+    val prefixes = args.drop(1)
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    names.foreach { name =>
-      println(s"\n========== $name ==========")
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      df.explain("formatted")
-      val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => prefixes.isEmpty || prefixes.exists(n.startsWith) }
+      .foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          // with AQE, exchange reuse only materializes in the FINAL
+          // adaptive plan — execute first so the counts are honest
+          if (sys.env.get("GRAFT_EXPLAIN_EXEC").contains("1")) df.count()
+          val plan = df.queryExecution.executedPlan.toString
+          def n(re: String) = re.r.findAllIn(plan).length
+          println(s"=== $name: exchanges=${n("Exchange")} " +
+            s"reused=${n("ReusedExchange")} windows=${n(raw"\bWindow\b")} " +
+            s"hashAgg=${n("HashAggregate")} sortAgg=${n("SortAggregate")} " +
+            s"bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +
+            s"nlj=${n("BroadcastNestedLoopJoin")}")
+          if (sys.env.get("GRAFT_EXPLAIN_FULL").contains("1"))
+            println(df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+        } catch { case e: Throwable =>
+          println(s"=== $name: ERROR ${e.getMessage}")
+        }
+      }
     spark.stop()
   }
 }

@@ -70,6 +70,23 @@ object Bm25 {
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scoredFromPostings(post, idCol, queries, qidCol, qtextCol, k1, b)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+  }
+
+  /** The pre-rank scoring frame of [[topKFromPostings]]:
+    * (query_id, <idCol>, score) for every candidate document, score
+    * rounded to 6 digits. Exposed so fused rankers ([[Retrieval
+    * .hybridTopKFromPostings]]) can union scored legs BEFORE any rank
+    * window — one ranking shuffle for all legs instead of one per
+    * leg. */
+  def scoredFromPostings(post: DataFrame, idCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // one-row corpus stats; joins in as a broadcast, never collected
     val stats = post.groupBy(col(idCol)).agg(max(col("dl")).as("__dl"))
       .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
@@ -77,7 +94,7 @@ object Bm25 {
       .select(col(qidCol).as("query_id"),
         explode(array_distinct(tokens(col(qtextCol)))).as("token"))
     val wDf = Window.partitionBy(col("query_id"), col("token"))
-    val scored = post
+    post
       .join(broadcast(qterms), "token")
       // (id, token) is unique in postings, so rows per (query, token)
       // partition = documents containing the term = df
@@ -91,10 +108,5 @@ object Bm25 {
             + lit(b) * col("dl") / col("__avgdl"))))
       .groupBy(col("query_id"), col(idCol))
       .agg(round(sum(col("w")), 6).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col(idCol), col("score"), col("rank"))
   }
 }

@@ -57,6 +57,20 @@ object Retrieval {
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 10): DataFrame = {
     require(k > 0, "k must be positive")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    tfidfScoredFromPostings(post, idCol, queries, qidCol, qtextCol)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+  }
+
+  /** The pre-rank scoring frame of [[tfidfSearchFromPostings]]:
+    * (query_id, <idCol>, score), score rounded to 6 digits — the
+    * tf-idf dual of [[Bm25.scoredFromPostings]], for rank-window
+    * sharing in fused rankers. */
+  def tfidfScoredFromPostings(post: DataFrame, idCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String): DataFrame = {
     val tf = post.select(col(idCol), col("token"), col("tf"))
     val total = post.select(col(idCol)).distinct()
       .select(count(lit(1)).as("__n"))
@@ -85,16 +99,12 @@ object Retrieval {
         "token")
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("w") * col("qw")).as("__dot"))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col(idCol))
     dots
       .join(norms, idCol)
       .join(broadcast(qnorms), "query_id")
-      .withColumn("score",
-        round(col("__dot") / (col("__dnorm") * col("__qnorm")), 6))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+      .select(col("query_id"), col(idCol),
+        round(col("__dot") / (col("__dnorm") * col("__qnorm")), 6)
+          .as("score"))
   }
 
   /** Hybrid BM25 + TF-IDF-cosine retrieval with RRF fusion, inline:
@@ -109,21 +119,94 @@ object Retrieval {
       queries, qidCol, qtextCol, kPerLeg, k, c)
 
   /** [[hybridTopK]] over a (typically PERSISTED) posting frame — at
-    * scale, write [[Bm25.postings]] to parquet once and both legs
-    * read the compact index instead of re-tokenizing text. Passed
-    * inline, each leg re-derives the postings independently (the two
-    * legs prune different columns — BM25 keeps dl, tf-idf drops it —
-    * so their exchanges never canonicalize equal for ReuseExchange;
-    * measured at sf0.1, recomputing the cheap narrow scan+agg twice
-    * beats caching the token-string frame into executor storage). */
+    * scale, write [[Bm25.postings]] to parquet once and query batches
+    * read the compact index instead of re-tokenizing text.
+    *
+    * Both legs are computed in ONE pass over ONE posting frame: the
+    * BM25 saturation term and the tf·idf dot product share df (one
+    * token-partitioned window), document length, and the corpus
+    * stats, so a single candidate aggregation emits BOTH scores per
+    * (query, doc) — the corpus is tokenized/aggregated once, not once
+    * per leg (at 100 TB, the leg-private postings pass IS the cost).
+    * The scored legs then union into ONE rank-window shuffle
+    * (partitioned by leg × query), and RRF fusion is a sum over leg
+    * ranks — equivalent to the full-outer [[rrfFuse]] (a doc absent
+    * from a leg contributes no term) with one exchange instead of two
+    * windows plus a full-outer join. Everything after the candidate
+    * aggregation is bounded by |queries| × candidate docs. */
   def hybridTopKFromPostings(post: DataFrame, idCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      kPerLeg: Int = 20, k: Int = 10, c: Int = 60): DataFrame = {
-    val bm = Bm25.topKFromPostings(post, idCol,
-      queries, qidCol, qtextCol, kPerLeg)
-    val tfidf = tfidfSearchFromPostings(post, idCol,
-      queries, qidCol, qtextCol, kPerLeg)
-    rrfFuse(bm, tfidf, idCol, k, c)
+      kPerLeg: Int = 20, k: Int = 10, c: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(kPerLeg > 0 && k > 0 && c >= 0,
+      "kPerLeg and k must be positive, c non-negative")
+    // one-row corpus stats (N docs, mean doc length); broadcast
+    val stats = post.groupBy(col(idCol)).agg(max(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    // global df as a token-keyed AGGREGATION ((id, token) is unique in
+    // postings, so count per token = containing docs) — partial-agg
+    // combines map-side; a token-partitioned window would sort the
+    // whole posting frame instead
+    val dfA = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val qterms = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(tokens(col(qtextCol)))).as("token"))
+    // query-term frame with df, N, and qw = ln(N/df) (query tf = 1)
+    // attached — TINY (≤ |query vocabulary| rows), so the candidate
+    // scoring pass below needs NO corpus-side df window or join: df
+    // rides in on the broadcast
+    val qw = qterms.join(dfA, "token").crossJoin(broadcast(stats))
+      .withColumn("qw", log(col("__n").cast("double") / col("df")))
+    val qnorms = qw.where(col("qw") > 0).groupBy(col("query_id"))
+      .agg(sqrt(sum(col("qw") * col("qw"))).as("__qnorm"))
+    // full-vocabulary doc norms: ||d|| over EVERY positive-idf term of
+    // the doc (not just query terms — an honest cosine length), so the
+    // posting frame joins df by token once; AQE picks a shuffled-hash
+    // join here (both sides already token-keyed aggregates)
+    val dnorm = post.join(dfA, "token").crossJoin(broadcast(stats))
+      .withColumn("w", col("tf") * log(col("__n").cast("double") / col("df")))
+      .where(col("w") > 0).groupBy(col(idCol))
+      .agg(sqrt(sum(col("w") * col("w"))).as("__dnorm"))
+    // ONE candidate aggregation computes both leg scores; the tf·idf
+    // dot collapses to Σ tf·qw² because the doc weight w = tf·ln(N/df)
+    // shares its log factor with qw
+    val cand = post
+      .join(broadcast(qw.select(col("query_id"), col("token"), col("qw"),
+        col("df"), col("__n"), col("__avgdl"))), "token")
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__bmw",
+        col("__idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b)
+            + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("__bmw")), 6).as("__bm"),
+        sum(when(col("qw") > 0, col("tf") * col("qw") * col("qw"))
+          .otherwise(lit(0.0))).as("__dot"))
+    val bmLeg = cand
+      .select(col("query_id"), col(idCol), col("__bm").as("score"))
+      .withColumn("__leg", lit(0))
+    // dot > 0 ⟺ the doc shares a positive-idf term with the query —
+    // exactly the docs the standalone tf·idf leg would rank; such
+    // docs always carry a dnorm row, so the inner join drops nothing
+    val tfLeg = cand.where(col("__dot") > 0)
+      .join(dnorm, idCol)
+      .join(broadcast(qnorms), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(col("__dot") / (col("__dnorm") * col("__qnorm")), 6)
+          .as("score"))
+      .withColumn("__leg", lit(1))
+    val wLeg = Window.partitionBy(col("__leg"), col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col(idCol))
+    bmLeg.unionByName(tfLeg)
+      .withColumn("rank", row_number().over(wLeg))
+      .where(col("rank") <= kPerLeg)
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(c) + col("rank"))), 6).as("rrf"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rrf"), col("rank"))
   }
 
   /** Reciprocal-rank fusion of two per-query rankings. Inputs are
