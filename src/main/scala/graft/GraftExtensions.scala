@@ -165,7 +165,56 @@ object GraftExtensions {
       args => {
         require(args.length == 1, "registrable_domain(host) takes 1 argument")
         colExpr(graft.ops.Urls.registrableDomain(asCol(args.head)))
+      }),
+    ("range_bucket",
+      "range_bucket(x, width) - floor bucket id of a point (RangeJoin's equi key)",
+      args => {
+        require(args.length == 2, "range_bucket(x, width) takes 2 arguments")
+        colExpr(graft.ops.RangeJoin.bucketOf(asCol(args.head),
+          longArg(args(1), "range_bucket width")))
+      }),
+    ("range_buckets",
+      "range_buckets(lo, hi, width) - bucket ids an interval covers; explode + equi-join = range join",
+      args => {
+        require(args.length == 3,
+          "range_buckets(lo, hi, width) takes 3 arguments")
+        colExpr(graft.ops.RangeJoin.coveringBuckets(asCol(args.head),
+          asCol(args(1)), longArg(args(2), "range_buckets width")))
+      }),
+    ("half_life_weight",
+      "half_life_weight(t, t_ref, half_life) - 0.5^((t_ref-t)/half_life); SUM(v*w) = decayed sum",
+      args => {
+        require(args.length == 3,
+          "half_life_weight(t, t_ref, half_life) takes 3 arguments")
+        colExpr(graft.ops.TimeSeries.halfLifeWeight(asCol(args.head),
+          asCol(args(1)), doubleArg(args(2), "half_life_weight halfLife")))
       }))
+
+  /** Fold a constant literal argument (bucket widths, half-lives) to a
+    * Scala value at registration time; non-foldable arguments are a
+    * user error worth a pointed message. */
+  private def longArg(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a constant")
+    e.eval() match {
+      case i: Int  => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer constant, got $other")
+    }
+  }
+
+  private def doubleArg(e: Expression, what: String): Double = {
+    require(e.foldable, s"$what must be a constant")
+    e.eval() match {
+      case i: Int    => i.toDouble
+      case l: Long   => l.toDouble
+      case f: Float  => f.toDouble
+      case d: Double => d
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric constant, got $other")
+    }
+  }
 
   private def asCol(e: Expression) =
     org.apache.spark.sql.graftbridge.Bridge.column(e)

@@ -30,6 +30,23 @@ object RangeJoin {
   private def floorDiv(x: Column, w: Long): Column =
     ((x - ((x % w + w) % w)) / w).cast("long")
 
+  /** The bucket a point falls in — the SQL-surface building block of
+    * [[pointInInterval]] (registered as `range_bucket`): equi-join
+    * `range_bucket(point, w)` against the exploded
+    * [[coveringBuckets]] of the interval side, then re-check the
+    * exact predicate. */
+  def bucketOf(x: Column, bucketWidth: Long): Column = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    floorDiv(x, bucketWidth)
+  }
+
+  /** Every bucket an interval `[lo, hi]` covers (registered as
+    * `range_buckets` for SQL use with `explode`). */
+  def coveringBuckets(lo: Column, hi: Column, bucketWidth: Long): Column = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    sequence(floorDiv(lo, bucketWidth), floorDiv(hi, bucketWidth))
+  }
+
   /** All (point, interval) matches with `start <= point <= end` and
     * equal `keys`: each point maps to ONE bucket, each interval
     * explodes onto its covering buckets, so every true match meets in

@@ -66,6 +66,17 @@ object TimeSeries {
     * DuckDB). ONE narrow weighting projection + one hash aggregation;
     * the decayed sum rounds to 6 digits.
     * Output: (key, n, decayed). */
+  /** The per-row decay factor of [[decayedSum]] (registered as
+    * `half_life_weight` for SQL use): `0.5^((tRef − t)/halfLife)`.
+    * Pure arithmetic, so a SQL `SUM(value * half_life_weight(...))`
+    * grouped by key IS the decayed sum — the whole operator stays
+    * expressible from a SQL string. */
+  def halfLifeWeight(t: Column, tRef: Column,
+      halfLifeSeconds: Double): Column = {
+    require(halfLifeSeconds > 0, "halfLifeSeconds must be positive")
+    pow(lit(0.5), (tRef.cast("double") - t.cast("double")) / halfLifeSeconds)
+  }
+
   def decayedSum(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, halfLifeSeconds: Double): DataFrame = {
     require(halfLifeSeconds > 0, "halfLifeSeconds must be positive")

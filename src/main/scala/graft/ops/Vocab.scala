@@ -153,26 +153,51 @@ object Vocab {
     *
     * Scale shape: the corpus collapses ONCE to the distinct-word
     * frequency table (one explode + hash agg — the only pass over the
-    * corpus); every merge iteration then runs on that bounded
-    * vocabulary frame: adjacent-pair weighted counts (zip_with — no
-    * per-symbol explode of positions), a single-row argmax collected
-    * to the driver (metadata-scale, the same bounded-collect pattern
-    * as the IVF probe list), and a narrow fold applying the merge.
-    * The frame is eagerly localCheckpoint'ed per iteration to stop
-    * plan growth (CC/PageRank lesson). */
+    * corpus); every merge ROUND then runs on that bounded vocabulary
+    * frame: adjacent-pair weighted counts (zip_with — no per-symbol
+    * explode of positions), one bounded top-`batch·4` collect
+    * (metadata-scale, the IVF-probe-list pattern), and one narrow fold
+    * applying every merge the round proved safe. The frame is eagerly
+    * localCheckpoint'ed per round to stop plan growth (CC/PageRank
+    * lesson).
+    *
+    * Safe batching (the driver-round-trip killer): after choosing the
+    * argmax pair, later candidates from the SAME count collection are
+    * applied in order as long as the sequential trainer would provably
+    * have chosen them too. Candidate i survives iff
+    *  (1) it shares no symbol with an earlier merge of this round
+    *      (old-pair counts only DECREASE under a disjoint merge, so
+    *      its count is still exact),
+    *  (2) its count strictly beats the collection horizon (every pair
+    *      outside the collected top could tie it otherwise), and
+    *  (3) no collected pair of EQUAL count shares a symbol with this
+    *      round's merges (a new pair (x, a+b) born from merge (a,b)
+    *      is bounded by count(x,a); any such donor pair with count
+    *      ≥ n_i is in the collection, so a tie that could out-sort
+    *      candidate i is always visible — absent donors mean the new
+    *      pair counts strictly less),
+    * and the round also stops after any merge whose concatenation was
+    * ALREADY a live symbol (tracked exactly on the driver: created =
+    * prior merges; single chars can never equal a len ≥ 2 concat),
+    * because such a merge can INCREASE existing pairs' counts. Worst
+    * case every round degenerates to one merge (the sequential
+    * trainer); in practice early rounds batch tens of merges.
+    * Equivalence with batch = 1 is spec-gated. */
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): DataFrame = {
+      nMerges: Int, batch: Int = 32): DataFrame = {
     import docs.sparkSession.implicits._
     require(nMerges > 0, "nMerges must be positive")
+    require(batch > 0, "batch must be positive")
     var words = docs.select(explode(tokens(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(split(col("word"), "").as("syms"), col("freq"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
-    var r = 1
+    val created = scala.collection.mutable.Set.empty[String]
     var exhausted = false
-    while (r <= nMerges && !exhausted) {
+    while (merges.size < nMerges && !exhausted) {
+      val horizon = math.max(batch * 4, 8)
       val top = words
         .select(col("freq"), explode(zip_with(
           col("syms"), slice(col("syms"), lit(2), size(col("syms"))),
@@ -181,16 +206,42 @@ object Vocab {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()
+        .limit(horizon).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b, n) = (top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        merges += ((r.toLong, a, b, n))
+        // the collection is complete when it undershot the limit —
+        // then no pair outside it exists and guard (2) is vacuous
+        val complete = top.length < horizon
+        val nLast = top.last._3
+        val touched = scala.collection.mutable.Set.empty[String]
+        val chosen = scala.collection.mutable.Buffer.empty[(String, String, Long)]
+        var stop = false
+        var i = 0
+        while (!stop && i < top.length && merges.size + chosen.size < nMerges) {
+          val (a, b, n) = top(i)
+          val safe = chosen.isEmpty ||
+            (!touched(a) && !touched(b) &&
+              (complete || n > nLast) &&
+              !top.drop(i + 1).exists { case (oa, ob, on) =>
+                on == n && (touched(oa) || touched(ob)) })
+          if (!safe) stop = true
+          else {
+            chosen += ((a, b, n))
+            touched += a; touched += b
+            // a merge whose product was already a live symbol can grow
+            // other pairs' counts — close the round after applying it
+            if (created(a + b)) stop = true
+            created += (a + b)
+          }
+          i += 1
+        }
+        chosen.foreach { case (a, b, n) =>
+          merges += ((merges.size + 1L, a, b, n)) }
         words = words
-          .select(mergePair(col("syms"), a, b).as("syms"), col("freq"))
+          .select(chosen.foldLeft(col("syms")) { case (c, (a, b, _)) =>
+            mergePair(c, a, b) }.as("syms"), col("freq"))
           .localCheckpoint(true)
-        r += 1
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "n")

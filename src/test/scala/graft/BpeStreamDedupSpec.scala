@@ -66,6 +66,20 @@ class BpeStreamDedupSpec extends SparkSpec {
     assert(got == List(("a", "a", 8L), (("aa"), "a", 4L)))
   }
 
+  test("batched bpeTrain ≡ sequential trainer on a real corpus slice") {
+    // the safe-batching guards (symbol disjointness, collection
+    // horizon, equal-count donors, re-created symbols) must make
+    // batch = 32 EXACTLY reproduce the one-merge-per-round trainer —
+    // on natural text with tie-heavy low counts, not a toy fixture
+    val docs = graft.etl.Tables.table(spark, "/root/testdata/sf0.001",
+      "documents").limit(300)
+    val seqT = Vocab.bpeTrain(docs, "doc_id", "text", nMerges = 40, batch = 1)
+      .orderBy("rank").collect().map(_.toSeq).toList
+    val batT = Vocab.bpeTrain(docs, "doc_id", "text", nMerges = 40)
+      .orderBy("rank").collect().map(_.toSeq).toList
+    assert(batT == seqT)
+  }
+
   test("bpeTrain stops when no pairs remain") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val got = Vocab.bpeTrain(docs, "doc_id", "text", nMerges = 10)

@@ -266,6 +266,50 @@ class EventStreamSpec extends SparkSpec {
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
 
+  test("readEvents on the raw driver file yields watermarkable ts for every stateful op") {
+    // Round 6 regression guard: the driver regenerates events.parquet in
+    // changing physical shapes (nanos-long, then timestamp[us]/NTZ); the
+    // streaming reader must normalize whatever is on disk to a
+    // session-zoned TimestampType, because watermarks REJECT
+    // TIMESTAMP_NTZ event time and a mis-decoded epoch silently empties
+    // windows. Read the real file DIRECTLY (no fixture rewrite) and
+    // drive the stateful ops that other specs exercise only on
+    // spec-local fixtures.
+    val stream = EventStream.readEvents(spark,
+      "/root/testdata/sf0.001/events.parquet")
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"readEvents must normalize ts; got ${stream.schema("ts").dataType}")
+    val batch = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    // watermarked exact dedup accepts the normalized event time and
+    // passes the (already unique) events through one-for-one
+    val deduped = EventStream.runToMemory(
+      EventStream.dedupStream(stream, Seq("event_id"), "30 minutes"),
+      "raw_file_dedup", OutputMode.Append())
+    assert(deduped.count() == batch.count())
+    // event-time-timeout sessionization consumes the same stream; the
+    // watermark never closes the last open session of a bounded replay,
+    // so compare the sessions that DID close against the batch
+    // sessionizer's closed set
+    val closed = EventStream.runToMemory(
+      EventStream.sessionizeClosed(
+        stream.withWatermark("ts", "0 seconds")
+          .select($"event_id", $"user_id", $"ts", $"value")
+          .as[EventStream.Event], 1800).toDF(),
+      "raw_file_sessions", OutputMode.Append())
+    // ClosedSession carries java.sql.Timestamp at MILLISECOND
+    // precision, so truncate the batch-side micros the same way
+    val batchSessions = graft.ops.EventWindows.sessionize(
+        batch, "user_id", "ts", 1800, "event_id")
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        timestamp_millis(unix_millis(min($"ts"))).as("session_start"))
+    assert(closed.count() > 0, "bounded replay should close at least one session")
+    assert(closed.join(batchSessions,
+        Seq("user_id", "session_start", "n_events"), "left_anti").isEmpty,
+      "every closed streaming session must match a batch session")
+  }
+
   test("idempotent sink lands each batch once; replayed epochs are skipped") {
     import graft.streaming.EventStream
     val root = java.nio.file.Files.createTempDirectory("idem").toString + "/out"

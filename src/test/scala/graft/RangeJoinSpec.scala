@@ -59,4 +59,55 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("range join is expressible from pure SQL via range_bucket/range_buckets") {
+    GraftExtensions.register(spark)
+    pts.createOrReplaceTempView("rj_pts")
+    ivs.createOrReplaceTempView("rj_ivs")
+    // the documented SQL recipe: explode the interval side's covering
+    // buckets, equi-join the point's bucket, re-check the predicate —
+    // the exact plan family pointInInterval builds in Scala
+    val sql = spark.sql(
+      """SELECT pid, iid
+        |FROM (SELECT k, pid, p, range_bucket(p, 7) AS b FROM rj_pts) p
+        |JOIN (SELECT k, iid, s, e, explode(range_buckets(s, e, 7)) AS b
+        |      FROM rj_ivs) i
+        |USING (k, b)
+        |WHERE p >= s AND p <= e""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scala_ = RangeJoin.pointInInterval(pts, ivs, Seq("k"), "p", "s", "e", 7L)
+      .select($"pid", $"iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sql == scala_)
+    // and the SQL plan is the same nested-loop-free shape
+    val plan = spark.sql(
+      """SELECT count(1) FROM
+        |(SELECT k, pid, p, range_bucket(p, 7) AS b FROM rj_pts) p
+        |JOIN (SELECT k, iid, s, e, explode(range_buckets(s, e, 7)) AS b
+        |      FROM rj_ivs) i USING (k, b)
+        |WHERE p >= s AND p <= e""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("decayed sum is expressible from pure SQL via half_life_weight") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      ("a", 0.0, 1.0), ("a", 3600.0, 2.0), ("a", 7200.0, 4.0),
+      ("b", 7200.0, 10.0))
+      .toDF("k", "t", "v")
+    df.createOrReplaceTempView("hl_rows")
+    val sql = spark.sql(
+      """SELECT k, COUNT(1) AS n,
+        |  ROUND(SUM(v * half_life_weight(t, tref, 3600.0)), 6) AS decayed
+        |FROM hl_rows CROSS JOIN (SELECT MAX(t) AS tref FROM hl_rows)
+        |GROUP BY k""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val scala_ = graft.ops.TimeSeries.decayedSum(df, "k", "t", "v", 3600.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sql == scala_)
+    // spot value: at half-life 3600s, weights are 0.25/0.5/1.0
+    assert(sql.contains(("a", 3L, 1.0 * 0.25 + 2.0 * 0.5 + 4.0)))
+  }
 }
