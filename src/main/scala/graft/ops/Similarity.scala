@@ -108,30 +108,109 @@ object Similarity {
     * (the `poolSize` most-relevant vectors, exact), the standard
     * two-stage shape: stage 1 is [[cosineTopK]]-style retrieval.
     *
-    * Scale shape: all queries advance TOGETHER — each of the k greedy
-    * steps is one distributed argmax (window rank over query_id), so
-    * the step count is k regardless of |queries|; the pool and its
-    * pairwise-sim frame (|q|·p and |q|·p² rows, p = poolSize) are
-    * cached once. Every score is rounded before the argmax with the
-    * id as tie-break — the selection is engine-reproducible. The
-    * mmr score rounds at 8 digits, not 6: λ·(6-digit rel) lands
-    * EXACTLY on a 7th-digit half for ~half of all rel values with a
-    * one-digit λ, where Spark (shortest-repr HALF_UP) and DuckDB
-    * (binary scaling) disagree — at 8 digits a λ like 0.75 makes the
-    * score an exact decimal with no representable half-tie. Prefer a
-    * binary-exact λ (0.75, 0.5, 0.25) for cross-engine gating.
+    * Scale shape: stage-1 retrieval (the pool) is distributed exactly
+    * like [[cosineTopK]]; the greedy selection is INHERENTLY
+    * sequential per query but touches only the bounded pool, so it
+    * runs executor-LOCAL per query group (`flatMapGroups`) — one
+    * shuffle on query_id, zero driver round-trips, O(k·p + k·p·d)
+    * local work per query, parallel across queries. (A genuine
+    * imperative per-group loop is the one shape where typed group-map
+    * beats composing windows: the window form pays k plan-wide
+    * argmax passes — kept as [[mmrRerankIterative]] for non-long id
+    * types and as the spec cross-check.) Every score is rounded
+    * before the argmax with the id as tie-break — the selection is
+    * engine-reproducible. The mmr score rounds at 8 digits, not 6:
+    * λ·(6-digit rel) lands EXACTLY on a 7th-digit half for ~half of
+    * all rel values with a one-digit λ, where Spark (shortest-repr
+    * HALF_UP) and DuckDB (binary scaling) disagree — at 8 digits a λ
+    * like 0.75 makes the score an exact decimal with no representable
+    * half-tie. Prefer a binary-exact λ (0.75, 0.5, 0.25) for
+    * cross-engine gating.
     * Output: query_id, target_id, sel_rank (1..k), mmr (rounded 8). */
   def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, poolSize: Int, k: Int,
       lambda: Double): DataFrame = {
     require(k > 0 && poolSize >= k, s"need poolSize >= k > 0: $poolSize, $k")
     require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    if (emb.schema(idCol).dataType !=
+        org.apache.spark.sql.types.LongType)
+      return mmrRerankIterative(emb, idCol, vecCol, queryPred, poolSize,
+        k, lambda)
+    import emb.sparkSession.implicits._
+    val pool = mmrPool(emb, idCol, vecCol, queryPred, poolSize)
+      .select(col("query_id").cast("long"), col("target_id").cast("long"),
+        graft.functions.VectorFunctions.toDouble(col("tv")),
+        col("nt"), col("rel"))
+      .as[(Long, Long, Seq[Double], Double, Double)]
+    pool.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      // candidates ordered by id: a strict > in the argmax then keeps
+      // the LOWEST id among score ties — the window's tie-break
+      val cands = it.toArray.sortBy(_._2)
+      val n = cands.length
+      val vecs = cands.map(_._3.toArray)
+      val nts = cands.map(_._4)
+      val rels = cands.map(_._5)
+      val msim = new Array[Double](n) // max sim to the selected set
+      val taken = new Array[Boolean](n)
+      val out = new Array[(Long, Long, Long, Double)](math.min(k, n))
+      var step = 1
+      while (step <= out.length) {
+        var best = -1
+        var bestScore = Double.NaN
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val score =
+              if (step == 1) round8(lambda * rels(i))
+              else round8(lambda * rels(i) - (1.0 - lambda) * msim(i))
+            if (best < 0 || score > bestScore) { best = i; bestScore = score }
+          }
+          i += 1
+        }
+        out(step - 1) = ((qid, cands(best)._2, step.toLong, bestScore))
+        taken(best) = true
+        val vs = vecs(best)
+        val ns = nts(best)
+        var j = 0
+        while (j < n) {
+          if (!taken(j)) {
+            var acc = 0.0
+            var e = 0
+            val vj = vecs(j)
+            val len = math.min(vj.length, vs.length)
+            while (e < len) { acc += vj(e) * vs(e); e += 1 }
+            val s = round6(acc / (nts(j) * ns))
+            if (step == 1 || s > msim(j)) msim(j) = s
+          }
+          j += 1
+        }
+        step += 1
+      }
+      out.iterator
+    }.toDF("query_id", "target_id", "sel_rank", "mmr")
+  }
+
+  /** Spark's Round(double) semantics — HALF_UP over the shortest
+    * decimal representation — replicated exactly for the local MMR
+    * loop so the two variants are bit-identical. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def round8(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Stage-1 of [[mmrRerank]]: the per-query relevance pool —
+    * (query_id, target_id, tv, nt, rel), rel rounded 6, top
+    * `poolSize` per query by (rel, id). */
+  private def mmrPool(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, poolSize: Int): DataFrame = {
     val t = withNorm(emb, idCol, vecCol, "target_id", "tv", "nt")
     val q = withNorm(emb.where(queryPred), idCol, vecCol,
       "query_id", "qv", "nq")
     val pw = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("target_id"))
-    val pool = t.join(broadcast(q), col("query_id") =!= col("target_id"))
+    t.join(broadcast(q), col("query_id") =!= col("target_id"))
       .select(col("query_id"), col("target_id"), col("tv"), col("nt"),
         round(dot(col("qv"), col("tv")) / (col("nq") * col("nt")), 6)
           .as("rel"))
@@ -139,7 +218,24 @@ object Similarity {
       .where(col("prank") <= poolSize)
       .select(col("query_id"), col("target_id"), col("tv"), col("nt"),
         col("rel"))
-      .cache()
+  }
+
+  /** The step-synchronized distributed form of [[mmrRerank]]: all
+    * queries advance together — each of the k greedy steps is one
+    * distributed argmax (window rank over query_id), so the step
+    * count is k regardless of |queries|; the pool and its
+    * pairwise-sim frame (|q|·p and |q|·p² rows, p = poolSize) are
+    * cached once. Kept for id types without a cheap group encoder and
+    * as the semantic reference the local solve is spec-checked
+    * against; the grouped local solve is strictly faster whenever the
+    * pool fits an executor (it always should — poolSize is the
+    * operator's own bound). */
+  def mmrRerankIterative(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, poolSize: Int, k: Int,
+      lambda: Double): DataFrame = {
+    require(k > 0 && poolSize >= k, s"need poolSize >= k > 0: $poolSize, $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    val pool = mmrPool(emb, idCol, vecCol, queryPred, poolSize).cache()
     val sims = pool.select(col("query_id"), col("target_id").as("a"),
         col("tv").as("va"), col("nt").as("na"))
       .join(pool.select(col("query_id"), col("target_id").as("b"),

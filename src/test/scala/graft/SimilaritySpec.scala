@@ -116,6 +116,24 @@ class SimilaritySpec extends SparkSpec {
     assert(sel(1).getAs[Double]("mmr") > 0.3 * 0.994937 - 0.7 * 1.0 + 1e-9)
   }
 
+  test("grouped-local mmrRerank ≡ the step-synchronized distributed form") {
+    // the executor-local greedy must reproduce the window-argmax
+    // variant BIT-exactly (same roundings, same tie-breaks) on real
+    // embeddings — including the negative-similarity msim seeding and
+    // score ties
+    val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val fast = Similarity.mmrRerank(emb, "vec_id", "embedding",
+        $"vec_id" < 4, poolSize = 25, k = 10, lambda = 0.75)
+      .select($"query_id", $"target_id", $"sel_rank", $"mmr")
+    val slow = Similarity.mmrRerankIterative(emb, "vec_id", "embedding",
+        $"vec_id" < 4, poolSize = 25, k = 10, lambda = 0.75)
+      .select($"query_id", $"target_id", $"sel_rank", $"mmr")
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+      "local and distributed MMR diverged")
+    assert(fast.count() == 40)
+  }
+
   test("mmrRerank first pick is the pure-relevance argmax per query") {
     val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val sel = Similarity.mmrRerank(emb, "vec_id", "embedding",
