@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
     ext.injectOptimizerRule(_ => graft.rules.HammingZeroToEquality)
+    ext.injectOptimizerRule(_ => graft.rules.BucketedRangeJoin)
   }
 }
 
@@ -228,9 +229,9 @@ object GraftExtensions {
       org.apache.spark.sql.graftbridge.Bridge.registerFunction(
         spark, name, info(name, usage), builder)
     }
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.rules.HammingZeroToEquality))
-      spark.experimental.extraOptimizations ++=
-        Seq(graft.rules.HammingZeroToEquality)
+    val rules = Seq(graft.rules.HammingZeroToEquality,
+      graft.rules.BucketedRangeJoin)
+    spark.experimental.extraOptimizations ++=
+      rules.filterNot(spark.experimental.extraOptimizations.contains)
   }
 }

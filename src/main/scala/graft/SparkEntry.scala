@@ -1729,7 +1729,36 @@ object SparkEntry {
     "q142_phrase_search" -> ((s, dir) =>
       graft.ops.Retrieval.phraseSearch(t(s, dir, "documents"), "doc_id",
           "text", "stream table hash")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // The q52 range join expressed as PLAIN declarative SQL — no
+    // RangeJoin call: the BucketedRangeJoin optimizer rule rewrites
+    // the inequality join into the bucketed equi-join automatically
+    // (width conf = the window length). Runs in a child session so
+    // the rule's width conf cannot leak into other queries' plans;
+    // RangeJoinSpec asserts the rewritten plan shape (Generate +
+    // hash join, no nested loop).
+    "q143_rule_range_join" -> ((s, dir) => {
+      val s2 = s.newSession()
+      GraftExtensions.register(s2)
+      s2.conf.set(graft.rules.BucketedRangeJoin.WidthConf,
+        (2L * 3600 * 1000000).toString)
+      t(s2, dir, "events").createOrReplaceTempView("rr_events")
+      s2.sql(
+        """WITH wins AS (
+          |  SELECT user_id, event_id AS win_id, unix_micros(ts) AS w_start,
+          |         unix_micros(ts) + 7200000000 AS w_end
+          |  FROM (SELECT user_id, ts, event_id,
+          |          ROW_NUMBER() OVER (PARTITION BY user_id, to_date(ts)
+          |                             ORDER BY ts, event_id) AS rn
+          |        FROM rr_events) WHERE rn = 1
+          |)
+          |SELECT w.win_id, e.event_id
+          |FROM rr_events e JOIN wins w
+          |  ON e.user_id = w.user_id AND unix_micros(e.ts) >= w.w_start
+          | AND unix_micros(e.ts) <= w.w_end
+          |ORDER BY 1, 2""".stripMargin)
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -4420,7 +4449,24 @@ ORDER BY 1, 2"""
         |JOIN toks t2 ON t2.doc_id = s.doc_id AND t2.pos = s.pos + 2
         |  AND t2.tok = 'hash'
         |WHERE s.tok = 'stream'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical computation to q52's oracle: the gate proves the
+    // rule-rewritten plain-SQL join returns the same rows
+    "q143_rule_range_join" ->
+      """WITH wins AS (
+        |  SELECT user_id, event_id AS win_id, epoch_us(ts) AS w_start,
+        |         epoch_us(ts) + 7200000000 AS w_end
+        |  FROM (SELECT user_id, ts, event_id,
+        |          ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                             ORDER BY ts, event_id) AS rn
+        |        FROM events) WHERE rn = 1
+        |)
+        |SELECT w.win_id, e.event_id
+        |FROM events e JOIN wins w
+        |  ON e.user_id = w.user_id AND epoch_us(e.ts) >= w.w_start
+        | AND epoch_us(e.ts) <= w.w_end
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

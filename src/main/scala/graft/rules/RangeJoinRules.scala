@@ -1,0 +1,139 @@
+package graft.rules
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: rewrite a point-in-interval inequality join into the
+  * bucketed equi-join of [[graft.ops.RangeJoin.pointInInterval]] —
+  * automatically, so a user who writes the natural SQL
+  *
+  *   SELECT ... FROM pts p JOIN ivs i
+  *   ON p.k = i.k AND p.x >= i.lo AND p.x <= i.hi
+  *
+  * gets the linear bucket join instead of the BroadcastNestedLoop (or
+  * cartesian) plan Spark produces for any join whose condition has no
+  * equi conjunct it can hash on — quadratic work, THE classic 100 TB
+  * range-join trap. The rewrite:
+  *
+  *   Join(cond = equi ∧ lo <= x <= hi ∧ rest)
+  *   ⇒ Project(original output,
+  *       Filter(lo <= x <= hi ∧ rest,
+  *         Join(point side + bucket(x) = interval side × explode(
+  *              buckets(lo, hi)), cond = equi ∧ bucket-equality)))
+  *
+  * Each point falls in exactly ONE bucket and every covering bucket of
+  * the interval is generated, so each true match meets exactly once —
+  * no dedup; null range bounds generate no buckets and a null point
+  * bucket never equals, preserving the inequality's null-rejecting
+  * semantics. Intervals explode onto (length/width + 1) buckets; pick
+  * the width ≈ the median interval length via
+  * `spark.graft.rangeJoin.bucketWidth` (same dial as the Scala
+  * operator). The rule only fires when that conf is a positive long —
+  * OFF by default, because a profitable width is data-dependent.
+  *
+  * Scope guards: INNER joins; point/bound expressions LongType and
+  * deterministic, the point computable from one side and both bounds
+  * from the other; re-entry is cut by the `__graft_rb` marker the
+  * rewrite introduces (the residual range predicate survives in the
+  * Filter, which predicate-pushdown may fold back into the join
+  * condition — the marker keeps the fixed-point batch from rewriting
+  * its own output).
+  */
+object BucketedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  val WidthConf = "spark.graft.rangeJoin.bucketWidth"
+  private val Marker = "__graft_rb"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = conf.getConfString(WidthConf, "0").toLong
+    if (w <= 0) plan
+    else plan.transform {
+      case j @ Join(_, _, Inner, Some(cond), _)
+          if j.resolved && cond.deterministic && !hasMarker(cond) =>
+        rewrite(j, w).getOrElse(j)
+    }
+  }
+
+  private def hasMarker(cond: Expression): Boolean =
+    cond.references.exists(_.name.startsWith(Marker))
+
+  /** `x - pmod(x, w)` is exactly divisible by `w`, so truncating
+    * division IS floor division — correct for negative coordinates
+    * (plain `div` would straddle bucket 0). */
+  private def bucket(x: Expression, w: Long): Expression =
+    IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w))
+
+  /** The conjunct shapes meaning `point >= bound` / `point <= bound`. */
+  private def asLower(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case GreaterThanOrEqual(p, s) => Some((p, s))
+      case LessThanOrEqual(s, p)    => Some((p, s))
+      case _                        => None
+    }
+  private def asUpper(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case LessThanOrEqual(p, h)    => Some((p, h))
+      case GreaterThanOrEqual(h, p) => Some((p, h))
+      case _                        => None
+    }
+
+  private def rewrite(j: Join, w: Long): Option[LogicalPlan] = {
+    val Join(left, right, _, Some(cond), hint) = j: @unchecked
+    val conjuncts = splitConjunctivePredicates(cond)
+
+    def fromOnly(e: Expression, side: LogicalPlan): Boolean =
+      e.deterministic && e.dataType == LongType && e.references.nonEmpty &&
+        e.references.subsetOf(side.outputSet)
+
+    // find one (lower, upper) conjunct pair over the same point
+    // expression, point from one side, both bounds from the other
+    val candidates = for {
+      lc <- conjuncts; (p1, lo) <- asLower(lc).toSeq
+      uc <- conjuncts; if uc ne lc
+      (p2, hi) <- asUpper(uc).toSeq
+      if p1.semanticEquals(p2)
+      (ptSide, ivSide, pointOnLeft) <-
+        (if (fromOnly(p1, left) && fromOnly(lo, right) && fromOnly(hi, right))
+          Seq((left, right, true))
+        else if (fromOnly(p1, right) && fromOnly(lo, left) && fromOnly(hi, left))
+          Seq((right, left, false))
+        else Seq.empty)
+    } yield (lc, uc, p1, lo, hi, ptSide, ivSide, pointOnLeft)
+
+    candidates.headOption.map {
+      case (lc, uc, p, lo, hi, ptSide, ivSide, pointOnLeft) =>
+        val ptBucket = Alias(bucket(p, w), Marker + "_p")()
+        val ptPlan = Project(ptSide.output :+ ptBucket, ptSide)
+        val ivBucket = AttributeReference(Marker + "_i", LongType)()
+        // Sequence is TimeZoneAware: it stays UNRESOLVED until a zone
+        // is pinned, even for integral sequences where it's irrelevant
+        val ivPlan = Generate(
+          Explode(new Sequence(bucket(lo, w), bucket(hi, w))
+            .withTimeZone(conf.sessionLocalTimeZone)),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(ivBucket), child = ivSide)
+        val others = conjuncts.filterNot(c => (c eq lc) || (c eq uc))
+        // equi conjuncts stay in the join (they feed the hash key);
+        // everything non-equi joins the range residual in the Filter
+        val (equi, residual) = others.partition {
+          case EqualTo(a, b) =>
+            (a.references.subsetOf(left.outputSet) &&
+              b.references.subsetOf(right.outputSet)) ||
+            (a.references.subsetOf(right.outputSet) &&
+              b.references.subsetOf(left.outputSet))
+          case _ => false
+        }
+        val bucketEq = EqualTo(ptBucket.toAttribute, ivBucket)
+        val newCond = (bucketEq +: equi).reduce[Expression](And)
+        val joined =
+          if (pointOnLeft) Join(ptPlan, ivPlan, Inner, Some(newCond), hint)
+          else Join(ivPlan, ptPlan, Inner, Some(newCond), hint)
+        val filtered =
+          Filter((Seq(lc, uc) ++ residual).reduce[Expression](And), joined)
+        Project(left.output ++ right.output, filtered)
+    }
+  }
+}

@@ -91,6 +91,84 @@ class RangeJoinSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("BucketedRangeJoin rule rewrites a plain BETWEEN join to the bucketed plan") {
+    GraftExtensions.register(spark)
+    pts.createOrReplaceTempView("rj_pts")
+    ivs.createOrReplaceTempView("rj_ivs")
+    // RANGE-ONLY join (no equi conjunct): Spark's native plan is the
+    // quadratic nested loop — the rewrite's primary target
+    val rangeOnly =
+      """SELECT pid, iid FROM rj_pts p JOIN rj_ivs i
+        |ON p.p >= i.s AND p.p <= i.e""".stripMargin
+    // keyed variant: natively a hash join on k with the range pair as
+    // residual — per-key products still blow up on skewed keys, so the
+    // rewrite must ADD the bucket to the hash key
+    val keyed =
+      """SELECT pid, iid FROM rj_pts p JOIN rj_ivs i
+        |ON p.k = i.k AND p.p >= i.s AND p.p <= i.e""".stripMargin
+    spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
+    val naivePlan = spark.sql(rangeOnly).queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoop") ||
+      naivePlan.contains("CartesianProduct"), naivePlan)
+    val wantRange = spark.sql(rangeOnly).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantKeyed = spark.sql(keyed).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.conf.set(graft.rules.BucketedRangeJoin.WidthConf, "7")
+      val got = spark.sql(rangeOnly)
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") &&
+        !plan.contains("CartesianProduct"),
+        s"rule did not rewrite the range-only join:\n$plan")
+      assert(plan.contains("Generate"), plan)
+      assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == wantRange)
+      // exactly-once per match: no dedup artifact rows
+      assert(spark.sql(rangeOnly).groupBy("pid", "iid").count()
+        .where($"count" > 1).isEmpty)
+      // idempotent under the fixed-point batch: the marker blocks
+      // re-rewriting, so exactly one Generate appears
+      assert("Generate".r.findAllIn(plan).length == 1, plan)
+      // keyed variant: results preserved and the bucket joins k in the
+      // hash keys (left-of-comma key lists both)
+      val kq = spark.sql(keyed)
+      val kPlan = kq.queryExecution.executedPlan.toString
+      assert(kPlan.contains("Generate"), kPlan)
+      assert(kPlan.contains("__graft_rb"), kPlan)
+      assert(kq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == wantKeyed)
+    } finally spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
+  }
+
+  test("BucketedRangeJoin leaves non-eligible joins alone") {
+    GraftExtensions.register(spark)
+    pts.createOrReplaceTempView("rj_pts")
+    ivs.createOrReplaceTempView("rj_ivs")
+    try {
+      spark.conf.set(graft.rules.BucketedRangeJoin.WidthConf, "7")
+      // equi-only join: untouched (no Generate)
+      val equi = spark.sql(
+        "SELECT pid, iid FROM rj_pts p JOIN rj_ivs i ON p.k = i.k")
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("Generate"))
+      assert(equi.count() == 5 * 3 + 1 * 1)
+      // one-sided inequality (no finite interval): untouched
+      val half = spark.sql(
+        """SELECT pid, iid FROM rj_pts p JOIN rj_ivs i
+          |ON p.k = i.k AND p.p >= i.s""".stripMargin)
+      assert(!half.queryExecution.optimizedPlan.toString.contains("Generate"))
+      // LEFT join: the rewrite only covers inner semantics
+      // LEFT join: the rewrite only covers inner semantics — a
+      // no-match probe row must still survive with nulls, which the
+      // inner-shaped bucket join cannot produce
+      val outer = spark.sql(
+        """SELECT pid, iid FROM rj_pts p LEFT JOIN rj_ivs i
+          |ON p.k = i.k AND p.p >= i.s AND p.p <= i.e AND i.e < 0""".stripMargin)
+      assert(!outer.queryExecution.optimizedPlan.toString.contains("Generate"))
+      assert(outer.where($"iid".isNull).count() > 0)
+    } finally spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
+  }
+
   test("decayed sum is expressible from pure SQL via half_life_weight") {
     GraftExtensions.register(spark)
     val df = Seq(
