@@ -1758,6 +1758,32 @@ object SparkEntry {
           |  ON e.user_id = w.user_id AND unix_micros(e.ts) >= w.w_start
           | AND unix_micros(e.ts) <= w.w_end
           |ORDER BY 1, 2""".stripMargin)
+    }),
+
+    // The q53 interval-overlap join as PLAIN SQL, auto-rewritten by
+    // BucketedRangeJoin's overlap pattern (both sides explode onto
+    // covering buckets; each pair emits only from the later start's
+    // bucket — no dedup shuffle).
+    "q144_rule_interval_overlap" -> ((s, dir) => {
+      val s2 = s.newSession()
+      GraftExtensions.register(s2)
+      s2.conf.set(graft.rules.BucketedRangeJoin.WidthConf,
+        (20L * 3600 * 1000000).toString)
+      t(s2, dir, "events").createOrReplaceTempView("ro_events")
+      s2.sql(
+        """WITH wins AS (
+          |  SELECT user_id, event_id AS win_id, unix_micros(ts) AS s,
+          |         unix_micros(ts) + 72000000000 AS e
+          |  FROM (SELECT user_id, ts, event_id,
+          |          ROW_NUMBER() OVER (PARTITION BY user_id, to_date(ts)
+          |                             ORDER BY ts, event_id) AS rn
+          |        FROM ro_events) WHERE rn = 1
+          |)
+          |SELECT a.win_id AS win_a, b.win_id AS win_b
+          |FROM wins a JOIN wins b
+          |  ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+          | AND a.win_id < b.win_id
+          |ORDER BY 1, 2""".stripMargin)
     })
   )
 
@@ -4466,6 +4492,23 @@ ORDER BY 1, 2"""
         |FROM events e JOIN wins w
         |  ON e.user_id = w.user_id AND epoch_us(e.ts) >= w.w_start
         | AND epoch_us(e.ts) <= w.w_end
+        |ORDER BY 1, 2""".stripMargin,
+
+    // identical computation to q53's oracle: the overlap rewrite must
+    // return the same pairs as the explicit bucketed operator
+    "q144_rule_interval_overlap" ->
+      """WITH wins AS (
+        |  SELECT user_id, event_id AS win_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + 72000000000 AS e
+        |  FROM (SELECT user_id, ts, event_id,
+        |          ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                             ORDER BY ts, event_id) AS rn
+        |        FROM events) WHERE rn = 1
+        |)
+        |SELECT a.win_id AS win_a, b.win_id AS win_b
+        |FROM wins a JOIN wins b
+        |  ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+        | AND a.win_id < b.win_id
         |ORDER BY 1, 2""".stripMargin
   )
 

@@ -80,13 +80,16 @@ object BucketedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       case _                        => None
     }
 
-  private def rewrite(j: Join, w: Long): Option[LogicalPlan] = {
+  private def rewrite(j: Join, w: Long): Option[LogicalPlan] =
+    rewritePoint(j, w).orElse(rewriteOverlap(j, w))
+
+  private def fromOnly(e: Expression, side: LogicalPlan): Boolean =
+    e.deterministic && e.dataType == LongType && e.references.nonEmpty &&
+      e.references.subsetOf(side.outputSet)
+
+  private def rewritePoint(j: Join, w: Long): Option[LogicalPlan] = {
     val Join(left, right, _, Some(cond), hint) = j: @unchecked
     val conjuncts = splitConjunctivePredicates(cond)
-
-    def fromOnly(e: Expression, side: LogicalPlan): Boolean =
-      e.deterministic && e.dataType == LongType && e.references.nonEmpty &&
-        e.references.subsetOf(side.outputSet)
 
     // find one (lower, upper) conjunct pair over the same point
     // expression, point from one side, both bounds from the other
@@ -134,6 +137,68 @@ object BucketedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         val filtered =
           Filter((Seq(lc, uc) ++ residual).reduce[Expression](And), joined)
         Project(left.output ++ right.output, filtered)
+    }
+  }
+
+  /** `a ≤ b` / `a < b` conjuncts in either written orientation,
+    * normalized to (smaller, larger). */
+  private def asCross(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case LessThanOrEqual(a, b)    => Some((a, b))
+      case LessThan(a, b)           => Some((a, b))
+      case GreaterThanOrEqual(b, a) => Some((a, b))
+      case GreaterThan(b, a)        => Some((a, b))
+      case _                        => None
+    }
+
+  /** The interval-OVERLAP pattern (`ls ⪅ re ∧ rs ⪅ le`, both interval
+    * ends on their own side): both sides explode onto covering
+    * buckets, and a matching pair — which may share many buckets — is
+    * emitted only from the bucket of the LATER start
+    * (`greatest(bucket(ls), bucket(rs))`), a bucket both sides cover
+    * whenever they overlap, so every true pair appears exactly once
+    * with no dedup shuffle (the [[graft.ops.RangeJoin.intervalOverlap]]
+    * trick, applied automatically). The argument needs only endpoint
+    * membership and monotonicity of the bucket map, so it holds for
+    * strict or non-strict comparisons and even degenerate intervals. */
+  private def rewriteOverlap(j: Join, w: Long): Option[LogicalPlan] = {
+    val Join(left, right, _, Some(cond), hint) = j: @unchecked
+    val conjuncts = splitConjunctivePredicates(cond)
+    val candidates = for {
+      c1 <- conjuncts; (ls, re) <- asCross(c1).toSeq
+      if fromOnly(ls, left) && fromOnly(re, right)
+      c2 <- conjuncts; if c2 ne c1
+      (rs, le) <- asCross(c2).toSeq
+      if fromOnly(rs, right) && fromOnly(le, left)
+    } yield (c1, c2, ls, le, rs, re)
+    candidates.headOption.map { case (c1, c2, ls, le, rs, re) =>
+      def explodeBuckets(side: LogicalPlan, lo: Expression, hi: Expression,
+          attr: AttributeReference): Generate =
+        Generate(
+          Explode(new Sequence(bucket(lo, w), bucket(hi, w))
+            .withTimeZone(conf.sessionLocalTimeZone)),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(attr), child = side)
+      val lAttr = AttributeReference(Marker + "_l", LongType)()
+      val rAttr = AttributeReference(Marker + "_r", LongType)()
+      val lPlan = explodeBuckets(left, ls, le, lAttr)
+      val rPlan = explodeBuckets(right, rs, re, rAttr)
+      val others = conjuncts.filterNot(c => (c eq c1) || (c eq c2))
+      val (equi, residual) = others.partition {
+        case EqualTo(a, b) =>
+          (a.references.subsetOf(left.outputSet) &&
+            b.references.subsetOf(right.outputSet)) ||
+          (a.references.subsetOf(right.outputSet) &&
+            b.references.subsetOf(left.outputSet))
+        case _ => false
+      }
+      val newCond = (EqualTo(lAttr, rAttr) +: equi).reduce[Expression](And)
+      val emitOnce = EqualTo(lAttr,
+        Greatest(Seq(bucket(ls, w), bucket(rs, w))))
+      val filtered = Filter(
+        (Seq(c1, c2, emitOnce) ++ residual).reduce[Expression](And),
+        Join(lPlan, rPlan, Inner, Some(newCond), hint))
+      Project(left.output ++ right.output, filtered)
     }
   }
 }

@@ -141,6 +141,39 @@ class RangeJoinSpec extends SparkSpec {
     } finally spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
   }
 
+  test("BucketedRangeJoin rewrites interval-overlap joins with exactly-once emit") {
+    GraftExtensions.register(spark)
+    ivs.createOrReplaceTempView("rj_ivs")
+    // k-keyed self-overlap (the q53 shape) plus an unkeyed variant
+    val keyed =
+      """SELECT a.iid AS ia, b.iid AS ib FROM rj_ivs a JOIN rj_ivs b
+        |ON a.k = b.k AND a.s <= b.e AND b.s <= a.e AND a.iid < b.iid""".stripMargin
+    val unkeyed =
+      """SELECT a.iid AS ia, b.iid AS ib FROM rj_ivs a JOIN rj_ivs b
+        |ON a.s <= b.e AND b.s <= a.e AND a.iid < b.iid""".stripMargin
+    spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
+    assert(spark.sql(unkeyed).queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoop"))
+    val wantK = spark.sql(keyed).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantU = spark.sql(unkeyed).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.conf.set(graft.rules.BucketedRangeJoin.WidthConf, "7")
+      for ((sql, want) <- Seq((keyed, wantK), (unkeyed, wantU))) {
+        val got = spark.sql(sql)
+        val plan = got.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoop") &&
+          !plan.contains("CartesianProduct"), plan)
+        assert("Generate".r.findAllIn(plan).length == 2, plan)
+        val rows = got.collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(rows.toSet == want, "overlap rewrite changed results")
+        assert(rows.length == rows.toSet.size,
+          "overlap pair emitted more than once")
+      }
+    } finally spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
+  }
+
   test("BucketedRangeJoin leaves non-eligible joins alone") {
     GraftExtensions.register(spark)
     pts.createOrReplaceTempView("rj_pts")
