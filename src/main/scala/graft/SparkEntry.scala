@@ -1784,6 +1784,41 @@ object SparkEntry {
           |  ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
           | AND a.win_id < b.win_id
           |ORDER BY 1, 2""".stripMargin)
+    }),
+
+    // Ranking-evaluation metrics (recall@10 / precision@10 / MRR /
+    // graded nDCG@10): a deterministic tf ranker per query term,
+    // graded relevance = min(tf, 3) — the measurement leg before a
+    // ranker's output feeds curation or hard-negative mining.
+    "q145_ranking_metrics" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = s.createDataFrame(Seq(
+        (1L, "spark"), (2L, "hash"), (3L, "window"))).toDF("query_id", "term")
+      val tf = docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .join(broadcast(q), col("tok") === col("term"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val ranked = tf.withColumn("rank",
+          row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("tf").desc, col("doc_id"))))
+        .where(col("rank") <= 20)
+      val rels = tf.select(col("query_id"), col("doc_id"),
+        least(col("tf"), lit(3L)).as("rel"))
+      graft.ops.Eval.rankingMetrics(ranked, rels,
+          "query_id", "doc_id", "rank", "rel", k = 10)
+        .orderBy("query_id")
+    }),
+
+    // Cohen's κ between the dataset's lang label and the n-gram langId
+    // prediction — chance-corrected label/classifier agreement, the
+    // label-QA gate a curation pipeline runs before trusting either.
+    "q146_label_agreement" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = docs.select(col("lang"),
+        graft.functions.TextFunctions.langId(
+          graft.functions.TextFunctions.tokens(col("text"))).as("pred"))
+      graft.ops.Eval.cohenKappa(pred, "lang", "pred")
     })
   )
 
@@ -4509,7 +4544,91 @@ ORDER BY 1, 2"""
         |FROM wins a JOIN wins b
         |  ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
         | AND a.win_id < b.win_id
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q145_ranking_metrics" ->
+      """WITH q(query_id, term) AS (
+        |  VALUES (1, 'spark'), (2, 'hash'), (3, 'window')
+        |), tf AS (
+        |  SELECT q.query_id, d.doc_id, COUNT(1) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents) d
+        |  JOIN q ON d.tok = q.term
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY tf DESC, doc_id) AS rank
+        |  FROM tf QUALIFY rank <= 20
+        |), rels AS (
+        |  SELECT query_id, doc_id, CAST(LEAST(tf, 3) AS DOUBLE) AS rel
+        |  FROM tf
+        |), ideal AS (
+        |  SELECT query_id, COUNT(1) AS n_rel,
+        |    SUM(CASE WHEN irank <= 10
+        |        THEN (POW(2.0, rel) - 1) / log2(irank + 1.0) ELSE 0 END)
+        |      AS idcg
+        |  FROM (SELECT query_id, doc_id, rel,
+        |          ROW_NUMBER() OVER (PARTITION BY query_id
+        |                             ORDER BY rel DESC, doc_id) AS irank
+        |        FROM rels)
+        |  GROUP BY 1
+        |), scored AS (
+        |  SELECT r.query_id,
+        |    COUNT(CASE WHEN s.rel IS NOT NULL THEN 1 END) AS n_hit,
+        |    SUM(CASE WHEN s.rel IS NOT NULL
+        |        THEN (POW(2.0, s.rel) - 1) / log2(r.rank + 1.0)
+        |        ELSE 0 END) AS dcg,
+        |    MIN(CASE WHEN s.rel IS NOT NULL THEN r.rank END) AS first
+        |  FROM ranked r LEFT JOIN rels s
+        |    ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+        |  WHERE r.rank <= 10
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(s.query_id AS BIGINT) AS query_id, i.n_rel,
+        |  CAST(s.n_hit AS BIGINT) AS n_hit,
+        |  ROUND(s.n_hit * 1.0 / i.n_rel, 6) AS recall,
+        |  ROUND(s.n_hit / 10.0, 6) AS precision,
+        |  ROUND(COALESCE(1.0 / s.first, 0), 6) AS mrr,
+        |  ROUND(s.dcg / i.idcg, 6) AS ndcg
+        |FROM scored s JOIN ideal i USING (query_id)
+        |ORDER BY 1""".stripMargin,
+
+    // lang_pred CTE mirrors q19's langId oracle exactly
+    "q146_label_agreement" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+         |), s AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS en_hits,
+         |    len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un'))) AS es_hits,
+         |    len(list_filter(w, x -> x IN ('le','la','de','et','un','les','des'))) AS fr_hits
+         |  FROM t
+         |), labels AS (
+         |  SELECT lang AS a,
+         |    CASE WHEN greatest(en_hits, es_hits, fr_hits) = 0 THEN 'unk'
+         |         WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+         |         WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS b
+         |  FROM s
+         |), agg AS (
+         |  SELECT COUNT(1) AS n,
+         |    SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) * 1.0
+         |      / COUNT(1) AS po
+         |  FROM labels
+         |), ma AS (
+         |  SELECT a AS lab, COUNT(1) * 1.0 AS ca FROM labels GROUP BY 1
+         |), mb AS (
+         |  SELECT b AS lab, COUNT(1) * 1.0 AS cb FROM labels GROUP BY 1
+         |), chance AS (
+         |  SELECT SUM(ca * cb) AS num FROM ma JOIN mb USING (lab)
+         |)
+         |SELECT n, ROUND(po, 6) AS po,
+         |  ROUND(num / (n * 1.0 * n), 6) AS pe,
+         |  ROUND((po - num / (n * 1.0 * n))
+         |        / (1 - num / (n * 1.0 * n)), 6) AS kappa
+         |FROM agg CROSS JOIN chance""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

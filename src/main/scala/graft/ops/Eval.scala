@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval/ranking evaluation metrics — the measurement leg of a
+  * retrieval or embedding-training pipeline (judging a ranker against
+  * labeled relevance before its output feeds curation, hard-negative
+  * mining, or RAG assembly).
+  *
+  * Metrics per query, all at cutoff `k`:
+  *   - recall@k   = |relevant ∩ top-k| / |relevant|
+  *   - precision@k = |relevant ∩ top-k| / k
+  *   - MRR@k      = 1 / rank of the first relevant hit (0 if none)
+  *   - nDCG@k     = DCG@k / IDCG@k with the standard graded form
+  *                  DCG = Σ (2^rel − 1) / log2(rank + 1)
+  *
+  * Scale shape: the ranking frame is already bounded (|queries| × k);
+  * the relevance join keys on (query, doc) — broadcast-sized whenever
+  * labels are (they are: labels are human/synthetic judgments). The
+  * only full-frame pass is one hash aggregation per side; the ideal
+  * DCG ranks labels inside each query partition — |labels per query|
+  * rows, never the corpus. Everything is rounded (6) before emit so
+  * the gate is engine-exact; ties in the ideal ordering don't matter
+  * because DCG sums over a SET of gains.
+  */
+object Eval {
+
+  /** Per-query metrics. `ranked` carries (qidCol, didCol, rankCol
+    * 1-based); `rels` carries (qidCol, didCol, relCol ≥ 0 graded
+    * relevance — 0 rows may simply be absent). Queries present in
+    * `ranked` but with zero relevant labels emit NULL recall/nDCG
+    * (undefined denominators), 0 hits, MRR 0 — surfacing label gaps
+    * instead of silently scoring them perfect.
+    * Output: (qidCol, n_rel, n_hit, recall, precision, mrr, ndcg). */
+  def rankingMetrics(ranked: DataFrame, rels: DataFrame,
+      qidCol: String, didCol: String, rankCol: String, relCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val gain: Column => Column = r => (pow(lit(2.0), r) - 1.0)
+    val topk = ranked.where(col(rankCol) <= k)
+      .select(col(qidCol), col(didCol), col(rankCol))
+    val posRel = rels.where(col(relCol) > 0)
+      .select(col(qidCol), col(didCol), col(relCol).cast("double").as("__rel"))
+    // ideal DCG: per query, gains of the top-k labels by grade
+    val wIdeal = Window.partitionBy(col(qidCol))
+      .orderBy(col("__rel").desc, col(didCol))
+    val ideal = posRel
+      .withColumn("__irank", row_number().over(wIdeal))
+      .groupBy(col(qidCol))
+      .agg(count(lit(1)).as("n_rel"),
+        sum(when(col("__irank") <= k,
+          gain(col("__rel")) / log2(col("__irank") + 1.0))
+          .otherwise(lit(0.0))).as("__idcg"))
+    val scored = topk
+      .join(posRel, Seq(qidCol, didCol), "left")
+      .groupBy(col(qidCol))
+      .agg(
+        count(when(col("__rel").isNotNull, lit(1))).as("n_hit"),
+        sum(when(col("__rel").isNotNull,
+          gain(col("__rel")) / log2(col(rankCol) + 1.0))
+          .otherwise(lit(0.0))).as("__dcg"),
+        min(when(col("__rel").isNotNull, col(rankCol))).as("__first"))
+    scored
+      .join(ideal, Seq(qidCol), "left")
+      .select(col(qidCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("n_hit"),
+        round(col("n_hit") / col("n_rel"), 6).as("recall"),
+        round(col("n_hit") / lit(k.toDouble), 6).as("precision"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr"),
+        round(col("__dcg") / col("__idcg"), 6).as("ndcg"))
+  }
+
+  /** Cohen's κ between two label columns — inter-annotator (or
+    * label-vs-classifier) agreement corrected for chance:
+    *
+    *   κ = (p_o − p_e) / (1 − p_e),
+    *   p_o = agreement fraction, p_e = Σ_c marginalA(c)·marginalB(c)
+    *
+    * The label-QA primitive of a training-data pipeline: raw accuracy
+    * against skewed marginals over-reports quality; κ doesn't. NULL is
+    * treated as its own label class (null-safe compare + null-safe
+    * marginal join). κ is NULL when p_e = 1 (both raters constant —
+    * agreement is undefined, not perfect).
+    *
+    * Scale shape: two label-keyed partial aggregations + one row-level
+    * agreement aggregation; the marginal join is |label alphabet|
+    * rows. One row out: (n, po, pe, kappa), all rounded 6. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val lab = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val agree = lab.agg(count(lit(1)).as("n"),
+      (sum(when(col("__a") <=> col("__b"), lit(1L)).otherwise(lit(0L)))
+        / count(lit(1))).as("__po"))
+    val ma = lab.groupBy(col("__a")).agg(count(lit(1)).cast("double").as("__ca"))
+    val mb = lab.groupBy(col("__b")).agg(count(lit(1)).cast("double").as("__cb"))
+    val chance = ma.join(mb, ma("__a") <=> mb("__b"))
+      .agg(sum(col("__ca") * col("__cb")).as("__num"))
+    agree.crossJoin(broadcast(chance))
+      .withColumn("__pe",
+        col("__num") / (col("n").cast("double") * col("n").cast("double")))
+      .select(col("n"), round(col("__po"), 6).as("po"),
+        round(col("__pe"), 6).as("pe"),
+        // p_e = 1 → 0/0: explicit NULL (ANSI division would throw)
+        when(col("__pe") < 1.0,
+          round((col("__po") - col("__pe")) / (lit(1.0) - col("__pe")), 6))
+          .as("kappa"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Eval
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rankingMetrics matches hand-computed recall/precision/MRR/nDCG") {
+    // q1: retrieved A,B,C (ranks 1..3); relevant: B grade 1, D grade 2
+    // (D never retrieved). At k = 3:
+    //   n_rel 2, n_hit 1, recall 1/2, precision 1/3, MRR 1/2
+    //   DCG  = (2^1-1)/log2(3)            (B at rank 2)
+    //   IDCG = (2^2-1)/log2(2) + (2^1-1)/log2(3)   (ideal: D then B)
+    val ranked = Seq((1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val rels = Seq((1L, "B", 1.0), (1L, "D", 2.0))
+      .toDF("query_id", "doc_id", "rel")
+    val r = Eval.rankingMetrics(ranked, rels,
+      "query_id", "doc_id", "rank", "rel", k = 3).head()
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dcg = 1.0 / (math.log(3.0) / math.log(2.0))
+    val idcg = 3.0 + dcg
+    assert(r.getAs[Long]("n_rel") == 2 && r.getAs[Long]("n_hit") == 1)
+    assert(r.getAs[Double]("recall") == 0.5)
+    assert(r.getAs[Double]("precision") == r6(1.0 / 3.0))
+    assert(r.getAs[Double]("mrr") == 0.5)
+    assert(r.getAs[Double]("ndcg") == r6(dcg / idcg))
+  }
+
+  test("rankingMetrics: perfect ranking scores 1.0 everywhere; label-free query scores null") {
+    val ranked = Seq((1L, "A", 1L), (1L, "B", 2L),
+      (2L, "X", 1L), (2L, "Y", 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val rels = Seq((1L, "A", 2.0), (1L, "B", 1.0))
+      .toDF("query_id", "doc_id", "rel")
+    val out = Eval.rankingMetrics(ranked, rels,
+        "query_id", "doc_id", "rank", "rel", k = 2)
+      .orderBy("query_id").collect()
+    val perfect = out(0)
+    assert(perfect.getAs[Double]("recall") == 1.0
+      && perfect.getAs[Double]("precision") == 1.0
+      && perfect.getAs[Double]("mrr") == 1.0
+      && perfect.getAs[Double]("ndcg") == 1.0)
+    // query 2 has no labels: metrics with undefined denominators are
+    // NULL (not a silent perfect score), hit counts are honest zeros
+    val bare = out(1)
+    assert(bare.getAs[Long]("n_rel") == 0 && bare.getAs[Long]("n_hit") == 0)
+    assert(bare.isNullAt(bare.fieldIndex("recall"))
+      && bare.isNullAt(bare.fieldIndex("ndcg")))
+    assert(bare.getAs[Double]("mrr") == 0.0)
+  }
+
+  test("cohenKappa matches the textbook worked example") {
+    // classic 2x2 worked case: raters agree on 20 yes + 15 no of 50;
+    // marginals A: 25/25, B: 30/20 → po=0.7, pe=(25*30+25*20)/2500=0.5,
+    // kappa=(0.7-0.5)/0.5=0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Eval.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getAs[Long]("n") == 50)
+    assert(r.getAs[Double]("po") == 0.7)
+    assert(r.getAs[Double]("pe") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.4)
+  }
+
+  test("cohenKappa: NULL is its own class; constant raters yield NULL kappa") {
+    // nulls agreeing count as agreement and enter the marginals
+    val withNulls = Seq(("x", "x"), (null, null), ("x", null), ("x", "x"))
+      .toDF("a", "b")
+    val r = Eval.cohenKappa(withNulls, "a", "b").head()
+    assert(r.getAs[Double]("po") == 0.75)
+    // pe = (3*2 + 1*2)/16 = 0.5 → kappa = 0.5
+    assert(r.getAs[Double]("pe") == 0.5 && r.getAs[Double]("kappa") == 0.5)
+    // both raters constant: pe = 1, kappa undefined -> NULL
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val c = Eval.cohenKappa(const, "a", "b").head()
+    assert(c.getAs[Double]("po") == 1.0 && c.isNullAt(c.fieldIndex("kappa")))
+  }
+
+  test("rankingMetrics cutoff: hits below k are ignored, IDCG uses top-k ideal gains") {
+    // relevant doc at rank 3 with k = 2 contributes nothing
+    val ranked = Seq((1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val rels = Seq((1L, "C", 3.0)).toDF("query_id", "doc_id", "rel")
+    val r = Eval.rankingMetrics(ranked, rels,
+      "query_id", "doc_id", "rank", "rel", k = 2).head()
+    assert(r.getAs[Long]("n_hit") == 0 && r.getAs[Double]("mrr") == 0.0
+      && r.getAs[Double]("ndcg") == 0.0 && r.getAs[Double]("recall") == 0.0)
+  }
+}

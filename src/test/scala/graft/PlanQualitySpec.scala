@@ -37,7 +37,8 @@ class PlanQualitySpec extends SparkSpec {
     "q136_proto_prune",     // 1-row broadcast centroid array (assignTo fold)
     "q137_hard_negatives",  // bounded anchor batch x corpus (cosineTopK shape)
     "q139_mmr_rerank",      // bounded query set x corpus (pool retrieval)
-    "q141_silhouette")      // 1-row broadcast centroid array (two-min fold)
+    "q141_silhouette",      // 1-row broadcast centroid array (two-min fold)
+    "q146_label_agreement") // 1-row broadcast chance-agreement attach (κ)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
