@@ -16,7 +16,10 @@ import org.apache.spark.sql.SparkSession
 object ScaleProof {
 
   private val Timed = Seq("q65_minhash_prod", "q67_dedup_clusters",
-    "q105_corpus_clean", "q120_training_prep")
+    "q105_corpus_clean", "q120_training_prep",
+    // round 7: the retrieval leg — posting aggregation + fused
+    // rankers + positional joins must also grow linearly in docs
+    "q112_hybrid_rrf", "q142_phrase_search")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleProof <docsDir> [<docsDir> ...]")
