@@ -77,6 +77,28 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Native session-window aggregation in STREAMING mode: Spark's
+    * `session_window` grouping with a watermark — the built-in
+    * counterpart to the hand-rolled [[sessionize]]/[[sessionizeClosed]]
+    * state machines (which remain for semantics the built-in can't
+    * express: custom roll conditions, per-trigger open-session
+    * emission). Sessions close and emit exactly once, when the
+    * watermark passes their gap horizon; state per key is the open
+    * session — the same eviction contract as
+    * [[sessionizeClosed]]. Output: user_id (or `keyCol`),
+    * session_start, session_end, n_events, sum_value. */
+  def sessionWindowAgg(events: DataFrame, gap: String,
+      watermark: String = "0 seconds", keyCol: String = "user_id")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Stream-static enrichment: join each micro-batch against a
     * BROADCAST dimension table — the streaming analog of the batch
     * calendar join (graft.ops.Calendar). Stateless (no watermark, no

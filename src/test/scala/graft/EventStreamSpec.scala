@@ -310,6 +310,26 @@ class EventStreamSpec extends SparkSpec {
       "every closed streaming session must match a batch session")
   }
 
+  test("streaming session_window agg ≡ batch session_window on closed sessions") {
+    // native session windows in streaming mode over the REAL driver
+    // file: every session the stream closes (watermark-passed) must
+    // exist identically in the batch session_window aggregation; gap
+    // end = last event + gap, so compare the full 5-tuple
+    val stream = EventStream.readEvents(spark,
+      "/root/testdata/sf0.001/events.parquet")
+    val got = EventStream.runToMemory(
+      EventStream.sessionWindowAgg(stream, "30 minutes"),
+      "stream_session_windows", OutputMode.Append())
+    val batch = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"n_events", $"sum_value")
+    assert(got.count() > 0, "bounded replay should close sessions")
+    assert(got.exceptAll(batch).isEmpty,
+      "streaming emitted a session the batch aggregation disagrees with")
+  }
+
   test("idempotent sink lands each batch once; replayed epochs are skipped") {
     import graft.streaming.EventStream
     val root = java.nio.file.Files.createTempDirectory("idem").toString + "/out"
