@@ -174,6 +174,45 @@ class RangeJoinSpec extends SparkSpec {
     } finally spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
   }
 
+  test("PROPERTY: rule-on ≡ rule-off across random datasets and widths") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val pts2 = (1 to 120).map { i =>
+        (s"k${rnd.nextInt(4)}", i.toLong, rnd.nextLong() % 1000L) }
+        .toDF("k", "pid", "p")
+      val ivs2 = (1 to 60).map { i =>
+        val s = rnd.nextLong() % 1000L
+        // include degenerate (hi < lo) intervals on ~1/6 of rows
+        val e = if (rnd.nextInt(6) == 0) s - rnd.nextInt(50)
+                else s + rnd.nextInt(200)
+        (s"k${rnd.nextInt(4)}", i.toLong, s, e) }
+        .toDF("k", "iid", "s", "e")
+      pts2.createOrReplaceTempView("prop_pts")
+      ivs2.createOrReplaceTempView("prop_ivs")
+      val between =
+        """SELECT pid, iid FROM prop_pts p JOIN prop_ivs i
+          |ON p.k = i.k AND p.p >= i.s AND p.p <= i.e""".stripMargin
+      val overlap =
+        """SELECT a.iid AS ia, b.iid AS ib FROM prop_ivs a JOIN prop_ivs b
+          |ON a.k = b.k AND a.s <= b.e AND b.s <= a.e AND a.iid < b.iid""".stripMargin
+      spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
+      val wantB = spark.sql(between).collect().map(_.toSeq).toSet
+      val wantO = spark.sql(overlap).collect().map(_.toSeq).toSet
+      try {
+        for (w <- Seq(1L, 13L, 97L, 5000L)) {
+          spark.conf.set(graft.rules.BucketedRangeJoin.WidthConf, w.toString)
+          val gotB = spark.sql(between).collect().map(_.toSeq)
+          val gotO = spark.sql(overlap).collect().map(_.toSeq)
+          assert(gotB.toSet == wantB && gotB.length == wantB.size,
+            s"trial $trial width $w: point-in-interval diverged")
+          assert(gotO.toSet == wantO && gotO.length == wantO.size,
+            s"trial $trial width $w: overlap diverged")
+        }
+      } finally spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
+    }
+  }
+
   test("BucketedRangeJoin leaves non-eligible joins alone") {
     GraftExtensions.register(spark)
     pts.createOrReplaceTempView("rj_pts")
