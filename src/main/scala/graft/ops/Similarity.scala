@@ -338,7 +338,7 @@ object Similarity {
     require(nPlanes % bandBits == 0, "nPlanes must be a multiple of bandBits")
     val planes = hyperplanes(nPlanes, 64)
     val bitCols = planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       when(dot(col(vecCol), planeCol) >= 0, lit(1L)).otherwise(lit(0L))
         .as(s"__bit$p")
     }
