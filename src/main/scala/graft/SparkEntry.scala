@@ -1810,6 +1810,25 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Watermarked streaming dedup under simulated at-least-once
+    // redelivery: the events path read as TWO unioned file streams
+    // (every event arrives twice), dropDuplicatesWithinWatermark on
+    // event_id — the emitted set must be exactly the original events.
+    "q147_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamAsBatch
+        .dedupedEvents(s, s"$dir/events.parquet")
+        .orderBy("event_id")),
+
+    // Event-time-timeout sessionization (flatMapGroupsWithState) run
+    // to completion: every closed session — mid-stream closes on the
+    // 30-min gap plus each user's final session when the watermark
+    // passes its horizon. Millisecond-precision times (the Event
+    // carrier's contract), mirrored by the oracle.
+    "q148_stream_sessions" -> ((s, dir) =>
+      graft.streaming.StreamAsBatch
+        .closedSessions(s, s"$dir/events.parquet", gapSeconds = 1800)
+        .orderBy("user_id", "session_start")),
+
     // Cohen's κ between the dataset's lang label and the n-gram langId
     // prediction — chance-corrected label/classifier agreement, the
     // label-QA gate a curation pipeline runs before trusting either.
@@ -4594,6 +4613,45 @@ ORDER BY 1, 2"""
         |  ROUND(s.dcg / i.idcg, 6) AS ndcg
         |FROM scored s JOIN ideal i USING (query_id)
         |ORDER BY 1""".stripMargin,
+
+    "q147_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // mirrors sessionizeClosed at MILLISECOND precision: order and gap
+    // on epoch-ms (the Event carrier truncates), sessions via
+    // gaps-and-islands, closed = all but each user's last session PLUS
+    // the last one when the watermark (global max event-time ms)
+    // passed its gap horizon
+    "q148_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(FLOOR(epoch_us(ts) / 1000) AS BIGINT) AS ms
+        |  FROM events
+        |), b AS (
+        |  SELECT user_id, event_id, value, ms,
+        |    CASE WHEN ms - lag(ms) OVER w > 1800000
+        |         OR lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+        |), g AS (
+        |  SELECT user_id, value, ms,
+        |    SUM(brk) OVER (PARTITION BY user_id
+        |                   ORDER BY ms, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b
+        |), sess AS (
+        |  SELECT user_id, sid, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+        |    CAST(COUNT(1) AS BIGINT) AS n_events,
+        |    ROUND(SUM(value), 4) AS sum_value
+        |  FROM g GROUP BY 1, 2
+        |)
+        |SELECT user_id, make_timestamp(start_ms * 1000) AS session_start,
+        |  make_timestamp(end_ms * 1000) AS session_end, n_events, sum_value
+        |FROM sess
+        |WHERE sid < (SELECT MAX(s2.sid) FROM sess s2
+        |             WHERE s2.user_id = sess.user_id)
+        |   OR end_ms + 1800000 < (SELECT MAX(ms) FROM e)
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // lang_pred CTE mirrors q19's langId oracle exactly
     "q146_label_agreement" ->

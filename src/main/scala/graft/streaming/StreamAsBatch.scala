@@ -51,6 +51,66 @@ object StreamAsBatch {
     spark.table(name)
   }
 
+  /** Watermarked streaming dedup over a SIMULATED at-least-once
+    * redelivery: the same events path read as TWO file streams,
+    * unioned (every event arrives twice), deduped on event_id — the
+    * result must be exactly the original event set. No temp copy:
+    * the duplication is the second source. */
+  def dedupedEvents(spark: SparkSession, eventsParquet: String,
+      watermark: String = "30 minutes"): DataFrame = {
+    val doubled = EventStream.readEvents(spark, eventsParquet)
+      .union(EventStream.readEvents(spark, eventsParquet))
+    runToTable(spark,
+      EventStream.dedupStream(doubled, Seq("event_id"), watermark)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value")),
+      "append")
+  }
+
+  /** Event-time-timeout sessionization run to completion: emits every
+    * session the stream CLOSED — mid-stream sessions close on the gap,
+    * and each user's final session closes when the no-data batch
+    * advances the watermark past its gap horizon. Times are at
+    * MILLISECOND precision (the `Event` carrier's `Timestamp.getTime`
+    * truncation — mirrored by the oracle). */
+  def closedSessions(spark: SparkSession, eventsParquet: String,
+      gapSeconds: Long): DataFrame = {
+    import spark.implicits._
+    val events = EventStream.readEvents(spark, eventsParquet)
+      .withWatermark("ts", "0 seconds")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .as[EventStream.Event]
+    runToTable(spark,
+      EventStream.sessionizeClosed(events, gapSeconds).toDF()
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value")),
+      "append")
+  }
+
+  /** Shared run-to-memory-table harness (unique sink name, temp
+    * checkpoint, bounded state-partition count). */
+  private def runToTable(spark: SparkSession, df: DataFrame,
+      mode: String): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.shuffle.partitions", p)
+        case None => spark.conf.unset("spark.sql.shuffle.partitions")
+      }
+      deleteRecursively(ckpt)
+    }
+    spark.table(name)
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     try
