@@ -82,6 +82,18 @@ class TablesSpec extends SparkSpec {
     assert(liSchema.find(_.name == "l_quantity").isDefined
       && liSchema.find(_.name == "l_shipdate").isDefined,
       s"TESTDATA DRIFT: lineitem schema changed: $liSchema")
+    // join-key columns of the dimension tables: a renamed or retyped
+    // key breaks every TPC-H-shaped gate at once
+    val keyCols = Seq(
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderdate"),
+      "customer" -> Seq("c_custkey", "c_nationkey", "c_mktsegment"),
+      "part" -> Seq("p_partkey", "p_size"),
+      "supplier" -> Seq("s_suppkey", "s_nationkey"),
+      "nation" -> Seq("n_nationkey", "n_regionkey", "n_name"),
+      "region" -> Seq("r_regionkey", "r_name"))
+    for ((tbl, cols) <- keyCols; c <- cols)
+      assert(raw(tbl).find(_.name == c).isDefined,
+        s"TESTDATA DRIFT: $tbl lost column $c: ${raw(tbl)}")
   }
 
   test("parquet schema evolution: mergeSchema unions columns, old rows null-fill") {
