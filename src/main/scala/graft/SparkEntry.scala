@@ -1829,6 +1829,14 @@ object SparkEntry {
         .closedSessions(s, s"$dir/events.parquet", gapSeconds = 1800)
         .orderBy("user_id", "session_start")),
 
+    // NATIVE session_window streaming aggregation (vs q148's
+    // hand-rolled state machine): full µs precision, window end =
+    // last event + gap; append mode emits watermark-closed sessions.
+    "q149_stream_session_window" -> ((s, dir) =>
+      graft.streaming.StreamAsBatch
+        .sessionWindows(s, s"$dir/events.parquet", "30 minutes")
+        .orderBy("user_id", "session_start")),
+
     // Cohen's κ between the dataset's lang label and the n-gram langId
     // prediction — chance-corrected label/classifier agreement, the
     // label-QA gate a curation pipeline runs before trusting either.
@@ -4651,6 +4659,37 @@ ORDER BY 1, 2"""
         |WHERE sid < (SELECT MAX(s2.sid) FROM sess s2
         |             WHERE s2.user_id = sess.user_id)
         |   OR end_ms + 1800000 < (SELECT MAX(ms) FROM e)
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // mirrors session_window at µs precision: a new session when the
+    // gap to the previous event is >= 30 min (an event exactly at the
+    // previous window's end starts a NEW window); end = last + gap;
+    // append emits sessions the ms-granular watermark closed
+    "q149_stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+        |), b AS (
+        |  SELECT user_id, event_id, value, us,
+        |    CASE WHEN us - lag(us) OVER w >= 1800000000
+        |         OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), g AS (
+        |  SELECT user_id, value, us,
+        |    SUM(brk) OVER (PARTITION BY user_id
+        |                   ORDER BY us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b
+        |), sess AS (
+        |  SELECT user_id, MIN(us) AS start_us,
+        |    MAX(us) + 1800000000 AS end_us,
+        |    CAST(COUNT(1) AS BIGINT) AS n_events,
+        |    ROUND(SUM(value), 4) AS sum_value
+        |  FROM g GROUP BY user_id, sid
+        |)
+        |SELECT user_id, make_timestamp(start_us) AS session_start,
+        |  make_timestamp(end_us) AS session_end, n_events, sum_value
+        |FROM sess
+        |WHERE end_us <= (SELECT FLOOR(MAX(us) / 1000) * 1000 FROM e)
         |ORDER BY user_id, session_start""".stripMargin,
 
     // lang_pred CTE mirrors q19's langId oracle exactly

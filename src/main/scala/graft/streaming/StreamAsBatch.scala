@@ -87,6 +87,20 @@ object StreamAsBatch {
       "append")
   }
 
+  /** Native `session_window` streaming aggregation run to completion:
+    * emits the sessions whose windows the watermark closed — full
+    * MICROSECOND precision (no Event-carrier truncation; the
+    * watermark itself still advances in ms). */
+  def sessionWindows(spark: SparkSession, eventsParquet: String,
+      gap: String, keyCol: String = "user_id"): DataFrame =
+    runToTable(spark,
+      EventStream.sessionWindowAgg(
+          EventStream.readEvents(spark, eventsParquet), gap,
+          watermark = "0 seconds", keyCol = keyCol)
+        .select(col(keyCol), col("session_start"), col("session_end"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value")),
+      "append")
+
   /** Shared run-to-memory-table harness (unique sink name, temp
     * checkpoint, bounded state-partition count). */
   private def runToTable(spark: SparkSession, df: DataFrame,
