@@ -1837,6 +1837,19 @@ object SparkEntry {
         .sessionWindows(s, s"$dir/events.parquet", "30 minutes")
         .orderBy("user_id", "session_start")),
 
+    // Native session_window in BATCH: same µs-precision windows as
+    // q149 without the watermark cut — the complete session set.
+    "q150_session_window_batch" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")),
+
     // Cohen's κ between the dataset's lang label and the n-gram langId
     // prediction — chance-corrected label/classifier agreement, the
     // label-QA gate a curation pipeline runs before trusting either.
@@ -4690,6 +4703,28 @@ ORDER BY 1, 2"""
         |  make_timestamp(end_us) AS session_end, n_events, sum_value
         |FROM sess
         |WHERE end_us <= (SELECT FLOOR(MAX(us) / 1000) * 1000 FROM e)
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q150_session_window_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+        |), b AS (
+        |  SELECT user_id, event_id, value, us,
+        |    CASE WHEN us - lag(us) OVER w >= 1800000000
+        |         OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), g AS (
+        |  SELECT user_id, value, us,
+        |    SUM(brk) OVER (PARTITION BY user_id
+        |                   ORDER BY us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b
+        |)
+        |SELECT user_id, make_timestamp(MIN(us)) AS session_start,
+        |  make_timestamp(MAX(us) + 1800000000) AS session_end,
+        |  CAST(COUNT(1) AS BIGINT) AS n_events,
+        |  ROUND(SUM(value), 4) AS sum_value
+        |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
 
     // lang_pred CTE mirrors q19's langId oracle exactly
