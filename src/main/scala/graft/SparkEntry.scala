@@ -4626,13 +4626,20 @@ ORDER BY 1, 2"""
         |  WHERE r.rank <= 10
         |  GROUP BY 1
         |)
-        |SELECT CAST(s.query_id AS BIGINT) AS query_id, i.n_rel,
-        |  CAST(s.n_hit AS BIGINT) AS n_hit,
-        |  ROUND(s.n_hit * 1.0 / i.n_rel, 6) AS recall,
-        |  ROUND(s.n_hit / 10.0, 6) AS precision,
+        |, qids AS (
+        |  SELECT DISTINCT query_id FROM ranked
+        |  UNION
+        |  SELECT DISTINCT query_id FROM rels
+        |)
+        |SELECT CAST(q.query_id AS BIGINT) AS query_id,
+        |  COALESCE(i.n_rel, 0) AS n_rel,
+        |  CAST(COALESCE(s.n_hit, 0) AS BIGINT) AS n_hit,
+        |  ROUND(COALESCE(s.n_hit, 0) * 1.0 / i.n_rel, 6) AS recall,
+        |  ROUND(COALESCE(s.n_hit, 0) / 10.0, 6) AS precision,
         |  ROUND(COALESCE(1.0 / s.first, 0), 6) AS mrr,
-        |  ROUND(s.dcg / i.idcg, 6) AS ndcg
-        |FROM scored s JOIN ideal i USING (query_id)
+        |  ROUND(COALESCE(s.dcg, 0) / i.idcg, 6) AS ndcg
+        |FROM qids q LEFT JOIN scored s USING (query_id)
+        |  LEFT JOIN ideal i USING (query_id)
         |ORDER BY 1""".stripMargin,
 
     "q147_stream_dedup" ->

@@ -104,10 +104,13 @@ object Binning {
     * quantile_cont), rounded to 6 digits so the clamp threshold is
     * engine-stable.
     *
-    * Shape: ONE bounded per-group quantile aggregation broadcast back;
-    * the clamp itself is a narrow projection — the corpus is scanned
-    * twice and never shuffled (group cardinality bounded; for
-    * unbounded groups swap the cuts for [[Approx]] GK sketches).
+    * Shape: ONE per-group quantile aggregation joined back on the
+    * group key; the clamp itself is a narrow projection. The cuts join
+    * carries NO broadcast hint — AQE broadcasts it when the group
+    * count is small (the common case) and degrades to a shuffled hash
+    * join when a high-cardinality group column would blow the driver,
+    * so the operator is safe at any cardinality (for unbounded group
+    * WIDTH swap the exact cuts for [[Approx]] GK sketches).
     * Output: input + `<valueCol>_w` (clamped). Row-preserving even for
     * NULL group keys (null-safe join), and NULL values stay NULL —
     * a missing measurement is not an outlier at the low cut. */
@@ -118,7 +121,7 @@ object Binning {
       round(percentile(col(valueCol), lit(lo)), 6).as("__lo"),
       round(percentile(col(valueCol), lit(hi)), 6).as("__hi"))
       .withColumnRenamed(groupCol, "__g")
-    df.join(broadcast(cuts), col(groupCol) <=> col("__g"))
+    df.join(cuts, col(groupCol) <=> col("__g"))
       .withColumn(s"${valueCol}_w",
         when(col(valueCol).isNotNull,
           least(greatest(col(valueCol), col("__lo")), col("__hi"))))

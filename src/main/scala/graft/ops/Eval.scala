@@ -29,10 +29,13 @@ object Eval {
 
   /** Per-query metrics. `ranked` carries (qidCol, didCol, rankCol
     * 1-based); `rels` carries (qidCol, didCol, relCol ≥ 0 graded
-    * relevance — 0 rows may simply be absent). Queries present in
-    * `ranked` but with zero relevant labels emit NULL recall/nDCG
-    * (undefined denominators), 0 hits, MRR 0 — surfacing label gaps
-    * instead of silently scoring them perfect.
+    * relevance — 0 rows may simply be absent). One output row per
+    * query id present in EITHER input: queries present in `ranked`
+    * but with zero relevant labels emit NULL recall/nDCG (undefined
+    * denominators), 0 hits, MRR 0 — surfacing label gaps instead of
+    * silently scoring them perfect; queries with labels but zero
+    * retrieved rows emit recall/precision/mrr/ndcg 0 (a ranker that
+    * returned nothing scored nothing — they must not vanish).
     * Output: (qidCol, n_rel, n_hit, recall, precision, mrr, ndcg). */
   def rankingMetrics(ranked: DataFrame, rels: DataFrame,
       qidCol: String, didCol: String, rankCol: String, relCol: String,
@@ -62,15 +65,26 @@ object Eval {
           gain(col("__rel")) / log2(col(rankCol) + 1.0))
           .otherwise(lit(0.0))).as("__dcg"),
         min(when(col("__rel").isNotNull, col(rankCol))).as("__first"))
-    scored
+    // one row per query id seen ANYWHERE — a labeled query the ranker
+    // returned nothing for must score 0, not disappear (both sides of
+    // this union are already bounded: |queries|×k and |labels|)
+    val qids = ranked.select(col(qidCol))
+      .union(posRel.select(col(qidCol))).distinct()
+    qids
+      .join(scored, Seq(qidCol), "left")
       .join(ideal, Seq(qidCol), "left")
       .select(col(qidCol),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-        col("n_hit"),
-        round(col("n_hit") / col("n_rel"), 6).as("recall"),
-        round(col("n_hit") / lit(k.toDouble), 6).as("precision"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        // n_rel NULL (no labels) propagates NULL — the documented gap
+        // signal; n_rel > 0 with no hits is an honest 0
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_rel"), 6)
+          .as("recall"),
+        round(coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble), 6)
+          .as("precision"),
         round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr"),
-        round(col("__dcg") / col("__idcg"), 6).as("ndcg"))
+        round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6)
+          .as("ndcg"))
   }
 
   /** Cohen's κ between two label columns — inter-annotator (or

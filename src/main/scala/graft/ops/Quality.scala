@@ -297,22 +297,25 @@ object Quality {
     * to σ under normality). The z-score is rounded to 6 digits before
     * the cut so the flag is stable across engines/libm.
     *
-    * Shape: two median aggregations with the group medians broadcast
-    * back between them — the group count stays bounded, the data is
-    * scanned twice and shuffled only by the group key. Exact medians
-    * sort within groups; at unbounded group width the drop-in scale
-    * path is [[Approx]]'s GK quantile sketch. MAD-zero groups (>50%
-    * identical values) flag nothing — degenerate by definition. */
+    * Shape: two median aggregations joined back between them on the
+    * group key, with NO broadcast hint — AQE broadcasts the per-group
+    * stats when the group count is small and degrades to a shuffled
+    * hash join when a high-cardinality group column would blow the
+    * driver; the data is scanned twice and shuffled only by the group
+    * key either way. Exact medians sort within groups; at unbounded
+    * group width the drop-in scale path is [[Approx]]'s GK quantile
+    * sketch. MAD-zero groups (>50% identical values) flag nothing —
+    * degenerate by definition. */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
       z: Double = 3.0): DataFrame = {
     val med = df.groupBy(col(groupCol))
       .agg(median(col(valueCol)).as("med"))
-    val withMed = df.join(broadcast(med), groupCol)
+    val withMed = df.join(med, groupCol)
     val mad = withMed.groupBy(col(groupCol))
       .agg(median(abs(col(valueCol) - col("med"))).as("mad"))
     val score = round(
       abs(col(valueCol) - col("med")) / (lit(1.4826) * col("mad")), 6)
-    withMed.join(broadcast(mad), groupCol)
+    withMed.join(mad, groupCol)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         max(col("med")).as("med"), max(col("mad")).as("mad"),

@@ -148,6 +148,16 @@ object Similarity {
       val cands = it.toArray.sortBy(_._2)
       val n = cands.length
       val vecs = cands.map(_._3.toArray)
+      // a dimension mismatch inside a pool is data corruption — fail
+      // loudly instead of silently scoring on a common prefix (the
+      // distributed fallback's zip_with would diverge here, and the
+      // bit-equivalence contract only holds for fixed-dim embeddings)
+      if (n > 0) {
+        val d0 = vecs(0).length
+        require(vecs.forall(_.length == d0),
+          s"mmrRerank: ragged embedding dimensions in pool for query $qid " +
+            s"(expected $d0)")
+      }
       val nts = cands.map(_._4)
       val rels = cands.map(_._5)
       val msim = new Array[Double](n) // max sim to the selected set

@@ -48,7 +48,9 @@ object BucketedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
   private val Marker = "__graft_rb"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString(WidthConf, "0").toLong
+    // unparsable width ⇒ rule off (a bad conf value must not break
+    // optimization of every query in the session)
+    val w = conf.getConfString(WidthConf, "0").toLongOption.getOrElse(0L)
     if (w <= 0) plan
     else plan.transform {
       case j @ Join(_, _, Inner, Some(cond), _)
@@ -161,6 +163,20 @@ object BucketedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     * trick, applied automatically). The argument needs only endpoint
     * membership and monotonicity of the bucket map, so it holds for
     * strict or non-strict comparisons and even degenerate intervals. */
+  /** Structural form of an expression with attribute identities erased
+    * down to their NAMES — the "attribute family" signal used to rank
+    * overlap candidates: in the overwhelmingly common overlap join
+    * (self-join, or two tables with conventionally matching column
+    * names) the true start bounds share a name (`a.s` / `b.s`) and so
+    * do the end bounds, while an unrelated cross-side inequality such
+    * as a dedup tie-break `a.id < b.id` pairs a start with an id. */
+  private def family(e: Expression): String =
+    e.transformUp {
+      case a: AttributeReference =>
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(a.name),
+          org.apache.spark.sql.types.StringType)
+    }.toString
+
   private def rewriteOverlap(j: Join, w: Long): Option[LogicalPlan] = {
     val Join(left, right, _, Some(cond), hint) = j: @unchecked
     val conjuncts = splitConjunctivePredicates(cond)
@@ -171,7 +187,20 @@ object BucketedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       (rs, le) <- asCross(c2).toSeq
       if fromOnly(rs, right) && fromOnly(le, left)
     } yield (c1, c2, ls, le, rs, re)
-    candidates.headOption.map { case (c1, c2, ls, le, rs, re) =>
+    // Rank candidates instead of taking the first in written order: an
+    // unrelated cross-side inequality written BEFORE the range
+    // conjuncts (e.g. `a.id < b.id`) would otherwise be paired as an
+    // interval bound, exploding a side onto sequence(bucket(id),
+    // bucket(e)) — spans of millions of buckets per row. Prefer the
+    // pair whose four expressions form two per-side intervals over the
+    // same attribute family (start names match, end names match);
+    // sortBy is stable, so ties keep written order (which therefore
+    // still matters for exotically-named bounds — documented dial).
+    val ranked = candidates.sortBy { case (_, _, ls, le, rs, re) =>
+      -(if (family(ls) == family(rs)) 1 else 0) -
+        (if (family(le) == family(re)) 1 else 0)
+    }
+    ranked.headOption.map { case (c1, c2, ls, le, rs, re) =>
       def explodeBuckets(side: LogicalPlan, lo: Expression, hi: Expression,
           attr: AttributeReference): Generate =
         Generate(

@@ -19,37 +19,14 @@ import org.apache.spark.sql.functions._
 object StreamAsBatch {
 
   def windowedEventCounts(spark: SparkSession, eventsParquet: String,
-      windowDur: String): DataFrame = {
-    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
-    val agg = EventStream.readEvents(spark, eventsParquet)
-      .groupBy(window(col("ts"), windowDur), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("sum_value"))
-    // Bounded one-shot run: 8 state partitions instead of the session's
-    // shuffle default — state-store open/commit cost is per-partition
-    // per-batch, and the result is partition-count independent. (A real
-    // long-lived stream at scale would size this to the key cardinality.)
-    val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(name)
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    } finally {
-      // restore only after the (async-planned) first batch has run —
-      // start() returns before micro-batch planning reads the conf
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.shuffle.partitions", p)
-        case None => spark.conf.unset("spark.sql.shuffle.partitions")
-      }
-      deleteRecursively(ckpt)
+      windowDur: String): DataFrame =
+    runToTable(spark, "complete") { s =>
+      EventStream.readEvents(s, eventsParquet)
+        .groupBy(window(col("ts"), windowDur), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
     }
-    spark.table(name)
-  }
 
   /** Watermarked streaming dedup over a SIMULATED at-least-once
     * redelivery: the same events path read as TWO file streams,
@@ -57,15 +34,14 @@ object StreamAsBatch {
     * result must be exactly the original event set. No temp copy:
     * the duplication is the second source. */
   def dedupedEvents(spark: SparkSession, eventsParquet: String,
-      watermark: String = "30 minutes"): DataFrame = {
-    val doubled = EventStream.readEvents(spark, eventsParquet)
-      .union(EventStream.readEvents(spark, eventsParquet))
-    runToTable(spark,
+      watermark: String = "30 minutes"): DataFrame =
+    runToTable(spark, "append") { s =>
+      val doubled = EventStream.readEvents(s, eventsParquet)
+        .union(EventStream.readEvents(s, eventsParquet))
       EventStream.dedupStream(doubled, Seq("event_id"), watermark)
         .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value")),
-      "append")
-  }
+          col("value"))
+    }
 
   /** Event-time-timeout sessionization run to completion: emits every
     * session the stream CLOSED — mid-stream sessions close on the gap,
@@ -74,18 +50,17 @@ object StreamAsBatch {
     * MILLISECOND precision (the `Event` carrier's `Timestamp.getTime`
     * truncation — mirrored by the oracle). */
   def closedSessions(spark: SparkSession, eventsParquet: String,
-      gapSeconds: Long): DataFrame = {
-    import spark.implicits._
-    val events = EventStream.readEvents(spark, eventsParquet)
-      .withWatermark("ts", "0 seconds")
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      .as[EventStream.Event]
-    runToTable(spark,
+      gapSeconds: Long): DataFrame =
+    runToTable(spark, "append") { s =>
+      import s.implicits._
+      val events = EventStream.readEvents(s, eventsParquet)
+        .withWatermark("ts", "0 seconds")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .as[EventStream.Event]
       EventStream.sessionizeClosed(events, gapSeconds).toDF()
         .select(col("user_id"), col("session_start"), col("session_end"),
-          col("n_events"), round(col("sum_value"), 4).as("sum_value")),
-      "append")
-  }
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+    }
 
   /** Native `session_window` streaming aggregation run to completion:
     * emits the sessions whose windows the watermark closed — full
@@ -93,36 +68,42 @@ object StreamAsBatch {
     * watermark itself still advances in ms). */
   def sessionWindows(spark: SparkSession, eventsParquet: String,
       gap: String, keyCol: String = "user_id"): DataFrame =
-    runToTable(spark,
+    runToTable(spark, "append") { s =>
       EventStream.sessionWindowAgg(
-          EventStream.readEvents(spark, eventsParquet), gap,
+          EventStream.readEvents(s, eventsParquet), gap,
           watermark = "0 seconds", keyCol = keyCol)
         .select(col(keyCol), col("session_start"), col("session_end"),
-          col("n_events"), round(col("sum_value"), 4).as("sum_value")),
-      "append")
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+    }
 
-  /** Shared run-to-memory-table harness (unique sink name, temp
-    * checkpoint, bounded state-partition count). */
-  private def runToTable(spark: SparkSession, df: DataFrame,
-      mode: String): DataFrame = {
+  /** Shared run-to-memory-table harness: the stream is BUILT AND RUN in
+    * a throwaway `spark.newSession()` (same SparkContext/shared state,
+    * private runtime conf), so the bounded state-partition override —
+    * 8 state partitions instead of the shuffle default, because
+    * state-store open/commit cost is per-partition per-batch and the
+    * result is partition-count independent — can never leak into a
+    * query planned concurrently on the caller's session. The memory
+    * sink's temp view is dropped before returning (the returned
+    * DataFrame's analyzed plan already holds the sink relation, so the
+    * rows live exactly as long as the caller holds the frame — no
+    * catalog-resident leak per invocation). A real long-lived stream at
+    * scale would size the state-partition count to the key cardinality. */
+  private def runToTable(spark: SparkSession, mode: String)(
+      build: SparkSession => DataFrame): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
-    val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = df.writeStream.outputMode(mode)
+      val q = build(s).writeStream.outputMode(mode)
         .format("memory").queryName(name)
         .option("checkpointLocation", ckpt.toString)
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.shuffle.partitions", p)
-        case None => spark.conf.unset("spark.sql.shuffle.partitions")
-      }
-      deleteRecursively(ckpt)
-    }
-    spark.table(name)
+    } finally deleteRecursively(ckpt)
+    val out = s.table(name)
+    s.catalog.dropTempView(name)
+    out
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

@@ -53,6 +53,25 @@ class EvalSpec extends SparkSpec {
     assert(bare.getAs[Double]("mrr") == 0.0)
   }
 
+  test("rankingMetrics: labeled query with zero retrieved rows scores 0, not absent") {
+    // query 2 has labels but the ranker returned nothing for it — it
+    // must appear with recall/precision/mrr/ndcg 0 (a vanished row
+    // would silently drop the worst failure mode from the average)
+    val ranked = Seq((1L, "A", 1L)).toDF("query_id", "doc_id", "rank")
+    val rels = Seq((1L, "A", 1.0), (2L, "Z", 2.0))
+      .toDF("query_id", "doc_id", "rel")
+    val out = Eval.rankingMetrics(ranked, rels,
+        "query_id", "doc_id", "rank", "rel", k = 2)
+      .orderBy("query_id").collect()
+    assert(out.length == 2)
+    val missed = out(1)
+    assert(missed.getAs[Long]("n_rel") == 1 && missed.getAs[Long]("n_hit") == 0)
+    assert(missed.getAs[Double]("recall") == 0.0
+      && missed.getAs[Double]("precision") == 0.0
+      && missed.getAs[Double]("mrr") == 0.0
+      && missed.getAs[Double]("ndcg") == 0.0)
+  }
+
   test("cohenKappa matches the textbook worked example") {
     // classic 2x2 worked case: raters agree on 20 yes + 15 no of 50;
     // marginals A: 25/25, B: 30/20 → po=0.7, pe=(25*30+25*20)/2500=0.5,

@@ -101,6 +101,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("winsorize/robustOutliers cut joins degrade to shuffled joins at high group cardinality") {
+    import spark.implicits._
+    // per-group stats frames carry NO broadcast hint: with broadcast
+    // unavailable (threshold -1, standing in for "groups exceed the
+    // driver's budget") the join must plan as a shuffled hash /
+    // sort-merge join — the 100 TB posture — and results must be
+    // IDENTICAL to the broadcast-allowed plan
+    val hi = (1 to 5000).map(i => (s"g$i", (i % 97).toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    val want = graft.ops.Binning.winsorize(hi, "g", "v")
+      .select("id", "v_w").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val wantOut = graft.ops.Quality.robustOutliers(hi, "g", "v")
+      .select("g", "n", "n_outliers").collect().map(_.toSeq).toSet
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val hi2 = {
+      import s2.implicits._
+      (1 to 5000).map(i => (s"g$i", (i % 97).toDouble, i.toLong))
+        .toDF("g", "v", "id")
+    }
+    val win2 = graft.ops.Binning.winsorize(hi2, "g", "v")
+    val winPlan = win2.queryExecution.executedPlan.toString
+    assert(!winPlan.contains("BroadcastHashJoin"),
+      s"winsorize still broadcasts with broadcast disabled:\n$winPlan")
+    assert(winPlan.contains("SortMergeJoin") || winPlan.contains("ShuffledHashJoin"),
+      winPlan)
+    assert(win2.select("id", "v_w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet == want)
+    val out2 = graft.ops.Quality.robustOutliers(hi2, "g", "v")
+    val outPlan = out2.queryExecution.executedPlan.toString
+    assert(!outPlan.contains("BroadcastHashJoin"), outPlan)
+    assert(out2.select("g", "n", "n_outliers").collect().map(_.toSeq).toSet
+      == wantOut)
+  }
+
   test("IVF centroid assignment never shuffles the corpus") {
     // assignCells is a broadcast projection: between the embeddings
     // scan and the cell-assignment projection there must be NO Exchange

@@ -241,6 +241,97 @@ class RangeJoinSpec extends SparkSpec {
     } finally spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
   }
 
+  test("overlap candidate ranking: a dedup inequality written FIRST is not paired as a bound") {
+    GraftExtensions.register(spark)
+    ivs.createOrReplaceTempView("rj_ivs")
+    // the adversarial conjunct order: `a.iid < b.iid` precedes the
+    // range pair — naive first-match pairing would explode a side onto
+    // sequence(bucket(iid), bucket(e)), spans of unrelated magnitudes
+    val dedupFirst =
+      """SELECT a.iid AS ia, b.iid AS ib FROM rj_ivs a JOIN rj_ivs b
+        |ON a.iid < b.iid AND a.s <= b.e AND b.s <= a.e AND a.k = b.k""".stripMargin
+    spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
+    val want = spark.sql(dedupFirst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.conf.set(graft.rules.BucketedRangeJoin.WidthConf, "7")
+      val got = spark.sql(dedupFirst)
+      val gens = got.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+      assert(gens.size == 2, "overlap rewrite should explode both sides")
+      // the family ranking must pick (s, e) as the interval bounds on
+      // BOTH sides — iid never feeds a bucket sequence
+      gens.foreach { g =>
+        val refs = g.generator.references.map(_.name).toSet
+        assert(refs == Set("s", "e"),
+          s"bucket sequence built over $refs — dedup conjunct was paired as a bound")
+      }
+      val rows = got.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSet == want && rows.length == want.size)
+    } finally spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
+  }
+
+  test("rule robustness: NULL bounds, bad/negative width conf, empty build side, under outer join") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("iid", LongType), StructField("s", LongType),
+      StructField("e", LongType)))
+    // intervals with NULL bounds: the inequality is null-rejecting, so
+    // those rows must match nothing under the rule too (explode of a
+    // null sequence emits no buckets — same result set)
+    val nullIvs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("u1", 10L, 0L, 10L),
+        org.apache.spark.sql.Row("u1", 11L, null, 10L),
+        org.apache.spark.sql.Row("u1", 12L, 0L, null),
+        org.apache.spark.sql.Row("u1", 13L, null, null)),
+      schema)
+    pts.createOrReplaceTempView("rb_pts")
+    nullIvs.createOrReplaceTempView("rb_ivs")
+    val q =
+      """SELECT pid, iid FROM rb_pts p JOIN rb_ivs i
+        |ON p.p >= i.s AND p.p <= i.e""".stripMargin
+    spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
+    val want = spark.sql(q).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.conf.set(graft.rules.BucketedRangeJoin.WidthConf, "7")
+      val got = spark.sql(q)
+      assert(got.queryExecution.optimizedPlan.toString.contains("Generate"))
+      assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+
+      // empty build side: rewrite still plans and returns zero rows
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        .createOrReplaceTempView("rb_empty")
+      assert(spark.sql(
+        """SELECT pid, iid FROM rb_pts p JOIN rb_empty i
+          |ON p.p >= i.s AND p.p <= i.e""".stripMargin).isEmpty)
+
+      // inner range join sitting UNDER a left outer join: the inner is
+      // rewritten, the outer's semantics survive (null-extended probe
+      // rows intact)
+      ivs.createOrReplaceTempView("rj_ivs")
+      val under = spark.sql(
+        """SELECT pi.pid, pi.iid, o.iid AS oid
+          |FROM (SELECT p.k AS pk, p.pid, i.iid FROM rb_pts p JOIN rj_ivs i
+          |      ON p.p >= i.s AND p.p <= i.e) pi
+          |LEFT JOIN rj_ivs o ON o.k = pi.pk AND o.e < -100""".stripMargin)
+      assert(under.queryExecution.optimizedPlan.toString.contains("Generate"))
+      assert(under.where($"oid".isNotNull).count() == 0 && under.count() > 0)
+
+      // unparsable width: the rule must turn itself off, not throw
+      // during optimization of every query in the session
+      spark.conf.set(graft.rules.BucketedRangeJoin.WidthConf, "banana")
+      val offBad = spark.sql(q)
+      assert(!offBad.queryExecution.optimizedPlan.toString.contains("Generate"))
+      assert(offBad.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+      // negative width: rule off as well
+      spark.conf.set(graft.rules.BucketedRangeJoin.WidthConf, "-5")
+      assert(!spark.sql(q).queryExecution.optimizedPlan.toString
+        .contains("Generate"))
+    } finally spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
+  }
+
   test("decayed sum is expressible from pure SQL via half_life_weight") {
     GraftExtensions.register(spark)
     val df = Seq(
