@@ -1859,6 +1859,26 @@ object SparkEntry {
         graft.functions.TextFunctions.langId(
           graft.functions.TextFunctions.tokens(col("text"))).as("pred"))
       graft.ops.Eval.cohenKappa(pred, "lang", "pred")
+    }),
+
+    // Multimodal pipeline END-TO-END: deterministic planted PNG fixture
+    // → real ImageIO decode → area-average resample → 64-bit dHash →
+    // byte-band bucket join for near-dups (never all-pairs). Output is
+    // one row per image (phash + near-dup partner count); the oracle
+    // replays the pairing by brute force over the FROZEN hash values,
+    // so both the decode→hash leg and the banded pairing are gated.
+    // sfDir-independent fixture: one oracle serves every scale.
+    "q151_multimodal_neardup" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.plantedMediaFixture(s)
+      val hashes = graft.multimodal.Multimodal.imageHashes(media)
+      val pairs = graft.multimodal.Multimodal.imageNearDups(media, maxHamming = 4)
+      val partners = pairs.select(col("media_a").as("media_id"))
+        .unionAll(pairs.select(col("media_b").as("media_id")))
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_dups"))
+      hashes.join(partners, Seq("media_id"), "left")
+        .select(col("media_id"), col("phash"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+        .orderBy("media_id")
     })
   )
 
@@ -4767,7 +4787,54 @@ ORDER BY 1, 2"""
          |  ROUND(num / (n * 1.0 * n), 6) AS pe,
          |  ROUND((po - num / (n * 1.0 * n))
          |        / (1 - num / (n * 1.0 * n)), 6) AS kappa
-         |FROM agg CROSS JOIN chance""".stripMargin
+         |FROM agg CROSS JOIN chance""".stripMargin,
+
+    // q151: the hash values below are FROZEN outputs of the
+    // deterministic fixture pipeline (pure-integer pixels → JDK PNG
+    // encode/decode → area-average resample → dHash64 — bit-stable by
+    // construction); the oracle replays the ≤4-bit near-dup pairing by
+    // brute force over them, so a drift in ANY stage of the Spark-side
+    // decode→hash→band pipeline breaks the gate.
+    "q151_multimodal_neardup" ->
+      """WITH h(media_id, phash) AS (
+        |  VALUES
+        |    (0, CAST(2170523769162956733 AS BIGINT)),
+        |    (1, CAST(4339351779891472359 AS BIGINT)),
+        |    (2, CAST(-4939491224833902285 AS BIGINT)),
+        |    (3, CAST(3921872058454533225 AS BIGINT)),
+        |    (4, CAST(-6248086194791755115 AS BIGINT)),
+        |    (5, CAST(5584447344285246382 AS BIGINT)),
+        |    (6, CAST(4103218227461962867 AS BIGINT)),
+        |    (7, CAST(-3545233626446849607 AS BIGINT)),
+        |    (8, CAST(-2748440734620834708 AS BIGINT)),
+        |    (9, CAST(5950844645780640342 AS BIGINT)),
+        |    (10, CAST(6476606854997602689 AS BIGINT)),
+        |    (11, CAST(-1761122469427569543 AS BIGINT)),
+        |    (12, CAST(-3703802333178927412 AS BIGINT)),
+        |    (13, CAST(-2614781743216075850 AS BIGINT)),
+        |    (14, CAST(-5933163569153947054 AS BIGINT)),
+        |    (15, CAST(5602336912791369812 AS BIGINT)),
+        |    (100, CAST(2170523769196511165 AS BIGINT)),
+        |    (101, CAST(4339351779891472359 AS BIGINT)),
+        |    (102, CAST(-4939491224833902285 AS BIGINT)),
+        |    (103, CAST(3921872058454533225 AS BIGINT)),
+        |    (104, CAST(-6248086194724646251 AS BIGINT)),
+        |    (105, CAST(5584447344285246382 AS BIGINT)),
+        |    (200, CAST(3921872058454533225 AS BIGINT))
+        |), p AS (
+        |  SELECT a.media_id AS ma, b.media_id AS mb
+        |  FROM h a JOIN h b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 4
+        |), c AS (
+        |  SELECT media_id, COUNT(1) AS n_dups FROM (
+        |    SELECT ma AS media_id FROM p
+        |    UNION ALL SELECT mb AS media_id FROM p)
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(h.media_id AS BIGINT) AS media_id, h.phash,
+        |  COALESCE(c.n_dups, 0) AS n_dups
+        |FROM h LEFT JOIN c USING (media_id)
+        |ORDER BY 1""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -318,6 +318,69 @@ object Multimodal {
         }
       }
       .toDF("media_id", "embedding")
+  }
+
+  /** Deterministic planted media fixture for the END-TO-END oracle
+    * gate (q151): 16 base "scenes" (64×48 grayscale, pure integer
+    * arithmetic — no floating point, no RNG, so the PNG bytes and
+    * every downstream hash are bit-stable across JVMs/platforms),
+    * REALLY encoded as PNG; 6 planted near-dups (a brightened
+    * rectangle over bases 0–5 — small enough to stay within a few
+    * dHash bits); one undecodable payload with metadata dims (the
+    * documented raw-grid fallback path) and one audio row (filtered
+    * out). The pipeline under gate is the real one: ImageIO decode →
+    * area-average resample → dHash64 → byte-band bucket join; the
+    * DuckDB oracle replays the pairing over the frozen hash values.
+    * sfDir-independent by design so one oracle serves every scale. */
+  def plantedMediaFixture(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val w = 64; val h = 48
+    def basePixels(seed: Int): Array[Byte] = {
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // smooth per-seed ramps + a coarse checker, all integral
+          val v = (x * (seed % 5 + 1) * 3 + y * (seed % 7 + 1) * 2 +
+            ((x / 8 + y / 8 + seed) % 2) * 40 + seed * 11) % 256
+          px(y * w + x) = v.toByte
+          x += 1
+        }
+        y += 1
+      }
+      px
+    }
+    def brightened(base: Array[Byte]): Array[Byte] = {
+      val px = base.clone()
+      var y = 8
+      while (y < 20) {
+        var x = 12
+        while (x < 30) {
+          val v = math.min(255, (px(y * w + x) & 0xFF) + 12)
+          px(y * w + x) = v.toByte
+          x += 1
+        }
+        y += 1
+      }
+      px
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[Row]()
+    def meta(mw: Integer, mh: Integer): Row = Row(mw, mh, null, null)
+    (0 until 16).foreach { i =>
+      rows += Row(i.toLong, "image",
+        ImageCodec.encodePng(basePixels(i), w, h), meta(null, null))
+    }
+    (0 until 6).foreach { i =>
+      rows += Row(100L + i, "image",
+        ImageCodec.encodePng(brightened(basePixels(i)), w, h),
+        meta(null, null))
+    }
+    // undecodable bytes + meta dims: exercises the raw-grid fallback
+    rows += Row(200L, "image", basePixels(3), meta(w, h))
+    // audio payload: must be filtered out by the image pipeline
+    rows += Row(300L, "audio", Array[Byte](1, 2, 3), meta(null, null))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.toSeq: _*), MediaSchema)
   }
 
   /** Image near-duplicate pairs within a Hamming radius over the

@@ -371,4 +371,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)),
       s"expected only the planted near-dup pair, got ${pairs.toSeq}")
   }
+
+  test("planted media fixture: deterministic hashes, planted dups found, audio filtered") {
+    val media = Multimodal.plantedMediaFixture(spark)
+    val hashes = Multimodal.imageHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the audio row never reaches the image pipeline; the fallback row
+    // (raw grid + meta dims) hashes IDENTICALLY to its PNG twin — the
+    // two decode paths must agree on the same pixels
+    assert(!hashes.contains(300L) && hashes.size == 23)
+    assert(hashes(200L) == hashes(3L))
+    // determinism tripwire: the q151 oracle freezes these values — if
+    // this assert fires, the fixture arithmetic or a codec stage
+    // changed and the oracle literals must be re-frozen
+    assert(hashes(0L) == 2170523769162956733L,
+      s"fixture hash drifted: ${hashes(0L)} — re-freeze the q151 oracle")
+    // every planted near-dup (ids 100-105) pairs with its base
+    val pairSet = Multimodal.imageNearDups(media, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 6).foreach { i =>
+      assert(pairSet.contains((i.toLong, 100L + i)),
+        s"planted pair ($i, ${100 + i}) not found")
+    }
+  }
 }
