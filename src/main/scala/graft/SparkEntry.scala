@@ -1879,6 +1879,30 @@ object SparkEntry {
         .select(col("media_id"), col("phash"),
           coalesce(col("n_dups"), lit(0L)).as("n_dups"))
         .orderBy("media_id")
+    }),
+
+    // Hot-key join under MANUAL salting: every lineitem row hits one of
+    // THREE join keys (l_returnflag) — the maximal-skew shape where a
+    // plain shuffle join puts a third of the fact on one reducer.
+    // Skew.saltedJoin splits each hot key across 8 content-derived
+    // salt buckets and replicates the (broadcast-small) dim per
+    // bucket; the oracle is the PLAIN join — salting must be invisible
+    // in the result. Integer-valued weights/quantities keep the sum
+    // exact in double, so the gate is order-independent. (The AQE
+    // runtime skew-split alternative is plan-asserted in
+    // PlanQualitySpec on the same shape.)
+    "q152_skew_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").as("qty"), col("l_orderkey"))
+      val dim = s.createDataFrame(Seq(("A", 2L), ("N", 3L), ("R", 5L)))
+        .toDF("flag", "weight")
+      graft.ops.Skew.saltedJoin(li, dim, "flag", buckets = 8,
+          saltOn = col("l_orderkey"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty") * col("weight")).as("weighted"))
+        .orderBy("flag")
     })
   )
 
@@ -4834,7 +4858,14 @@ ORDER BY 1, 2"""
         |SELECT CAST(h.media_id AS BIGINT) AS media_id, h.phash,
         |  COALESCE(c.n_dups, 0) AS n_dups
         |FROM h LEFT JOIN c USING (media_id)
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q152_skew_salted_join" ->
+      """WITH dim(flag, weight) AS (VALUES ('A', 2), ('N', 3), ('R', 5))
+        |SELECT l.l_returnflag AS flag, COUNT(1) AS n,
+        |  SUM(l.l_quantity * d.weight) AS weighted
+        |FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -137,6 +137,52 @@ class PlanQualitySpec extends SparkSpec {
       == wantOut)
   }
 
+  test("AQE splits the hot-key lineitem shuffle join at sf0.1 (runtime skew path)") {
+    // q152's manual-salting twin exercised through AQE's RUNTIME
+    // skew-join split instead, on sf0.1 lineitem with the classic
+    // hot-default-key shape (every l_partkey >= 100 collapses to key
+    // 0 — the "unknown/default id dominates" production skew).
+    // Broadcast is disabled so the join must shuffle, and the skew
+    // thresholds are lowered to sf0.1 partition sizes, standing in
+    // for the 100 TB posture where the hot key exceeds the real
+    // 256 MB default. Two findings this test encodes:
+    //   - AQE skew detection is RELATIVE (size > factor × median
+    //     non-trivial partition): three equally-fat flag partitions
+    //     never flag — salting (q152) is the answer for uniform-hot
+    //     keys, AQE for imbalanced ones;
+    //   - the split regroups MAP-side chunks, so the join shuffle
+    //     needs >1 mapper (a single-row-group 15 MB parquet scan is
+    //     ONE task at sf0.1 — fan out first; at scale mappers are
+    //     plentiful and this is moot);
+    //   - the aggregate is on a key DIFFERENT from the join key: a
+    //     groupBy on the join key makes the split non-free (it breaks
+    //     the reusable partitioning) and AQE declines it without
+    //     forceOptimizeSkewedJoin.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    val li = graft.etl.Tables.table(s2, "/root/testdata/sf0.1", "lineitem")
+      .select(when(col("l_partkey") < 100, col("l_partkey"))
+        .otherwise(lit(0L)).as("k"), col("l_quantity").as("qty"))
+      .repartition(16)
+    val dim = s2.range(100).select(col("id").as("k"),
+      (col("id") % 7).as("weight"))
+    val joined = li.join(dim, "k")
+      .groupBy(col("qty"))
+      .agg(count(lit(1)).as("n"), sum(col("weight")).as("w"))
+    val rows = joined.collect().map(r => (r.getDouble(0), r.getLong(1)))
+    // every lineitem row lands on a dim key (0..99 all present)
+    assert(rows.map(_._2).sum == 600000L, s"unexpected fact count")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not split the skewed join:\n$plan")
+  }
+
   test("IVF centroid assignment never shuffles the corpus") {
     // assignCells is a broadcast projection: between the embeddings
     // scan and the cell-assignment projection there must be NO Exchange
