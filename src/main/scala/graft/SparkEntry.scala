@@ -1903,7 +1903,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("qty") * col("weight")).as("weighted"))
         .orderBy("flag")
-    })
+    }),
+
+    // q147's streaming dedup run ACROSS A CHECKPOINT RESTART (stop
+    // after the first time-half, resume from the same checkpoint on
+    // the second): the union of both runs' emissions must hash-match
+    // the SAME oracle as the single run — exactly-once across restart
+    // as an oracle gate, not just a spec.
+    "q153_stream_dedup_restart" -> ((s, dir) =>
+      graft.streaming.StreamAsBatch
+        .dedupedEventsRestarted(s, s"$dir/events.parquet")
+        .orderBy("event_id")),
+
+    // q149's native session_window across the same kill-and-resume
+    // protocol: sessions spanning the split survive in the state
+    // store and emit ONCE with their full extent after the restart.
+    "q154_session_restart" -> ((s, dir) =>
+      graft.streaming.StreamAsBatch
+        .sessionWindowsRestarted(s, s"$dir/events.parquet", "30 minutes")
+        .orderBy("user_id", "session_start"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -4865,7 +4883,40 @@ ORDER BY 1, 2"""
         |SELECT l.l_returnflag AS flag, COUNT(1) AS n,
         |  SUM(l.l_quantity * d.weight) AS weighted
         |FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q153/q154: IDENTICAL oracles to q147/q149 — the restart must be
+    // invisible in the result, which is the whole point of the gate.
+    "q153_stream_dedup_restart" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q154_session_restart" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+        |), b AS (
+        |  SELECT user_id, event_id, value, us,
+        |    CASE WHEN us - lag(us) OVER w >= 1800000000
+        |         OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), g AS (
+        |  SELECT user_id, value, us,
+        |    SUM(brk) OVER (PARTITION BY user_id
+        |                   ORDER BY us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b
+        |), sess AS (
+        |  SELECT user_id, MIN(us) AS start_us,
+        |    MAX(us) + 1800000000 AS end_us,
+        |    CAST(COUNT(1) AS BIGINT) AS n_events,
+        |    ROUND(SUM(value), 4) AS sum_value
+        |  FROM g GROUP BY user_id, sid
+        |)
+        |SELECT user_id, make_timestamp(start_us) AS session_start,
+        |  make_timestamp(end_us) AS session_end, n_events, sum_value
+        |FROM sess
+        |WHERE end_us <= (SELECT FLOOR(MAX(us) / 1000) * 1000 FROM e)
+        |ORDER BY user_id, session_start""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -76,6 +76,80 @@ object StreamAsBatch {
           col("n_events"), round(col("sum_value"), 4).as("sum_value"))
     }
 
+  /** [[dedupedEvents]] run ACROSS A CHECKPOINT RESTART: the first
+    * (time-wise) half of the input streams to completion, the query
+    * STOPS, the second half arrives, and a NEW query resumes from the
+    * same checkpoint. The union of both runs' emissions must equal the
+    * single-run result — the dedup state (and watermark) surviving the
+    * restart is exactly the exactly-once contract, and the gate uses
+    * the UNCHANGED q147 oracle to hold it. */
+  def dedupedEventsRestarted(spark: SparkSession, eventsParquet: String,
+      watermark: String = "30 minutes"): DataFrame =
+    restartedRun(spark, eventsParquet) { (s, stage) =>
+      val doubled = EventStream.readEvents(s, stage)
+        .union(EventStream.readEvents(s, stage))
+      EventStream.dedupStream(doubled, Seq("event_id"), watermark)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+    }
+
+  /** [[sessionWindows]] across a checkpoint restart (same protocol as
+    * [[dedupedEventsRestarted]]). Sessions SPANNING the split point are
+    * the interesting case: their partial state must survive the
+    * restart and merge with second-half events, emitting ONE session
+    * with the full extent — gated by the unchanged q149 oracle. */
+  def sessionWindowsRestarted(spark: SparkSession, eventsParquet: String,
+      gap: String, keyCol: String = "user_id"): DataFrame =
+    restartedRun(spark, eventsParquet) { (s, stage) =>
+      EventStream.sessionWindowAgg(
+          EventStream.readEvents(s, stage), gap,
+          watermark = "0 seconds", keyCol = keyCol)
+        .select(col(keyCol), col("session_start"), col("session_end"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+    }
+
+  /** Kill-and-resume harness: stage the input split at its median
+    * event time (second half strictly later, so nothing arrives behind
+    * the checkpointed watermark), run the built stream to completion
+    * on half 1, stop, append half 2, rebuild the SAME stream and
+    * resume from the SAME checkpoint. The sink is the real PARQUET
+    * FILE SINK (the memory sink cannot recover a checkpoint): its
+    * `_spark_metadata` commit log is part of the exactly-once contract
+    * under gate — a replayed epoch after the restart would surface as
+    * duplicate rows when the sink directory is read back through the
+    * log. The file source's seen-files log plus the state store make
+    * the resumed query process ONLY the new files against carried
+    * state. */
+  private def restartedRun(spark: SparkSession, eventsParquet: String)(
+      build: (SparkSession, String) => DataFrame): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val sink = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val all = graft.etl.Tables.normalizeEventTime(
+      s.read.parquet(eventsParquet))
+    val cut = all.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head().getLong(0)
+    all.where(unix_micros(col("ts")) <= cut)
+      .write.mode("overwrite").parquet(stage)
+    def runOnce(): Unit = {
+      val q = build(s, stage).writeStream.outputMode("append")
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      runOnce()
+      all.where(unix_micros(col("ts")) > cut)
+        .write.mode("append").parquet(stage)
+      runOnce()
+    } finally deleteRecursively(ckpt)
+    s.read.parquet(sink)
+  }
+
   /** Shared run-to-memory-table harness: the stream is BUILT AND RUN in
     * a throwaway `spark.newSession()` (same SparkContext/shared state,
     * private runtime conf), so the bounded state-partition override —
