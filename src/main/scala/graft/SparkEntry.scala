@@ -1921,7 +1921,23 @@ object SparkEntry {
     "q154_session_restart" -> ((s, dir) =>
       graft.streaming.StreamAsBatch
         .sessionWindowsRestarted(s, s"$dir/events.parquet", "30 minutes")
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // The reference's ACTUAL calendar business case (its notebook loads
+    // a real market calendar whose holiday flags drive the working-day
+    // filter — not the Mon–Fri reconstruction): q01's weekly compound
+    // against a LOADED CSV calendar with two planted mid-week holidays
+    // (Mon 2024-01-15, Wed 2024-01-24). Returns on holiday dates must
+    // drop out of their week's compound on both engines; the oracle
+    // reads the SAME CSV. Exercises Calendar.load's real-CSV path
+    // (schema normalization + preserved holiday flags) end-to-end.
+    "q155_holiday_calendar" -> ((s, dir) => {
+      val cal = Calendar.load(s, "/root/repo/fixtures/market_calendar_2024.csv")
+      val daily = Calendar.filterWorkingDays(dailyReturns(s, dir), "mdate", cal)
+      Returns.weeklyReturns(daily, "fund_id", "rtype", "mdate", "r")
+        .withColumn("weekly_return", round(col("weekly_return"), 6))
+        .orderBy("fund_id", "rtype", "year_week")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -4916,7 +4932,18 @@ ORDER BY 1, 2"""
         |  make_timestamp(end_us) AS session_end, n_events, sum_value
         |FROM sess
         |WHERE end_us <= (SELECT FLOOR(MAX(us) / 1000) * 1000 FROM e)
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q155_holiday_calendar" ->
+      s"""WITH cal AS (
+         |  SELECT * FROM read_csv('/root/repo/fixtures/market_calendar_2024.csv',
+         |                         header = true)
+         |), daily AS ($dailyReturnsSql)
+         |SELECT fund_id, rtype, strftime(mdate, '%Y-%W') AS year_week,
+         |       ROUND(EXP(SUM(LN(1 + r))) - 1, 6) AS weekly_return
+         |FROM daily JOIN cal ON daily.mdate = cal."date"
+         |WHERE cal.is_working_day
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see
