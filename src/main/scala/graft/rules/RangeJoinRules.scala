@@ -108,7 +108,18 @@ object BucketedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         else Seq.empty)
     } yield (lc, uc, p1, lo, hi, ptSide, ivSide, pointOnLeft)
 
-    candidates.headOption.map {
+    // Same candidate-ranking concern as rewriteOverlap: a non-strict
+    // cross-side dedup conjunct over the SAME column family as the
+    // point (`a.x <= b.x`) can masquerade as a bound, exploding
+    // sequence(bucket(lo), bucket(x)) over an unrelated magnitude.
+    // A true interval bound is a DIFFERENT column from the point
+    // (lo/hi vs x), so penalize bound expressions that share the
+    // point's family; sortBy is stable so ties keep written order.
+    val ranked = candidates.sortBy { case (_, _, p, lo, hi, _, _, _) =>
+      -(if (family(lo) != family(p)) 1 else 0) -
+        (if (family(hi) != family(p)) 1 else 0)
+    }
+    ranked.headOption.map {
       case (lc, uc, p, lo, hi, ptSide, ivSide, pointOnLeft) =>
         val ptBucket = Alias(bucket(p, w), Marker + "_p")()
         val ptPlan = Project(ptSide.output :+ ptBucket, ptSide)

@@ -271,6 +271,36 @@ class RangeJoinSpec extends SparkSpec {
     } finally spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
   }
 
+  test("point candidate ranking: a same-column dedup inequality is not paired as a bound") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // self-join shape: each row carries a point t and an interval
+    // [lo, hi]; the non-strict dedup conjunct `a.t <= b.t` written
+    // BEFORE the upper bound is a valid asUpper match over the same
+    // point — naive pairing would explode sequence(bucket(lo),
+    // bucket(t)) with t on an unrelated magnitude
+    Seq((1L, 5L, 0L, 10L), (2L, 15L, 10L, 20L), (3L, 900000L, 0L, 5L))
+      .toDF("id", "t", "lo", "hi").createOrReplaceTempView("pr_tb")
+    val sql =
+      """SELECT a.id AS ia, b.id AS ib FROM pr_tb a JOIN pr_tb b
+        |ON a.t >= b.lo AND a.t <= b.t AND a.t <= b.hi""".stripMargin
+    spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
+    val want = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.conf.set(graft.rules.BucketedRangeJoin.WidthConf, "7")
+      val got = spark.sql(sql)
+      val gens = got.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+      assert(gens.size == 1, "point rewrite should explode the interval side once")
+      val refs = gens.head.generator.references.map(_.name).toSet
+      assert(refs == Set("lo", "hi"),
+        s"bucket sequence built over $refs — dedup conjunct was paired as a bound")
+      val rows = got.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSet == want && rows.length == want.size)
+    } finally spark.conf.unset(graft.rules.BucketedRangeJoin.WidthConf)
+  }
+
   test("rule robustness: NULL bounds, bad/negative width conf, empty build side, under outer join") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.types._
