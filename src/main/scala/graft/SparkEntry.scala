@@ -1937,6 +1937,33 @@ object SparkEntry {
       Returns.weeklyReturns(daily, "fund_id", "rtype", "mdate", "r")
         .withColumn("weekly_return", round(col("weekly_return"), 6))
         .orderBy("fund_id", "rtype", "year_week")
+    }),
+
+    // Asymmetric shingle containment over the gate-shape LSH
+    // candidates: subsumption detection (quotes/boilerplate/excerpts)
+    // where Jaccard under-reports — |sh(A)∩sh(B)|/|sh(A)| per
+    // direction, pair kept when either clears 0.8. No length-ratio
+    // prune: the size gap IS the signal.
+    "q156_containment" -> ((s, dir) =>
+      graft.ops.Dedup.containmentPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, minContainment = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    // Corpus snapshot diff — the incremental-curation primitive: a
+    // deterministically derived "next crawl" (every 37th id removed,
+    // every 11th revised, every 53rd re-added under a new id) diffed
+    // against the standing snapshot via a full-outer id join over
+    // map-side content hashes; only (id, hash) ever shuffles.
+    "q157_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val next = docs.where(col("doc_id") % 37 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 53 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      graft.ops.Snapshots.corpusDiff(docs, next, "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -4943,7 +4970,37 @@ ORDER BY 1, 2"""
          |       ROUND(EXP(SUM(LN(1 + r))) - 1, 6) AS weekly_return
          |FROM daily JOIN cal ON daily.mdate = cal."date"
          |WHERE cal.is_working_day
-         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Same shared minhash CTE chain as q15/q67 (independent md5-keyed
+    // implementation); only the final scoring differs — containment
+    // per direction instead of Jaccard, thresholded on the ROUNDED
+    // value exactly like the Spark side.
+    "q156_containment" ->
+      s"""WITH $MinhashGateCtes
+         |SELECT doc_a, doc_b,
+         |  ROUND(inter * 1.0 / na, 6) AS contain_a,
+         |  ROUND(inter * 1.0 / nb, 6) AS contain_b
+         |FROM verified
+         |WHERE ROUND(inter * 1.0 / na, 6) >= 0.8
+         |   OR ROUND(inter * 1.0 / nb, 6) >= 0.8
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q157_snapshot_diff" ->
+      """WITH nw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 37 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 53 = 0
+        |)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM documents o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+        |ORDER BY 1""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -288,6 +288,46 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric shingle-CONTAINMENT over LSH candidates — the
+    * subsumption detector (quotes, boilerplate wrappers, excerpt
+    * pages): containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)| is ~1
+    * when A is mostly a fragment of B even though Jaccard is small.
+    * Candidates come from the same banded MinHash join as
+    * [[minhashNearDups]] but WITHOUT the length-ratio prune (the
+    * asymmetric size gap is the signal here, not noise); the exact
+    * intersection is counted on 64-bit shingle hashes. Both directions
+    * are scored and a pair is kept when EITHER rounded containment
+    * clears `minContainment`.
+    *
+    * Recall caveat (documented, inherent): Jaccard-tuned LSH under-
+    * recalls a tiny doc inside a huge one (their signatures differ);
+    * at the gated near-dup shape containment ≈ Jaccard so the banded
+    * index recalls them, and a containment-complete index (prefix
+    * filtering on the SMALL side's shingles, or partitioned minhash)
+    * is the drop-in replacement for `lshCandidates` at scale.
+    * Output: (doc_a < doc_b, contain_a, contain_b), rounded 6. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minContainment: Double = 0.8,
+      nPerms: Int = 8, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(bands * rowsPerBand <= nPerms,
+      s"bands*rowsPerBand (${bands * rowsPerBand}) exceeds nPerms ($nPerms)")
+    val cand = lshCandidates(
+      minhashSignatures(df, idCol, textCol, n, nPerms), idCol,
+      bands, rowsPerBand)
+    val ex = shingleTable(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("s")).as("sk"), col("n"))
+    val a = ex.select(col(idCol).as("doc_a"), col("sk"), col("n").as("na"))
+    val b = ex.select(col(idCol).as("doc_b"), col("sk"), col("n").as("nb"))
+    cand.join(a, "doc_a").join(b, Seq("doc_b", "sk"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nb").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / col("na"), 6).as("contain_a"),
+        round(col("inter") / col("nb"), 6).as("contain_b"))
+      .where(col("contain_a") >= minContainment
+        || col("contain_b") >= minContainment)
+  }
+
   /** Cross-corpus fuzzy join (record linkage / crawl-snapshot merge):
     * near-duplicate pairs BETWEEN two document sets — match a fresh
     * crawl against the standing corpus, merge two vendor feeds, align

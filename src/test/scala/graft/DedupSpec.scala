@@ -309,6 +309,44 @@ class DedupSpec extends SparkSpec {
     assert((m(1L) & 0xFFFFFFFFL) == m(1L)) // 32-bit range
   }
 
+  test("containmentPairs scores asymmetric subsumption both ways") {
+    import spark.implicits._
+    // B = A plus a short suffix: sh(A) ⊂ sh(B), so contain(A in B) = 1
+    // while contain(B in A) < 1 — the asymmetry Jaccard hides; C is
+    // unrelated and must not pair above the threshold
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " x1 x2 x3"),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, minContainment = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"got ${pairs.keySet}")
+    val (ca, cb) = pairs((1L, 2L))
+    assert(ca == 1.0, s"contain(A in B) should be exactly 1, got $ca")
+    // |sh(A)| = 28, |sh(B)| = 31 -> contain(B in A) = 28/31
+    assert(cb == BigDecimal(28.0 / 31.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, s"got $cb")
+  }
+
+  test("corpusDiff labels added/removed/changed/unchanged; changedDocs is the work-list") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "alpha"), (2L, "beta v2"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val d = graft.ops.Snapshots.corpusDiff(old, nw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val wl = graft.ops.Snapshots.changedDocs(old, nw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(wl == Map(2L -> "beta v2", 4L -> "delta"))
+  }
+
   test("jaccardPairsPrefix equals the full self-join on fixture and real corpus") {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9).as("j"))
