@@ -332,6 +332,34 @@ class DedupSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble, s"got $cb")
   }
 
+  test("containmentPairs recalls every brute-force containment pair on the real corpus") {
+    // honesty check for the documented recall caveat: on the sf0.001
+    // corpus (planted near-dups with similar lengths), the banded LSH
+    // candidates must recall the SAME >=0.8-containment pairs as an
+    // exact all-pairs pass — if the testdata ever grows a
+    // fragment-in-document pair (high containment, low Jaccard) this
+    // fails and the containment-complete index becomes due
+    val real = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val ex = Dedup.shingleTable(real, "doc_id", "text", 3)
+      .select(col("doc_id"), xxhash64(col("s")).as("sk"), col("n"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("sk"), col("n").as("na"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("sk"), col("n").as("nb"))
+    val brute = a.join(b, "sk").where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nb").as("nb"))
+      .where(round(col("inter") / col("na"), 6) >= 0.8
+        || round(col("inter") / col("nb"), 6) >= 0.8)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.containmentPairs(real, "doc_id", "text",
+        n = 3, minContainment = 0.8)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "corpus should contain containment pairs")
+    assert(lsh == brute,
+      s"LSH candidates missed ${(brute -- lsh).take(5)} / extra ${(lsh -- brute).take(5)}")
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged; changedDocs is the work-list") {
     import spark.implicits._
     val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
