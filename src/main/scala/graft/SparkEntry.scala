@@ -1964,6 +1964,29 @@ object SparkEntry {
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
       graft.ops.Snapshots.corpusDiff(docs, next, "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // The incremental-curation pipeline END-TO-END: q157's snapshot
+    // delta (added ∪ changed — the work-list, ~12% of the corpus) is
+    // the ONLY thing that re-enters near-dup checking, fuzzy-joined
+    // bipartite against the standing corpus. Revised docs rejoin
+    // their originals (high Jaccard), re-labeled copies rejoin at 1.0
+    // — the full-recrawl dedup collapses to a delta × corpus band
+    // join, the entire point of snapshot diffing at 100 TB.
+    "q158_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val next = docs.where(col("doc_id") % 37 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 53 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val delta = graft.ops.Snapshots.changedDocs(docs, next, "doc_id", "text")
+      Dedup.fuzzyJoin(delta, "doc_id", "text", docs, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("left_id"), col("right_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("left_id", "right_id")
     })
   )
 
@@ -5000,7 +5023,40 @@ ORDER BY 1, 2"""
         |       WHEN o.text = n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM documents o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // Same nw derivation as q157; delta = its added ∪ changed rows,
+    // then the q140 bipartite minhash machinery against the standing
+    // corpus.
+    "q158_incremental_neardup" ->
+      s"""WITH nw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 37 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 53 = 0
+         |), delta AS (
+         |  SELECT n.doc_id, n.text
+         |  FROM nw n LEFT JOIN documents o ON o.doc_id = n.doc_id
+         |  WHERE o.doc_id IS NULL OR o.text <> n.text
+         |), ${minhashSideCtes("l", "delta")},
+         |${minhashSideCtes("r", "documents")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+         |  FROM bandsl a JOIN bandsr b
+         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         |), verified AS (
+         |  SELECT c.left_id, c.right_id, COUNT(1) AS inter,
+         |         MAX(ea.n) AS na, MAX(eb.n) AS nb
+         |  FROM cand c
+         |  JOIN exl ea ON ea.doc_id = c.left_id
+         |  JOIN exr eb ON eb.doc_id = c.right_id AND eb.s = ea.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT left_id, right_id,
+         |  ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
+         |FROM verified WHERE inter*1.0/(na+nb-inter) >= 0.5
+         |ORDER BY 1, 2""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see
