@@ -73,11 +73,36 @@ object ScaleProof {
         qs, "query_id", "qtext", kPerLeg = 20, k = 10).count()
       val hybSec = (System.nanoTime() - tHyb) / 1e9
 
+      // round 8: incremental dedup vs full re-dedup — the snapshot-diff
+      // value proposition MEASURED: after a recrawl (~12% delta), does
+      // delta×corpus near-dup checking beat re-deduping the whole new
+      // snapshot?
+      import org.apache.spark.sql.functions._
+      val next = docs.where(col("doc_id") % 37 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 53 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val tFull = System.nanoTime()
+      val fullRows = graft.ops.Dedup.minhashNearDups(
+        next, "doc_id", "text", n = 3, threshold = 0.5,
+        nPerms = 128, bands = 32, rowsPerBand = 4).count()
+      val fullSec = (System.nanoTime() - tFull) / 1e9
+      val tInc = System.nanoTime()
+      val incRows = graft.ops.Dedup.fuzzyJoin(
+        graft.ops.Snapshots.changedDocs(docs, next, "doc_id", "text"),
+        "doc_id", "text", docs, "doc_id", "text",
+        n = 3, threshold = 0.5).count()
+      val incSec = (System.nanoTime() - tInc) / 1e9
+
       println(s"""{"dir":"$dir","docs":$nDocs,""" +
         f""""lsh_candidates":{"rows":$cands,"sec":$candSec%.2f},""" +
         per.mkString(",") +
         f""",\"posting_index_build\":{\"sec\":$idxSec%.2f}""" +
-        f""",\"q112_hybrid_persisted\":{\"rows\":$hybRows,\"sec\":$hybSec%.2f}}""")
+        f""",\"q112_hybrid_persisted\":{\"rows\":$hybRows,\"sec\":$hybSec%.2f}""" +
+        f""",\"full_rededup_prod\":{\"rows\":$fullRows,\"sec\":$fullSec%.2f}""" +
+        f""",\"incremental_delta_dedup\":{\"rows\":$incRows,\"sec\":$incSec%.2f}}""")
     }
     spark.stop()
   }
