@@ -1987,7 +1987,45 @@ object SparkEntry {
         .select(col("left_id"), col("right_id"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("left_id", "right_id")
-    })
+    }),
+
+    // The q112 hybrid ranker served from a PERSISTED posting index —
+    // the production shape the round-8 scale proof measured (build
+    // once, serve batches): postings round-trip through parquet, then
+    // hybridTopKFromPostings; the oracle is IDENTICAL to q112's, so
+    // the index round-trip must lose nothing.
+    "q159_hybrid_persisted" -> ((s, dir) => {
+      val postDir = java.nio.file.Files
+        .createTempDirectory("graft-post-idx").toString
+      graft.ops.Bm25.postings(t(s, dir, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(postDir)
+      val qs = s.createDataFrame(Seq(
+        (1L, "spark join fast"), (2L, "hash table scan"),
+        (3L, "stream window state"))).toDF("query_id", "qtext")
+      graft.ops.Retrieval.hybridTopKFromPostings(
+          s.read.parquet(postDir), "doc_id",
+          qs, "query_id", "qtext", kPerLeg = 20, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Stream-static broadcast enrichment run to completion: the
+    // streaming analog of the batch dimension join, oracle = the plain
+    // batch LEFT join (no-dim events survive with NULL category).
+    "q160_stream_enrich" -> ((s, dir) =>
+      graft.streaming.StreamAsBatch.enrichedEvents(s,
+          s"$dir/events.parquet",
+          Seq(("click", "engagement"), ("view", "engagement"),
+            ("purchase", "revenue")))
+        .orderBy("event_id")),
+
+    // Stream-stream time-bounded inner join run to completion:
+    // purchases within 2 hours after a signup by the same user; the
+    // watermark+bound pair keeps join state evictable, and the oracle
+    // is the equivalent batch inequality join.
+    "q161_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamAsBatch.joinedWithin(s,
+          s"$dir/events.parquet", "signup", "purchase", "2 hours")
+        .orderBy("l_id", "r_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -2166,6 +2204,91 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared oracle for the hybrid BM25+TFIDF RRF ranker: q112
+    * (inline postings) and q159 (persisted posting index) must
+    * produce the IDENTICAL ranking. */
+  private val HybridRrfOracleSql: String =
+    """WITH q(query_id, qtext) AS (
+        |  VALUES (1, 'spark join fast'), (2, 'hash table scan'),
+        |         (3, 'stream window state')
+        |), post AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, COUNT(1) AS tf FROM post GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT COUNT(1) AS n, AVG(dl) AS avgdl FROM dl
+        |), dfreq AS (
+        |  SELECT token, COUNT(1) AS df FROM tf GROUP BY 1
+        |), qt AS (
+        |  SELECT query_id, unnest(list_distinct(regexp_split_to_array(qtext, '\s+'))) AS token
+        |  FROM q
+        |), scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ROUND(SUM(ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5))
+        |      * tf.tf * (1.2 + 1.0)
+        |      / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*dl.dl/s.avgdl))), 6) AS score
+        |  FROM tf
+        |  JOIN qt ON qt.token = tf.token
+        |  JOIN dfreq d ON d.token = tf.token
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2
+        |), bml AS (
+        |  SELECT query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored
+        |  QUALIFY rank <= 20
+        |), wtd AS (
+        |  SELECT doc_id, token, tf,
+        |    COUNT(1) OVER (PARTITION BY token) AS df,
+        |    tf * ln((SELECT n FROM stats) * 1.0
+        |            / COUNT(1) OVER (PARTITION BY token)) AS w
+        |  FROM tf
+        |  QUALIFY w > 0
+        |), dnorm AS (
+        |  SELECT doc_id, sqrt(SUM(w*w)) AS dn FROM wtd GROUP BY 1
+        |), vocab AS (
+        |  SELECT token, MAX(df) AS df FROM wtd GROUP BY 1
+        |), qw AS (
+        |  SELECT query_id, qt.token,
+        |    ln((SELECT n FROM stats) * 1.0 / df) AS qw
+        |  FROM qt JOIN vocab USING (token)
+        |  WHERE ln((SELECT n FROM stats) * 1.0 / df) > 0
+        |), qnorm AS (
+        |  SELECT query_id, sqrt(SUM(qw*qw)) AS qn FROM qw GROUP BY 1
+        |), tdots AS (
+        |  SELECT qw.query_id, wtd.doc_id, SUM(wtd.w * qw.qw) AS dot
+        |  FROM wtd JOIN qw ON qw.token = wtd.token
+        |  GROUP BY 1, 2
+        |), tscored AS (
+        |  SELECT query_id, doc_id, ROUND(dot/(dn*qn), 6) AS score
+        |  FROM tdots JOIN dnorm USING (doc_id) JOIN qnorm USING (query_id)
+        |), tfl AS (
+        |  SELECT query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS rank
+        |  FROM tscored
+        |  QUALIFY rank <= 20
+        |), fused AS (
+        |  SELECT COALESCE(b.query_id, t.query_id) AS query_id,
+        |         COALESCE(b.doc_id, t.doc_id) AS doc_id,
+        |         ROUND(COALESCE(CAST(1 AS DOUBLE)/(60 + b.rank), 0)
+        |             + COALESCE(CAST(1 AS DOUBLE)/(60 + t.rank), 0), 6) AS rrf
+        |  FROM bml b FULL OUTER JOIN tfl t
+        |    ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+        |)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf,
+        |       CAST(rnk AS BIGINT) AS rank
+        |FROM (SELECT query_id, doc_id, rrf,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY rrf DESC, doc_id) AS rnk
+        |      FROM fused)
+        |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q01_weekly_compound" ->
@@ -3781,87 +3904,11 @@ ORDER BY 1, 2"""
         |FROM b JOIN f USING (event_id)
         |ORDER BY event_id""".stripMargin,
 
-    "q112_hybrid_rrf" ->
-      """WITH q(query_id, qtext) AS (
-        |  VALUES (1, 'spark join fast'), (2, 'hash table scan'),
-        |         (3, 'stream window state')
-        |), post AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        |  FROM documents
-        |), tf AS (
-        |  SELECT doc_id, token, COUNT(1) AS tf FROM post GROUP BY 1, 2
-        |), dl AS (
-        |  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
-        |), stats AS (
-        |  SELECT COUNT(1) AS n, AVG(dl) AS avgdl FROM dl
-        |), dfreq AS (
-        |  SELECT token, COUNT(1) AS df FROM tf GROUP BY 1
-        |), qt AS (
-        |  SELECT query_id, unnest(list_distinct(regexp_split_to_array(qtext, '\s+'))) AS token
-        |  FROM q
-        |), scored AS (
-        |  SELECT qt.query_id, tf.doc_id,
-        |    ROUND(SUM(ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5))
-        |      * tf.tf * (1.2 + 1.0)
-        |      / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*dl.dl/s.avgdl))), 6) AS score
-        |  FROM tf
-        |  JOIN qt ON qt.token = tf.token
-        |  JOIN dfreq d ON d.token = tf.token
-        |  JOIN dl ON dl.doc_id = tf.doc_id
-        |  CROSS JOIN stats s
-        |  GROUP BY 1, 2
-        |), bml AS (
-        |  SELECT query_id, doc_id,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |                       ORDER BY score DESC, doc_id) AS rank
-        |  FROM scored
-        |  QUALIFY rank <= 20
-        |), wtd AS (
-        |  SELECT doc_id, token, tf,
-        |    COUNT(1) OVER (PARTITION BY token) AS df,
-        |    tf * ln((SELECT n FROM stats) * 1.0
-        |            / COUNT(1) OVER (PARTITION BY token)) AS w
-        |  FROM tf
-        |  QUALIFY w > 0
-        |), dnorm AS (
-        |  SELECT doc_id, sqrt(SUM(w*w)) AS dn FROM wtd GROUP BY 1
-        |), vocab AS (
-        |  SELECT token, MAX(df) AS df FROM wtd GROUP BY 1
-        |), qw AS (
-        |  SELECT query_id, qt.token,
-        |    ln((SELECT n FROM stats) * 1.0 / df) AS qw
-        |  FROM qt JOIN vocab USING (token)
-        |  WHERE ln((SELECT n FROM stats) * 1.0 / df) > 0
-        |), qnorm AS (
-        |  SELECT query_id, sqrt(SUM(qw*qw)) AS qn FROM qw GROUP BY 1
-        |), tdots AS (
-        |  SELECT qw.query_id, wtd.doc_id, SUM(wtd.w * qw.qw) AS dot
-        |  FROM wtd JOIN qw ON qw.token = wtd.token
-        |  GROUP BY 1, 2
-        |), tscored AS (
-        |  SELECT query_id, doc_id, ROUND(dot/(dn*qn), 6) AS score
-        |  FROM tdots JOIN dnorm USING (doc_id) JOIN qnorm USING (query_id)
-        |), tfl AS (
-        |  SELECT query_id, doc_id,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |                       ORDER BY score DESC, doc_id) AS rank
-        |  FROM tscored
-        |  QUALIFY rank <= 20
-        |), fused AS (
-        |  SELECT COALESCE(b.query_id, t.query_id) AS query_id,
-        |         COALESCE(b.doc_id, t.doc_id) AS doc_id,
-        |         ROUND(COALESCE(CAST(1 AS DOUBLE)/(60 + b.rank), 0)
-        |             + COALESCE(CAST(1 AS DOUBLE)/(60 + t.rank), 0), 6) AS rrf
-        |  FROM bml b FULL OUTER JOIN tfl t
-        |    ON b.query_id = t.query_id AND b.doc_id = t.doc_id
-        |)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf,
-        |       CAST(rnk AS BIGINT) AS rank
-        |FROM (SELECT query_id, doc_id, rrf,
-        |        ROW_NUMBER() OVER (PARTITION BY query_id
-        |                           ORDER BY rrf DESC, doc_id) AS rnk
-        |      FROM fused)
-        |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q112_hybrid_rrf" -> HybridRrfOracleSql,
+
+    // identical oracle: the persisted-index round-trip (q159) must
+    // change NOTHING about the ranking
+    "q159_hybrid_persisted" -> HybridRrfOracleSql,
 
     // the null-coalesced srck mirrors interleaveBySource's internal
     // key ('0' for NULL, '1'||source otherwise) so the oracle encodes
@@ -5056,7 +5103,26 @@ ORDER BY 1, 2"""
          |SELECT left_id, right_id,
          |  ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
          |FROM verified WHERE inter*1.0/(na+nb-inter) >= 0.5
-         |ORDER BY 1, 2""".stripMargin
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q160_stream_enrich" ->
+      """WITH dim(event_type, category) AS (
+        |  VALUES ('click', 'engagement'), ('view', 'engagement'),
+        |         ('purchase', 'revenue')
+        |)
+        |SELECT e.event_id, e.user_id, e.event_type, d.category, e.value
+        |FROM events e LEFT JOIN dim d USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q161_stream_join" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id,
+        |       r.value AS r_value
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'signup' AND r.event_type = 'purchase'
+        | AND epoch_us(r.ts) >= epoch_us(l.ts)
+        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 7200000000
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

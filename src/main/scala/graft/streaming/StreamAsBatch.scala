@@ -76,6 +76,41 @@ object StreamAsBatch {
           col("n_events"), round(col("sum_value"), 4).as("sum_value"))
     }
 
+  /** Stream-static broadcast enrichment run to completion: every event
+    * joins the in-memory dimension per micro-batch (stateless — the
+    * static side re-resolves each batch); events with no dim row
+    * survive with NULL (left join), so the stream drops no facts. */
+  def enrichedEvents(spark: SparkSession, eventsParquet: String,
+      dimRows: Seq[(String, String)]): DataFrame =
+    runToTable(spark, "append") { s =>
+      val dim = s.createDataFrame(dimRows).toDF("event_type", "category")
+      EventStream.enrichWithDim(
+          EventStream.readEvents(s, eventsParquet), dim, Seq("event_type"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("category"), col("value"))
+    }
+
+  /** Stream-stream time-bounded inner join run to completion: right
+    * events of the same user within `within` AFTER the left event.
+    * Both watermarks plus the time bound keep join state evictable —
+    * the unbounded-buffer failure mode is the thing this operator
+    * exists to avoid; inner-join matches emit as found, so the
+    * bounded run's output is the complete match set. */
+  def joinedWithin(spark: SparkSession, eventsParquet: String,
+      leftType: String, rightType: String, within: String): DataFrame =
+    runToTable(spark, "append") { s =>
+      val ev = EventStream.readEvents(s, eventsParquet)
+      val l = ev.where(col("event_type") === leftType)
+        .select(col("user_id"), col("event_id").as("l_id"),
+          col("ts").as("l_ts"))
+      val r = ev.where(col("event_type") === rightType)
+        .select(col("user_id"), col("event_id").as("r_id"),
+          col("ts").as("r_ts"), col("value").as("r_value"))
+      EventStream.joinWithin(l, r, Seq("user_id"), "l_ts", "r_ts", within)
+        .select(col("l_id"), col("r_id"), col("user_id"),
+          col("r_value"))
+    }
+
   /** [[dedupedEvents]] run ACROSS A CHECKPOINT RESTART: the first
     * (time-wise) half of the input streams to completion, the query
     * STOPS, the second half arrives, and a NEW query resumes from the
