@@ -2025,7 +2025,39 @@ object SparkEntry {
     "q161_stream_join" -> ((s, dir) =>
       graft.streaming.StreamAsBatch.joinedWithin(s,
           s"$dir/events.parquet", "signup", "purchase", "2 hours")
-        .orderBy("l_id", "r_id"))
+        .orderBy("l_id", "r_id")),
+
+    // Winnowing fingerprint selection (Schleimer et al., MOSS): one
+    // row per selected (position, hash) — the LOCAL fingerprint with
+    // the shared-substring coverage guarantee, vs the global
+    // MinHash/SimHash sketches of q15/q16.
+    "q162_winnow_fingerprint" -> ((s, dir) =>
+      graft.ops.Winnow.selectedFingerprints(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id", "pos")),
+
+    // MOSS-style matching over the winnowed fingerprints: pairs
+    // sharing >= 15 df-capped selected hashes (a banded posting join,
+    // never all-pairs; threshold sits in the measured gap between
+    // word-soup noise (<= ~13 shared) and planted near-dups (>= ~19)).
+    "q163_winnow_neardup" -> ((s, dir) =>
+      graft.ops.Winnow.matchPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
+    // Record linkage: two-pass blocking (key prefix/suffix) + exact
+    // Levenshtein verify on the normalized 64-char comparison key.
+    "q164_record_linkage" -> ((s, dir) =>
+      graft.ops.Linkage.linkPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxDist = 16)
+        .orderBy("id_a", "id_b")),
+
+    // Entity resolution end-to-end: linked pairs -> transitive
+    // connected components -> min-id entity labels with member counts
+    // (unlinked records are their own singleton entity).
+    "q165_entity_resolution" -> ((s, dir) =>
+      graft.ops.Linkage.resolveEntities(t(s, dir, "documents"), "doc_id",
+          "text", maxDist = 16)
+        .orderBy("doc_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -2033,6 +2065,57 @@ object SparkEntry {
     * interpolated into the q15 and q67 oracles so both gate the SAME
     * pair computation. */
   private val MinhashGateCtes: String = minhashGateCtes("documents")
+
+  /** Shared DuckDB CTE chain mirroring [[graft.ops.Winnow]]'s
+    * selection (k = 8, w = 4, P = 1e6): packed keys `h*P - i`, window
+    * mins, distinct unpack to (doc_id, pos, fp) — interpolated into
+    * the q162/q163 oracles so both gate the SAME selected set. All
+    * arithmetic is 64-bit integer (no float in the unpack). */
+  private val WinnowCtes: String =
+    """wk AS (
+      |  SELECT doc_id, text,
+      |    list_transform(generate_series(1, length(text)-7),
+      |      i -> CAST(('0x'||substr(md5(substr(text,i,8)),1,8)) AS BIGINT)
+      |           * 1000000 - i) AS keys
+      |  FROM documents WHERE length(text) >= 11
+      |), wsel AS (
+      |  SELECT doc_id, text,
+      |    unnest(list_distinct(list_transform(generate_series(1, len(keys)-3),
+      |      s -> list_min(keys[s:s+3])))) AS m
+      |  FROM wk
+      |), wfp AS (
+      |  SELECT doc_id,
+      |    CAST(((-m) % 1000000 + 1000000) % 1000000 AS BIGINT) AS pos,
+      |    CAST(('0x'||substr(md5(substr(text,
+      |      CAST(((-m)%1000000+1000000)%1000000 AS INT), 8)),1,8)) AS BIGINT)
+      |      AS fp
+      |  FROM wsel
+      |)""".stripMargin
+
+  /** Shared DuckDB CTE chain mirroring [[graft.ops.Linkage]]'s
+    * blocking + Levenshtein verify (keyWidth 64, blockWidth 8,
+    * maxDist 16) — interpolated into the q164/q165 oracles. */
+  private val LinkCtes: String =
+    """lrec AS (
+      |  SELECT doc_id, lower(substr(text, 1, 64)) AS name FROM documents
+      |  WHERE length(text) >= 16
+      |), lcand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM lrec a JOIN lrec b ON substr(a.name,1,8) = substr(b.name,1,8)
+      |   AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id
+      |  FROM lrec a JOIN lrec b
+      |    ON substr(a.name, greatest(length(a.name)-7, 1)) =
+      |       substr(b.name, greatest(length(b.name)-7, 1))
+      |   AND a.doc_id < b.doc_id
+      |), llink AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(levenshtein(ra.name, rb.name) AS BIGINT) AS dist
+      |  FROM lcand c JOIN lrec ra ON ra.doc_id = c.id_a
+      |               JOIN lrec rb ON rb.doc_id = c.id_b
+      |  WHERE levenshtein(ra.name, rb.name) <= 16
+      |)""".stripMargin
 
   /** Shared DuckDB CTE chain for the duplicate-span queries:
     * positional 8-gram hashes (60-bit md5 — an INDEPENDENT keying
@@ -5122,7 +5205,44 @@ ORDER BY 1, 2"""
         | AND l.event_type = 'signup' AND r.event_type = 'purchase'
         | AND epoch_us(r.ts) >= epoch_us(l.ts)
         | AND epoch_us(r.ts) <= epoch_us(l.ts) + 7200000000
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q162_winnow_fingerprint" ->
+      s"""WITH $WinnowCtes
+         |SELECT doc_id, pos, fp FROM wfp ORDER BY doc_id, pos""".stripMargin,
+
+    "q163_winnow_neardup" ->
+      s"""WITH $WinnowCtes,
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wfp),
+         |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM fps a JOIN fps b USING (fp) JOIN rare USING (fp)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 15 ORDER BY 1, 2""".stripMargin,
+
+    "q164_record_linkage" ->
+      s"""WITH $LinkCtes
+         |SELECT id_a, id_b, dist FROM llink ORDER BY 1, 2""".stripMargin,
+
+    "q165_entity_resolution" ->
+      s"""WITH RECURSIVE $LinkCtes,
+         |ledge AS (
+         |  SELECT id_a AS src, id_b AS dst FROM llink
+         |  UNION SELECT id_b, id_a FROM llink
+         |), lreach(src, dst) AS (
+         |  SELECT src, dst FROM ledge
+         |  UNION
+         |  SELECT r.src, e.dst FROM lreach r JOIN ledge e ON r.dst = e.src
+         |), lcomp AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+         |  FROM lreach GROUP BY src
+         |), lall AS (
+         |  SELECT r.doc_id, COALESCE(c.component, r.doc_id) AS entity_id
+         |  FROM lrec r LEFT JOIN lcomp c USING (doc_id)
+         |)
+         |SELECT doc_id, entity_id,
+         |  COUNT(*) OVER (PARTITION BY entity_id) AS n_members
+         |FROM lall ORDER BY doc_id""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

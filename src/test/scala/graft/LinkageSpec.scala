@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.Linkage
+
+/** Record linkage + entity resolution (ops.Linkage): blocking recall,
+  * edit-distance verification, transitive closure semantics. */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val recs = Seq(
+    (1L, "Acme Corporation International Ltd"),
+    (2L, "ACME Corporation International Ltd"),   // case only: dist 0 on key
+    (3L, "Acme Corporatio Internationl Ltd"),     // two deletions: dist 2
+    (4L, "Completely Unrelated Business Name"),
+    (5L, "Zeta Systems Incorporated worldwide"),
+    (6L, "Xxxx different head but same tail Incorporated worldwide"))
+    .toDF("id", "name")
+
+  test("case-normalized exact and small-edit variants link; unrelated do not") {
+    val pairs = Linkage.linkPairs(recs, "id", "name", maxDist = 4)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.contains((1L, 2L, 0L)), s"case-only pair missing: $pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 2L),
+      s"2-edit pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated record linked: $pairs")
+  }
+
+  test("suffix blocking pass recovers pairs the prefix pass cannot see") {
+    // ids 5 and 6 share only the last 8+ chars of the key; with a
+    // generous maxDist they can only meet through the suffix pass
+    val pairs = Linkage.linkPairs(recs, "id", "name", maxDist = 40)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 5L && p._2 == 6L),
+      s"suffix-blocked pair missing: $pairs")
+  }
+
+  test("entity resolution is transitive and counts members") {
+    // chain: 1~2 (dist 0), 1~3 (dist 2), while 2~3 also within range —
+    // all three must collapse into entity 1; 4, 5, 6 as per linkage
+    val ents = Linkage.resolveEntities(recs, "id", "name", maxDist = 4)
+      .orderBy("id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val byId = ents.map(e => e._1 -> e).toMap
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L),
+      s"chain must share entity 1: $ents")
+    assert(byId(1L)._3 == 3L, s"entity 1 must have 3 members: $ents")
+    assert(byId(4L)._2 == 4L && byId(4L)._3 == 1L,
+      s"unlinked record must be a singleton entity: $ents")
+  }
+
+  test("records below twice the block width are dropped, not mis-blocked") {
+    val short = Seq((1L, "tiny"), (2L, "tiny")).toDF("id", "name")
+    assert(Linkage.linkPairs(short, "id", "name", maxDist = 1).count() == 0)
+    assert(Linkage.resolveEntities(short, "id", "name", maxDist = 1)
+      .count() == 0)
+  }
+}

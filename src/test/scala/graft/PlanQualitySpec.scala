@@ -38,7 +38,8 @@ class PlanQualitySpec extends SparkSpec {
     "q137_hard_negatives",  // bounded anchor batch x corpus (cosineTopK shape)
     "q139_mmr_rerank",      // bounded query set x corpus (pool retrieval)
     "q141_silhouette",      // 1-row broadcast centroid array (two-min fold)
-    "q146_label_agreement") // 1-row broadcast chance-agreement attach (κ)
+    "q146_label_agreement", // 1-row broadcast chance-agreement attach (κ)
+    "q159_hybrid_persisted")// q112's corpus-stats attach over the persisted index
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Winnow
+
+/** Winnowing fingerprint selection (ops.Winnow): exact agreement with
+  * a brute-force local reference, the paper's density and coverage
+  * guarantees, and MOSS-style match behavior on planted duplicates. */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 8
+  private val W = 4
+
+  /** Brute-force local reference of the robust-winnowing rule:
+    * rightmost minimal hash per window, distinct (pos, hash). */
+  private def localWinnow(text: String): Set[(Long, Long)] = {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    val n = text.length - K + 1
+    val hs = (1 to n).map(i => h32(text.substring(i - 1, i - 1 + K)))
+    (1 to n - W + 1).map { s =>
+      // rightmost min in hs[s-1 .. s+W-2]
+      val win = (s until s + W).map(i => (hs(i - 1), i))
+      val m = win.minBy(_._1)._1
+      val pos = win.filter(_._1 == m).map(_._2).max
+      (pos.toLong, hs(pos - 1))
+    }.toSet
+  }
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "a completely different sentence with other words entirely here"),
+    (3L, "short but ok"),
+    (4L, "xy")) // below k+w-1: no full window, must drop
+    .toDF("doc_id", "text")
+
+  test("selected fingerprints match the brute-force rightmost-min reference") {
+    val got = Winnow.selectedFingerprints(docs, "doc_id", "text", K, W)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(r => (r._2, r._3)).toSet }
+    val texts = docs.as[(Long, String)].collect().toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(got(id) == localWinnow(texts(id)), s"doc $id selection differs")
+    }
+    assert(!got.contains(4L), "sub-window document must be dropped")
+  }
+
+  test("coverage guarantee: a shared substring of length >= w+k-1 shares a hash") {
+    // 40-char shared span embedded in different surroundings
+    val span = "zzz shared span of text goes here yyy qq"
+    val pair = Seq(
+      (10L, s"left context AAA $span right context BBB"),
+      (11L, s"unrelated prefix CCC $span other suffix DDD"))
+      .toDF("doc_id", "text")
+    val fps = Winnow.selectedFingerprints(pair, "doc_id", "text", K, W)
+    val a = fps.where($"doc_id" === 10L).select("fp").as[Long].collect().toSet
+    val b = fps.where($"doc_id" === 11L).select("fp").as[Long].collect().toSet
+    assert((a & b).nonEmpty, "winnowing must catch the shared span")
+  }
+
+  test("selection density on the real corpus is near 2/(w+1)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = Winnow.selectedFingerprints(real, "doc_id", "text", K, W).count()
+    val positions = real.where(length($"text") >= K + W - 1)
+      .agg(sum(length($"text") - (K - 1))).as[Long].head()
+    val density = n.toDouble / positions
+    assert(density > 0.3 && density < 0.5,
+      s"density $density far from 2/(w+1) = ${2.0 / (W + 1)}")
+  }
+
+  test("matchPairs finds a planted mutated copy and not unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val mutated = base.replace("delta", "delXa")
+    val corpus = Seq(
+      (1L, base), (2L, mutated),
+      (3L, "totally different content about query engines and shuffles " +
+        "with partitions and executors and codegen and columnar scans"))
+      .toDF("doc_id", "text")
+    val pairs = Winnow.matchPairs(corpus, "doc_id", "text", K, W,
+        dfCap = 10, minShared = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"expected exactly the planted pair, got $pairs")
+  }
+
+  test("matchPairs equals the capped-intersection reference") {
+    // shared boilerplate tail: its interior fingerprints are selected
+    // in all 8 docs (df 8 > cap) and must not contribute; selection
+    // near the unique/boiler boundary legitimately differs per doc
+    val boiler = "standard footer text here for every single document"
+    val corpus = (1L to 8L).map(i =>
+      (i, s"unique words number$i alpha$i beta$i gamma$i delta$i $boiler"))
+      .toDF("doc_id", "text")
+    val fps = Winnow.selectedFingerprints(corpus, "doc_id", "text", K, W)
+      .select($"doc_id", $"fp").distinct()
+      .as[(Long, Long)].collect()
+    val byFp = fps.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byFp.exists(_._2.size == 8),
+      "interior boilerplate hashes should be selected corpus-wide")
+    val expected = byFp.values.filter(_.size <= 3)
+      .flatMap(ds => for (a <- ds; b <- ds if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Winnow.matchPairs(corpus, "doc_id", "text", K, W,
+        dfCap = 3, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(got == expected,
+      s"posting join diverges from reference: $got vs $expected")
+  }
+}
