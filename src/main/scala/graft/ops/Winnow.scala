@@ -15,34 +15,43 @@ import graft.functions.TextFunctions.h32
   * `w + k − 1` characters is caught by at least one shared selected
   * hash — which whole-document sketches cannot promise.
   *
-  * Selection rule (the paper's robust winnowing): hash every character
-  * k-gram, slide a window of `w` consecutive hashes, and in each
-  * window select the minimum hash, breaking ties by RIGHTMOST
+  * Selection rule (the RIGHTMOST-MIN winnowing variant): hash every
+  * character k-gram, slide a window of `w` consecutive hashes, and in
+  * each window select the minimum hash, breaking ties by RIGHTMOST
   * position; the distinct selected (position, hash) set is the
-  * document's fingerprint, with expected density 2/(w+1).
+  * document's fingerprint, with expected density 2/(w+1). (The
+  * paper's "robust winnowing" refinement re-selects the PREVIOUS
+  * window's hash among ties before falling back to rightmost, which
+  * emits strictly fewer fingerprints on repetitive text; the pure
+  * rightmost rule implemented here — and mirrored by the oracle —
+  * keeps the identical coverage guarantee and is order-free, so it
+  * stays a per-row projection.)
   *
   * Engine-portable construction: the k-gram hash is the md5-derived
   * [[graft.functions.TextFunctions.h32]] (identical in any engine,
   * unlike engine-private hash functions), and the rightmost-min tie
   * rule is encoded arithmetically — each position packs into the key
-  * `h·P − i` (P = 1e6 > any in-document position), so the plain MIN of
-  * a key window is the smallest hash with the LARGEST position among
-  * ties, and `pos = (−key) mod P` unpacks exactly in 64-bit integer
-  * arithmetic on both sides of the oracle gate.
+  * `h·P − i` (P = 1e6 > any in-document position, ENFORCED — an
+  * over-length document raises rather than silently corrupting the
+  * packing), so the plain MIN of a key window is the smallest hash
+  * with the LARGEST position among ties, and `pos = (−key) mod P`
+  * unpacks exactly in 64-bit integer arithmetic on both sides of the
+  * oracle gate.
   *
-  * Scale shape: everything up to the selected set is a narrow per-row
-  * projection of codegen'd higher-order functions — no shuffle, no
-  * UDF; at 100 TB it runs at scan speed. The windowed min is the
-  * composed `transform(…, s → array_min(slice(keys, s, w)))`, O(N·w)
-  * per document with small constant w; the O(N) monotonic-deque
-  * refinement belongs in a custom Expression if w ever grows, but for
-  * the standard w ≤ 16 the composed form stays inside whole-stage
-  * codegen and is the better trade.
+  * Scale shape: selection is ONE narrow per-row projection — the
+  * single-traversal [[graft.expressions.WinnowFingerprints]]
+  * expression (one byte-copy of the document, primitive `long[]`
+  * state, O(N) monotonic-deque window min) — no shuffle; at 100 TB it
+  * runs at scan speed. [[selectedFingerprintsFold]] keeps the
+  * composed-built-ins reference form (O(N·w) slice-min), asserted
+  * bit-equal in WinnowSpec and mirrored by the DuckDB oracle.
   */
 object Winnow {
 
-  /** Positions stay below this modulus; documents are length-guarded
-    * (`require`) so the key packing `h·P − i` is collision-free. For
+  /** Positions must stay below this modulus for the key packing
+    * `h·P − i` to be collision-free; both selection forms RAISE on a
+    * document with `length ≥ PosMod + k − 1` (the fold form through a
+    * plan-level `raise_error`, the expression directly). For
     * book-length inputs raise P — h < 2^32 keeps `h·P` inside a Long
     * up to P = 2^31. */
   val PosMod = 1000000L
@@ -54,13 +63,31 @@ object Winnow {
     * shorter than `k + w − 1` characters have no full window and are
     * dropped (winnowing is undefined below one window). */
   def selectedFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol),
+        explode(graft.expressions.WinnowFingerprints(
+          col(textCol), k, w, PosMod)).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+
+  /** The composed-built-ins reference form of [[selectedFingerprints]]
+    * — the same packed-key construction out of `sequence`/`transform`/
+    * `slice`/`array_min`, kept as the spec-asserted mirror of the
+    * single-eval expression and of the DuckDB oracle SQL. */
+  def selectedFingerprintsFold(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2, s"k-gram size must be at least 2, got $k")
     require(w >= 1, s"window must be at least 1, got $w")
     val text = col(textCol)
+    // enforced packing bound: positions reach length-k+1, which must
+    // stay < PosMod — raise in-plan rather than corrupt packed keys
+    val nGrams = when(length(text) >= lit(PosMod + k - 1),
+        raise_error(concat(lit("winnow: document of "),
+          length(text).cast("string"),
+          lit(s" chars breaks the h*P-i key packing (P=$PosMod); " +
+            "raise posMod"))).cast("int"))
+      .otherwise(length(text) - lit(k - 1))
     // pack: smallest hash wins, rightmost position breaks ties
-    val keys = transform(
-      sequence(lit(1), length(text) - lit(k - 1)),
+    val keys = transform(sequence(lit(1), nGrams),
       i => h32(text.substr(i, lit(k))) * lit(PosMod) - i)
     val mins = array_distinct(transform(
       sequence(lit(1), size(col("__keys")) - lit(w - 1)),

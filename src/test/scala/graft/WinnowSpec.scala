@@ -50,6 +50,45 @@ class WinnowSpec extends SparkSpec {
     assert(!got.contains(4L), "sub-window document must be dropped")
   }
 
+  test("single-eval expression equals the composed fold form bit-for-bit") {
+    // real corpus + planted edge shapes: multibyte text (code-point
+    // offsets), repetitive text (dense hash ties), exact one-window
+    // length, below-window length
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val edge = Seq(
+      (9000001L, "héllo wörld ünïcode — ßpän σπαν 文字列のテスト and more ascii tail"),
+      (9000002L, "ababababababababababababababababababab"),
+      (9000003L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (9000004L, "exactly11ch"), // k+w-1 = 11: one full window
+      (9000005L, "tenchars!!".take(10)))
+      .toDF("doc_id", "text")
+    for (df <- Seq(real, edge); (k, w) <- Seq((K, W), (5, 7), (2, 1))) {
+      val a = Winnow.selectedFingerprints(df, "doc_id", "text", k, w)
+      val b = Winnow.selectedFingerprintsFold(df, "doc_id", "text", k, w)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"expression and fold diverge at k=$k w=$w")
+    }
+  }
+
+  test("both forms raise on a document breaking the PosMod packing") {
+    val big = Seq((1L, "x" * (Winnow.PosMod.toInt + K - 1)))
+      .toDF("doc_id", "text")
+    for (form <- Seq(
+        Winnow.selectedFingerprints(big, "doc_id", "text", K, W),
+        Winnow.selectedFingerprintsFold(big, "doc_id", "text", K, W))) {
+      val e = intercept[Exception](form.collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("winnow")),
+        s"expected the packing-bound error, got $e")
+    }
+    // one char below the bound must select, not raise
+    val ok = Seq((1L, "x" * (Winnow.PosMod.toInt + K - 2)))
+      .toDF("doc_id", "text")
+    assert(Winnow.selectedFingerprints(ok, "doc_id", "text", K, W).count() > 0)
+  }
+
   test("coverage guarantee: a shared substring of length >= w+k-1 shares a hash") {
     // 40-char shared span embedded in different surroundings
     val span = "zzz shared span of text goes here yyy qq"
