@@ -2093,22 +2093,31 @@ object SparkEntry {
       |)""".stripMargin
 
   /** Shared DuckDB CTE chain mirroring [[graft.ops.Linkage]]'s
-    * blocking + Levenshtein verify (keyWidth 64, blockWidth 8,
-    * maxDist 16) — interpolated into the q164/q165 oracles. */
+    * blocking + block-size cap + Levenshtein verify (keyWidth 64,
+    * blockWidth 8, blockCap 1000, maxDist 16) — interpolated into the
+    * q164/q165 oracles. The cap CTE mirrors the skew guard exactly:
+    * blocks holding more than 1000 records drop out of pairing on
+    * both engines. */
   private val LinkCtes: String =
     """lrec AS (
       |  SELECT doc_id, lower(substr(text, 1, 64)) AS name FROM documents
       |  WHERE length(text) >= 16
+      |), lblk AS (
+      |  SELECT doc_id, name, 'p:' || substr(name, 1, 8) AS blk FROM lrec
+      |  UNION ALL
+      |  SELECT doc_id, name,
+      |    's:' || substr(name, greatest(length(name)-7, 1)) AS blk
+      |  FROM lrec
+      |), lcap AS (
+      |  SELECT doc_id, name, blk FROM (
+      |    SELECT doc_id, name, blk,
+      |      count(*) OVER (PARTITION BY blk) AS bn
+      |    FROM lblk
+      |  ) WHERE bn <= 1000
       |), lcand AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM lrec a JOIN lrec b ON substr(a.name,1,8) = substr(b.name,1,8)
-      |   AND a.doc_id < b.doc_id
-      |  UNION
-      |  SELECT a.doc_id, b.doc_id
-      |  FROM lrec a JOIN lrec b
-      |    ON substr(a.name, greatest(length(a.name)-7, 1)) =
-      |       substr(b.name, greatest(length(b.name)-7, 1))
-      |   AND a.doc_id < b.doc_id
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM lcap a JOIN lcap b USING (blk)
+      |  WHERE a.doc_id < b.doc_id
       |), llink AS (
       |  SELECT c.id_a, c.id_b,
       |    CAST(levenshtein(ra.name, rb.name) AS BIGINT) AS dist

@@ -50,6 +50,34 @@ class LinkageSpec extends SparkSpec {
       s"unlinked record must be a singleton entity: $ents")
   }
 
+  test("a planted hot block is capped: pair fan-out stays bounded") {
+    // 30 records share the prefix block AND pairwise-link (tail noise
+    // within maxDist); two control records in a cold block must still
+    // link. With blockCap=10 the hot block (30 > 10 in the prefix
+    // pass, and its suffix blocks are also hot) contributes NOTHING,
+    // while the cold pair survives — fan-out is bounded by cap^2, not
+    // by the hot block's n^2.
+    val hot = (1L to 30L).map(i =>
+      (i, f"shared boilerplate rec$i%02d text tail"))
+    val cold = Seq((100L, "unique cold block record one xx"),
+      (101L, "unique cold block record one yy"))
+    val df = (hot ++ cold).toDF("id", "name")
+    val uncapped = Linkage.linkPairs(df, "id", "name", maxDist = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(uncapped.count(p => p._1 <= 30L) > 100,
+      s"hot block should pair freely without cap: ${uncapped.size}")
+    val capped = Linkage.linkPairs(df, "id", "name", maxDist = 8,
+        blockCap = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(capped == Seq((100L, 101L, 2L)),
+      s"capped run must keep only the cold pair: $capped")
+    // the audit surface names the dropped blocks
+    val over = Linkage.overCapBlocks(df, "id", "name", blockCap = 10)
+      .as[(String, Long)].collect().toMap
+    assert(over.keys.exists(_.startsWith("p:shared b")) &&
+      over.values.forall(_ > 10), s"over-cap audit wrong: $over")
+  }
+
   test("records below twice the block width are dropped, not mis-blocked") {
     val short = Seq((1L, "tiny"), (2L, "tiny")).toDF("id", "name")
     assert(Linkage.linkPairs(short, "id", "name", maxDist = 1).count() == 0)
