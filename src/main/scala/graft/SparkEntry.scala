@@ -2057,7 +2057,25 @@ object SparkEntry {
     "q165_entity_resolution" -> ((s, dir) =>
       graft.ops.Linkage.resolveEntities(t(s, dir, "documents"), "doc_id",
           "text", maxDist = 16)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Containment-COMPLETE asymmetric join (pigeonhole prefix
+    // filtering, Chaudhuri et al. 2006): derived excerpts (chars
+    // 40..199 of every 17th doc) against the standing corpus — the
+    // tiny-excerpt-in-huge-doc case the Jaccard-tuned LSH of q156
+    // provably under-recalls. The oracle computes the UNFILTERED
+    // posting join, so the hash match IS the completeness proof of
+    // the prefix-filtered candidate path.
+    "q166_containment_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val excerpts = docs.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          substring(col("text"), 40, 160).as("text"))
+        .where(length(col("text")) >= 40)
+      Dedup.containmentJoin(excerpts, "doc_id", "text",
+          docs, "doc_id", "text", n = 3, minContainment = 0.8)
+        .orderBy("small_id", "corpus_id")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -5251,7 +5269,45 @@ ORDER BY 1, 2"""
          |)
          |SELECT doc_id, entity_id,
          |  COUNT(*) OVER (PARTITION BY entity_id) AS n_members
-         |FROM lall ORDER BY doc_id""".stripMargin
+         |FROM lall ORDER BY doc_id""".stripMargin,
+
+    // the DIRECT (unfiltered) posting-join containment — no prefix
+    // filtering — so agreement proves the Spark side's pigeonhole
+    // candidate generation is containment-complete
+    "q166_containment_join" ->
+      """WITH exc AS (
+        |  SELECT doc_id + 20000000 AS doc_id, substr(text, 40, 160) AS text
+        |  FROM documents
+        |  WHERE doc_id % 17 = 0 AND length(substr(text, 40, 160)) >= 40
+        |), etoks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM exc
+        |), esh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w)-2),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM etoks
+        |), eex AS (
+        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM esh
+        |), ctoks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), csh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w)-2),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM ctoks
+        |), cex AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM csh
+        |), joined AS (
+        |  SELECT e.doc_id AS small_id, c.doc_id AS corpus_id,
+        |         COUNT(1) AS inter, MAX(e.n) AS na
+        |  FROM eex e JOIN cex c ON c.s = e.s
+        |  GROUP BY 1, 2
+        |)
+        |SELECT small_id, corpus_id,
+        |  ROUND(inter * 1.0 / na, 6) AS containment
+        |FROM joined
+        |WHERE ROUND(inter * 1.0 / na, 6) >= 0.8
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

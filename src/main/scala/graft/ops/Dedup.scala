@@ -302,9 +302,9 @@ object Dedup {
     * Recall caveat (documented, inherent): Jaccard-tuned LSH under-
     * recalls a tiny doc inside a huge one (their signatures differ);
     * at the gated near-dup shape containment ≈ Jaccard so the banded
-    * index recalls them, and a containment-complete index (prefix
-    * filtering on the SMALL side's shingles, or partitioned minhash)
-    * is the drop-in replacement for `lshCandidates` at scale.
+    * index recalls them. For the asymmetric tiny-in-huge case use
+    * [[containmentJoin]] — the containment-COMPLETE candidate path
+    * (pigeonhole prefix filtering on the small side's shingles).
     * Output: (doc_a < doc_b, contain_a, contain_b), rounded 6. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minContainment: Double = 0.8,
@@ -326,6 +326,72 @@ object Dedup {
         round(col("inter") / col("nb"), 6).as("contain_b"))
       .where(col("contain_a") >= minContainment
         || col("contain_b") >= minContainment)
+  }
+
+  /** Containment-COMPLETE asymmetric join: every (small, corpus) pair
+    * with `containment(small in corpus) = |sh(s) ∩ sh(c)| / |sh(s)|
+    * ≥ minContainment` — no LSH recall gap. This is the excerpt/quote
+    * detector [[containmentPairs]]'s docs promise for the tiny-doc-in-
+    * huge-doc case: a 200-char excerpt of a 100 KB page has near-zero
+    * Jaccard (MinHash bands almost never collide) but containment ≈ 1.
+    *
+    * Candidate generation is PIGEONHOLE PREFIX FILTERING (Chaudhuri
+    * et al., "A Primitive Operator for Similarity Joins", ICDE 2006):
+    * order each small doc's shingle hashes ascending and keep only the
+    * first `⌊(1−τ)·n⌋ + 1`; if the corpus doc contains ≥ τ·n of the n
+    * shingles, it misses at most `(1−τ)·n` of them, so at least one
+    * PREFIX shingle is shared — joining prefix shingles against the
+    * corpus posting table finds every qualifying pair, provably. The
+    * exact containment then verifies candidates on the full shingle
+    * tables (so false candidates cost one counted join, never a wrong
+    * answer).
+    *
+    * Scale shape: the corpus side is touched exactly twice, both times
+    * as a narrow (id, shingle-hash) projection — once as the candidate
+    * posting table, once for verification; nothing quadratic, no
+    * all-pairs. The small side (an excerpt batch, a query set, the
+    * sub-LSH-size tail of a corpus) pays one per-doc sort of its own
+    * shingles; candidate volume is `(1−τ)` of the small side's shingle
+    * count times posting df. `candDfCap > 0` bounds a hot posting
+    * bucket (boilerplate shingles) during CANDIDATE generation —
+    * trading the completeness proof away for skew safety (a pair
+    * whose prefix overlaps the corpus ONLY through dropped boilerplate
+    * is missed); 0 (default) keeps the exact guarantee, which the
+    * oracle gate holds against a direct posting-join computation.
+    * Output: (small_id, corpus_id, containment rounded 6). */
+  def containmentJoin(small: DataFrame, smallId: String, smallText: String,
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      n: Int = 3, minContainment: Double = 0.8,
+      candDfCap: Int = 0): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment must be in (0, 1], got $minContainment")
+    val smallSh = shingleTable(small, smallId, smallText, n)
+      .select(col(smallId).as("small_id"), xxhash64(col("s")).as("sk"),
+        col("n").as("na"))
+    // pigeonhole prefix: the (n - ceil(tau*n) + 1) smallest hashes
+    val prefix = smallSh
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("small_id")).orderBy(col("sk"))))
+      .where(col("__rk") <=
+        col("na") - ceil(lit(minContainment) * col("na")) + 1)
+      .select(col("small_id"), col("sk"))
+    val corpusSh = shingleTable(corpus, corpusId, corpusText, n)
+      .select(col(corpusId).as("corpus_id"), xxhash64(col("s")).as("sk"))
+    val postings =
+      if (candDfCap <= 0) corpusSh
+      else corpusSh
+        .withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("sk"))))
+        .where(col("__df") <= candDfCap).drop("__df")
+    val cand = prefix.join(postings, Seq("sk"))
+      .select(col("small_id"), col("corpus_id")).distinct()
+    cand.join(smallSh, Seq("small_id"))
+      .join(corpusSh, Seq("corpus_id", "sk"))
+      .groupBy(col("small_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("inter"), max("na").as("na"))
+      .select(col("small_id"), col("corpus_id"),
+        round(col("inter") / col("na"), 6).as("containment"))
+      .where(col("containment") >= minContainment)
   }
 
   /** Cross-corpus fuzzy join (record linkage / crawl-snapshot merge):

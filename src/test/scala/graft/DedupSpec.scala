@@ -360,6 +360,63 @@ class DedupSpec extends SparkSpec {
       s"LSH candidates missed ${(brute -- lsh).take(5)} / extra ${(lsh -- brute).take(5)}")
   }
 
+  test("containmentJoin finds the tiny-excerpt-in-huge-doc pair LSH misses") {
+    import spark.implicits._
+    // a 28-word excerpt of a 1500-word document: containment 1.0 but
+    // Jaccard ~0.017 — the documented LSH recall gap, now closed
+    val words = (1 to 1500).map(i => s"tok${i}w").mkString(" ")
+    val excerpt = words.split(" ").slice(200, 228).mkString(" ")
+    val corpus = Seq((1L, words),
+      (2L, (1 to 80).map(i => s"other${i}q").mkString(" ")))
+      .toDF("doc_id", "text")
+    val small = Seq((10L, excerpt)).toDF("doc_id", "text")
+    // the Jaccard-tuned banded index does NOT surface the pair
+    val lshCand = Dedup.lshCandidates(
+        Dedup.minhashSignatures(corpus.unionByName(small),
+          "doc_id", "text", 3, 8), "doc_id", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lshCand.contains((1L, 10L)),
+      s"premise broken: LSH recalled the excerpt pair ($lshCand)")
+    // the pigeonhole path must, with exact containment
+    val got = Dedup.containmentJoin(small, "doc_id", "text",
+        corpus, "doc_id", "text", n = 3, minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((10L, 1L, 1.0)),
+      s"excerpt pair missing or wrong: ${got.toSeq}")
+  }
+
+  test("containmentJoin prefix filtering equals the full posting join") {
+    // completeness on the real corpus: pigeonhole candidates must
+    // reproduce EXACTLY the pairs of an unfiltered posting join, for
+    // a small side of derived excerpts at several thresholds
+    val real = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val excerpts = real.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        substring(col("text"), 30, 150).as("text"))
+      .where(length(col("text")) >= 30)
+    def full(tau: Double) = {
+      val s = Dedup.shingleTable(excerpts, "doc_id", "text", 3)
+        .select(col("doc_id").as("small_id"), xxhash64(col("s")).as("sk"),
+          col("n").as("na"))
+      val c = Dedup.shingleTable(real, "doc_id", "text", 3)
+        .select(col("doc_id").as("corpus_id"), xxhash64(col("s")).as("sk"))
+      s.join(c, "sk").groupBy("small_id", "corpus_id")
+        .agg(count(lit(1)).as("inter"), max("na").as("na"))
+        .select(col("small_id"), col("corpus_id"),
+          round(col("inter") / col("na"), 6).as("containment"))
+        .where(col("containment") >= tau)
+    }
+    for (tau <- Seq(0.5, 0.8, 1.0)) {
+      val exact = full(tau)
+      val got = Dedup.containmentJoin(excerpts, "doc_id", "text",
+        real, "doc_id", "text", n = 3, minContainment = tau)
+      assert(got.exceptAll(exact).isEmpty && exact.exceptAll(got).isEmpty,
+        s"pigeonhole path diverged from the full join at tau=$tau")
+      assert(exact.count() > 0, s"no containment pairs at tau=$tau")
+    }
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged; changedDocs is the work-list") {
     import spark.implicits._
     val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
