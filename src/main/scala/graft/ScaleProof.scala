@@ -58,8 +58,7 @@ object ScaleProof {
       // batch from the persisted index. Separating the two shows
       // whether q112's residual local overhead is the index pass
       // (amortized at scale) or the per-batch ranking (it must not be).
-      val postDir = java.nio.file.Files
-        .createTempDirectory("graft-scale-post").toString
+      val postDir = graft.etl.Scratch.dir("scale-post")
       val tIdx = System.nanoTime()
       graft.ops.Bm25.postings(docs, "doc_id", "text")
         .write.mode("overwrite").parquet(postDir)

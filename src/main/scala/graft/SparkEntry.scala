@@ -1995,8 +1995,10 @@ object SparkEntry {
     // hybridTopKFromPostings; the oracle is IDENTICAL to q112's, so
     // the index round-trip must lose nothing.
     "q159_hybrid_persisted" -> ((s, dir) => {
-      val postDir = java.nio.file.Files
-        .createTempDirectory("graft-post-idx").toString
+      // managed scratch: the returned frame lazily reads these files,
+      // so they must outlive the call — the Scratch root removes them
+      // at JVM exit
+      val postDir = graft.etl.Scratch.dir("post-idx")
       graft.ops.Bm25.postings(t(s, dir, "documents"), "doc_id", "text")
         .write.mode("overwrite").parquet(postDir)
       val qs = s.createDataFrame(Seq(
@@ -2075,7 +2077,22 @@ object SparkEntry {
       Dedup.containmentJoin(excerpts, "doc_id", "text",
           docs, "doc_id", "text", n = 3, minContainment = 0.8)
         .orderBy("small_id", "corpus_id")
-    })
+    }),
+
+    // The CONTINUOUS-INGEST loop across a checkpoint restart, as an
+    // oracle gate: even-id docs stream in as epoch 0 (clean → corpus
+    // + LSH index build), the query stops, odd-id docs arrive, a new
+    // query resumes from the same checkpoint as epoch 1 (clean →
+    // exact hash anti-join → index query → append survivors). The
+    // oracle recomputes BOTH epochs' semantics in SQL (two clean
+    // chains + cross-batch exact and near dedup), so the gate holds
+    // the whole lifecycle: foreachBatch exactly-once landing, index
+    // build + append, and the file source's seen-files log across
+    // the kill-and-resume.
+    "q167_ingest_restart" -> ((s, dir) =>
+      graft.streaming.CorpusIngest.ingestRestarted(s,
+          s"$dir/documents.parquet")
+        .orderBy("doc_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -2241,6 +2258,67 @@ object SparkEntry {
        |  SELECT doc_id, 1, mh2, mh3 FROM sig$sfx UNION ALL
        |  SELECT doc_id, 2, mh4, mh5 FROM sig$sfx UNION ALL
        |  SELECT doc_id, 3, mh6, mh7 FROM sig$sfx
+       |)""".stripMargin
+
+  /** The FULL [[graft.ops.CorpusClean.clean]] chain over `src` with
+    * `sfx`-suffixed CTE names (exact dedup → quality/language gates →
+    * in-batch MinHash near-dup with recursive transitive closure →
+    * min-id survivors), ending in `clean\$sfx` — so TWO batch-clean
+    * chains coexist in one query: the q167 oracle mirrors the
+    * streaming ingest loop's per-epoch semantics batch by batch.
+    * Gate predicates are verbatim the q105 oracle's. */
+  private def cleanChainCtes(sfx: String, src: String): String =
+    s"""dedup$sfx AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM $src) WHERE rn = 1
+       |), tokg$sfx AS (
+       |  SELECT doc_id, text,
+       |         regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM dedup$sfx
+       |), gated$sfx AS (
+       |  SELECT doc_id, text FROM tokg$sfx
+       |  WHERE len(w) BETWEEN 20 AND 100000
+       |    AND len(list_filter(w, x ->
+       |          x IN ('the','a','of','and','to','in','is')))*1.0/len(w)
+       |        >= 0.01
+       |    AND (length(text) - length(regexp_replace(text,
+       |          '[^A-Za-z0-9\\s]', '', 'g')))*1.0/length(text) <= 0.3
+       |    AND greatest(
+       |          len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))),
+       |          len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un'))),
+       |          len(list_filter(w, x -> x IN ('le','la','de','et','un','les','des')))) > 0
+       |    AND len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+       |        >= len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un')))
+       |    AND len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+       |        >= len(list_filter(w, x -> x IN ('le','la','de','et','un','les','des')))
+       |), ${minhashSideCtes(sfx, s"gated$sfx")},
+       |cand$sfx AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands$sfx a JOIN bands$sfx b
+       |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       |   AND a.doc_id < b.doc_id
+       |), pairs$sfx AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand$sfx c
+       |  JOIN ex$sfx ea ON ea.doc_id = c.doc_a
+       |  JOIN ex$sfx eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(1)*1.0/(MAX(ea.n)+MAX(eb.n)-COUNT(1)) >= 0.8
+       |), edges$sfx AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs$sfx
+       |  UNION SELECT doc_b, doc_a FROM pairs$sfx
+       |), reach$sfx(src, dst) AS (
+       |  SELECT src, dst FROM edges$sfx
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach$sfx r JOIN edges$sfx e ON r.dst = e.src
+       |), losers$sfx AS (
+       |  SELECT src AS doc_id FROM reach$sfx GROUP BY src
+       |  HAVING src <> LEAST(src, MIN(dst))
+       |), clean$sfx AS (
+       |  SELECT doc_id, text FROM gated$sfx
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM losers$sfx)
        |)""".stripMargin
 
   private def minhashGateCtes(src: String): String =
@@ -5307,7 +5385,42 @@ ORDER BY 1, 2"""
         |  ROUND(inter * 1.0 / na, 6) AS containment
         |FROM joined
         |WHERE ROUND(inter * 1.0 / na, 6) >= 0.8
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // two full clean chains (epoch 0 = even ids, epoch 1 = odd ids)
+    // + cross-batch exact hash anti-join + bipartite LSH near-dup of
+    // the novel docs against epoch-0 SURVIVORS — the SQL mirror of
+    // CorpusIngest's per-epoch semantics across the restart
+    "q167_ingest_restart" ->
+      s"""WITH RECURSIVE b1i AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+         |), b2i AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0
+         |), ${cleanChainCtes("c1", "b1i")},
+         |${cleanChainCtes("c2", "b2i")},
+         |novelx AS (
+         |  SELECT doc_id, text FROM cleanc2
+         |  WHERE md5(text) NOT IN (SELECT md5(text) FROM cleanc1)
+         |), candx AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandsc1 a JOIN bandsc2 b
+         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         |  WHERE a.doc_id IN (SELECT doc_id FROM cleanc1)
+         |    AND b.doc_id IN (SELECT doc_id FROM novelx)
+         |), dropx AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM (
+         |    SELECT c.doc_a, c.doc_b
+         |    FROM candx c
+         |    JOIN exc1 ea ON ea.doc_id = c.doc_a
+         |    JOIN exc2 eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+         |    GROUP BY 1, 2
+         |    HAVING COUNT(1)*1.0/(MAX(ea.n)+MAX(eb.n)-COUNT(1)) >= 0.8)
+         |)
+         |SELECT doc_id FROM cleanc1
+         |UNION ALL
+         |SELECT doc_id FROM novelx
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropx)
+         |ORDER BY doc_id""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -1,0 +1,41 @@
+package graft.etl
+
+import java.nio.file.{Files, Path}
+
+/** Managed scratch-directory root for ephemeral on-disk artifacts
+  * (persisted index round-trips, streaming stage/sink/checkpoint
+  * dirs). Everything allocated through [[dir]] lives under ONE
+  * per-JVM root that a shutdown hook removes recursively — so a full
+  * bench/verify pass leaks no temp directories even when individual
+  * call sites cannot delete eagerly (a gate query hands back a LAZY
+  * DataFrame over files it just wrote; the files must outlive the
+  * call). Call sites that CAN delete eagerly use [[remove]].
+  *
+  * At cluster scale the equivalent is a job-scoped path under the
+  * shuffle/scratch volume (`spark.local.dir`) — the lifecycle
+  * contract (owned root, removed with the job) is the part that
+  * matters, not the tmpfs. */
+object Scratch {
+
+  private lazy val root: Path = {
+    val r = Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(r)))
+    r
+  }
+
+  /** A fresh unique directory under the managed root. */
+  def dir(prefix: String): String =
+    Files.createTempDirectory(root, prefix).toString
+
+  /** Eagerly remove a directory tree (scratch or otherwise); safe on
+    * already-removed paths. */
+  def remove(path: String): Unit = deleteTree(java.nio.file.Paths.get(path))
+
+  private def deleteTree(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    catch { case _: Throwable => () }
+  }
+}

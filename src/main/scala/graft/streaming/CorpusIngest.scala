@@ -58,6 +58,50 @@ object CorpusIngest {
         ()
       }.start()
 
+  /** The ingest loop run ACROSS A CHECKPOINT RESTART as a bounded,
+    * oracle-gateable query (the q153 kill-and-resume protocol applied
+    * to [[start]]): even-id documents land as epoch 0 (clean → build
+    * corpus + LSH index), the query STOPS, odd-id documents arrive,
+    * and a NEW query resumes from the same checkpoint as epoch 1
+    * (clean → exact hash anti-join against the standing corpus → LSH
+    * index query → append survivors). Returns the final admitted
+    * corpus as (idCol) rows — which the oracle recomputes from the
+    * same two-batch semantics, so the gate holds the whole lifecycle:
+    * foreachBatch exactly-once landing, index build + append, and the
+    * file source's seen-files log across the restart.
+    *
+    * All on-disk state (stage, corpus, index, checkpoint) lives in
+    * fresh [[graft.etl.Scratch]] dirs: unique per invocation (a
+    * replayed gate run must not see a previous run's committed
+    * markers) and removed with the JVM. */
+  def ingestRestarted(spark: org.apache.spark.sql.SparkSession,
+      documentsParquet: String, idCol: String = "doc_id",
+      textCol: String = "text",
+      cfg: CorpusClean.Config = CorpusClean.Config()): DataFrame = {
+    import graft.etl.Scratch
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val stage = Scratch.dir("ingest-stage")
+    val corpus = Scratch.dir("ingest-corpus")
+    val index = Scratch.dir("ingest-index")
+    val ckpt = Scratch.dir("ingest-ckpt")
+    val docs = s.read.parquet(documentsParquet)
+      .select(col(idCol), col(textCol))
+    docs.where(col(idCol) % 2 === 0)
+      .write.mode("overwrite").parquet(stage)
+    def runOnce(): Unit = {
+      val q = start(
+        s.readStream.schema(docs.schema).parquet(stage),
+        idCol, textCol, corpus, index, ckpt, cfg)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    docs.where(col(idCol) % 2 =!= 0)
+      .write.mode("append").parquet(stage)
+    runOnce()
+    s.read.parquet(corpus).select(col(idCol))
+  }
+
   /** One epoch of the loop (callable directly for batch backfill).
     * Returns the number of documents admitted (0 for a fully-replayed
     * or fully-duplicate batch). */

@@ -160,9 +160,12 @@ object StreamAsBatch {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stage = java.nio.file.Files.createTempDirectory("graft-stage").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
-    val sink = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    // sink outlives the call (the returned frame reads it lazily) —
+    // managed Scratch dirs, removed at JVM exit; the checkpoint is
+    // still deleted eagerly below
+    val stage = graft.etl.Scratch.dir("stage")
+    val ckpt = java.nio.file.Paths.get(graft.etl.Scratch.dir("ckpt"))
+    val sink = graft.etl.Scratch.dir("restart-sink")
     val all = graft.etl.Tables.normalizeEventTime(
       s.read.parquet(eventsParquet))
     val cut = all.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
@@ -202,7 +205,7 @@ object StreamAsBatch {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val ckpt = java.nio.file.Paths.get(graft.etl.Scratch.dir("ckpt"))
     try {
       val q = build(s).writeStream.outputMode(mode)
         .format("memory").queryName(name)

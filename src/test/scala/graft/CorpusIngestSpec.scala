@@ -81,6 +81,18 @@ class CorpusIngestSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).count() == before)
   }
 
+  test("ingestRestarted: the resumed epoch admits odd ids against the standing even-id corpus") {
+    // the q167 gate harness end-to-end on the real sf0.001 corpus:
+    // epoch 0 (even ids) builds corpus+index, the restart's epoch 1
+    // (odd ids) must anti-join against it and still admit novel docs
+    val out = graft.streaming.CorpusIngest
+      .ingestRestarted(spark, "/root/testdata/sf0.001/documents.parquet")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.exists(_ % 2 == 0) && out.exists(_ % 2 == 1),
+      s"both epochs must admit documents (got ${out.size} ids)")
+    assert(out.size > 100, s"suspiciously small admitted corpus: ${out.size}")
+  }
+
   test("ingest as batch backfill: duplicate-only epochs admit nothing") {
     val root = java.nio.file.Files.createTempDirectory("ingestb").toString
     val (corpus, index) = (s"$root/corpus", s"$root/index")
