@@ -2092,7 +2092,16 @@ object SparkEntry {
     "q167_ingest_restart" -> ((s, dir) =>
       graft.streaming.CorpusIngest.ingestRestarted(s,
           s"$dir/documents.parquet")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // MOSS-style aligned match spans behind q163's pairs: shared
+    // df-capped fingerprints grouped by alignment offset — each row a
+    // reviewable matched region (start/end in doc_a, displacement in
+    // doc_b, supporting mark count).
+    "q168_winnow_spans" -> ((s, dir) =>
+      graft.ops.Winnow.alignedSpans(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_a", "doc_b", "a_offset", "a_start"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -5420,7 +5429,42 @@ ORDER BY 1, 2"""
          |UNION ALL
          |SELECT doc_id FROM novelx
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropx)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q168_winnow_spans" ->
+      s"""WITH $WinnowCtes,
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wfp),
+         |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+         |wpairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fps a JOIN fps b USING (fp) JOIN rare USING (fp)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 15
+         |), marks AS (
+         |  SELECT p.doc_a, p.doc_b, a.pos - b.pos AS a_offset,
+         |         a.pos AS pos_a
+         |  FROM wpairs p
+         |  JOIN wfp a ON a.doc_id = p.doc_a
+         |  JOIN rare r ON r.fp = a.fp
+         |  JOIN wfp b ON b.doc_id = p.doc_b AND b.fp = a.fp
+         |), brks AS (
+         |  SELECT *, CASE WHEN pos_a - LAG(pos_a) OVER (
+         |      PARTITION BY doc_a, doc_b, a_offset ORDER BY pos_a) > 50
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM marks
+         |), runs AS (
+         |  SELECT *, SUM(brk) OVER (
+         |      PARTITION BY doc_a, doc_b, a_offset ORDER BY pos_a
+         |      ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM brks
+         |)
+         |SELECT doc_a, doc_b, a_offset,
+         |  MIN(pos_a) AS a_start, MAX(pos_a) + 7 AS a_end,
+         |  COUNT(1) AS n_marks
+         |FROM runs
+         |GROUP BY doc_a, doc_b, a_offset, run
+         |HAVING COUNT(1) >= 2
+         |ORDER BY 1, 2, 3, 4""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

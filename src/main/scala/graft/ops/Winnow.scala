@@ -127,4 +127,60 @@ object Winnow {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** MOSS-style ALIGNED MATCH SPANS — the report surface behind
+    * [[matchPairs]]: for each matched pair, the shared selected
+    * fingerprints are grouped by alignment offset (`pos_a − pos_b` —
+    * a constant displacement means the same text at a fixed shift in
+    * both documents) and split into RUNS wherever consecutive marks
+    * sit more than `maxGap` characters apart (winnowing guarantees a
+    * selected mark at least every `w` positions inside an intact
+    * shared region, so a gap beyond that is a real break — an edit or
+    * an unshared stretch). Each output row is a reviewable match:
+    * where it starts and ends in doc_a, its displacement in doc_b,
+    * and how many selected marks support it; runs with fewer than
+    * `minMarks` marks are noise (a lone shared hash) and dropped.
+    * Output: (doc_a, doc_b, a_offset, a_start, a_end, n_marks) with
+    * `a_end` covering the last k-gram's extent.
+    *
+    * Scale shape: the pair surface is already bounded by
+    * [[matchPairs]]' df cap and position lists join through the same
+    * capped posting keys; the run split is two window passes
+    * partitioned by (pair, offset) — nothing quadratic beyond the
+    * capped join. */
+  def alignedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, dfCap: Int = 20,
+      minShared: Int = 15, minMarks: Int = 2, maxGap: Int = 50): DataFrame = {
+    require(minMarks >= 1, s"minMarks must be positive, got $minMarks")
+    require(maxGap >= 1, s"maxGap must be positive, got $maxGap")
+    val fps = selectedFingerprints(df, idCol, textCol, k, w)
+    val pairs = matchPairs(df, idCol, textCol, k, w, dfCap, minShared)
+      .select("doc_a", "doc_b")
+    // shared (df-capped) fingerprints of qualifying pairs, one row per
+    // (pos_a, pos_b) combination — the mark set spans aggregate over
+    val rare = fps.select(col(idCol), col("fp")).distinct()
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .where(col("__df") <= dfCap)
+      .select(col("fp")).distinct()
+    val posA = fps.join(rare, Seq("fp"))
+      .select(col(idCol).as("doc_a"), col("fp"), col("pos").as("pos_a"))
+    val posB = fps.join(rare, Seq("fp"))
+      .select(col(idCol).as("doc_b"), col("fp"), col("pos").as("pos_b"))
+    val wOff = Window.partitionBy(col("doc_a"), col("doc_b"),
+      col("a_offset")).orderBy(col("pos_a"))
+    pairs.join(posA, Seq("doc_a")).join(posB, Seq("doc_b", "fp"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("pos_a") - col("pos_b")).as("a_offset"), col("pos_a"))
+      .withColumn("__brk",
+        when(col("pos_a") - lag(col("pos_a"), 1).over(wOff) > maxGap, 1)
+          .otherwise(0))
+      .withColumn("__run", sum(col("__brk")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_a"), col("doc_b"), col("a_offset"), col("__run"))
+      .agg(min(col("pos_a")).as("a_start"),
+        (max(col("pos_a")) + lit(k - 1)).as("a_end"),
+        count(lit(1)).as("n_marks"))
+      .where(col("n_marks") >= minMarks)
+      .drop("__run")
+  }
 }

@@ -128,6 +128,36 @@ class WinnowSpec extends SparkSpec {
       s"expected exactly the planted pair, got $pairs")
   }
 
+  test("alignedSpans reconstructs the matched regions around a planted edit") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val mutated = base.replace("delta", "delXa") // same length: offset 0
+    val corpus = Seq(
+      (1L, base), (2L, mutated),
+      (3L, "totally different content about query engines and shuffles " +
+        "with partitions and executors and codegen and columnar scans"))
+      .toDF("doc_id", "text")
+    // maxGap = w: winnowing selects a mark at least every w positions
+    // in an intact shared region, so any wider gap is a real break —
+    // here, the killed k-grams crossing the edited character
+    val spans = Winnow.alignedSpans(corpus, "doc_id", "text", K, W,
+        dfCap = 10, minShared = 5, minMarks = 1, maxGap = W)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans.nonEmpty && spans.forall(s => s._1 == 1L && s._2 == 2L),
+      s"spans must cover exactly the planted pair: $spans")
+    assert(spans.forall(_._3 == 0L),
+      s"equal-length mutation must align at offset 0: $spans")
+    // the edited character ('X' at 1-based char 21) must fall in no
+    // span's MARK RANGE: every k-gram crossing it differs. A span may
+    // legitimately end at 21+ via the +k-1 extent of a mark starting
+    // before the edit, so assert on mark starts (a_start / a_end-k+1).
+    assert(!spans.exists(s => s._4 <= 21 && s._5 - (K - 1) >= 21),
+      s"no span's marks may straddle the edit: $spans")
+    // regions both before and after the edit must be reported
+    assert(spans.exists(_._4 < 14) && spans.exists(_._5 > 28),
+      s"spans must flank the edit: $spans")
+  }
+
   test("matchPairs equals the capped-intersection reference") {
     // shared boilerplate tail: its interior fingerprints are selected
     // in all 8 docs (df 8 > cap) and must not contribute; selection
