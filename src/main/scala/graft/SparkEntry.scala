@@ -2101,7 +2101,26 @@ object SparkEntry {
     "q168_winnow_spans" -> ((s, dir) =>
       graft.ops.Winnow.alignedSpans(t(s, dir, "documents"),
           "doc_id", "text")
-        .orderBy("doc_a", "doc_b", "a_offset", "a_start"))
+        .orderBy("doc_a", "doc_b", "a_offset", "a_start")),
+
+    // Blocking REFINEMENT instead of dropping: level-1 blocks over
+    // the (deliberately tight) cap re-block under a doubled key;
+    // only still-hot level-2 blocks drop. Cap 8 fires on the real
+    // corpus, so the gate exercises the sub-block path, not just the
+    // pass-through.
+    "q169_linkage_subblocked" -> ((s, dir) =>
+      graft.ops.Linkage.linkPairsSubBlocked(t(s, dir, "documents"),
+          "doc_id", "text", maxDist = 16, blockCap = 8)
+        .orderBy("id_a", "id_b")),
+
+    // Sorted-neighborhood linkage (Hernández & Stolfo): global key
+    // rank WITHOUT a single-partition window (range partition +
+    // per-partition offsets), rank-bucket equi-join candidates
+    // (fan-out <= 2w per record), exact Levenshtein verify.
+    "q170_sorted_neighborhood" -> ((s, dir) =>
+      graft.ops.Linkage.sortedNeighborPairs(t(s, dir, "documents"),
+          "doc_id", "text", maxDist = 16, windowSize = 10)
+        .orderBy("id_a", "id_b"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -5464,7 +5483,72 @@ ORDER BY 1, 2"""
          |FROM runs
          |GROUP BY doc_a, doc_b, a_offset, run
          |HAVING COUNT(1) >= 2
-         |ORDER BY 1, 2, 3, 4""".stripMargin
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    // level-1 blocks (cap 8) pass through; over-cap rows re-block
+    // under the doubled 16-char key ('P:'/'S:' tags, colliding with
+    // neither level-1 namespace); still-hot level-2 blocks drop
+    "q169_linkage_subblocked" ->
+      """WITH lrec AS (
+        |  SELECT doc_id, lower(substr(text, 1, 64)) AS name FROM documents
+        |  WHERE length(text) >= 16
+        |), lblk AS (
+        |  SELECT doc_id, name, 'p:' || substr(name, 1, 8) AS blk FROM lrec
+        |  UNION ALL
+        |  SELECT doc_id, name,
+        |    's:' || substr(name, greatest(length(name)-7, 1)) AS blk
+        |  FROM lrec
+        |), lcnt AS (
+        |  SELECT doc_id, name, blk,
+        |    count(*) OVER (PARTITION BY blk) AS bn
+        |  FROM lblk
+        |), lok1 AS (
+        |  SELECT doc_id, name, blk FROM lcnt WHERE bn <= 8
+        |), lsub AS (
+        |  SELECT doc_id, name,
+        |    CASE WHEN blk LIKE 'p:%' THEN 'P:' || substr(name, 1, 16)
+        |         ELSE 'S:' || substr(name, greatest(length(name)-15, 1))
+        |    END AS blk
+        |  FROM lcnt WHERE bn > 8
+        |), lok2 AS (
+        |  SELECT doc_id, name, blk FROM (
+        |    SELECT doc_id, name, blk,
+        |      count(*) OVER (PARTITION BY blk) AS bn2
+        |    FROM lsub
+        |  ) WHERE bn2 <= 8
+        |), lcap AS (
+        |  SELECT doc_id, name, blk FROM lok1
+        |  UNION ALL
+        |  SELECT doc_id, name, blk FROM lok2
+        |), lcand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM lcap a JOIN lcap b USING (blk)
+        |  WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(levenshtein(ra.name, rb.name) AS BIGINT) AS dist
+        |FROM lcand c JOIN lrec ra ON ra.doc_id = c.id_a
+        |             JOIN lrec rb ON rb.doc_id = c.id_b
+        |WHERE levenshtein(ra.name, rb.name) <= 16
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the single-window rank reference: agreement proves the
+    // distributed rank (range partition + per-partition offsets) and
+    // the rank-bucket candidate join are exact
+    "q170_sorted_neighborhood" ->
+      """WITH srec AS (
+        |  SELECT doc_id, lower(substr(text, 1, 64)) AS name FROM documents
+        |), srk AS (
+        |  SELECT doc_id, name,
+        |    ROW_NUMBER() OVER (ORDER BY name, doc_id) AS rk
+        |  FROM srec
+        |)
+        |SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+        |       GREATEST(a.doc_id, b.doc_id) AS id_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM srk a JOIN srk b ON b.rk > a.rk AND b.rk <= a.rk + 10
+        |WHERE levenshtein(a.name, b.name) <= 16
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

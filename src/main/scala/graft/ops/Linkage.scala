@@ -58,13 +58,19 @@ object Linkage {
     val blocks = blockTable(df, idCol, strCol, keyWidth, blockWidth)
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__blk"))))
       .where(col("__n") <= blockCap).drop("__n")
+    verifyBlockedPairs(blocks, maxDist)
+  }
+
+  /** The shared VERIFY tail of every key-blocking pass: within-block
+    * self-join, per-pair dedup (a pair found by several passes links
+    * once), exact Levenshtein within `maxDist`. */
+  private def verifyBlockedPairs(blocks: DataFrame, maxDist: Int): DataFrame = {
     val a = blocks.select(col("__blk"), col("__id").as("id_a"),
       col("__name").as("__na"))
     val b = blocks.select(col("__blk"), col("__id").as("id_b"),
       col("__name").as("__nb"))
     a.join(b, Seq("__blk"))
       .where(col("id_a") < col("id_b"))
-      // a pair found by both passes must link once, not twice
       .select(col("id_a"), col("id_b"), col("__na"), col("__nb"))
       .distinct()
       .select(col("id_a"), col("id_b"),
@@ -96,6 +102,110 @@ object Linkage {
         concat(lit("p:"), substring(col("__name"), 1, blockWidth)))
       .unionByName(recs.withColumn("__blk",
         concat(lit("s:"), substring(col("__name"), -blockWidth, blockWidth))))
+  }
+
+  /** [[linkPairs]] with SUB-BLOCKING instead of dropping: a level-1
+    * block over `blockCap` re-blocks its records under a key twice as
+    * wide (`2·blockWidth` prefix/suffix), and only blocks still over
+    * the cap at level 2 drop out. The recall trade of the plain cap
+    * softens — records in a hot block can still link when they share
+    * the sharper key — while the fan-out bound (cap² per block) holds
+    * at every level. The standard blocking-refinement move when
+    * [[overCapBlocks]] reports hot keys. */
+  def linkPairsSubBlocked(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, keyWidth: Int = 64, blockWidth: Int = 8,
+      blockCap: Int = 1000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(blockWidth >= 1 && keyWidth >= 2 * blockWidth,
+      s"need keyWidth >= 2*blockWidth, got $keyWidth/$blockWidth")
+    require(blockCap >= 2, s"blockCap below 2 can never pair, got $blockCap")
+    val lvl1 = blockTable(df, idCol, strCol, keyWidth, blockWidth)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__blk"))))
+    val ok1 = lvl1.where(col("__n") <= blockCap)
+      .select("__blk", "__id", "__name")
+    // over-cap rows re-block under the doubled key, tagged P:/S: so
+    // level-2 blocks never collide with level-1 ones
+    val lvl2 = lvl1.where(col("__n") > blockCap)
+      .withColumn("__blk",
+        when(col("__blk").startsWith("p:"),
+          concat(lit("P:"), substring(col("__name"), 1, 2 * blockWidth)))
+        .otherwise(concat(lit("S:"),
+          substring(col("__name"), -2 * blockWidth, 2 * blockWidth))))
+      .withColumn("__n2", count(lit(1)).over(Window.partitionBy(col("__blk"))))
+      .where(col("__n2") <= blockCap)
+      .select("__blk", "__id", "__name")
+    verifyBlockedPairs(ok1.unionByName(lvl2), maxDist)
+  }
+
+  /** SORTED-NEIGHBORHOOD linkage (Hernández & Stolfo 1995) — the
+    * other classic blocking family: sort every record by the
+    * normalized key and pair records within `windowSize` ranks. Where
+    * key blocking needs a shared exact prefix/suffix, the sort window
+    * links records that are merely CLOSE in sort order (shared long
+    * prefixes, small tail edits), with a hard O(n·w) candidate bound
+    * that no key skew can break.
+    *
+    * Scale shape: the global rank is NOT a single-partition window —
+    * records range-partition by key (each partition a contiguous key
+    * range), rank locally, and add per-partition offsets (one count
+    * per partition, bounded driver metadata). Candidates form by an
+    * EQUI-join on rank buckets of width `windowSize` (a pair within
+    * the window shares a bucket or sits in adjacent ones), so fan-out
+    * is ≤ 2·windowSize per record, then exact Levenshtein verifies.
+    * Output: (id_a, id_b, dist), id_a < id_b. */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, keyWidth: Int = 64, windowSize: Int = 10): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(windowSize >= 1, s"windowSize must be positive, got $windowSize")
+    val recs = df.select(col(idCol).as("__id"),
+      lower(substring(col(strCol), 1, keyWidth)).as("__name"))
+    val ranked = withGlobalRank(recs, "__rk", Seq("__name", "__id"))
+      .withColumn("__bkt", floor((col("__rk") - lit(1)) / lit(windowSize)))
+    val a = ranked.select(col("__id").as("id_a"), col("__name").as("__na"),
+      col("__rk").as("__ra"), col("__bkt"))
+    val bSide = ranked.select(col("__id").as("id_b"),
+      col("__name").as("__nb"), col("__rk").as("__rb"), col("__bkt"))
+    // b joins its own bucket and the PREVIOUS one, so every rank pair
+    // within windowSize meets exactly once (ranks are unique)
+    val b = bSide.unionByName(bSide.withColumn("__bkt", col("__bkt") - 1))
+    a.join(b, Seq("__bkt"))
+      .where(col("__rb") > col("__ra")
+        && col("__rb") <= col("__ra") + windowSize)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        levenshtein(col("__na"), col("__nb")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
+  /** Exact global rank without a single-partition window: range
+    * partition by the sort key (contiguous key ranges per partition),
+    * rank within each partition, then add per-partition offsets. The
+    * partition→count collect is bounded metadata (one row per
+    * partition); the partitioned frame is checkpointed once so the
+    * offset pass and the rank pass see the SAME physical partitioning
+    * (a re-sampled range exchange between the two jobs would
+    * misalign them). */
+  private def withGlobalRank(df: DataFrame, out: String,
+      sortCols: Seq[String]): DataFrame = {
+    val cols = sortCols.map(col)
+    val parted = df.repartitionByRange(cols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__pid"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // offsets: partition p -> rows in partitions before p
+    val offMap = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    val offDf = parted.sparkSession
+      .createDataFrame(offMap.toSeq).toDF("__pid", "__off")
+    parted
+      .withColumn("__rkl", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(cols: _*)))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(out, col("__rkl") + col("__off"))
+      .drop("__pid", "__rkl", "__off")
   }
 
   /** End-to-end entity resolution: linked pairs → transitive

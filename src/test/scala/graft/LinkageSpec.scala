@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.ops.Linkage
 
 /** Record linkage + entity resolution (ops.Linkage): blocking recall,
@@ -76,6 +78,52 @@ class LinkageSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(over.keys.exists(_.startsWith("p:shared b")) &&
       over.values.forall(_ > 10), s"over-cap audit wrong: $over")
+  }
+
+  test("sub-blocking recovers within-group pairs the plain cap drops") {
+    // 30 records share the 8-char prefix (level-1 block 30 > cap 10)
+    // and the full tail (suffix blocks also hot at both widths), but
+    // split into 10 groups of 3 under the 16-char prefix: the plain
+    // cap finds NOTHING, sub-blocking finds exactly the within-group
+    // pairs while every block stays <= cap
+    val recs = (for (g <- 0 until 10; r <- 0 until 3) yield
+      ((g * 3 + r + 1).toLong,
+        f"samehead grp$g%02d m$r common tail text"))
+      .toDF("id", "name")
+    assert(Linkage.linkPairs(recs, "id", "name", maxDist = 2,
+      blockCap = 10).count() == 0)
+    val got = Linkage.linkPairsSubBlocked(recs, "id", "name", maxDist = 2,
+        blockCap = 10)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val expected = (for (g <- 0 until 10; r1 <- 0 until 3; r2 <- 0 until 3
+        if r1 < r2) yield
+      ((g * 3 + r1 + 1).toLong, (g * 3 + r2 + 1).toLong, 1L)).sorted
+    assert(got == expected,
+      s"sub-blocked pairs wrong: got ${got.size}, expected ${expected.size}")
+  }
+
+  test("sortedNeighborPairs equals the brute-force rank-window reference") {
+    val real = graft.etl.Tables.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val r = real.select(col("doc_id"),
+        lower(substring(col("text"), 1, 64)).as("__name"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__name"), col("doc_id"))))
+    for (w <- Seq(4, 10)) {
+      val exp = r.as("a").join(r.as("b"),
+          col("b.rk") > col("a.rk") && col("b.rk") <= col("a.rk") + w)
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
+          levenshtein(col("a.__name"), col("b.__name")).cast("long")
+            .as("dist"))
+        .where(col("dist") <= 16)
+      val got = Linkage.sortedNeighborPairs(real, "doc_id", "text",
+        maxDist = 16, windowSize = w)
+      assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+        s"sorted-neighborhood diverged from reference at window $w")
+      assert(exp.count() > 0, s"reference empty at window $w")
+    }
   }
 
   test("records below twice the block width are dropped, not mis-blocked") {
