@@ -112,12 +112,18 @@ object Winnow {
     * the same skew guard as [[Dedup]]'s boilerplate strip. */
   def matchPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, dfCap: Int = 20,
-      minShared: Int = 15): DataFrame = {
+      minShared: Int = 15): DataFrame =
+    pairsFromFps(selectedFingerprints(df, idCol, textCol, k, w), idCol,
+      dfCap, minShared)
+
+  /** [[matchPairs]] over a PRECOMPUTED fingerprint frame
+    * ((idCol, pos, fp) rows) — lets [[alignedSpans]] reuse one
+    * materialized selection pass for pairing AND position lookup. */
+  private def pairsFromFps(fps: DataFrame, idCol: String, dfCap: Int,
+      minShared: Int): DataFrame = {
     require(dfCap >= 2, s"dfCap below 2 can never pair, got $dfCap")
     require(minShared >= 1, s"minShared must be positive, got $minShared")
-    val fps = selectedFingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol), col("fp")).distinct()
-    val capped = fps
+    val capped = fps.select(col(idCol), col("fp")).distinct()
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .where(col("__df") <= dfCap).drop("__df")
     capped.select(col(idCol).as("doc_a"), col("fp"))
@@ -153,8 +159,13 @@ object Winnow {
       minShared: Int = 15, minMarks: Int = 2, maxGap: Int = 50): DataFrame = {
     require(minMarks >= 1, s"minMarks must be positive, got $minMarks")
     require(maxGap >= 1, s"maxGap must be positive, got $maxGap")
+    // ONE selection pass, materialized: pairing and position lookup
+    // both read it, instead of re-running the fingerprint expression
+    // once per plan branch (the checkpoint is the same bounded frame
+    // the posting join shuffles anyway)
     val fps = selectedFingerprints(df, idCol, textCol, k, w)
-    val pairs = matchPairs(df, idCol, textCol, k, w, dfCap, minShared)
+      .localCheckpoint(true)
+    val pairs = pairsFromFps(fps, idCol, dfCap, minShared)
       .select("doc_a", "doc_b")
     // shared (df-capped) fingerprints of qualifying pairs, one row per
     // (pos_a, pos_b) combination — the mark set spans aggregate over
