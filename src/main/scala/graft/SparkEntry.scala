@@ -2120,7 +2120,30 @@ object SparkEntry {
     "q170_sorted_neighborhood" -> ((s, dir) =>
       graft.ops.Linkage.sortedNeighborPairs(t(s, dir, "documents"),
           "doc_id", "text", maxDist = 16, windowSize = 10)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // q158's incremental near-dup served from the PERSISTED LSH index
+    // (the production lifecycle: corpus signatured once at build, the
+    // recrawl delta alone queries it — O(|delta|) per epoch). The
+    // oracle is IDENTICAL to q158's, so the index round-trip must
+    // produce the exact same pair set as the composed fuzzyJoin.
+    "q171_incremental_via_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val next = docs.where(col("doc_id") % 37 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 53 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val delta = graft.ops.Snapshots.changedDocs(docs, next, "doc_id", "text")
+      val idx = graft.etl.Scratch.dir("inc-lsh-idx")
+      Dedup.buildLshIndex(docs, "doc_id", "text", idx, n = 3)
+      Dedup.lshQueryIndex(s, idx, delta, "doc_id", "text",
+          threshold = 0.5, n = 3)
+        .select(col("doc_b").as("left_id"), col("doc_a").as("right_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("left_id", "right_id")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -2423,6 +2446,40 @@ object SparkEntry {
   /** Shared oracle for the hybrid BM25+TFIDF RRF ranker: q112
     * (inline postings) and q159 (persisted posting index) must
     * produce the IDENTICAL ranking. */
+  /** The q157-derivation delta × standing-corpus bipartite near-dup —
+    * shared verbatim by q158 (composed fuzzyJoin) and q171 (persisted
+    * LSH index query), so the gate proves the two production paths
+    * compute the same pair set. */
+  private val IncrementalNearDupOracleSql: String =
+    s"""WITH nw AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 37 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 53 = 0
+       |), delta AS (
+       |  SELECT n.doc_id, n.text
+       |  FROM nw n LEFT JOIN documents o ON o.doc_id = n.doc_id
+       |  WHERE o.doc_id IS NULL OR o.text <> n.text
+       |), ${minhashSideCtes("l", "delta")},
+       |${minhashSideCtes("r", "documents")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+       |  FROM bandsl a JOIN bandsr b
+       |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       |), verified AS (
+       |  SELECT c.left_id, c.right_id, COUNT(1) AS inter,
+       |         MAX(ea.n) AS na, MAX(eb.n) AS nb
+       |  FROM cand c
+       |  JOIN exl ea ON ea.doc_id = c.left_id
+       |  JOIN exr eb ON eb.doc_id = c.right_id AND eb.s = ea.s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT left_id, right_id,
+       |  ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
+       |FROM verified WHERE inter*1.0/(na+nb-inter) >= 0.5
+       |ORDER BY 1, 2""".stripMargin
+
   private val HybridRrfOracleSql: String =
     """WITH q(query_id, qtext) AS (
         |  VALUES (1, 'spark join fast'), (2, 'hash table scan'),
@@ -5291,35 +5348,11 @@ ORDER BY 1, 2"""
     // Same nw derivation as q157; delta = its added ∪ changed rows,
     // then the q140 bipartite minhash machinery against the standing
     // corpus.
-    "q158_incremental_neardup" ->
-      s"""WITH nw AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
-         |  FROM documents WHERE doc_id % 37 <> 0
-         |  UNION ALL
-         |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 53 = 0
-         |), delta AS (
-         |  SELECT n.doc_id, n.text
-         |  FROM nw n LEFT JOIN documents o ON o.doc_id = n.doc_id
-         |  WHERE o.doc_id IS NULL OR o.text <> n.text
-         |), ${minhashSideCtes("l", "delta")},
-         |${minhashSideCtes("r", "documents")},
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-         |  FROM bandsl a JOIN bandsr b
-         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-         |), verified AS (
-         |  SELECT c.left_id, c.right_id, COUNT(1) AS inter,
-         |         MAX(ea.n) AS na, MAX(eb.n) AS nb
-         |  FROM cand c
-         |  JOIN exl ea ON ea.doc_id = c.left_id
-         |  JOIN exr eb ON eb.doc_id = c.right_id AND eb.s = ea.s
-         |  GROUP BY 1, 2
-         |)
-         |SELECT left_id, right_id,
-         |  ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
-         |FROM verified WHERE inter*1.0/(na+nb-inter) >= 0.5
-         |ORDER BY 1, 2""".stripMargin,
+    // identical oracle: the composed fuzzyJoin path (q158) and the
+    // persisted-index query path (q171) must produce the SAME pairs —
+    // the index round-trip loses nothing
+    "q158_incremental_neardup" -> IncrementalNearDupOracleSql,
+    "q171_incremental_via_index" -> IncrementalNearDupOracleSql,
 
     "q160_stream_enrich" ->
       """WITH dim(event_type, category) AS (
