@@ -2143,7 +2143,16 @@ object SparkEntry {
         .select(col("doc_b").as("left_id"), col("doc_a").as("right_id"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("left_id", "right_id")
-    })
+    }),
+
+    // The paper's EXACT robust winnowing (stateful tie-break across
+    // windows) — inexpressible as a composed per-window projection,
+    // lives only in the single-eval expression; the oracle replays
+    // the selection recurrence with a per-document recursive CTE.
+    "q172_winnow_robust" -> ((s, dir) =>
+      graft.ops.Winnow.selectedFingerprintsRobust(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id", "pos"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -5581,7 +5590,65 @@ ORDER BY 1, 2"""
         |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM srk a JOIN srk b ON b.rk > a.rk AND b.rk <= a.rk + 10
         |WHERE levenshtein(a.name, b.name) <= 16
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the robust-rule recurrence, decomposed for SQL tractability: a
+    // selection can only persist across windows sharing its hash, so
+    // within each maximal RUN of equal-min-hash windows the selections
+    // are the jump sequence p -> rightmost-min-position(window p+1)
+    // from the run's first window, and every run boundary re-selects
+    // fresh (the previous selection's hash differs by construction).
+    // The recursion therefore only steps through tie runs — depth =
+    // longest tie run, not document length (a window-by-window replay
+    // was measured 50x slower). Same h*P-i packed keys as q162.
+    "q172_winnow_robust" ->
+      """WITH RECURSIVE wk AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, length(text)-7),
+        |      i -> CAST(('0x'||substr(md5(substr(text,i,8)),1,8)) AS BIGINT)
+        |           * 1000000 - i) AS keys
+        |  FROM documents WHERE length(text) >= 11
+        |), wm AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(keys)-3),
+        |    s -> list_min(keys[s:s+3])) AS wmins
+        |  FROM wk
+        |), fw0 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(wmins)),
+        |    s -> {'s': s, 'm': wmins[s]})) AS u
+        |  FROM wm
+        |), fw AS (
+        |  SELECT doc_id, u.s AS s, u.m AS m,
+        |    (u.m + ((-u.m)%1000000+1000000)%1000000)//1000000 AS h,
+        |    ((-u.m)%1000000+1000000)%1000000 AS p
+        |  FROM fw0
+        |), chg AS (
+        |  SELECT doc_id, s, m, h, p,
+        |    CASE WHEN LAG(h) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+        |           OR h <> LAG(h) OVER (PARTITION BY doc_id ORDER BY s)
+        |      THEN 1 ELSE 0 END AS is_start
+        |  FROM fw
+        |), runs AS (
+        |  SELECT doc_id, s, m, p, is_start,
+        |    SUM(is_start) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS UNBOUNDED PRECEDING) AS rid
+        |  FROM chg
+        |), rend AS (
+        |  SELECT doc_id, s, m, p, is_start,
+        |    MAX(s) OVER (PARTITION BY doc_id, rid) AS re
+        |  FROM runs
+        |), jump(doc_id, m, p, re) AS (
+        |  SELECT doc_id, m, p, re FROM rend WHERE is_start = 1
+        |  UNION ALL
+        |  SELECT j.doc_id, f.m, f.p, j.re
+        |  FROM jump j JOIN rend f ON f.doc_id = j.doc_id AND f.s = j.p + 1
+        |  WHERE j.p + 1 <= j.re
+        |)
+        |SELECT doc_id,
+        |  CAST(((-m)%1000000+1000000)%1000000 AS BIGINT) AS pos,
+        |  CAST((m + ((-m)%1000000+1000000)%1000000) // 1000000
+        |    AS BIGINT) AS fp
+        |FROM (SELECT DISTINCT doc_id, m FROM jump)
+        |ORDER BY doc_id, pos""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

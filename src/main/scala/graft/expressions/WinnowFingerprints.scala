@@ -36,6 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * (code points via UTF-8 start-byte boundaries), so multibyte text
   * selects identical (pos, fp) in both forms.
   *
+  * `robust = true` switches to the paper's exact ROBUST winnowing
+  * (Schleimer et al. §4): among tied minimal hashes, re-select the
+  * PREVIOUS window's selection when it is still in the window, falling
+  * back to rightmost-min — strictly fewer fingerprints on repetitive
+  * text, same coverage guarantee. The rule carries one piece of state
+  * across windows (the previous selection), which a per-window
+  * composed expression cannot express — the variant exists ONLY here
+  * (its oracle mirrors the recurrence with a recursive CTE).
+  *
   * The documented PosMod packing bound is ENFORCED here: a document
   * with `numChars ≥ P + k − 1` would push positions to `≥ P`,
   * silently corrupting both the min ordering and the `(−key) mod P`
@@ -43,7 +52,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * through `raise_error`). Returns an empty array below one full
   * window (`numChars < k + w − 1`); null input stays null.
   */
-case class WinnowFingerprints(child: Expression, k: Int, w: Int, posMod: Long)
+case class WinnowFingerprints(child: Expression, k: Int, w: Int, posMod: Long,
+    robust: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(k >= 2, s"k-gram size must be at least 2, got $k")
@@ -115,6 +125,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, posMod: Long)
     val seen = new java.util.HashSet[Long]()
     val out = new scala.collection.mutable.ArrayBuffer[Any](
       2 * nGrams / (w + 1) + 4)
+    // robust mode: the previously selected 0-based index, carried
+    // across windows — the ONE piece of cross-window state the
+    // paper's rule needs (and the reason this variant cannot be a
+    // per-window composed expression)
+    var prevSel = -1
     i = 0
     while (i < nGrams) {
       while (tail > head && keys(deque(tail - 1)) > keys(i)) tail -= 1
@@ -122,10 +137,21 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, posMod: Long)
       tail += 1
       if (deque(head) <= i - w) head += 1
       if (i >= w - 1) {
+        // the packed min is the rightmost minimal hash of the window
         val m = keys(deque(head))
-        if (seen.add(m)) {
-          val pos = Math.floorMod(-m, posMod)
-          out += InternalRow(pos, (m + pos) / posMod)
+        val minIdx = (Math.floorMod(-m, posMod) - 1).toInt
+        val hMin = (m + minIdx + 1) / posMod
+        // robust rule (Schleimer et al. §4): re-select the previous
+        // window's hash when it is still in the window AND still a
+        // minimal hash; otherwise fall back to rightmost-min
+        val selIdx =
+          if (robust && prevSel >= i - w + 1 &&
+              (keys(prevSel) + prevSel + 1) / posMod == hMin) prevSel
+          else minIdx
+        prevSel = selIdx
+        if (seen.add(keys(selIdx))) {
+          out += InternalRow((selIdx + 1).toLong,
+            (keys(selIdx) + selIdx + 1) / posMod)
         }
       }
       i += 1
@@ -142,4 +168,10 @@ object WinnowFingerprints {
 
   def apply(text: Column, k: Int, w: Int, posMod: Long): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w, posMod))
+
+  /** The paper's ROBUST selection rule (stateful tie-break across
+    * windows — see the case-class doc). */
+  def robust(text: Column, k: Int, w: Int, posMod: Long): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w, posMod,
+      robust = true))
 }

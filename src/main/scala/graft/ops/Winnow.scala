@@ -69,6 +69,22 @@ object Winnow {
           col(textCol), k, w, PosMod)).as("__s"))
       .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
 
+  /** [[selectedFingerprints]] under the paper's ROBUST selection rule
+    * (Schleimer et al. §4): ties among minimal hashes prefer the
+    * previous window's selection while it remains in the window,
+    * falling back to rightmost — strictly fewer selected fingerprints
+    * on repetitive text (density still ≥ 1/w), identical coverage
+    * guarantee. The cross-window state makes this inexpressible as a
+    * composed per-window projection; it lives only in the single-eval
+    * expression, and its oracle mirrors the recurrence with a
+    * per-document recursive CTE. */
+  def selectedFingerprintsRobust(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol),
+        explode(graft.expressions.WinnowFingerprints.robust(
+          col(textCol), k, w, PosMod)).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+
   /** The composed-built-ins reference form of [[selectedFingerprints]]
     * — the same packed-key construction out of `sequence`/`transform`/
     * `slice`/`array_min`, kept as the spec-asserted mirror of the

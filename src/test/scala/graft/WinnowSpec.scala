@@ -32,6 +32,31 @@ class WinnowSpec extends SparkSpec {
     }.toSet
   }
 
+  /** Brute-force reference of the paper's ROBUST rule (§4): among
+    * minimal hashes prefer the previous window's selection while it
+    * stays in the window, else rightmost. */
+  private def localRobust(text: String): Set[(Long, Long)] = {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    val n = text.length - K + 1
+    val hs = (1 to n).map(i => h32(text.substring(i - 1, i - 1 + K)))
+    var prev = -1
+    val sel = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
+    for (s <- 1 to n - W + 1) {
+      val win = (s until s + W).map(i => (hs(i - 1), i))
+      val m = win.minBy(_._1)._1
+      val pos =
+        if (prev >= s && prev < s + W && hs(prev - 1) == m) prev
+        else win.filter(_._1 == m).map(_._2).max
+      prev = pos
+      sel += ((pos.toLong, hs(pos - 1)))
+    }
+    sel.toSet
+  }
+
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog again and again"),
     (2L, "a completely different sentence with other words entirely here"),
@@ -48,6 +73,40 @@ class WinnowSpec extends SparkSpec {
       assert(got(id) == localWinnow(texts(id)), s"doc $id selection differs")
     }
     assert(!got.contains(4L), "sub-window document must be dropped")
+  }
+
+  test("robust selection matches its brute-force reference and thins ties") {
+    // heavy hash ties: a k-length unit repeated, plus mixed repetitive
+    // and natural text, plus the real corpus
+    val rep = Seq(
+      (1L, "a" * 40), // every k-gram identical: all windows fully tied
+      (2L, "ababababababababababababababab"),
+      (3L, "the same phrase the same phrase the same phrase again"),
+      (4L, "plain natural sentence with no repetition to speak of"))
+      .toDF("doc_id", "text")
+    val texts = rep.as[(Long, String)].collect().toMap
+    val got = Winnow.selectedFingerprintsRobust(rep, "doc_id", "text", K, W)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(r => (r._2, r._3)).toSet }
+    for (id <- texts.keys)
+      assert(got(id) == localRobust(texts(id)), s"doc $id robust selection differs")
+    // strictly fewer fingerprints than rightmost-min on the tied docs,
+    // never more anywhere
+    val right = Winnow.selectedFingerprints(rep, "doc_id", "text", K, W)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(got(1L).size < right(1L) && got(2L).size < right(2L),
+      s"robust must thin tied selections: ${got.view.mapValues(_.size).toMap} vs $right")
+    assert(texts.keys.forall(id => got(id).size <= right(id)))
+    // the real corpus agrees with the reference doc-by-doc
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val realTexts = real.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val realGot = Winnow.selectedFingerprintsRobust(real, "doc_id", "text", K, W)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(r => (r._2, r._3)).toSet }
+    for ((id, t) <- realTexts if t.length >= K + W - 1)
+      assert(realGot(id) == localRobust(t), s"real doc $id differs")
   }
 
   test("single-eval expression equals the composed fold form bit-for-bit") {
