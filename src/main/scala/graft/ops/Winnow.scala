@@ -21,11 +21,11 @@ import graft.functions.TextFunctions.h32
   * position; the distinct selected (position, hash) set is the
   * document's fingerprint, with expected density 2/(w+1). (The
   * paper's "robust winnowing" refinement re-selects the PREVIOUS
-  * window's hash among ties before falling back to rightmost, which
-  * emits strictly fewer fingerprints on repetitive text; the pure
-  * rightmost rule implemented here — and mirrored by the oracle —
-  * keeps the identical coverage guarantee and is order-free, so it
-  * stays a per-row projection.)
+  * window's selection among ties before falling back to rightmost,
+  * emitting strictly fewer fingerprints on repetitive text —
+  * available as [[selectedFingerprintsRobust]]; the default
+  * rightmost rule keeps the identical coverage guarantee and is the
+  * matching grain for [[matchPairs]]' oracle-shared posting keys.)
   *
   * Engine-portable construction: the k-gram hash is the md5-derived
   * [[graft.functions.TextFunctions.h32]] (identical in any engine,
