@@ -19,7 +19,13 @@ object ScaleProof {
     "q105_corpus_clean", "q120_training_prep",
     // round 7: the retrieval leg — posting aggregation + fused
     // rankers + positional joins must also grow linearly in docs
-    "q112_hybrid_rrf", "q142_phrase_search")
+    "q112_hybrid_rrf", "q142_phrase_search",
+    // round 9: the new dedup/linkage family — pigeonhole containment,
+    // capped+sub-blocked and sorted-neighborhood linkage, winnowing
+    // (one-pass expression) — each must hold its bounded-fan-out /
+    // scan-speed shape through the decades
+    "q166_containment_join", "q169_linkage_subblocked",
+    "q170_sorted_neighborhood", "q172_winnow_robust")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleProof <docsDir> [<docsDir> ...]")
@@ -95,13 +101,32 @@ object ScaleProof {
         n = 3, threshold = 0.5).count()
       val incSec = (System.nanoTime() - tInc) / 1e9
 
+      // round 9: EXACT containment (q166's shape) follows every
+      // posting of a small-side prefix shingle, so hot shingles make
+      // it grow with df — the measured superlinear row. candDfCap is
+      // the designed 100 TB path: drop candidate postings hotter than
+      // the cap (completeness traded for boundedness, documented in
+      // Dedup.containmentJoin); this times that path at the q166 shape
+      // so the growth table shows BOTH.
+      import org.apache.spark.sql.functions.{length => slen, substring}
+      val excerpts = docs.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          substring(col("text"), 40, 160).as("text"))
+        .where(slen(col("text")) >= 40)
+      val tCap = System.nanoTime()
+      val capRows = graft.ops.Dedup.containmentJoin(excerpts, "doc_id",
+        "text", docs, "doc_id", "text", n = 3, minContainment = 0.8,
+        candDfCap = 200).count()
+      val capSec = (System.nanoTime() - tCap) / 1e9
+
       println(s"""{"dir":"$dir","docs":$nDocs,""" +
         f""""lsh_candidates":{"rows":$cands,"sec":$candSec%.2f},""" +
         per.mkString(",") +
         f""",\"posting_index_build\":{\"sec\":$idxSec%.2f}""" +
         f""",\"q112_hybrid_persisted\":{\"rows\":$hybRows,\"sec\":$hybSec%.2f}""" +
         f""",\"full_rededup_prod\":{\"rows\":$fullRows,\"sec\":$fullSec%.2f}""" +
-        f""",\"incremental_delta_dedup\":{\"rows\":$incRows,\"sec\":$incSec%.2f}}""")
+        f""",\"incremental_delta_dedup\":{\"rows\":$incRows,\"sec\":$incSec%.2f}""" +
+        f""",\"containment_capped\":{\"rows\":$capRows,\"sec\":$capSec%.2f}}""")
     }
     spark.stop()
   }

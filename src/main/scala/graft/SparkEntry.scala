@@ -2152,7 +2152,25 @@ object SparkEntry {
     "q172_winnow_robust" -> ((s, dir) =>
       graft.ops.Winnow.selectedFingerprintsRobust(t(s, dir, "documents"),
           "doc_id", "text")
-        .orderBy("doc_id", "pos"))
+        .orderBy("doc_id", "pos")),
+
+    // q166's containment join under the candidate df cap — the
+    // bounded-fan-out 100 TB path (prefix shingles hotter than the
+    // cap drop out of candidate generation). The deliberately tight
+    // cap (2) fires on the real corpus at every SF, and the oracle
+    // mirrors the rare-first rank + cap EXACTLY — gating the capped
+    // semantics, not just the complete ones.
+    "q173_containment_capped" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val excerpts = docs.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          substring(col("text"), 40, 160).as("text"))
+        .where(length(col("text")) >= 40)
+      Dedup.containmentJoin(excerpts, "doc_id", "text",
+          docs, "doc_id", "text", n = 3, minContainment = 0.8,
+          candDfCap = 2)
+        .orderBy("small_id", "corpus_id")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -5648,7 +5666,59 @@ ORDER BY 1, 2"""
         |  CAST((m + ((-m)%1000000+1000000)%1000000) // 1000000
         |    AS BIGINT) AS fp
         |FROM (SELECT DISTINCT doc_id, m FROM jump)
-        |ORDER BY doc_id, pos""".stripMargin
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // the capped path mirrored exactly: per-shingle corpus df, the
+    // rare-first pigeonhole rank (ties on the shingle string), the
+    // df cap on prefix shingles, then full-intersection verify
+    "q173_containment_capped" ->
+      """WITH exc AS (
+        |  SELECT doc_id + 20000000 AS doc_id, substr(text, 40, 160) AS text
+        |  FROM documents
+        |  WHERE doc_id % 17 = 0 AND length(substr(text, 40, 160)) >= 40
+        |), etoks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM exc
+        |), esh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w)-2),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM etoks
+        |), eex AS (
+        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM esh
+        |), ctoks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), csh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w)-2),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM ctoks
+        |), cex AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM csh
+        |), cdf AS (
+        |  SELECT s, count(*) AS cdf FROM cex GROUP BY 1
+        |), pre AS (
+        |  SELECT small_id, s FROM (
+        |    SELECT e.doc_id AS small_id, e.s, e.n,
+        |      COALESCE(c.cdf, 0) AS cdf,
+        |      ROW_NUMBER() OVER (PARTITION BY e.doc_id
+        |        ORDER BY COALESCE(c.cdf, 0), e.s) AS rk
+        |    FROM eex e LEFT JOIN cdf c USING (s))
+        |  WHERE rk <= n - CEIL(0.8 * n) + 1 AND cdf <= 2
+        |), candx AS (
+        |  SELECT DISTINCT p.small_id, c.doc_id AS corpus_id
+        |  FROM pre p JOIN cex c USING (s)
+        |), joined AS (
+        |  SELECT x.small_id, x.corpus_id, COUNT(1) AS inter, MAX(e.n) AS na
+        |  FROM candx x
+        |  JOIN eex e ON e.doc_id = x.small_id
+        |  JOIN cex c ON c.doc_id = x.corpus_id AND c.s = e.s
+        |  GROUP BY 1, 2
+        |)
+        |SELECT small_id, corpus_id,
+        |  ROUND(inter * 1.0 / na, 6) AS containment
+        |FROM joined
+        |WHERE ROUND(inter * 1.0 / na, 6) >= 0.8
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

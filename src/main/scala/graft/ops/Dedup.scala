@@ -337,56 +337,68 @@ object Dedup {
     *
     * Candidate generation is PIGEONHOLE PREFIX FILTERING (Chaudhuri
     * et al., "A Primitive Operator for Similarity Joins", ICDE 2006):
-    * order each small doc's shingle hashes ascending and keep only the
-    * first `⌊(1−τ)·n⌋ + 1`; if the corpus doc contains ≥ τ·n of the n
-    * shingles, it misses at most `(1−τ)·n` of them, so at least one
-    * PREFIX shingle is shared — joining prefix shingles against the
-    * corpus posting table finds every qualifying pair, provably. The
-    * exact containment then verifies candidates on the full shingle
-    * tables (so false candidates cost one counted join, never a wrong
+    * order each small doc's shingles by CORPUS FREQUENCY ascending
+    * (the classic rare-first prefix — unseen-in-corpus shingles sort
+    * first at df 0; ties break on the shingle string so both engines
+    * agree) and keep only the first `⌊(1−τ)·n⌋ + 1`; if the corpus
+    * doc contains ≥ τ·n of the n shingles, it misses at most
+    * `(1−τ)·n` of them, so at least one PREFIX shingle is shared —
+    * joining prefix shingles against the corpus posting table finds
+    * every qualifying pair, provably, under ANY total order. Rare-
+    * first minimizes the candidate fan-out (sum of the prefix
+    * shingles' dfs — the smallest dfs available): the hash-ordered
+    * prefix measured 34× cost growth per 10× corpus on hot-shingle
+    * data; rare-first follows only cold postings. The exact
+    * containment then verifies candidates on the full shingle tables
+    * (so false candidates cost one counted join, never a wrong
     * answer).
     *
-    * Scale shape: the corpus side is touched exactly twice, both times
-    * as a narrow (id, shingle-hash) projection — once as the candidate
-    * posting table, once for verification; nothing quadratic, no
-    * all-pairs. The small side (an excerpt batch, a query set, the
-    * sub-LSH-size tail of a corpus) pays one per-doc sort of its own
-    * shingles; candidate volume is `(1−τ)` of the small side's shingle
-    * count times posting df. `candDfCap > 0` bounds a hot posting
-    * bucket (boilerplate shingles) during CANDIDATE generation —
-    * trading the completeness proof away for skew safety (a pair
-    * whose prefix overlaps the corpus ONLY through dropped boilerplate
-    * is missed); 0 (default) keeps the exact guarantee, which the
-    * oracle gate holds against a direct posting-join computation.
-    * Output: (small_id, corpus_id, containment rounded 6). */
+    * Scale shape: the corpus side is touched as narrow projections —
+    * posting table, per-shingle df aggregate, verification; nothing
+    * quadratic, no all-pairs. The small side (an excerpt batch, a
+    * query set, the sub-LSH-size tail of a corpus) pays one per-doc
+    * rank of its own shingles. `candDfCap > 0` additionally drops
+    * prefix shingles hotter than the cap from candidate generation —
+    * a HARD fan-out bound of `cap · prefixLen` candidates per small
+    * doc, trading the completeness proof away exactly when even a
+    * doc's rarest `(1−τ)·n + 1` shingles are boilerplate-hot (the
+    * narrow documented recall loss); 0 (default) keeps the exact
+    * guarantee, which the q166 oracle holds against a direct
+    * posting-join computation (and q173 gates the capped path with a
+    * cap-mirrored oracle). Output: (small_id, corpus_id, containment
+    * rounded 6). */
   def containmentJoin(small: DataFrame, smallId: String, smallText: String,
       corpus: DataFrame, corpusId: String, corpusText: String,
       n: Int = 3, minContainment: Double = 0.8,
       candDfCap: Int = 0): DataFrame = {
     require(minContainment > 0 && minContainment <= 1,
       s"minContainment must be in (0, 1], got $minContainment")
-    val smallSh = shingleTable(small, smallId, smallText, n)
-      .select(col(smallId).as("small_id"), xxhash64(col("s")).as("sk"),
-        col("n").as("na"))
-    // pigeonhole prefix: the (n - ceil(tau*n) + 1) smallest hashes
-    val prefix = smallSh
+    val corpusShS = shingleTable(corpus, corpusId, corpusText, n)
+      .select(col(corpusId).as("corpus_id"), col("s"))
+    val smallShS = shingleTable(small, smallId, smallText, n)
+      .select(col(smallId).as("small_id"), col("s"), col("n").as("na"))
+    val dfT = corpusShS.groupBy(col("s")).agg(count(lit(1)).as("__cdf"))
+    // rare-first pigeonhole prefix: the (n - ceil(tau*n) + 1) corpus-
+    // coldest shingles of each small doc
+    val prefix = smallShS.join(dfT, Seq("s"), "left")
+      .withColumn("__cdf", coalesce(col("__cdf"), lit(0L)))
       .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("small_id")).orderBy(col("sk"))))
+        Window.partitionBy(col("small_id"))
+          .orderBy(col("__cdf"), col("s"))))
       .where(col("__rk") <=
         col("na") - ceil(lit(minContainment) * col("na")) + 1)
-      .select(col("small_id"), col("sk"))
-    val corpusSh = shingleTable(corpus, corpusId, corpusText, n)
-      .select(col(corpusId).as("corpus_id"), xxhash64(col("s")).as("sk"))
-    val postings =
-      if (candDfCap <= 0) corpusSh
-      else corpusSh
-        .withColumn("__df",
-          count(lit(1)).over(Window.partitionBy(col("sk"))))
-        .where(col("__df") <= candDfCap).drop("__df")
-    val cand = prefix.join(postings, Seq("sk"))
+    val capped =
+      if (candDfCap <= 0) prefix else prefix.where(col("__cdf") <= candDfCap)
+    // candidate + verify joins key on the 64-bit shingle hash (longs
+    // through the shuffle, not strings — the jaccardPairs convention)
+    val posts = corpusShS.select(col("corpus_id"), xxhash64(col("s")).as("sk"))
+    val cand = capped.select(col("small_id"), xxhash64(col("s")).as("sk"))
+      .join(posts, Seq("sk"))
       .select(col("small_id"), col("corpus_id")).distinct()
-    cand.join(smallSh, Seq("small_id"))
-      .join(corpusSh, Seq("corpus_id", "sk"))
+    val smallH = smallShS.select(col("small_id"),
+      xxhash64(col("s")).as("sk"), col("na"))
+    cand.join(smallH, Seq("small_id"))
+      .join(posts, Seq("corpus_id", "sk"))
       .groupBy(col("small_id"), col("corpus_id"))
       .agg(count(lit(1)).as("inter"), max("na").as("na"))
       .select(col("small_id"), col("corpus_id"),
