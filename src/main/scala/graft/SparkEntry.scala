@@ -2170,6 +2170,34 @@ object SparkEntry {
           docs, "doc_id", "text", n = 3, minContainment = 0.8,
           candDfCap = 2)
         .orderBy("small_id", "corpus_id")
+    }),
+
+    // Fellegi-Sunter probabilistic scoring over the q164 blocked
+    // candidates: three comparison fields (key edit distance <= 4,
+    // same source, same 100-char length band) with supplied m/u
+    // probabilities; summed log2 weights classify match / possible /
+    // non_match against thresholds 4.0 / 0.0.
+    "q174_fellegi_sunter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = graft.ops.Linkage.linkPairs(docs, "doc_id", "text",
+        maxDist = 16)
+      val attrs = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      val pairs = cand
+        .join(attrs.select(col("doc_id").as("id_a"),
+          col("source").as("__sa"), col("n_chars").as("__la")), Seq("id_a"))
+        .join(attrs.select(col("doc_id").as("id_b"),
+          col("source").as("__sb"), col("n_chars").as("__lb")), Seq("id_b"))
+      graft.ops.Linkage.fellegiSunter(pairs, Seq(
+          graft.ops.Linkage.FsField("key_close",
+            col("dist") <= 4, m = 0.9, u = 0.05),
+          graft.ops.Linkage.FsField("same_source",
+            col("__sa") === col("__sb"), m = 0.7, u = 0.05),
+          graft.ops.Linkage.FsField("len_band",
+            floor(col("__la") / lit(100.0)) === floor(col("__lb") / lit(100.0)),
+            m = 0.8, u = 0.1)),
+          upper = 4.0, lower = 0.0)
+        .select(col("id_a"), col("id_b"), col("weight"), col("decision"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -5598,6 +5626,7 @@ ORDER BY 1, 2"""
     "q170_sorted_neighborhood" ->
       """WITH srec AS (
         |  SELECT doc_id, lower(substr(text, 1, 64)) AS name FROM documents
+        |  WHERE text IS NOT NULL
         |), srk AS (
         |  SELECT doc_id, name,
         |    ROW_NUMBER() OVER (ORDER BY name, doc_id) AS rk
@@ -5718,7 +5747,31 @@ ORDER BY 1, 2"""
         |  ROUND(inter * 1.0 / na, 6) AS containment
         |FROM joined
         |WHERE ROUND(inter * 1.0 / na, 6) >= 0.8
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // same blocked candidates (LinkCtes) + the arithmetic mirror of
+    // the three-field Fellegi-Sunter weight; classification on the
+    // ROUNDED weight, as on the Spark side
+    "q174_fellegi_sunter" ->
+      s"""WITH $LinkCtes,
+         |fs AS (
+         |  SELECT l.id_a, l.id_b,
+         |    ROUND(
+         |      (CASE WHEN l.dist <= 4 THEN LOG2(0.9/0.05)
+         |            ELSE LOG2(0.1/0.95) END) +
+         |      (CASE WHEN da.source = db.source THEN LOG2(0.7/0.05)
+         |            ELSE LOG2(0.3/0.95) END) +
+         |      (CASE WHEN FLOOR(da.n_chars/100.0) = FLOOR(db.n_chars/100.0)
+         |            THEN LOG2(0.8/0.1) ELSE LOG2(0.2/0.9) END), 6) AS weight
+         |  FROM llink l
+         |  JOIN documents da ON da.doc_id = l.id_a
+         |  JOIN documents db ON db.doc_id = l.id_b
+         |)
+         |SELECT id_a, id_b, weight,
+         |  CASE WHEN weight >= 4.0 THEN 'match'
+         |       WHEN weight <= 0.0 THEN 'non_match'
+         |       ELSE 'possible' END AS decision
+         |FROM fs ORDER BY 1, 2""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

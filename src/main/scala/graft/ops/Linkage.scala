@@ -157,8 +157,12 @@ object Linkage {
       maxDist: Int, keyWidth: Int = 64, windowSize: Int = 10): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     require(windowSize >= 1, s"windowSize must be positive, got $windowSize")
-    val recs = df.select(col(idCol).as("__id"),
-      lower(substring(col(strCol), 1, keyWidth)).as("__name"))
+    // null keys are dropped EXPLICITLY: engines disagree on null sort
+    // placement (Spark nulls-first vs DuckDB nulls-last), so a null
+    // surviving into the rank would silently shift every neighbor
+    val recs = df.where(col(strCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        lower(substring(col(strCol), 1, keyWidth)).as("__name"))
     val ranked = withGlobalRank(recs, "__rk", Seq("__name", "__id"))
       .withColumn("__bkt", floor((col("__rk") - lit(1)) / lit(windowSize)))
     val a = ranked.select(col("__id").as("id_a"), col("__name").as("__na"),
@@ -206,6 +210,48 @@ object Linkage {
       .join(broadcast(offDf), Seq("__pid"))
       .withColumn(out, col("__rkl") + col("__off"))
       .drop("__pid", "__rkl", "__off")
+  }
+
+  /** One comparison field of the Fellegi–Sunter model: `agree` is the
+    * field-agreement predicate over a candidate-pair frame, `m` the
+    * probability the field agrees on a TRUE match, `u` on a true
+    * non-match (supplied — estimated offline by EM or clerical
+    * review; this operator is the deterministic scoring pass). */
+  final case class FsField(name: String, agree: Column, m: Double, u: Double)
+
+  /** Fellegi–Sunter probabilistic match scoring (Fellegi & Sunter,
+    * JASA 1969) over blocked candidate pairs: each field contributes
+    * `log2(m/u)` on agreement and `log2((1−m)/(1−u))` on
+    * disagreement (a NULL comparison counts as disagreement, the
+    * conservative convention); the summed weight classifies the pair
+    * against the two thresholds into `match` / `possible` /
+    * `non_match` — the decision-theoretic frame the [[linkPairs]]
+    * family's hard edit-distance cut approximates. Weight is rounded
+    * to 6 digits BEFORE classification so the decision is
+    * reproducible across engines (log2 tails differ ~1e-12 between
+    * libm implementations).
+    *
+    * Scale shape: a pure per-row projection over the already-bounded
+    * candidate-pair frame — the expensive part of linkage stays the
+    * blocking, exactly where [[linkPairs]]' caps bound it. Output:
+    * input columns + (weight, decision). */
+  def fellegiSunter(pairs: DataFrame, fields: Seq[FsField],
+      upper: Double, lower: Double): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    require(upper >= lower, s"need upper >= lower, got $upper < $lower")
+    fields.foreach { f =>
+      require(f.m > 0 && f.m < 1 && f.u > 0 && f.u < 1 && f.m > f.u,
+        s"field ${f.name}: need 0 < u < m < 1, got m=${f.m} u=${f.u}")
+    }
+    val w = fields.map { f =>
+      when(f.agree, log2(lit(f.m / f.u)))
+        .otherwise(log2(lit((1 - f.m) / (1 - f.u))))
+    }.reduce(_ + _)
+    pairs.withColumn("weight", round(w, 6))
+      .withColumn("decision",
+        when(col("weight") >= upper, lit("match"))
+          .when(col("weight") <= lower, lit("non_match"))
+          .otherwise(lit("possible")))
   }
 
   /** End-to-end entity resolution: linked pairs → transitive

@@ -126,6 +126,26 @@ class LinkageSpec extends SparkSpec {
     }
   }
 
+  test("Fellegi-Sunter weights and decisions match hand-computed values") {
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    val pairs = Seq((1L, 2L, true, true), (3L, 4L, true, false),
+      (5L, 6L, false, false)).toDF("id_a", "id_b", "f1", "f2")
+    val out = Linkage.fellegiSunter(pairs, Seq(
+        Linkage.FsField("f1", col("f1"), m = 0.9, u = 0.05),
+        Linkage.FsField("f2", col("f2"), m = 0.8, u = 0.1)),
+        upper = 5.0, lower = 0.0)
+      .select("id_a", "weight", "decision")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2)))
+      .toMap
+    val a1 = lg2(0.9 / 0.05); val d1 = lg2(0.1 / 0.95)
+    val a2 = lg2(0.8 / 0.1); val d2 = lg2(0.2 / 0.9)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((r6(a1 + a2), "match")), s"got ${out(1L)}")
+    assert(out(3L) == ((r6(a1 + d2), "possible")), s"got ${out(3L)}")
+    assert(out(5L) == ((r6(d1 + d2), "non_match")), s"got ${out(5L)}")
+  }
+
   test("records below twice the block width are dropped, not mis-blocked") {
     val short = Seq((1L, "tiny"), (2L, "tiny")).toDF("id", "name")
     assert(Linkage.linkPairs(short, "id", "name", maxDist = 1).count() == 0)
