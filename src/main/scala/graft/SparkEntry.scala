@@ -2198,6 +2198,25 @@ object SparkEntry {
           upper = 4.0, lower = 0.0)
         .select(col("id_a"), col("id_b"), col("weight"), col("decision"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Bipartite MOSS matching: the q157 recrawl delta winnow-matched
+    // against the standing corpus — the incremental plagiarism/reuse
+    // check, sharing fuzzyJoin's never-self-join shape but with the
+    // positioned-substring coverage guarantee. Cross-side df cap
+    // drops boilerplate hashes hot on either side.
+    "q175_winnow_cross" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val next = docs.where(col("doc_id") % 37 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 53 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val delta = graft.ops.Snapshots.changedDocs(docs, next, "doc_id", "text")
+      graft.ops.Winnow.matchAcross(delta, "doc_id", "text",
+          docs, "doc_id", "text")
+        .orderBy("left_id", "right_id")
     })
   )
 
@@ -2207,31 +2226,34 @@ object SparkEntry {
     * pair computation. */
   private val MinhashGateCtes: String = minhashGateCtes("documents")
 
-  /** Shared DuckDB CTE chain mirroring [[graft.ops.Winnow]]'s
-    * selection (k = 8, w = 4, P = 1e6): packed keys `h*P - i`, window
-    * mins, distinct unpack to (doc_id, pos, fp) — interpolated into
-    * the q162/q163 oracles so both gate the SAME selected set. All
-    * arithmetic is 64-bit integer (no float in the unpack). */
-  private val WinnowCtes: String =
-    """wk AS (
-      |  SELECT doc_id, text,
-      |    list_transform(generate_series(1, length(text)-7),
-      |      i -> CAST(('0x'||substr(md5(substr(text,i,8)),1,8)) AS BIGINT)
-      |           * 1000000 - i) AS keys
-      |  FROM documents WHERE length(text) >= 11
-      |), wsel AS (
-      |  SELECT doc_id, text,
-      |    unnest(list_distinct(list_transform(generate_series(1, len(keys)-3),
-      |      s -> list_min(keys[s:s+3])))) AS m
-      |  FROM wk
-      |), wfp AS (
-      |  SELECT doc_id,
-      |    CAST(((-m) % 1000000 + 1000000) % 1000000 AS BIGINT) AS pos,
-      |    CAST(('0x'||substr(md5(substr(text,
-      |      CAST(((-m)%1000000+1000000)%1000000 AS INT), 8)),1,8)) AS BIGINT)
-      |      AS fp
-      |  FROM wsel
-      |)""".stripMargin
+  /** DuckDB CTE chain mirroring [[graft.ops.Winnow]]'s selection over
+    * `src` with `sfx`-suffixed names (k = 8, w = 4, P = 1e6): packed
+    * keys `h*P - i`, window mins, distinct unpack to (doc_id, pos,
+    * fp). All arithmetic is 64-bit integer (no float in the unpack).
+    * Suffix "" yields the q162/q163/q168 single-corpus chain; two
+    * suffixed instances coexist in the q175 bipartite oracle. */
+  private def winnowCtes(src: String, sfx: String): String =
+    s"""wk$sfx AS (
+       |  SELECT doc_id, text,
+       |    list_transform(generate_series(1, length(text)-7),
+       |      i -> CAST(('0x'||substr(md5(substr(text,i,8)),1,8)) AS BIGINT)
+       |           * 1000000 - i) AS keys
+       |  FROM $src WHERE length(text) >= 11
+       |), wsel$sfx AS (
+       |  SELECT doc_id, text,
+       |    unnest(list_distinct(list_transform(generate_series(1, len(keys)-3),
+       |      s -> list_min(keys[s:s+3])))) AS m
+       |  FROM wk$sfx
+       |), wfp$sfx AS (
+       |  SELECT doc_id,
+       |    CAST(((-m) % 1000000 + 1000000) % 1000000 AS BIGINT) AS pos,
+       |    CAST(('0x'||substr(md5(substr(text,
+       |      CAST(((-m)%1000000+1000000)%1000000 AS INT), 8)),1,8)) AS BIGINT)
+       |      AS fp
+       |  FROM wsel$sfx
+       |)""".stripMargin
+
+  private val WinnowCtes: String = winnowCtes("documents", "")
 
   /** Shared DuckDB CTE chain mirroring [[graft.ops.Linkage]]'s
     * blocking + block-size cap + Levenshtein verify (keyWidth 64,
@@ -5771,7 +5793,35 @@ ORDER BY 1, 2"""
          |  CASE WHEN weight >= 4.0 THEN 'match'
          |       WHEN weight <= 0.0 THEN 'non_match'
          |       ELSE 'possible' END AS decision
-         |FROM fs ORDER BY 1, 2""".stripMargin
+         |FROM fs ORDER BY 1, 2""".stripMargin,
+
+    // two suffixed winnow chains (delta side, corpus side) + the
+    // cross-side df cap + shared-count threshold
+    "q175_winnow_cross" ->
+      s"""WITH nw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 37 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 53 = 0
+         |), delta AS (
+         |  SELECT n.doc_id, n.text
+         |  FROM nw n LEFT JOIN documents o ON o.doc_id = n.doc_id
+         |  WHERE o.doc_id IS NULL OR o.text <> n.text
+         |), ${winnowCtes("delta", "l")},
+         |${winnowCtes("documents", "r")},
+         |lfx AS (SELECT DISTINCT doc_id, fp FROM wfpl),
+         |rfx AS (SELECT DISTINCT doc_id, fp FROM wfpr),
+         |rarex AS (
+         |  SELECT fp FROM (
+         |    SELECT fp FROM lfx UNION ALL SELECT fp FROM rfx)
+         |  GROUP BY fp HAVING count(*) <= 20
+         |)
+         |SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+         |  count(*) AS n_shared
+         |FROM lfx l JOIN rarex USING (fp) JOIN rfx r USING (fp)
+         |GROUP BY 1, 2 HAVING count(*) >= 15
+         |ORDER BY 1, 2""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

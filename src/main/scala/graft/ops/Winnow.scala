@@ -150,6 +150,37 @@ object Winnow {
       .where(col("n_shared") >= minShared)
   }
 
+  /** [[matchPairs]] made BIPARTITE — MOSS matching BETWEEN two
+    * document sets (a recrawl delta against the standing corpus, a
+    * submission batch against the archive): pairs sharing at least
+    * `minShared` distinct selected fingerprints, where document
+    * frequency is counted ACROSS BOTH SIDES (a hash hot anywhere is
+    * boilerplate) and capped at `dfCap`. Left and right never
+    * self-join, so intra-side duplicates cost nothing — the
+    * [[Dedup.fuzzyJoin]] shape at the winnowing grain, with its
+    * positioned-substring coverage guarantee instead of the global
+    * Jaccard sketch. Identical ids on the two sides are NOT excluded
+    * (the sides are different tables). Output:
+    * (left_id, right_id, n_shared). */
+  def matchAcross(left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      k: Int = 8, w: Int = 4, dfCap: Int = 20,
+      minShared: Int = 15): DataFrame = {
+    require(dfCap >= 2, s"dfCap below 2 can never pair, got $dfCap")
+    require(minShared >= 1, s"minShared must be positive, got $minShared")
+    val lf = selectedFingerprints(left, leftId, leftText, k, w)
+      .select(col(leftId).as("left_id"), col("fp")).distinct()
+    val rf = selectedFingerprints(right, rightId, rightText, k, w)
+      .select(col(rightId).as("right_id"), col("fp")).distinct()
+    val rare = lf.select(col("fp")).unionByName(rf.select(col("fp")))
+      .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= dfCap).select(col("fp"))
+    lf.join(rare, Seq("fp")).join(rf, Seq("fp"))
+      .groupBy(col("left_id"), col("right_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** MOSS-style ALIGNED MATCH SPANS — the report surface behind
     * [[matchPairs]]: for each matched pair, the shared selected
     * fingerprints are grouped by alignment offset (`pos_a − pos_b` —

@@ -217,6 +217,25 @@ class WinnowSpec extends SparkSpec {
       s"spans must flank the edit: $spans")
   }
 
+  test("matchAcross links a revised delta doc to its original, never self-joins a side") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val corpus = Seq((1L, base),
+      (2L, base), // intra-corpus duplicate: must cost nothing
+      (3L, "completely different corpus content about executors and " +
+        "shuffles and codegen and partitions in long running clusters"))
+      .toDF("doc_id", "text")
+    val delta = Seq((10L, base.replace("delta", "delXa")),
+      (11L, "fresh unrelated delta document with brand new words " +
+        "nothing shared here at all with anything else whatsoever"))
+      .toDF("doc_id", "text")
+    val got = Winnow.matchAcross(delta, "doc_id", "text",
+        corpus, "doc_id", "text", K, W, dfCap = 10, minShared = 5)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(got.map(p => (p._1, p._2)) == Seq((10L, 1L), (10L, 2L)),
+      s"expected the revision against both corpus copies only: $got")
+  }
+
   test("matchPairs equals the capped-intersection reference") {
     // shared boilerplate tail: its interior fingerprints are selected
     // in all 8 docs (df 8 > cap) and must not contribute; selection
