@@ -58,6 +58,15 @@ object GraftExtensions {
         require(args.length == 1, "char_entropy(text) takes 1 argument")
         graft.expressions.CharEntropy(args.head)
       }),
+    ("winnow_fingerprints",
+      "winnow_fingerprints(text, k, w) - winnowed (pos, fp) fingerprint structs",
+      args => {
+        require(args.length == 3,
+          "winnow_fingerprints(text, k, w) takes 3 arguments")
+        graft.expressions.WinnowFingerprints(args.head,
+          args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int],
+          graft.ops.Winnow.PosMod)
+      }),
     ("year_week",
       "year_week(date) - the reference's %Y-%W week key (Monday-first)",
       args => {

@@ -115,6 +115,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(r - math.log(2)) < 1e-12)
   }
 
+  test("winnow_fingerprints is callable from SQL and matches the Column form") {
+    GraftExtensions.register(spark)
+    val txt = "the quick brown fox jumps over the lazy dog again"
+    val viaSql = spark.sql(
+        s"SELECT explode(winnow_fingerprints('$txt', 8, 4)) AS s")
+      .select("s.pos", "s.fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCol = graft.ops.Winnow.selectedFingerprints(
+        Seq((1L, txt)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("pos", "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
   test("the full pipeline function surface is callable from pure SQL") {
     GraftExtensions.register(spark)
     def one(sql: String): Any = spark.sql(sql).head().get(0)
