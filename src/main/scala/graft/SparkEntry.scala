@@ -2200,6 +2200,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Unsupervised Fellegi-Sunter: the q174 fields with m/u LEARNED
+    // by 20 EM iterations on the 2^3 agreement-pattern counts (a
+    // bounded driver-side sufficient statistic). The oracle replays
+    // the identical fixed-order recurrence in a recursive CTE, so
+    // the learned parameters — and every weight — reproduce exactly.
+    "q176_fellegi_sunter_em" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = graft.ops.Linkage.linkPairs(docs, "doc_id", "text",
+        maxDist = 16)
+      val attrs = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      val pairs = cand
+        .join(attrs.select(col("doc_id").as("id_a"),
+          col("source").as("__sa"), col("n_chars").as("__la")), Seq("id_a"))
+        .join(attrs.select(col("doc_id").as("id_b"),
+          col("source").as("__sb"), col("n_chars").as("__lb")), Seq("id_b"))
+      graft.ops.Linkage.fellegiSunterEm(pairs, Seq(
+          ("key_close", col("dist") <= 4),
+          ("same_source", col("__sa") === col("__sb")),
+          ("len_band",
+            floor(col("__la") / lit(100.0)) === floor(col("__lb") / lit(100.0)))),
+          iters = 20, upper = 4.0, lower = 0.0)
+        .select(col("id_a"), col("id_b"), col("weight"), col("decision"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Bipartite MOSS matching: the q157 recrawl delta winnow-matched
     // against the standing corpus — the incremental plagiarism/reuse
     // check, sharing fuzzyJoin's never-self-join shape but with the
@@ -2556,6 +2581,81 @@ object SparkEntry {
        |  ROUND(inter*1.0/(na+nb-inter), 6) AS jaccard
        |FROM verified WHERE inter*1.0/(na+nb-inter) >= 0.5
        |ORDER BY 1, 2""".stripMargin
+
+  /** The q176 oracle's EM recurrence, GENERATED so the SQL's operation
+    * order provably matches [[graft.ops.Linkage.fellegiSunterEm]]'s
+    * Scala loop (patterns ascending, fields ascending, left-associated
+    * sums, identical clamps) — bit-identical learned parameters. */
+  private val FsEmOracleSql: String = {
+    val k = 3
+    val pats = 0 until (1 << k)
+    def fm(g: Int, i: Int) = if (((g >> i) & 1) == 1) s"m$i" else s"(1 - m$i)"
+    def fu(g: Int, i: Int) = if (((g >> i) & 1) == 1) s"u$i" else s"(1 - u$i)"
+    def pm(g: Int) = (0 until k).map(fm(g, _)).mkString("p * ", " * ", "")
+    def pu(g: Int) = (0 until k).map(fu(g, _)).mkString("(1 - p) * ", " * ", "")
+    val wDefs = pats.map(g =>
+      s"(${pm(g)}) / ((${pm(g)}) + (${pu(g)})) AS w$g").mkString(", ")
+    val sw = pats.map(g => s"c$g*w$g").mkString(" + ")
+    val nn = pats.map(g => s"c$g").mkString(" + ")
+    def clamp(x: String) =
+      s"GREATEST(LEAST($x, 1 - 0.000001), 0.000001)"
+    def mUpd(i: Int) = clamp("(" +
+      pats.filter(g => ((g >> i) & 1) == 1).map(g => s"c$g*w$g")
+        .mkString(" + ") + ") / sw")
+    def uUpd(i: Int) = clamp("(" +
+      pats.filter(g => ((g >> i) & 1) == 1).map(g => s"c$g*(1 - w$g)")
+        .mkString(" + ") + ") / (nn - sw)")
+    val cDefs = pats.map { g =>
+      val conds = (0 until k).map(i =>
+        s"g$i = ${(g >> i) & 1}").mkString(" AND ")
+      s"COALESCE(SUM(CASE WHEN $conds THEN 1 ELSE 0 END), 0) AS c$g"
+    }.mkString(",\n    ")
+    def fieldW(i: Int) =
+      s"(CASE WHEN f.g$i = 1 THEN LOG2(q.m$i / q.u$i) " +
+        s"ELSE LOG2((1 - q.m$i) / (1 - q.u$i)) END)"
+    s"""WITH RECURSIVE $LinkCtes,
+       |fsflags AS (
+       |  SELECT l.id_a, l.id_b,
+       |    CASE WHEN l.dist <= 4 THEN 1 ELSE 0 END AS g0,
+       |    CASE WHEN da.source = db.source THEN 1 ELSE 0 END AS g1,
+       |    CASE WHEN FLOOR(da.n_chars/100.0) = FLOOR(db.n_chars/100.0)
+       |      THEN 1 ELSE 0 END AS g2
+       |  FROM llink l
+       |  JOIN documents da ON da.doc_id = l.id_a
+       |  JOIN documents db ON db.doc_id = l.id_b
+       |), pat AS (
+       |  SELECT
+       |    $cDefs
+       |  FROM fsflags
+       |), em(it, p, m0, m1, m2, u0, u1, u2) AS (
+       |  SELECT 0, CAST(0.1 AS DOUBLE),
+       |    CAST(0.8 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.8 AS DOUBLE),
+       |    CAST(0.1 AS DOUBLE), CAST(0.1 AS DOUBLE), CAST(0.1 AS DOUBLE)
+       |  UNION ALL
+       |  SELECT it + 1,
+       |    ${clamp("sw / nn")},
+       |    ${mUpd(0)}, ${mUpd(1)}, ${mUpd(2)},
+       |    ${uUpd(0)}, ${uUpd(1)}, ${uUpd(2)}
+       |  FROM (
+       |    SELECT *, ($sw) AS sw, ($nn) AS nn
+       |    FROM (
+       |      SELECT em.*, pat.*, $wDefs
+       |      FROM em, pat WHERE em.it < 20
+       |    )
+       |  )
+       |), prm AS (
+       |  SELECT * FROM em WHERE it = 20
+       |)
+       |SELECT f.id_a, f.id_b,
+       |  ROUND(${fieldW(0)} + ${fieldW(1)} + ${fieldW(2)}, 6) AS weight,
+       |  CASE WHEN ROUND(${fieldW(0)} + ${fieldW(1)} + ${fieldW(2)}, 6) >= 4.0
+       |         THEN 'match'
+       |       WHEN ROUND(${fieldW(0)} + ${fieldW(1)} + ${fieldW(2)}, 6) <= 0.0
+       |         THEN 'non_match'
+       |       ELSE 'possible' END AS decision
+       |FROM fsflags f, prm q
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   private val HybridRrfOracleSql: String =
     """WITH q(query_id, qtext) AS (
@@ -5794,6 +5894,8 @@ ORDER BY 1, 2"""
          |       WHEN weight <= 0.0 THEN 'non_match'
          |       ELSE 'possible' END AS decision
          |FROM fs ORDER BY 1, 2""".stripMargin,
+
+    "q176_fellegi_sunter_em" -> FsEmOracleSql,
 
     // two suffixed winnow chains (delta side, corpus side) + the
     // cross-side df cap + shared-count threshold

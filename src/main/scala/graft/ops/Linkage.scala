@@ -254,6 +254,112 @@ object Linkage {
           .otherwise(lit("possible")))
   }
 
+  /** UNSUPERVISED Fellegi–Sunter: estimate the model parameters
+    * `(p, m_i, u_i)` by EM (Winkler's formulation) and score in one
+    * call — the estimation step [[fellegiSunter]] assumes done
+    * offline. The trick that makes EM scale-correct: the likelihood
+    * depends on candidate pairs ONLY through their agreement-pattern
+    * counts — `2^k` integers for `k` fields — so one aggregation
+    * reduces the pair frame to a bounded sufficient statistic and the
+    * EM loop runs driver-side on 8 numbers, identically at 1 GB or
+    * 100 TB. NULL comparisons count as disagreement, as in
+    * [[fellegiSunter]].
+    *
+    * Determinism/oracle contract: the iteration arithmetic is written
+    * in a FIXED operation order (patterns ascending, fields
+    * ascending, left-associated sums) and parameters are clamped to
+    * `(1e-6, 1−1e-6)` — the q176 oracle replays the identical
+    * recurrence in a recursive CTE, so the learned parameters (and
+    * therefore every weight) are bit-reproducible across engines up
+    * to the final 6-digit weight rounding.
+    *
+    * Output: input columns + (weight, decision) — weights
+    * `log2(m_i/u_i)` / `log2((1−m_i)/(1−u_i))` under the LEARNED
+    * parameters, classified against the thresholds on the rounded
+    * weight. No `m > u` precondition: a field EM finds uninformative
+    * simply contributes a near-zero weight. */
+  def fellegiSunterEm(pairs: DataFrame, fields: Seq[(String, Column)],
+      iters: Int = 20, upper: Double = 4.0, lower: Double = 0.0,
+      initP: Double = 0.1, initM: Double = 0.8,
+      initU: Double = 0.1): DataFrame = {
+    val k = fields.size
+    require(k >= 1 && k <= 16, s"need 1..16 comparison fields, got $k")
+    require(iters >= 1, s"need at least one EM iteration, got $iters")
+    val flagCols = fields.zipWithIndex.map { case ((_, c), i) =>
+      coalesce(c, lit(false)).as(s"__g$i")
+    }
+    val flagged = pairs.select(pairs.columns.map(col) ++ flagCols: _*)
+    // the bounded sufficient statistic: one count per agreement pattern
+    val counts = new Array[Long](1 << k)
+    flagged.groupBy((0 until k).map(i => col(s"__g$i")): _*).count()
+      .collect().foreach { r =>
+        val mask = (0 until k).foldLeft(0) { (acc, i) =>
+          acc | (if (r.getBoolean(i)) 1 << i else 0)
+        }
+        counts(mask) = r.getLong(k)
+      }
+    // EM on the pattern counts — fixed operation order (see doc)
+    def clamp(x: Double): Double =
+      math.max(math.min(x, 1 - 0.000001), 0.000001)
+    var p = initP
+    val m = Array.fill(k)(initM)
+    val u = Array.fill(k)(initU)
+    val nn = {
+      var s = 0.0
+      var g = 0
+      while (g < (1 << k)) { s += counts(g).toDouble; g += 1 }
+      s
+    }
+    for (_ <- 0 until iters) {
+      val w = new Array[Double](1 << k)
+      var g = 0
+      while (g < (1 << k)) {
+        var pm = p
+        var pu = 1 - p
+        var i = 0
+        while (i < k) {
+          if (((g >> i) & 1) == 1) { pm *= m(i); pu *= u(i) }
+          else { pm *= (1 - m(i)); pu *= (1 - u(i)) }
+          i += 1
+        }
+        w(g) = pm / (pm + pu)
+        g += 1
+      }
+      var sw = 0.0
+      g = 0
+      while (g < (1 << k)) { sw += counts(g) * w(g); g += 1 }
+      var i = 0
+      while (i < k) {
+        var nm = 0.0
+        var nu = 0.0
+        g = 0
+        while (g < (1 << k)) {
+          if (((g >> i) & 1) == 1) {
+            nm += counts(g) * w(g)
+            nu += counts(g) * (1 - w(g))
+          }
+          g += 1
+        }
+        m(i) = clamp(nm / sw)
+        u(i) = clamp(nu / (nn - sw))
+        i += 1
+      }
+      p = clamp(sw / nn)
+    }
+    // score under the learned parameters
+    def lg2(x: Double): Double = math.log(x) / math.log(2.0)
+    val wCol = fields.zipWithIndex.map { case (_, i) =>
+      when(col(s"__g$i"), lit(lg2(m(i) / u(i))))
+        .otherwise(lit(lg2((1 - m(i)) / (1 - u(i)))))
+    }.reduce(_ + _)
+    flagged.withColumn("weight", round(wCol, 6))
+      .withColumn("decision",
+        when(col("weight") >= upper, lit("match"))
+          .when(col("weight") <= lower, lit("non_match"))
+          .otherwise(lit("possible")))
+      .drop((0 until k).map(i => s"__g$i"): _*)
+  }
+
   /** End-to-end entity resolution: linked pairs → transitive
     * connected components → entity id (the minimum member id — the
     * canonical survivor). Every record that enters blocking gets a

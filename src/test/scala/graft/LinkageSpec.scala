@@ -146,6 +146,30 @@ class LinkageSpec extends SparkSpec {
     assert(out(5L) == ((r6(d1 + d2), "non_match")), s"got ${out(5L)}")
   }
 
+  test("EM learns m > u on planted structure and ranks full agreement highest") {
+    // 20 planted matches agree on both fields; 200 background pairs
+    // agree only at noise rates — EM must push the agreement weights
+    // positive and the disagreement weights negative
+    val rnd = new scala.util.Random(7)
+    val pairs = ((1 to 20).map(i => (i.toLong, (i + 1000).toLong, true, true)) ++
+      (1 to 200).map(i => ((i + 5000).toLong, (i + 9000).toLong,
+        rnd.nextDouble() < 0.05, rnd.nextDouble() < 0.1)))
+      .toDF("id_a", "id_b", "f1", "f2")
+    val out = Linkage.fellegiSunterEm(pairs,
+        Seq(("f1", col("f1")), ("f2", col("f2"))),
+        iters = 20, upper = 2.0, lower = 0.0)
+      .select("f1", "f2", "weight", "decision")
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) ->
+        (r.getDouble(2), r.getString(3))).toMap
+    val (w11, d11) = out((true, true))
+    val (w00, d00) = out((false, false))
+    assert(w11 > 0 && d11 == "match", s"full agreement must score match: $out")
+    assert(w00 < 0 && d00 == "non_match",
+      s"full disagreement must score non_match: $out")
+    assert(out.forall { case (_, (w, _)) => w <= w11 && w >= w00 },
+      s"mixed patterns must fall between the extremes: $out")
+  }
+
   test("records below twice the block width are dropped, not mis-blocked") {
     val short = Seq((1L, "tiny"), (2L, "tiny")).toDF("id", "name")
     assert(Linkage.linkPairs(short, "id", "name", maxDist = 1).count() == 0)
