@@ -97,6 +97,51 @@ class PlanQualitySpec extends SparkSpec {
     assert(!qplan.contains("CartesianProduct"), qplan)
   }
 
+  // Queries whose plan deliberately carries an ORDER-without-PARTITION
+  // window: each ranks a frame that is BOUNDED by construction
+  // (distinct values, a vocabulary, aggregated pairs, a codebook), so
+  // the single-partition sort is metadata-scale — the documented
+  // exception, not the full-fact-table failure mode this gate exists
+  // to catch (the q170 distributed rank is the pattern for the
+  // unbounded case).
+  private val globalWindowByDesign = Set(
+    "q100_percentile_rank", // rank over the reduced DISTINCT-value frame
+    "q113_interleave",      // deterministic interleave over per-source ranks
+    "q119_pmi",             // ranking the aggregated pair table
+    "q123_ks_drift",        // global CDF over aggregated distinct values
+    "q129_pq_topk",         // codebook ids over the sampled training set
+    "q66_token_shards",     // shard ids over the vocabulary table
+    "q81_vocab",            // vocabulary ranks (bounded by |vocab|)
+    "q82_bpe_pairs")        // merge-pair ranks (bounded by |pair vocab|)
+
+  test("order-without-partition windows appear only over bounded-by-design frames") {
+    // a Window line prints [funcs], [partition], [order]; the
+    // no-partition form has two groups with the second an ordering
+    // spec — the single-partition global sort that dies at 100 TB on
+    // an unbounded frame
+    def hasGlobalWindow(plan: String): Boolean =
+      plan.split("\n").filter(_.contains("Window [")).exists { l =>
+        val rest = l.substring(l.indexOf("Window [") + "Window ".length)
+        val groups = new scala.collection.mutable.ArrayBuffer[String]()
+        var depth = 0
+        val sb = new StringBuilder
+        rest.foreach { c =>
+          if (c == '[') { depth += 1; if (depth == 1) sb.clear() else sb += c }
+          else if (c == ']') {
+            depth -= 1
+            if (depth == 0) groups += sb.toString else sb += c
+          } else if (depth >= 1) sb += c
+        }
+        groups.size == 2 &&
+          (groups(1).contains(" ASC") || groups(1).contains(" DESC"))
+      }
+    SparkEntry.queries.keys.filterNot(globalWindowByDesign).foreach { name =>
+      assert(!hasGlobalWindow(planOf(name)),
+        s"$name plans an order-without-partition window over an " +
+          "unbounded frame")
+    }
+  }
+
   test("range join resolves to an equi hash/sort-merge join on the bucket key") {
     val p = planOf("q52_range_join")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
