@@ -33,11 +33,20 @@ object Bench {
     val all = SparkEntry.queries.keys.toSeq.sorted
     val names =
       if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
+    // between queries: drop caches + checkpoint blocks and scratch
+    // dirs the finished query pinned — 352 executions in one JVM
+    // otherwise accumulate block-manager storage until late queries
+    // thrash (the round-9 driver-run 10-20x late-query regressions)
+    def sweep(): Unit = {
+      graft.etl.Checkpoints.sweep(spark)
+      graft.etl.Scratch.sweep()
+    }
     // untimed warm-up pass: JIT + codegen compilation + file-index
     // caches, so timed numbers reflect steady-state execution
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      sweep()
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
@@ -45,6 +54,7 @@ object Bench {
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      sweep() // outside the timed window; fresh-JVM-equivalent state
       (name, sec, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

@@ -44,7 +44,7 @@ object GraftExtensions {
       "word_shingles(array<string>, n) - distinct space-joined n-grams",
       args => {
         require(args.length == 2, "word_shingles(toks, n) takes 2 arguments")
-        WordShingles(args.head, args(1).eval().asInstanceOf[Int])
+        WordShingles(args.head, intArg(args(1), "word_shingles n"))
       }),
     ("simhash32",
       "simhash32(array<string>) - 32-bit SimHash of a token array",
@@ -64,7 +64,8 @@ object GraftExtensions {
         require(args.length == 3,
           "winnow_fingerprints(text, k, w) takes 3 arguments")
         graft.expressions.WinnowFingerprints(args.head,
-          args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int],
+          intArg(args(1), "winnow_fingerprints k"),
+          intArg(args(2), "winnow_fingerprints w"),
           graft.ops.Winnow.PosMod)
       }),
     ("year_week",
@@ -102,8 +103,10 @@ object GraftExtensions {
       args => {
         require(args.length == 2,
           "normalize_unicode(text, form) takes 2 arguments")
+        require(args(1).foldable,
+          "normalize_unicode form must be a string constant")
         graft.expressions.NormalizeUnicode(args.head,
-          args(1).eval().toString)
+          String.valueOf(args(1).eval()))
       }),
     ("quality_score",
       "quality_score(text) - composite [0,1] document quality heuristic",
@@ -211,6 +214,16 @@ object GraftExtensions {
       case other => throw new IllegalArgumentException(
         s"$what must be an integer constant, got $other")
     }
+  }
+
+  /** [[longArg]] narrowed to Int (shingle widths, winnow windows) — a
+    * non-literal or non-integer argument gets a pointed resolution-time
+    * error instead of an unbound-reference eval / ClassCastException. */
+  private def intArg(e: Expression, what: String): Int = {
+    val l = longArg(e, what)
+    require(l >= Int.MinValue && l <= Int.MaxValue,
+      s"$what out of Int range: $l")
+    l.toInt
   }
 
   private def doubleArg(e: Expression, what: String): Double = {

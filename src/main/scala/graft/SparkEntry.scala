@@ -2075,7 +2075,8 @@ object SparkEntry {
           substring(col("text"), 40, 160).as("text"))
         .where(length(col("text")) >= 40)
       Dedup.containmentJoin(excerpts, "doc_id", "text",
-          docs, "doc_id", "text", n = 3, minContainment = 0.8)
+          docs, "doc_id", "text", n = 3, minContainment = 0.8,
+          candDfCap = 0) // opt-in completeness mode: the EXACT gate
         .orderBy("small_id", "corpus_id")
     }),
 

@@ -31,6 +31,18 @@ object Scratch {
     * already-removed paths. */
   def remove(path: String): Unit = deleteTree(java.nio.file.Paths.get(path))
 
+  /** Remove every allocation under the managed root (the root itself
+    * survives for later [[dir]] calls). For single-threaded session
+    * hosts (Bench / Verify) between independent queries — a finished
+    * query's persisted indexes and streaming checkpoints are rebuilt
+    * by the next invocation, so 350+ executions in one JVM must not
+    * accumulate them. NOT safe while another thread's query is live. */
+  def sweep(): Unit = {
+    import scala.jdk.CollectionConverters._
+    try Files.list(root).iterator().asScala.toSeq.foreach(deleteTree)
+    catch { case _: Throwable => () }
+  }
+
   private def deleteTree(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
     try

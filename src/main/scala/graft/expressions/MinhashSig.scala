@@ -44,11 +44,16 @@ case class MinhashSig(child: Expression, a: Seq[Long], b: Seq[Long], mod: Long)
           s"minhash_sig needs array<string>, got $t")
     }
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // MessageDigest is stateful; ThreadLocal guards against any
+  // concurrent evaluation of one expression instance (the
+  // WinnowFingerprints convention).
+  @transient private lazy val md: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
   @transient private lazy val aArr = a.toArray
   @transient private lazy val bArr = b.toArray
 
   override def nullSafeEval(input: Any): Any = {
+    val md = this.md.get()
     val arr = input.asInstanceOf[ArrayData]
     val nPerms = aArr.length
     val minima = Array.fill(nPerms)(Long.MaxValue)

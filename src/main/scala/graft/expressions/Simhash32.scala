@@ -32,9 +32,14 @@ case class Simhash32(child: Expression)
           s"simhash32 needs array<string>, got $t")
     }
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // MessageDigest is stateful; ThreadLocal guards against any
+  // concurrent evaluation of one expression instance (the
+  // WinnowFingerprints convention).
+  @transient private lazy val md: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(input: Any): Any = {
+    val md = this.md.get()
     val arr = input.asInstanceOf[ArrayData]
     val votes = new Array[Long](32)
     var i = 0

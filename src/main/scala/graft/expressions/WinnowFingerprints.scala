@@ -75,9 +75,15 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, posMod: Long,
           s"winnow_fingerprints needs string, got $t")
     }
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // MessageDigest is stateful — a per-instance val would corrupt
+  // hashes if one expression tree were ever evaluated from two threads
+  // (e.g. driver-side constant folding + a local-mode task). ThreadLocal
+  // keeps the no-allocation-per-row economy with per-thread state.
+  @transient private lazy val md: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(input: Any): Any = {
+    val md = this.md.get()
     val bytes = input.asInstanceOf[UTF8String].getBytes
     // character start offsets (UTF-8 non-continuation bytes) + sentinel:
     // Spark's length/substr count code points, so k-grams span

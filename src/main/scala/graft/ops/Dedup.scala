@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.etl.Checkpoints
 
 import graft.functions.TextFunctions._
 
@@ -123,13 +124,12 @@ object Dedup {
     val dfreq = ex.groupBy(col("sk")).agg(count(lit(1)).as("__df"))
     // one row per doc: shingle set ordered by (global df asc, hash) —
     // the AllPairs canonical order — plus the set size
-    val docs = ex.join(dfreq, "sk")
+    val docs = Checkpoints.truncate(ex.join(dfreq, "sk")
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("__df"), col("sk")))).as("__ord"),
         max(col("n")).as("nn"))
       .select(col(idCol),
-        transform(col("__ord"), e => e.getField("sk")).as("arr"), col("nn"))
-      .localCheckpoint(true)
+        transform(col("__ord"), e => e.getField("sk")).as("arr"), col("nn")))
     val prefixLen = (col("nn") - ceil(lit(threshold) * col("nn")) + 1).cast("int")
     val prefix = docs.select(col(idCol).as("doc_p"),
       posexplode(slice(col("arr"), lit(1), prefixLen)).as(Seq("pp", "sk")),
@@ -362,15 +362,19 @@ object Dedup {
     * a HARD fan-out bound of `cap · prefixLen` candidates per small
     * doc, trading the completeness proof away exactly when even a
     * doc's rarest `(1−τ)·n + 1` shingles are boilerplate-hot (the
-    * narrow documented recall loss); 0 (default) keeps the exact
-    * guarantee, which the q166 oracle holds against a direct
-    * posting-join computation (and q173 gates the capped path with a
-    * cap-mirrored oracle). Output: (small_id, corpus_id, containment
-    * rounded 6). */
+    * narrow documented recall loss). The DEFAULT is the capped
+    * production screen (200, the measured round-9 setting: 29.4 s at
+    * the 100× scale proof, sublinear) — on boilerplate-heavy corpora
+    * the exact path's candidate volume is sum-of-prefix-dfs and
+    * measured 366 s at 100×, a cost a caller must opt INTO with
+    * `candDfCap = 0` (completeness mode — the q166 oracle holds it
+    * against a direct posting-join computation; q173 gates the capped
+    * path with a cap-mirrored oracle). Output: (small_id, corpus_id,
+    * containment rounded 6). */
   def containmentJoin(small: DataFrame, smallId: String, smallText: String,
       corpus: DataFrame, corpusId: String, corpusText: String,
       n: Int = 3, minContainment: Double = 0.8,
-      candDfCap: Int = 0): DataFrame = {
+      candDfCap: Int = 200): DataFrame = {
     require(minContainment > 0 && minContainment <= 1,
       s"minContainment must be in (0, 1], got $minContainment")
     val corpusShS = shingleTable(corpus, corpusId, corpusText, n)
@@ -575,11 +579,13 @@ object Dedup {
     // against it, and without the checkpoint each iteration's eager
     // localCheckpoint would re-execute the whole upstream pair pipeline
     // (LSH signatures + verification) through the edges lineage
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint(true)
+    val edges = Checkpoints.truncate(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+    var prevCkpt: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -592,17 +598,22 @@ object Dedup {
           .withColumnRenamed("component", "nbr_comp"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_comp")).as("nbr_comp"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_comp"), col("component")))
-            .as("component"),
-          coalesce(col("nbr_comp") < col("component"), lit(false))
-            .as("__changed"))
-        .localCheckpoint(true) // truncate the iterative lineage
+      val updated = Checkpoints.truncate( // truncate the iterative lineage
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbr_comp"), col("component")))
+              .as("component"),
+            coalesce(col("nbr_comp") < col("component"), lit(false))
+              .as("__changed")))
       converged = updated.where(col("__changed")).limit(1).count() == 0
+      prevCkpt.foreach(Checkpoints.free) // superseded round's blocks
+      prevCkpt = Some(updated)
       labels = updated.drop("__changed")
       iter += 1
     }
+    // after >= 1 round labels reads only the last checkpoint — the
+    // bidirectional edge materialization is dead
+    if (iter > 0) Checkpoints.free(edges)
     if (!converged) {
       // silent non-convergence would return a still-split clustering and
       // quietly keep duplicates downstream — make it loud
@@ -723,15 +734,17 @@ object Dedup {
         .where(col("src") =!= col("dst"))
         .distinct()
     }
-    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var edges = Checkpoints.truncate(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .where(col("src") =!= col("dst")).distinct())
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = Checkpoints.truncate(smallStar(largeStar(edges)))
       // fixpoint when the (set-valued) edge list is unchanged
       converged = next.count() == edges.count() &&
         next.except(edges).limit(1).count() == 0
+      Checkpoints.free(edges) // fixpoint test done; prior round is dead
       edges = next
       iter += 1
     }

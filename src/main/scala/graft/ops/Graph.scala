@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.etl.Checkpoints
 
 /** Iterative graph analytics over edge lists — PageRank as the
   * representative fixed-point computation (the connected-components
@@ -43,6 +44,7 @@ object Graph {
       .cache()
     var ranks = nodes.join(broadcast(n), lit(true))
       .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
+    var prevCkpt: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contrib = e.join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy("dst").agg(sum(col("pr") * col("w") / col("ow")).as("c"))
@@ -55,10 +57,16 @@ object Graph {
       // truncate the iterative lineage every `checkpointEvery` rounds:
       // every round costs an extra eager job; a small bounded plan-depth
       // window between truncations keeps analysis cost flat at half the
-      // materializations
-      if (i % checkpointEvery == 0 || i == iters)
-        ranks = ranks.localCheckpoint(true)
+      // materializations. The superseded round's blocks are freed as
+      // soon as its successor is materialized — only the FINAL
+      // checkpoint (what the caller reads) stays pinned.
+      if (i % checkpointEvery == 0 || i == iters) {
+        ranks = Checkpoints.truncate(ranks)
+        prevCkpt.foreach(Checkpoints.free)
+        prevCkpt = Some(ranks)
+      }
     }
+    e.unpersist(false) // final ranks are materialized; edges are dead
     ranks
   }
 
@@ -129,25 +137,30 @@ object Graph {
   def bfsLevels(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
     import edges.sparkSession.implicits._
     require(maxHops >= 0, "maxHops must be non-negative")
-    var levels = Seq((source, 0L)).toDF("node", "lvl").localCheckpoint(true)
+    var levels = Checkpoints.truncate(Seq((source, 0L)).toDF("node", "lvl"))
     var frontier = levels
     var hop = 1L
     var done = maxHops == 0
     while (!done) {
-      val next = frontier
+      val next = Checkpoints.truncate(frontier
         .join(edges, frontier("node") === edges("src"))
         .select(col("dst").as("node")).distinct()
         .join(levels, Seq("node"), "left_anti")
-        .withColumn("lvl", lit(hop))
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
+        .withColumn("lvl", lit(hop)))
+      if (next.isEmpty) { Checkpoints.free(next); done = true }
       else {
-        levels = levels.union(next).localCheckpoint(true)
+        val grown = Checkpoints.truncate(levels.union(next))
+        // grown is materialized: the pre-union levels and the consumed
+        // frontier (distinct from levels after round 1) are both dead
+        Checkpoints.free(levels)
+        if (frontier ne levels) Checkpoints.free(frontier)
+        levels = grown
         frontier = next
         hop += 1
         if (hop > maxHops) done = true
       }
     }
+    if (frontier ne levels) Checkpoints.free(frontier)
     levels
   }
 }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.etl.Checkpoints
 
 /** Record linkage: blocked candidate generation + edit-distance
   * verification + transitive entity resolution — the metadata-side
@@ -192,9 +193,8 @@ object Linkage {
   private def withGlobalRank(df: DataFrame, out: String,
       sortCols: Seq[String]): DataFrame = {
     val cols = sortCols.map(col)
-    val parted = df.repartitionByRange(cols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    val parted = Checkpoints.truncate(df.repartitionByRange(cols: _*)
+      .withColumn("__pid", spark_partition_id()))
     val counts = parted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"))
       .orderBy(col("__pid"))
@@ -238,6 +238,7 @@ object Linkage {
   def fellegiSunter(pairs: DataFrame, fields: Seq[FsField],
       upper: Double, lower: Double): DataFrame = {
     require(fields.nonEmpty, "need at least one comparison field")
+    requireFreeColumns(pairs)
     require(upper >= lower, s"need upper >= lower, got $upper < $lower")
     fields.foreach { f =>
       require(f.m > 0 && f.m < 1 && f.u > 0 && f.u < 1 && f.m > f.u,
@@ -285,6 +286,7 @@ object Linkage {
     val k = fields.size
     require(k >= 1 && k <= 16, s"need 1..16 comparison fields, got $k")
     require(iters >= 1, s"need at least one EM iteration, got $iters")
+    requireFreeColumns(pairs)
     val flagCols = fields.zipWithIndex.map { case ((_, c), i) =>
       coalesce(c, lit(false)).as(s"__g$i")
     }
@@ -310,7 +312,10 @@ object Linkage {
       while (g < (1 << k)) { s += counts(g).toDouble; g += 1 }
       s
     }
-    for (_ <- 0 until iters) {
+    // an empty candidate frame would drive sw/nn to 0/0 — leave the
+    // init parameters untouched (the scored output is empty anyway,
+    // but NaN model parameters must never escape into the literals)
+    for (_ <- 0 until iters if nn > 0) {
       val w = new Array[Double](1 << k)
       var g = 0
       while (g < (1 << k)) {
@@ -358,6 +363,18 @@ object Linkage {
           .when(col("weight") <= lower, lit("non_match"))
           .otherwise(lit("possible")))
       .drop((0 until k).map(i => s"__g$i"): _*)
+  }
+
+  /** The FS scorers APPEND `weight`/`decision` (and EM internally uses
+    * `__g<i>` flags): a caller's same-named input columns would be
+    * silently shadowed/overwritten — refuse loudly instead. */
+  private def requireFreeColumns(pairs: DataFrame): Unit = {
+    val clash = pairs.columns.filter(c =>
+      c == "weight" || c == "decision" || c.matches("__g\\d+"))
+    require(clash.isEmpty,
+      s"input pair frame already has reserved column(s) ${clash.mkString(", ")} " +
+        "(weight/decision/__g<i> are produced by the Fellegi-Sunter scorers); " +
+        "rename them first")
   }
 
   /** End-to-end entity resolution: linked pairs → transitive

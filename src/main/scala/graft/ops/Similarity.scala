@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.etl.Checkpoints
 
 import graft.functions.VectorFunctions._
 
@@ -266,8 +267,8 @@ object Similarity {
     // eager localCheckpoint per step (the pageRank pattern): selected
     // is referenced three times by the next step, so without cutting
     // lineage the plan tree grows 3^k
-    var selected = argmax(rel.withColumn("mmr",
-      round(lit(lambda) * col("rel"), 8)), 1).localCheckpoint(true)
+    var selected = Checkpoints.truncate(argmax(rel.withColumn("mmr",
+      round(lit(lambda) * col("rel"), 8)), 1))
     for (step <- 2 to k) {
       val cand = rel.join(selected.select(col("query_id"), col("target_id")),
         Seq("query_id", "target_id"), "left_anti")
@@ -279,8 +280,14 @@ object Similarity {
       val next = argmax(cand.join(maxSim, Seq("query_id", "target_id"))
         .withColumn("mmr", round(lit(lambda) * col("rel")
           - lit(1.0 - lambda) * col("msim"), 8)), step)
-      selected = selected.union(next).localCheckpoint(true)
+      val grown = Checkpoints.truncate(selected.union(next))
+      Checkpoints.free(selected) // superseded prefix of the selection
+      selected = grown
     }
+    // the returned frame is fully materialized; the pool/sims caches
+    // backing the greedy steps are dead
+    pool.unpersist(false)
+    sims.unpersist(false)
     selected
   }
 

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.etl.Checkpoints
 
 import graft.functions.TextFunctions.tokens
 
@@ -188,11 +189,11 @@ object Vocab {
     import docs.sparkSession.implicits._
     require(nMerges > 0, "nMerges must be positive")
     require(batch > 0, "batch must be positive")
-    var words = docs.select(explode(tokens(col(textCol))).as("word"))
-      .where(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(split(col("word"), "").as("syms"), col("freq"))
-      .localCheckpoint(true)
+    var words = Checkpoints.truncate(
+      docs.select(explode(tokens(col(textCol))).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(split(col("word"), "").as("syms"), col("freq")))
     val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
     val created = scala.collection.mutable.Set.empty[String]
     var exhausted = false
@@ -238,12 +239,16 @@ object Vocab {
         }
         chosen.foreach { case (a, b, n) =>
           merges += ((merges.size + 1L, a, b, n)) }
-        words = words
+        val prev = words
+        words = Checkpoints.truncate(words
           .select(chosen.foldLeft(col("syms")) { case (c, (a, b, _)) =>
-            mergePair(c, a, b) }.as("syms"), col("freq"))
-          .localCheckpoint(true)
+            mergePair(c, a, b) }.as("syms"), col("freq")))
+        Checkpoints.free(prev) // superseded round's vocabulary blocks
       }
     }
+    // the merge table lives on the driver; the final vocabulary frame
+    // has no consumer
+    Checkpoints.free(words)
     merges.toSeq.toDF("rank", "left", "right", "n")
   }
 

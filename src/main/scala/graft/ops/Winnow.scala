@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.etl.Checkpoints
 
 import graft.functions.TextFunctions.h32
 
@@ -210,8 +211,8 @@ object Winnow {
     // both read it, instead of re-running the fingerprint expression
     // once per plan branch (the checkpoint is the same bounded frame
     // the posting join shuffles anyway)
-    val fps = selectedFingerprints(df, idCol, textCol, k, w)
-      .localCheckpoint(true)
+    val fps = Checkpoints.truncate(
+      selectedFingerprints(df, idCol, textCol, k, w))
     val pairs = pairsFromFps(fps, idCol, dfCap, minShared)
       .select("doc_a", "doc_b")
     // shared (df-capped) fingerprints of qualifying pairs, one row per

@@ -379,7 +379,8 @@ class DedupSpec extends SparkSpec {
       s"premise broken: LSH recalled the excerpt pair ($lshCand)")
     // the pigeonhole path must, with exact containment
     val got = Dedup.containmentJoin(small, "doc_id", "text",
-        corpus, "doc_id", "text", n = 3, minContainment = 0.8)
+        corpus, "doc_id", "text", n = 3, minContainment = 0.8,
+        candDfCap = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((10L, 1L, 1.0)),
       s"excerpt pair missing or wrong: ${got.toSeq}")
@@ -410,7 +411,8 @@ class DedupSpec extends SparkSpec {
     for (tau <- Seq(0.5, 0.8, 1.0)) {
       val exact = full(tau)
       val got = Dedup.containmentJoin(excerpts, "doc_id", "text",
-        real, "doc_id", "text", n = 3, minContainment = tau)
+        real, "doc_id", "text", n = 3, minContainment = tau,
+        candDfCap = 0)
       assert(got.exceptAll(exact).isEmpty && exact.exceptAll(got).isEmpty,
         s"pigeonhole path diverged from the full join at tau=$tau")
       assert(exact.count() > 0, s"no containment pairs at tau=$tau")

@@ -170,6 +170,57 @@ class LinkageSpec extends SparkSpec {
       s"mixed patterns must fall between the extremes: $out")
   }
 
+  test("one EM step matches the closed-form hand computation") {
+    // Independence check on the q176 oracle (which REPLAYS the Scala
+    // recurrence, so a shared conceptual bug would pass both engines):
+    // k = 1 field, 2 agreeing pairs + 8 disagreeing, ONE iteration,
+    // init p=0.1 m=0.8 u=0.1 — every quantity derivable on paper:
+    //   w(agree)    = p·m / (p·m + (1−p)·u)           = 0.08/0.17 = 8/17
+    //   w(disagree) = p(1−m) / (p(1−m) + (1−p)(1−u))  = 0.02/0.83 = 2/83
+    //   sw = 2·(8/17) + 8·(2/83) = 1600/1411
+    //   m' = (2·8/17) / sw              = 83/100   (exactly 0.83)
+    //   u' = (2·9/17) / (10 − sw)       = 83/695
+    //   → weight(agree)    = log2(m'/u')           = log2(6.95)
+    //   → weight(disagree) = log2((1−m')/(1−u'))   = log2(0.17·695/612)
+    val pairs = ((1 to 2).map(i => (i.toLong, true)) ++
+      (3 to 10).map(i => (i.toLong, false))).toDF("id_a", "agree")
+    val out = Linkage.fellegiSunterEm(pairs, Seq(("f", col("agree"))),
+        iters = 1, upper = 2.0, lower = 0.0,
+        initP = 0.1, initM = 0.8, initU = 0.1)
+      .select("agree", "weight").distinct()
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(true) == r6(lg2(6.95)),
+      s"agree weight != hand-derived log2((83/100)/(83/695)): $out")
+    assert(out(false) == r6(lg2(0.17 * 695.0 / 612.0)),
+      s"disagree weight != hand-derived log2((17/100)/(612/695)): $out")
+  }
+
+  test("EM on an empty pair frame returns empty without NaN parameters") {
+    val empty = Seq.empty[(Long, Boolean)].toDF("id_a", "agree")
+    val out = Linkage.fellegiSunterEm(empty, Seq(("f", col("agree"))))
+    assert(out.count() == 0)
+    assert(out.columns.contains("weight") && out.columns.contains("decision"))
+  }
+
+  test("FS scorers refuse reserved input columns loudly") {
+    val clash = Seq((1L, true, 0.5)).toDF("id_a", "agree", "weight")
+    intercept[IllegalArgumentException] {
+      Linkage.fellegiSunterEm(clash, Seq(("f", col("agree"))))
+    }
+    intercept[IllegalArgumentException] {
+      Linkage.fellegiSunter(clash,
+        Seq(Linkage.FsField("f", col("agree"), m = 0.9, u = 0.1)),
+        upper = 1.0, lower = 0.0)
+    }
+    val gclash = Seq((1L, true, 1)).toDF("id_a", "agree", "__g0")
+    intercept[IllegalArgumentException] {
+      Linkage.fellegiSunterEm(gclash, Seq(("f", col("agree"))))
+    }
+  }
+
   test("records below twice the block width are dropped, not mis-blocked") {
     val short = Seq((1L, "tiny"), (2L, "tiny")).toDF("id", "name")
     assert(Linkage.linkPairs(short, "id", "name", maxDist = 1).count() == 0)
