@@ -2180,21 +2180,18 @@ object SparkEntry {
     // non_match against thresholds 4.0 / 0.0.
     "q174_fellegi_sunter" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cand = graft.ops.Linkage.linkPairs(docs, "doc_id", "text",
-        maxDist = 16)
-      val attrs = docs.select(col("doc_id"), col("source"), col("n_chars"))
-      val pairs = cand
-        .join(attrs.select(col("doc_id").as("id_a"),
-          col("source").as("__sa"), col("n_chars").as("__la")), Seq("id_a"))
-        .join(attrs.select(col("doc_id").as("id_b"),
-          col("source").as("__sb"), col("n_chars").as("__lb")), Seq("id_b"))
+      // attributes ride the block join (carry) — FS scoring is one
+      // pass over candidates, no join-backs re-shuffling the pair set
+      val pairs = graft.ops.Linkage.linkPairs(docs, "doc_id", "text",
+        maxDist = 16, carry = Seq("source", "n_chars"))
       graft.ops.Linkage.fellegiSunter(pairs, Seq(
           graft.ops.Linkage.FsField("key_close",
             col("dist") <= 4, m = 0.9, u = 0.05),
           graft.ops.Linkage.FsField("same_source",
-            col("__sa") === col("__sb"), m = 0.7, u = 0.05),
+            col("source_a") === col("source_b"), m = 0.7, u = 0.05),
           graft.ops.Linkage.FsField("len_band",
-            floor(col("__la") / lit(100.0)) === floor(col("__lb") / lit(100.0)),
+            floor(col("n_chars_a") / lit(100.0))
+              === floor(col("n_chars_b") / lit(100.0)),
             m = 0.8, u = 0.1)),
           upper = 4.0, lower = 0.0)
         .select(col("id_a"), col("id_b"), col("weight"), col("decision"))
@@ -2208,19 +2205,15 @@ object SparkEntry {
     // the learned parameters — and every weight — reproduce exactly.
     "q176_fellegi_sunter_em" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cand = graft.ops.Linkage.linkPairs(docs, "doc_id", "text",
-        maxDist = 16)
-      val attrs = docs.select(col("doc_id"), col("source"), col("n_chars"))
-      val pairs = cand
-        .join(attrs.select(col("doc_id").as("id_a"),
-          col("source").as("__sa"), col("n_chars").as("__la")), Seq("id_a"))
-        .join(attrs.select(col("doc_id").as("id_b"),
-          col("source").as("__sb"), col("n_chars").as("__lb")), Seq("id_b"))
+      // carried attributes: one candidate pass feeds both the pattern
+      // aggregation (EM's sufficient statistic) and the scoring
+      val pairs = graft.ops.Linkage.linkPairs(docs, "doc_id", "text",
+        maxDist = 16, carry = Seq("source", "n_chars"))
       graft.ops.Linkage.fellegiSunterEm(pairs, Seq(
           ("key_close", col("dist") <= 4),
-          ("same_source", col("__sa") === col("__sb")),
-          ("len_band",
-            floor(col("__la") / lit(100.0)) === floor(col("__lb") / lit(100.0)))),
+          ("same_source", col("source_a") === col("source_b")),
+          ("len_band", floor(col("n_chars_a") / lit(100.0))
+            === floor(col("n_chars_b") / lit(100.0)))),
           iters = 20, upper = 4.0, lower = 0.0)
         .select(col("id_a"), col("id_b"), col("weight"), col("decision"))
         .orderBy("id_a", "id_b")

@@ -46,37 +46,81 @@ object Linkage {
     * key); records shorter than `2·blockWidth` characters are dropped
     * (no stable block key — a degenerate record, not a linkable one).
     * Blocks holding more than `blockCap` records are dropped from
-    * pairing (see object doc; audit with [[overCapBlocks]]). */
+    * pairing (see object doc; audit with [[overCapBlocks]]).
+    *
+    * `carry` names extra input columns to ride THROUGH the block join
+    * and surface per side as `<col>_a` / `<col>_b` — the one-pass way
+    * to hand downstream scorers (e.g. [[fellegiSunter]]'s comparison
+    * fields) record attributes: two post-hoc join-backs against the
+    * source table would re-shuffle the full pair frame twice, where
+    * carrying costs only a few extra bytes on the block exchange. */
   def linkPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, keyWidth: Int = 64, blockWidth: Int = 8,
-      blockCap: Int = 1000): DataFrame = {
+      blockCap: Int = 1000, carry: Seq[String] = Nil): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     require(blockWidth >= 1 && keyWidth >= 2 * blockWidth,
       s"need keyWidth >= 2*blockWidth, got $keyWidth/$blockWidth")
     require(blockCap >= 2, s"blockCap below 2 can never pair, got $blockCap")
-    // cap: count per block key, keep blocks within the cap — bounds
-    // every block's pair fan-out at blockCap^2 regardless of skew
-    val blocks = blockTable(df, idCol, strCol, keyWidth, blockWidth)
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__blk"))))
-      .where(col("__n") <= blockCap).drop("__n")
-    verifyBlockedPairs(blocks, maxDist)
+    requireCarry(carry, idCol, strCol)
+    // cap: count per block key via a window, keep blocks within the
+    // cap — bounds every block's pair fan-out at blockCap^2 regardless
+    // of skew. The window is chosen deliberately over a separate
+    // count-aggregate + anti-join: it clusters AND sorts the block
+    // table by __blk, exactly the distribution the verification
+    // self-join needs, so the whole pipeline runs off ONE exchange
+    // (both join sides are ReusedExchange) instead of three.
+    // materialized ONCE: both sides of the verification self-join read
+    // the capped block table, and without the truncation each side
+    // replays the scan + key derivation + count window (the executed
+    // plan showed the whole subtree duplicated — AQE's broadcast
+    // conversion defeats ReusedExchange here). The frame is narrow
+    // (ids + 64-char keys), the alignedSpans pattern.
+    val blocks = Checkpoints.truncate(
+      blockTable(df, idCol, strCol, keyWidth, blockWidth, carry)
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__blk"))))
+        .where(col("__n") <= blockCap).drop("__n"))
+    verifyBlockedPairs(blocks, maxDist, carry)
+  }
+
+  private def requireCarry(carry: Seq[String], idCol: String,
+      strCol: String): Unit = {
+    require(carry.distinct == carry, s"duplicate carry columns: $carry")
+    require(!carry.exists(c => c == idCol || c == strCol || c == "dist"),
+      s"carry columns clash with id/key/dist: $carry")
   }
 
   /** The shared VERIFY tail of every key-blocking pass: within-block
-    * self-join, per-pair dedup (a pair found by several passes links
-    * once), exact Levenshtein within `maxDist`. */
-  private def verifyBlockedPairs(blocks: DataFrame, maxDist: Int): DataFrame = {
-    val a = blocks.select(col("__blk"), col("__id").as("id_a"),
-      col("__name").as("__na"))
-    val b = blocks.select(col("__blk"), col("__id").as("id_b"),
-      col("__name").as("__nb"))
+    * self-join, exact Levenshtein within `maxDist`, then per-pair
+    * dedup (a pair found by several passes links once). The distance
+    * filter runs BEFORE the distinct on purpose: Levenshtein is a
+    * cheap narrow computation, and a block pair surviving `maxDist`
+    * is rare — so the dedup exchange carries only survivors instead
+    * of the full candidate fan-out (duplicate candidates re-verify,
+    * deterministically, which costs less than shuffling everything).
+    * Carried attribute columns are functionally dependent on the ids,
+    * so including them in the dedup changes nothing about which pairs
+    * survive. */
+  private def verifyBlockedPairs(blocks: DataFrame, maxDist: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val a = blocks.select(col("__blk") +: col("__id").as("id_a") +:
+      col("__name").as("__na") +:
+      carry.map(c => col(c).as(s"${c}_a")): _*)
+    val b = blocks.select(col("__blk") +: col("__id").as("id_b") +:
+      col("__name").as("__nb") +:
+      carry.map(c => col(c).as(s"${c}_b")): _*)
+    val carried = carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))
+    // thresholded levenshtein: the banded O(maxDist·n) algorithm with
+    // early abandon (returns -1 over the bound) — block pairs are
+    // overwhelmingly non-matches, so the full O(n²) DP per pair is
+    // where a naive verify spends its time. dist >= 0 ≡ dist <= maxDist,
+    // and survivors carry their TRUE distance either way.
     a.join(b, Seq("__blk"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__na"), col("__nb"))
+      .select(Seq(col("id_a"), col("id_b"),
+        levenshtein(col("__na"), col("__nb"), maxDist).cast("long").as("dist"))
+        ++ carried: _*)
+      .where(col("dist") >= 0)
       .distinct()
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("__na"), col("__nb")).cast("long").as("dist"))
-      .where(col("dist") <= maxDist)
   }
 
   /** The blocks a given `blockCap` would DROP: (__blk, n) per over-cap
@@ -91,19 +135,22 @@ object Linkage {
       .groupBy(col("__blk")).agg(count(lit(1)).as("n"))
       .where(col("n") > blockCap)
 
-  /** The tagged two-pass block table: (__blk, __id, __name) — prefix
-    * pass rows under `p:`, suffix pass under `s:`, so the two passes'
-    * blocks never collide. */
+  /** The tagged two-pass block table: (__blk, __id, __name[, carry…])
+    * — prefix pass rows under `p:`, suffix pass under `s:`, so the two
+    * passes' blocks never collide. Both passes come out of ONE scan
+    * (explode of the two keys): a self-union of the projection would
+    * physically decode the full source text column twice — at corpus
+    * scale the scan, not the key derivation, is the cost. */
   private def blockTable(df: DataFrame, idCol: String, strCol: String,
-      keyWidth: Int, blockWidth: Int): DataFrame = {
-    val recs = df.where(length(col(strCol)) >= 2 * blockWidth)
-      .select(col(idCol).as("__id"),
-        lower(substring(col(strCol), 1, keyWidth)).as("__name"))
-    recs.withColumn("__blk",
-        concat(lit("p:"), substring(col("__name"), 1, blockWidth)))
-      .unionByName(recs.withColumn("__blk",
+      keyWidth: Int, blockWidth: Int, carry: Seq[String] = Nil): DataFrame =
+    df.where(length(col(strCol)) >= 2 * blockWidth)
+      .select(col(idCol).as("__id") +:
+        lower(substring(col(strCol), 1, keyWidth)).as("__name") +:
+        carry.map(col): _*)
+      .select(col("*"), explode(array(
+        concat(lit("p:"), substring(col("__name"), 1, blockWidth)),
         concat(lit("s:"), substring(col("__name"), -blockWidth, blockWidth))))
-  }
+        .as("__blk"))
 
   /** [[linkPairs]] with SUB-BLOCKING instead of dropping: a level-1
     * block over `blockCap` re-blocks its records under a key twice as
@@ -115,27 +162,40 @@ object Linkage {
     * [[overCapBlocks]] reports hot keys. */
   def linkPairsSubBlocked(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, keyWidth: Int = 64, blockWidth: Int = 8,
-      blockCap: Int = 1000): DataFrame = {
+      blockCap: Int = 1000, carry: Seq[String] = Nil): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     require(blockWidth >= 1 && keyWidth >= 2 * blockWidth,
       s"need keyWidth >= 2*blockWidth, got $keyWidth/$blockWidth")
     require(blockCap >= 2, s"blockCap below 2 can never pair, got $blockCap")
-    val lvl1 = blockTable(df, idCol, strCol, keyWidth, blockWidth)
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__blk"))))
-    val ok1 = lvl1.where(col("__n") <= blockCap)
-      .select("__blk", "__id", "__name")
+    requireCarry(carry, idCol, strCol)
+    val kept = Seq("__blk", "__id", "__name") ++ carry
+    // hot keys per level via partial-aggregated counts + broadcast
+    // (anti-)joins — same cap semantics as the per-row count window
+    // this replaces, without shuffling and sorting the block table
+    def hotKeys(t: DataFrame): DataFrame =
+      t.groupBy(col("__blk")).agg(count(lit(1)).as("__n"))
+        .where(col("__n") > blockCap).select(col("__blk"))
+    // checkpointed: hot-key counting, the kept side, and re-blocking
+    // all read the level-1 block table
+    val lvl1 = Checkpoints.truncate(
+      blockTable(df, idCol, strCol, keyWidth, blockWidth, carry))
+    val hot1 = hotKeys(lvl1)
+    val ok1 = lvl1.join(broadcast(hot1), Seq("__blk"), "left_anti")
+      .select(kept.map(col): _*)
     // over-cap rows re-block under the doubled key, tagged P:/S: so
     // level-2 blocks never collide with level-1 ones
-    val lvl2 = lvl1.where(col("__n") > blockCap)
+    val reblocked = lvl1.join(broadcast(hot1), Seq("__blk"), "left_semi")
       .withColumn("__blk",
         when(col("__blk").startsWith("p:"),
           concat(lit("P:"), substring(col("__name"), 1, 2 * blockWidth)))
         .otherwise(concat(lit("S:"),
           substring(col("__name"), -2 * blockWidth, 2 * blockWidth))))
-      .withColumn("__n2", count(lit(1)).over(Window.partitionBy(col("__blk"))))
-      .where(col("__n2") <= blockCap)
-      .select("__blk", "__id", "__name")
-    verifyBlockedPairs(ok1.unionByName(lvl2), maxDist)
+    val lvl2 = reblocked
+      .join(broadcast(hotKeys(reblocked)), Seq("__blk"), "left_anti")
+      .select(kept.map(col): _*)
+    // one materialization feeds both self-join sides (see linkPairs)
+    verifyBlockedPairs(
+      Checkpoints.truncate(ok1.unionByName(lvl2)), maxDist, carry)
   }
 
   /** SORTED-NEIGHBORHOOD linkage (Hernández & Stolfo 1995) — the
@@ -178,8 +238,9 @@ object Linkage {
         && col("__rb") <= col("__ra") + windowSize)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
-        levenshtein(col("__na"), col("__nb")).cast("long").as("dist"))
-      .where(col("dist") <= maxDist)
+        // banded threshold form — see verifyBlockedPairs
+        levenshtein(col("__na"), col("__nb"), maxDist).cast("long").as("dist"))
+      .where(col("dist") >= 0)
   }
 
   /** Exact global rank without a single-partition window: range
@@ -290,7 +351,12 @@ object Linkage {
     val flagCols = fields.zipWithIndex.map { case ((_, c), i) =>
       coalesce(c, lit(false)).as(s"__g$i")
     }
-    val flagged = pairs.select(pairs.columns.map(col) ++ flagCols: _*)
+    // materialized once: both the pattern aggregation (EM's sufficient
+    // statistic) and the final scoring read this frame — without the
+    // truncation the whole upstream candidate pipeline (blocking +
+    // verification) would execute twice
+    val flagged = Checkpoints.truncate(
+      pairs.select(pairs.columns.map(col) ++ flagCols: _*))
     // the bounded sufficient statistic: one count per agreement pattern
     val counts = new Array[Long](1 << k)
     flagged.groupBy((0 until k).map(i => col(s"__g$i")): _*).count()
