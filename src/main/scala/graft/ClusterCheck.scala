@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Cluster-honesty main: re-runs representative gates on a REAL
+  * multi-process master (`local-cluster[2,4,2048]` — two separate
+  * executor JVMs, shuffles over loopback, no shared block manager) in
+  * `reliable` checkpoint mode, and asserts row-identical results
+  * against the in-process `local[*]` run. This is the evidence that no
+  * operator depends on single-JVM state: localCheckpoint co-residency,
+  * driver-side accumulation, or block-manager locality.
+  *
+  * Gates chosen to cover the riskiest shapes: q67 (iterative connected
+  * components — the checkpoint loop), q98 (BFS — same family, global
+  * aggregation per hop), q178 (materialized-agg refresh — writes and
+  * re-reads its own state files across executors), q152 (salted skew
+  * join — partition-count-sensitive), q15 (LSH banded join).
+  *
+  *   SPARK_SCALA_VERSION=2.13 sbt "runMain graft.ClusterCheck /root/testdata/sf0.001"
+  *
+  * (The env var is required because the in-JVM worker builds executor
+  * commands through the launcher's AbstractCommandBuilder, which
+  * resolves the Scala dir from that variable when not started via
+  * spark-class.) Prints one JSON line; exits nonzero on any mismatch.
+  * Round-10 record on this box: all five gates true, 2 executor JVMs. */
+object ClusterCheck {
+
+  private val Gates = Seq("q67_dedup_clusters", "q98_bfs_levels",
+    "q178_incremental_agg", "q152_skew_salted_join", "q15_minhash_lsh")
+
+  private val AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+
+  private def run(spark: SparkSession, dir: String,
+      name: String): Seq[String] = {
+    GraftExtensions.register(spark)
+    val rows = SparkEntry.queries(name)(spark, dir)
+      .collect().map(_.toString).toSeq
+    graft.etl.Checkpoints.sweep(spark)
+    graft.etl.Scratch.sweep()
+    rows.sorted
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+
+    val local = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    local.sparkContext.setLogLevel("WARN")
+    val expected = Gates.map(g => g -> run(local, dir, g)).toMap
+    local.stop()
+
+    // two worker JVMs x 4 cores x 2 GiB; the forked sbt JVM's literal
+    // classpath (target/classes + /opt/spark/jars) is handed to the
+    // executor processes, which also need the JDK17 add-opens flags
+    val cluster = SparkSession.builder()
+      .master("local-cluster[2,4,2048]")
+      .config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
+      .config("spark.executor.extraJavaOptions", AddOpens)
+      .config("spark.graft.checkpoint.mode", "reliable")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    cluster.sparkContext.setLogLevel("WARN")
+    val verdicts = Gates.map { g =>
+      val ok =
+        try run(cluster, dir, g) == expected(g)
+        catch { case e: Throwable =>
+          System.err.println(s"[cluster-check] $g threw: ${e.getMessage}")
+          false
+        }
+      g -> ok
+    }
+    val nExec = cluster.sparkContext.statusTracker.getExecutorInfos.length
+    cluster.stop()
+
+    val json = verdicts.map { case (g, ok) => s""""$g":$ok""" }
+      .mkString("{", ",", s""","executors":$nExec}""")
+    println(json)
+    if (verdicts.exists(!_._2)) sys.exit(1)
+  }
+}

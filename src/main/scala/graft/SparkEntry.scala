@@ -2236,6 +2236,57 @@ object SparkEntry {
       graft.ops.Winnow.matchAcross(delta, "doc_id", "text",
           docs, "doc_id", "text")
         .orderBy("left_id", "right_id")
+    }),
+
+    // Corpus-wide KEEP-FIRST line dedup (the CCNet / RefinedWeb line
+    // pass): plant a universal copyright footer on every doc, a
+    // newsletter plea on every 5th, and two text excerpts as body
+    // lines. Shared lines must survive only at their minimum
+    // (doc, line) first occurrence; the short "End." line is exempt.
+    // First-occurrence is an AGGREGATION on the line hash (map-side
+    // combinable), never a window partitioned by line — a boilerplate
+    // line in 10^7 docs would funnel one sort partition.
+    "q177_line_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"), concat(
+          substring(col("text"), 1, 80), lit("\n"),
+          lit("All rights reserved. Copyright Example Corp."), lit("\n"),
+          when(col("doc_id") % 5 === 0,
+            lit("Subscribe to our newsletter today for updates!\n"))
+            .otherwise(lit("")),
+          substring(col("text"), 30, 90), lit("\nEnd.")).as("text"))
+      graft.ops.Dedup.lineDedup(planted, "doc_id", "text", minDupChars = 15)
+        .select(col("doc_id"), md5(col("text")).as("clean_hash"),
+          col("n_kept"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
+    // Incrementally-maintained grouped aggregate (materialized-view
+    // maintenance, Mumick et al. 1997): build per-customer order
+    // partials from pre-1997 orders, absorb the 1997+ delta WITHOUT
+    // rescanning the base (bucket-pruned state read + dynamic
+    // partition overwrite of only the touched buckets), then read the
+    // finalized view. The oracle recomputes from scratch over the full
+    // table — the incremental path must be indistinguishable.
+    "q178_incremental_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val path = graft.etl.Scratch.dir("matagg")
+      graft.etl.MaterializedAgg.create(
+        orders.where(year(col("o_orderdate")) < 1997),
+        Seq("o_custkey"), "o_totalprice", path, nBuckets = 16)
+      graft.etl.MaterializedAgg.refresh(s, path,
+        orders.where(year(col("o_orderdate")) >= 1997),
+        Seq("o_custkey"), "o_totalprice", nBuckets = 16)
+      graft.etl.MaterializedAgg.read(s, path, Seq("o_custkey"))
+        .select(col("o_custkey"), col("n"),
+          round(col("total"), 4).as("total"),
+          round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"),
+          // mean from the ROUNDED total, with NO re-round: both engines
+          // divide bit-identical doubles by the same integer, and any
+          // re-round would land on .xxx75/8 ties where Spark (decimal
+          // HALF_UP) and DuckDB (binary) disagree
+          (round(col("total"), 4) / col("n")).as("mean"))
+        .orderBy("o_custkey")
     })
   )
 
@@ -5917,7 +5968,53 @@ ORDER BY 1, 2"""
          |  count(*) AS n_shared
          |FROM lfx l JOIN rarex USING (fp) JOIN rfx r USING (fp)
          |GROUP BY 1, 2 HAVING count(*) >= 15
-         |ORDER BY 1, 2""".stripMargin
+         |ORDER BY 1, 2""".stripMargin,
+
+    // keep-first line dedup: first occurrence = min (doc_id, line_no),
+    // encoded as doc_id*1e6+ln (line counts are far below 1e6); lines
+    // under 15 chars exempt. Dual unnest aligns line with its ordinal.
+    "q177_line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 80) || chr(10) ||
+        |    'All rights reserved. Copyright Example Corp.' || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'Subscribe to our newsletter today for updates!' || chr(10)
+        |      ELSE '' END ||
+        |    substr(text, 30, 90) || chr(10) || 'End.' AS t
+        |  FROM documents
+        |), arr AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS a FROM planted
+        |), lines AS (
+        |  SELECT doc_id, unnest(a) AS line,
+        |         unnest(range(1, len(a) + 1)) AS ln FROM arr
+        |), firsts AS (
+        |  SELECT line, MIN(doc_id * 1000000 + ln) AS first_at
+        |  FROM lines WHERE length(line) >= 15 GROUP BY line
+        |), kept AS (
+        |  SELECT l.doc_id, l.ln, l.line
+        |  FROM lines l LEFT JOIN firsts f ON l.line = f.line
+        |  WHERE length(l.line) < 15 OR l.doc_id * 1000000 + l.ln = f.first_at
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS clean,
+        |         COUNT(1) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT a.doc_id, md5(COALESCE(r.clean, '')) AS clean_hash,
+        |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(a.a) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM arr a LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // the incremental path must be indistinguishable from a full
+    // recompute over base ∪ delta
+    "q178_incremental_agg" ->
+      """SELECT o_custkey, COUNT(o_totalprice) AS n,
+        |  ROUND(SUM(o_totalprice), 4) AS total,
+        |  ROUND(MIN(o_totalprice), 4) AS lo,
+        |  ROUND(MAX(o_totalprice), 4) AS hi,
+        |  ROUND(SUM(o_totalprice), 4) / COUNT(o_totalprice) AS mean
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

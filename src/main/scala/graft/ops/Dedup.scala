@@ -898,6 +898,52 @@ object Dedup {
       .drop("__clean")
   }
 
+  /** Corpus-wide exact line dedup with the KEEP-FIRST rule (the CCNet /
+    * RefinedWeb line-level pass; Penedo et al. 2023): a line whose
+    * verbatim content occurs anywhere else in the corpus survives only
+    * at its first occurrence — minimum `(id, line_no)` — and is removed
+    * from every later position. [[stripBoilerplate]] is the
+    * remove-ALL-copies variant; this one preserves exactly one copy so
+    * no content is lost outright. Lines shorter than `minDupChars` are
+    * exempt (dates, list markers, "1." — globally deduping those would
+    * shred unrelated documents). Returns one row per input id with the
+    * reassembled `textCol` plus kept/removed line counts.
+    *
+    * Scale shape: the first-occurrence table is a hash AGGREGATION on
+    * the line's xxhash64 (`min(struct(id, line_no))`), not a window —
+    * partial aggregation combines map-side, so a boilerplate line in
+    * ten million documents never funnels into one sort partition the
+    * way `row_number() over (partition by line)` would. The join back
+    * is keyed on the same long hash (one row per DISTINCT line on the
+    * build side), and reassembly is one aggregation on the doc id.
+    * Only the hash crosses the first exchange alongside the line text
+    * needed for rebuild; nothing is quadratic. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDupChars: Int = 15): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__ln", "__line")))
+    val elig = length(col("__line")) >= minDupChars
+    val keyed = lines.withColumn("__gh", xxhash64(col("__line")))
+    val firsts = keyed.where(elig)
+      .groupBy(col("__gh"))
+      .agg(min(struct(col(idCol), col("__ln"))).as("__first"))
+    val kept = keyed.join(firsts, Seq("__gh"), "left")
+      .where(!elig ||
+        struct(col(idCol), col("__ln")) === col("__first"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__ln"), col("__line")))),
+          x => x.getField("__line")), "\n").as("__clean"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("__total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as(textCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   // ------------------------------------------------------------------
   // Duplicate-span (substring-level) dedup — the hash-approximate form
   // of suffix-array training-data dedup (Lee et al. 2022,

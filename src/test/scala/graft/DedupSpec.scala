@@ -449,4 +449,43 @@ class DedupSpec extends SparkSpec {
     assert(pref.except(full).isEmpty && full.except(pref).isEmpty)
     assert(full.count() > 0, "real corpus should contain near-dups")
   }
+
+  test("lineDedup keeps only the first occurrence; short lines exempt") {
+    import spark.implicits._
+    val boiler = "All rights reserved by the publisher."
+    val docs = Seq(
+      (1L, s"unique opening line one\n$boiler\nEnd."),
+      (2L, s"$boiler\nsecond doc body line here\nEnd."),
+      (3L, s"unique opening line one\nthird doc body line here\n$boiler"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text", minDupChars = 15)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // boiler survives only in doc 1; "unique opening line one" (23
+    // chars, duplicated in doc 3) survives only in doc 1; "End." (4
+    // chars < 15) survives everywhere it appears
+    assert(got(1L) == ((s"unique opening line one\n$boiler\nEnd.", 3L, 0L)))
+    assert(got(2L) == (("second doc body line here\nEnd.", 2L, 1L)))
+    assert(got(3L) == (("third doc body line here", 1L, 2L)))
+  }
+
+  test("lineDedup: intra-document repeats collapse to the earliest line") {
+    import spark.implicits._
+    val docs = Seq((5L,
+      "repeated chorus line text\nbridge verse\nrepeated chorus line text"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs, "doc_id", "text").collect().head
+    assert(r.getString(1) == "repeated chorus line text\nbridge verse")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L)
+  }
+
+  test("lineDedup: a doc whose every line is a later duplicate empties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the one and only long line"),
+      (2L, "the one and only long line")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "the one and only long line" && got(2L) == "")
+  }
 }

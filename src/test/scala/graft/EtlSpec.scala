@@ -185,4 +185,34 @@ class EtlSpec extends SparkSpec {
     graft.pipeline.FootprintPipeline.run(spark, dir, "carbon_footprint_test")
     assert(spark.table("carbon_footprint_test").count() == 3)
   }
+
+  test("ObjectStore: s3a settings land in hadoopConf; resolve joins URIs") {
+    ObjectStore.configure(spark, ObjectStore.S3Settings(
+      endpoint = Some("http://localhost:9000"), region = Some("us-east-1"),
+      pathStyleAccess = true, maxConnections = 512))
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.endpoint") == "http://localhost:9000")
+    assert(hc.get("fs.s3a.endpoint.region") == "us-east-1")
+    assert(hc.get("fs.s3a.path.style.access") == "true")
+    assert(hc.get("fs.s3a.connection.maximum") == "512")
+    // the spark-hadoop-cloud module that provides the commit protocol
+    // ships with real Spark distributions but not this sandbox's jar
+    // set: the hadoop-side keys must land either way, and the SQL
+    // wiring must be reported skipped (never half-set a session conf
+    // Spark would reject at write time)
+    val cloudPresent = ObjectStore.s3aCommitters(spark)
+    assert(hc.get("fs.s3a.committer.name") == "magic")
+    assert(!cloudPresent,
+      "sandbox has no spark-hadoop-cloud jar; detection must say so")
+    assert(spark.conf.getOption("spark.sql.sources.commitProtocolClass")
+      .forall(!_.contains("PathOutputCommitProtocol")))
+    // the fs.s3a.* connector settings never touch file:/ writes
+    val p = tmpDir("objstore-roundtrip")
+    Seq((1, "a")).toDF("id", "s").write.mode("overwrite").parquet(p)
+    assert(spark.read.parquet(p).count() == 1)
+    assert(ObjectStore.resolve("s3a://corpus/landing/", "/documents")
+      == "s3a://corpus/landing/documents")
+    assert(ObjectStore.resolve("file:/tmp/wh", "orders")
+      == "file:/tmp/wh/orders")
+  }
 }
