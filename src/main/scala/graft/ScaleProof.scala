@@ -27,6 +27,19 @@ object ScaleProof {
     "q166_containment_join", "q169_linkage_subblocked",
     "q170_sorted_neighborhood", "q172_winnow_robust")
 
+  /** Optional slice filter (comma-separated name prefixes via
+    * `SPARK_GRAFT_SCALE_ONLY`): the 100x corpus' full pass runs ~20
+    * minutes end-to-end, so dev runs select sections. Section names
+    * beyond the Timed queries: `lsh_candidates`, `posting` (index
+    * build + persisted hybrid serve), `rededup` (full vs incremental),
+    * `containment_capped`. Unset = everything (the record protocol). */
+  private val Only: Option[Seq[String]] =
+    sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
+  private def selected(name: String): Boolean =
+    Only.forall(_.exists(name.startsWith))
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleProof <docsDir> [<docsDir> ...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -43,40 +56,53 @@ object ScaleProof {
     spark.sparkContext.setLogLevel("WARN")
 
     args.foreach { dir =>
+      val sections = scala.collection.mutable.ArrayBuffer.empty[String]
       val docs = graft.etl.Tables.table(spark, dir, "documents")
         .select("doc_id", "text")
       val nDocs = docs.count()
       // raw band-bucket candidates at the q65 production shape — the
       // pre-verification pair surface
-      val t0 = System.nanoTime()
-      val cands = graft.ops.Dedup.lshCandidates(
-        graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 128),
-        "doc_id", 32, 4).count()
-      val candSec = (System.nanoTime() - t0) / 1e9
-      val per = Timed.map { name =>
+      if (selected("lsh_candidates")) {
+        val t0 = System.nanoTime()
+        val cands = graft.ops.Dedup.lshCandidates(
+          graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 128),
+          "doc_id", 32, 4).count()
+        val candSec = (System.nanoTime() - t0) / 1e9
+        sections +=
+          f""""lsh_candidates":{"rows":$cands,"sec":$candSec%.2f}"""
+        sweep(spark)
+      }
+      Timed.filter(selected).foreach { name =>
         val t = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, dir).count()
         val sec = (System.nanoTime() - t) / 1e9
-        f"""\"$name\":{\"rows\":$rows,\"sec\":$sec%.2f}"""
+        sections += f""""$name":{"rows":$rows,"sec":$sec%.2f}"""
+        sweep(spark)
       }
       // round 8: the hybrid ranker's PRODUCTION shape — build the
       // posting index once (the amortized cost), then serve the query
       // batch from the persisted index. Separating the two shows
       // whether q112's residual local overhead is the index pass
       // (amortized at scale) or the per-batch ranking (it must not be).
-      val postDir = graft.etl.Scratch.dir("scale-post")
-      val tIdx = System.nanoTime()
-      graft.ops.Bm25.postings(docs, "doc_id", "text")
-        .write.mode("overwrite").parquet(postDir)
-      val idxSec = (System.nanoTime() - tIdx) / 1e9
-      val qs = spark.createDataFrame(Seq(
-        (1L, "spark join fast"), (2L, "hash table scan"),
-        (3L, "stream window state"))).toDF("query_id", "qtext")
-      val tHyb = System.nanoTime()
-      val hybRows = graft.ops.Retrieval.hybridTopKFromPostings(
-        spark.read.parquet(postDir), "doc_id",
-        qs, "query_id", "qtext", kPerLeg = 20, k = 10).count()
-      val hybSec = (System.nanoTime() - tHyb) / 1e9
+      if (selected("posting")) {
+        val postDir = graft.etl.Scratch.dir("scale-post")
+        val tIdx = System.nanoTime()
+        graft.ops.Bm25.postings(docs, "doc_id", "text")
+          .write.mode("overwrite").parquet(postDir)
+        val idxSec = (System.nanoTime() - tIdx) / 1e9
+        val qs = spark.createDataFrame(Seq(
+          (1L, "spark join fast"), (2L, "hash table scan"),
+          (3L, "stream window state"))).toDF("query_id", "qtext")
+        val tHyb = System.nanoTime()
+        val hybRows = graft.ops.Retrieval.hybridTopKFromPostings(
+          spark.read.parquet(postDir), "doc_id",
+          qs, "query_id", "qtext", kPerLeg = 20, k = 10).count()
+        val hybSec = (System.nanoTime() - tHyb) / 1e9
+        sections += f""""posting_index_build":{"sec":$idxSec%.2f}"""
+        sections +=
+          f""""q112_hybrid_persisted":{"rows":$hybRows,"sec":$hybSec%.2f}"""
+        sweep(spark)
+      }
 
       // round 8: incremental dedup vs full re-dedup — the snapshot-diff
       // value proposition MEASURED: after a recrawl (~12% delta), does
@@ -89,17 +115,24 @@ object ScaleProof {
             .otherwise(col("text")).as("text"))
         .unionByName(docs.where(col("doc_id") % 53 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
-      val tFull = System.nanoTime()
-      val fullRows = graft.ops.Dedup.minhashNearDups(
-        next, "doc_id", "text", n = 3, threshold = 0.5,
-        nPerms = 128, bands = 32, rowsPerBand = 4).count()
-      val fullSec = (System.nanoTime() - tFull) / 1e9
-      val tInc = System.nanoTime()
-      val incRows = graft.ops.Dedup.fuzzyJoin(
-        graft.ops.Snapshots.changedDocs(docs, next, "doc_id", "text"),
-        "doc_id", "text", docs, "doc_id", "text",
-        n = 3, threshold = 0.5).count()
-      val incSec = (System.nanoTime() - tInc) / 1e9
+      if (selected("rededup")) {
+        val tFull = System.nanoTime()
+        val fullRows = graft.ops.Dedup.minhashNearDups(
+          next, "doc_id", "text", n = 3, threshold = 0.5,
+          nPerms = 128, bands = 32, rowsPerBand = 4).count()
+        val fullSec = (System.nanoTime() - tFull) / 1e9
+        val tInc = System.nanoTime()
+        val incRows = graft.ops.Dedup.fuzzyJoin(
+          graft.ops.Snapshots.changedDocs(docs, next, "doc_id", "text"),
+          "doc_id", "text", docs, "doc_id", "text",
+          n = 3, threshold = 0.5).count()
+        val incSec = (System.nanoTime() - tInc) / 1e9
+        sections +=
+          f""""full_rededup_prod":{"rows":$fullRows,"sec":$fullSec%.2f}"""
+        sections +=
+          f""""incremental_delta_dedup":{"rows":$incRows,"sec":$incSec%.2f}"""
+        sweep(spark)
+      }
 
       // round 9: EXACT containment (q166's shape) follows every
       // posting of a small-side prefix shingle, so hot shingles make
@@ -108,26 +141,31 @@ object ScaleProof {
       // the cap (completeness traded for boundedness, documented in
       // Dedup.containmentJoin); this times that path at the q166 shape
       // so the growth table shows BOTH.
-      import org.apache.spark.sql.functions.{length => slen, substring}
-      val excerpts = docs.where(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 20000000L).as("doc_id"),
-          substring(col("text"), 40, 160).as("text"))
-        .where(slen(col("text")) >= 40)
-      val tCap = System.nanoTime()
-      val capRows = graft.ops.Dedup.containmentJoin(excerpts, "doc_id",
-        "text", docs, "doc_id", "text", n = 3, minContainment = 0.8,
-        candDfCap = 200).count()
-      val capSec = (System.nanoTime() - tCap) / 1e9
+      if (selected("containment_capped")) {
+        import org.apache.spark.sql.functions.{length => slen, substring}
+        val excerpts = docs.where(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            substring(col("text"), 40, 160).as("text"))
+          .where(slen(col("text")) >= 40)
+        val tCap = System.nanoTime()
+        val capRows = graft.ops.Dedup.containmentJoin(excerpts, "doc_id",
+          "text", docs, "doc_id", "text", n = 3, minContainment = 0.8,
+          candDfCap = 200).count()
+        val capSec = (System.nanoTime() - tCap) / 1e9
+        sections +=
+          f""""containment_capped":{"rows":$capRows,"sec":$capSec%.2f}"""
+        sweep(spark)
+      }
 
       println(s"""{"dir":"$dir","docs":$nDocs,""" +
-        f""""lsh_candidates":{"rows":$cands,"sec":$candSec%.2f},""" +
-        per.mkString(",") +
-        f""",\"posting_index_build\":{\"sec\":$idxSec%.2f}""" +
-        f""",\"q112_hybrid_persisted\":{\"rows\":$hybRows,\"sec\":$hybSec%.2f}""" +
-        f""",\"full_rededup_prod\":{\"rows\":$fullRows,\"sec\":$fullSec%.2f}""" +
-        f""",\"incremental_delta_dedup\":{\"rows\":$incRows,\"sec\":$incSec%.2f}""" +
-        f""",\"containment_capped\":{\"rows\":$capRows,\"sec\":$capSec%.2f}}""")
+        sections.mkString(",") + "}")
     }
     spark.stop()
+  }
+
+  /** Between-section hygiene, mirroring Bench's per-query contract. */
+  private def sweep(spark: SparkSession): Unit = {
+    graft.etl.Checkpoints.sweep(spark)
+    graft.etl.Scratch.sweep()
   }
 }
