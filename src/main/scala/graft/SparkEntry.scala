@@ -2287,7 +2287,57 @@ object SparkEntry {
           // HALF_UP) and DuckDB (binary) disagree
           (round(col("total"), 4) / col("n")).as("mean"))
         .orderBy("o_custkey")
-    })
+    }),
+
+    // Incrementally-maintained DISTINCT counts via mergeable HLL
+    // sketch state: COUNT(DISTINCT) is not self-maintainable from
+    // scalar partials, but sketch union (slot-wise max) is value-set
+    // deterministic — so the incremental estimate must EQUAL the
+    // one-shot estimate bit-for-bit (both read paths route through
+    // hll_union_agg, so no HIP-vs-composite estimator skew), and both
+    // must sit within the lgK=14 error envelope of the exact count
+    // the oracle recomputes. Booleans carry the sketch-side claims.
+    "q179_incremental_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val keys = Seq("event_type")
+      val p1 = graft.etl.Scratch.dir("mdist-inc")
+      val p2 = graft.etl.Scratch.dir("mdist-oneshot")
+      graft.etl.MaterializedDistinct.create(
+        ev.where(col("user_id") % 3 =!= 0), keys, "user_id", p1,
+        nBuckets = 8, lgK = 14)
+      graft.etl.MaterializedDistinct.refresh(s, p1,
+        ev.where(col("user_id") % 3 === 0), keys, "user_id",
+        nBuckets = 8, lgK = 14)
+      graft.etl.MaterializedDistinct.create(ev, keys, "user_id", p2,
+        nBuckets = 8, lgK = 14)
+      val inc = graft.etl.MaterializedDistinct.read(s, p1, keys)
+      val oneShot = graft.etl.MaterializedDistinct.read(s, p2, keys)
+        .withColumnRenamed("n_distinct_est", "est_oneshot")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      inc.join(oneShot, keys).join(exact, keys)
+        .select(col("event_type"), col("n_exact"),
+          (col("n_distinct_est") === col("est_oneshot"))
+            .as("merged_equals_oneshot"),
+          (abs(col("n_distinct_est") - col("n_exact"))
+            <= col("n_exact") * 0.05).as("est_within_5pct"))
+        .orderBy("event_type")
+    }),
+
+    // Stream-MAINTAINED aggregate across a kill-and-resume: each
+    // micro-batch lands mergeable partials under its own __batch=
+    // partition (idempotent under the replayed-batch contract), the
+    // query restarts from its checkpoint mid-input, and the merged
+    // view must equal the batch aggregate over everything — a
+    // double-counted replay or a lost batch breaks the hash.
+    "q180_stream_maintained_agg" -> ((s, dir) =>
+      graft.streaming.StreamAsBatch.maintainedAggRestarted(
+          s, s"$dir/events.parquet")
+        .select(col("event_type"), col("n"),
+          round(col("total"), 4).as("total"),
+          round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"),
+          (round(col("total"), 4) / col("n")).as("mean"))
+        .orderBy("event_type"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -6014,7 +6064,26 @@ ORDER BY 1, 2"""
         |  ROUND(MIN(o_totalprice), 4) AS lo,
         |  ROUND(MAX(o_totalprice), 4) AS hi,
         |  ROUND(SUM(o_totalprice), 4) / COUNT(o_totalprice) AS mean
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // the sketch-side claims are Spark-computed booleans; the oracle
+    // pins the exact counts and demands both claims hold everywhere
+    "q179_incremental_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_exact,
+        |  TRUE AS merged_equals_oneshot,
+        |  TRUE AS est_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the streaming-maintained state must be indistinguishable from
+    // the batch aggregate over the full event set
+    "q180_stream_maintained_agg" ->
+      """SELECT event_type, COUNT(value) AS n,
+        |  ROUND(SUM(value), 4) AS total,
+        |  ROUND(MIN(value), 4) AS lo,
+        |  ROUND(MAX(value), 4) AS hi,
+        |  ROUND(SUM(value), 4) / COUNT(value) AS mean
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

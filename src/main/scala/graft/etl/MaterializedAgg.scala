@@ -83,4 +83,101 @@ object MaterializedAgg {
         col("__sum").as("total") :+ col("__min").as("lo") :+
         col("__max").as("hi") :+
         (col("__sum") / col("__cnt")).as("mean")): _*)
+
+  // ----------------------------------------------------------------
+  // Streaming maintenance: per-micro-batch partials, exactly-once.
+
+  /** Write one micro-batch's partials under `__batch=<batchId>` via
+    * dynamic partition overwrite. This is the foreachBatch sink shape
+    * for STREAM-maintained aggregates: Structured Streaming replays
+    * the last uncommitted batch after a crash WITH THE SAME batchId,
+    * and an overwrite of that batch's own partition is idempotent —
+    * the replay replaces its half-written files instead of
+    * double-counting. (The standard exactly-once-by-idempotence
+    * contract for foreachBatch sinks.) */
+  def appendBatchPartials(batch: DataFrame, keys: Seq[String],
+      valueCol: String, path: String, batchId: Long,
+      nBuckets: Int = 64): Unit =
+    partials(batch, keys, valueCol, nBuckets)
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(path)
+
+  /** Finalized view over batch-partitioned partials: one hash
+    * aggregation across all batches' partial rows (each batch
+    * contributes at most one row per touched key, so this reads
+    * key-cardinality-sized data per batch, never the raw stream).
+    * Periodic compaction = `read` → `create` when batch count grows. */
+  def readMergedBatches(spark: SparkSession, path: String,
+      keys: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__cnt")).as("n"), sum(col("__sum")).as("total"),
+        min(col("__min")).as("lo"), max(col("__max")).as("hi"))
+      .withColumn("mean", col("total") / col("n"))
+}
+
+/** Incrementally-maintained DISTINCT counts — the sketch-state cousin
+  * of [[MaterializedAgg]]: `COUNT(DISTINCT v)` is NOT
+  * self-maintainable from scalar partials (a delta row may or may not
+  * be new), but a DataSketches HLL sketch per key IS — union is
+  * slot-wise max: commutative, associative, idempotent — so the state
+  * table stores one binary sketch per (key, bucket) and a refresh
+  * unions delta sketches in, never rescanning the base. The canonical
+  * 100 TB use: distinct users per entity maintained by daily deltas,
+  * where the exact-distinct shuffle (every (key, value) pair crossing
+  * the wire) is replaced by one lgK-bounded sketch per key per
+  * refresh. Same bucket-partitioned layout and touched-bucket-only
+  * dynamic overwrite as [[MaterializedAgg]]. */
+object MaterializedDistinct {
+
+  /** One HLL sketch of `valueCol` per (keys, bucket). */
+  def partials(df: DataFrame, keys: Seq[String], valueCol: String,
+      nBuckets: Int, lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col) :+
+        pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+          .as("__bucket"): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("__hll"))
+
+  private def merge(a: DataFrame, b: DataFrame, keys: Seq[String],
+      lgK: Int): DataFrame =
+    a.unionByName(b)
+      .groupBy((keys :+ "__bucket").map(col): _*)
+      .agg(hll_union_agg(col("__hll"), false)
+        .as("__hll"))
+
+  def create(df: DataFrame, keys: Seq[String], valueCol: String,
+      path: String, nBuckets: Int = 64, lgK: Int = 12): Unit =
+    partials(df, keys, valueCol, nBuckets, lgK)
+      .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+
+  /** Union `delta`'s sketches into the state at `path`; reads and
+    * rewrites only the buckets the delta touches. */
+  def refresh(spark: SparkSession, path: String, delta: DataFrame,
+      keys: Seq[String], valueCol: String, nBuckets: Int = 64,
+      lgK: Int = 12): Unit = {
+    val deltaP = Checkpoints.truncate(
+      partials(delta, keys, valueCol, nBuckets, lgK))
+    val touched = deltaP.select(col("__bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val state = spark.read.parquet(path)
+      .where(col("__bucket").isin(touched: _*))
+    val merged = Checkpoints.truncate(merge(state, deltaP, keys, lgK))
+    Checkpoints.free(deltaP)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket").parquet(path)
+    Checkpoints.free(merged)
+  }
+
+  /** Finalized view: keys, `n_distinct_est` (the HLL estimate — for a
+    * union-built sketch this is deterministic in the VALUE SET, not
+    * the insertion order). */
+  def read(spark: SparkSession, path: String, keys: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("__hll"), false))
+        .as("n_distinct_est"))
 }

@@ -143,6 +143,50 @@ object StreamAsBatch {
           col("n_events"), round(col("sum_value"), 4).as("sum_value"))
     }
 
+  /** Stream-MAINTAINED grouped aggregate across a checkpoint restart:
+    * the foreachBatch loop lands each micro-batch's mergeable partials
+    * under its own `__batch=` partition
+    * ([[graft.etl.MaterializedAgg.appendBatchPartials]] — idempotent
+    * under the replayed-batch contract), the query is killed after the
+    * first half of the input and resumed from the same checkpoint over
+    * the second, and the returned view merges all batch partials. The
+    * oracle is the plain batch aggregate over the full input: any
+    * double-count from a replayed epoch, or loss from the restart,
+    * breaks the hash match. */
+  def maintainedAggRestarted(spark: SparkSession, eventsParquet: String,
+      keys: Seq[String] = Seq("event_type"),
+      valueCol: String = "value"): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = graft.etl.Scratch.dir("agg-stage")
+    val ckpt = java.nio.file.Paths.get(graft.etl.Scratch.dir("agg-ckpt"))
+    val statePath = graft.etl.Scratch.dir("agg-state")
+    val all = graft.etl.Tables.normalizeEventTime(
+      s.read.parquet(eventsParquet))
+    val cut = all.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head().getLong(0)
+    all.where(unix_micros(col("ts")) <= cut)
+      .write.mode("overwrite").parquet(stage)
+    def runOnce(): Unit = {
+      val q = EventStream.readEvents(s, stage).writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.etl.MaterializedAgg.appendBatchPartials(
+            batch, keys, valueCol, statePath, id, nBuckets = 8)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      runOnce()
+      all.where(unix_micros(col("ts")) > cut)
+        .write.mode("append").parquet(stage)
+      runOnce()
+    } finally deleteRecursively(ckpt)
+    graft.etl.MaterializedAgg.readMergedBatches(s, statePath, keys)
+  }
+
   /** Kill-and-resume harness: stage the input split at its median
     * event time (second half strictly later, so nothing arrives behind
     * the checkpointed watermark), run the built stream to completion

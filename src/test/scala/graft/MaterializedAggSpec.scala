@@ -76,6 +76,50 @@ class MaterializedAggSpec extends SparkSpec {
     assert(got == Set(("a", 1L), ("b", 1L)))
   }
 
+  test("MaterializedDistinct: incremental == one-shot, near exact") {
+    // 4 keys x overlapping value ranges; delta re-adds half of base's
+    // values (the case scalar partials cannot maintain)
+    val base = (1 to 2000).map(i => (s"k${i % 4}", (i % 500).toLong))
+      .toDF("k", "v")
+    val delta = (1 to 1000).map(i => (s"k${i % 4}", (i % 700).toLong))
+      .toDF("k", "v")
+    val p1 = graft.etl.Scratch.dir("mdist-spec-inc")
+    val p2 = graft.etl.Scratch.dir("mdist-spec-all")
+    graft.etl.MaterializedDistinct.create(base, Seq("k"), "v", p1,
+      nBuckets = 4, lgK = 12)
+    graft.etl.MaterializedDistinct.refresh(spark, p1, delta, Seq("k"), "v",
+      nBuckets = 4, lgK = 12)
+    graft.etl.MaterializedDistinct.create(base.unionByName(delta),
+      Seq("k"), "v", p2, nBuckets = 4, lgK = 12)
+    def ests(p: String) = graft.etl.MaterializedDistinct
+      .read(spark, p, Seq("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inc = ests(p1)
+    assert(inc == ests(p2),
+      "union-built state must estimate identically to one-shot state")
+    val exact = base.unionByName(delta).groupBy("k")
+      .agg(countDistinct(col("v")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(inc(k) - n) <= n * 0.05,
+        s"$k: est ${inc(k)} vs exact $n") }
+  }
+
+  test("appendBatchPartials: a replayed batchId is idempotent") {
+    val path = graft.etl.Scratch.dir("magg-batch")
+    val b0 = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    val b1 = Seq(("a", 3.0)).toDF("k", "v")
+    graft.etl.MaterializedAgg.appendBatchPartials(b0, Seq("k"), "v", path, 0L, 2)
+    graft.etl.MaterializedAgg.appendBatchPartials(b1, Seq("k"), "v", path, 1L, 2)
+    // the crash-replay contract: batch 1 runs AGAIN with the same id
+    graft.etl.MaterializedAgg.appendBatchPartials(b1, Seq("k"), "v", path, 1L, 2)
+    val got = graft.etl.MaterializedAgg.readMergedBatches(spark, path, Seq("k"))
+      .select("k", "n", "total").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", 2L, 4.0), ("b", 1L, 2.0)),
+      s"replayed batch double-counted: $got")
+  }
+
   test("repeated refreshes accumulate (three deltas, one key)") {
     val path = graft.etl.Scratch.dir("magg-rep")
     MaterializedAgg.create(Seq(("x", 1.0)).toDF("k", "v"),
