@@ -2337,7 +2337,46 @@ object SparkEntry {
           round(col("total"), 4).as("total"),
           round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"),
           (round(col("total"), 4) / col("n")).as("mean"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // KMV sketch set algebra: per-type bottom-64 distinct portable
+    // hashes of the user set, then pairwise distinct / union /
+    // INTERSECTION estimates — the theta-sketch question HLL cannot
+    // answer. Every estimate derives deterministically from the
+    // portable md5 hash order, so the oracle recomputes the sketches
+    // AND the estimator arithmetic independently in SQL and must
+    // match bit-for-bit; the exact pair overlap rides along as the
+    // quality reference. The 5x5 sketch pairing is a broadcast
+    // inequality join over ONE ROW PER GROUP — the corpus itself is
+    // touched once by the bounded sketch aggregation.
+    "q181_kmv_sketch" -> ((s, dir) => {
+      val k = 64
+      val ev = t(s, dir, "events")
+      val sk = graft.ops.Kmv.sketches(ev, Seq("event_type"), "user_id",
+        k, "kmv")
+      val a = sk.select(col("event_type").as("type_a"), col("kmv").as("ka"))
+      val b = sk.select(col("event_type").as("type_b"), col("kmv").as("kb"))
+      val pairs = a.join(b, col("type_a") < col("type_b"))
+      val users = ev.select(col("event_type"), col("user_id")).distinct()
+      val interExact = users.select(col("event_type").as("type_a"),
+          col("user_id"))
+        .join(users.select(col("event_type").as("type_b"), col("user_id")),
+          "user_id")
+        .where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_inter_exact"))
+      pairs.join(interExact, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"),
+          graft.ops.Kmv.distinctEstimate(col("ka"), k).as("est_a"),
+          graft.ops.Kmv.distinctEstimate(col("kb"), k).as("est_b"),
+          graft.ops.Kmv.distinctEstimate(
+            graft.ops.Kmv.unionSketch(col("ka"), col("kb"), k), k)
+            .as("est_union"),
+          graft.ops.Kmv.intersectionEstimate(col("ka"), col("kb"), k)
+            .as("est_inter"),
+          col("n_inter_exact"))
+        .orderBy("type_a", "type_b")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -6083,7 +6122,56 @@ ORDER BY 1, 2"""
         |  ROUND(MIN(value), 4) AS lo,
         |  ROUND(MAX(value), 4) AS hi,
         |  ROUND(SUM(value), 4) / COUNT(value) AS mean
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // independent SQL rebuild of the KMV sketches AND the estimator
+    // arithmetic ((k-1)*2^48/h_k, rho*est(K)) — estimates must match
+    // the Spark side bit-for-bit because both derive from the same
+    // portable md5 hash order and the same double-op shapes
+    "q181_kmv_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x'||substr(md5('kmv:'||CAST(user_id AS VARCHAR)),1,12))
+        |      AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL
+        |), rk AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+        |  FROM h
+        |), sk AS (
+        |  SELECT event_type, list(h ORDER BY h) AS kmv
+        |  FROM rk WHERE r <= 64 GROUP BY event_type
+        |), pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.kmv AS ka, b.kmv AS kb,
+        |    list_sort(list_distinct(a.kmv || b.kmv))[1:64] AS ku
+        |  FROM sk a JOIN sk b ON a.event_type < b.event_type
+        |), est AS (
+        |  SELECT type_a, type_b,
+        |    CASE WHEN len(ka) < 64 THEN CAST(len(ka) AS DOUBLE)
+        |      ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+        |           / CAST(ka[64] AS DOUBLE) END AS est_a,
+        |    CASE WHEN len(kb) < 64 THEN CAST(len(kb) AS DOUBLE)
+        |      ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+        |           / CAST(kb[64] AS DOUBLE) END AS est_b,
+        |    CASE WHEN len(ku) < 64 THEN CAST(len(ku) AS DOUBLE)
+        |      ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+        |           / CAST(ku[64] AS DOUBLE) END AS est_union,
+        |    CAST(len(list_intersect(list_intersect(ku, ka), kb)) AS DOUBLE)
+        |      / CAST(len(ku) AS DOUBLE) AS rho
+        |  FROM pairs
+        |), ex AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(1) AS n_inter_exact
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events) a
+        |  JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT e.type_a, e.type_b, e.est_a, e.est_b, e.est_union,
+        |  e.rho * e.est_union AS est_inter, x.n_inter_exact
+        |FROM est e JOIN ex x USING (type_a, type_b)
+        |ORDER BY e.type_a, e.type_b""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see
