@@ -58,6 +58,15 @@ object GraftExtensions {
         require(args.length == 1, "char_entropy(text) takes 1 argument")
         graft.expressions.CharEntropy(args.head)
       }),
+    ("multi_match",
+      "multi_match(text, p1, p2, ...) - phrases occurring in text " +
+        "(one Aho-Corasick pass; phrases must be string literals)",
+      args => {
+        require(args.length >= 2,
+          "multi_match(text, p1, ...) takes a text and >=1 phrase")
+        graft.expressions.MultiPhraseMatches(args.head,
+          args.tail.map(strArg(_, "multi_match phrase")))
+      }),
     ("winnow_fingerprints",
       "winnow_fingerprints(text, k, w) - winnowed (pos, fp) fingerprint structs",
       args => {
@@ -219,6 +228,16 @@ object GraftExtensions {
   /** [[longArg]] narrowed to Int (shingle widths, winnow windows) — a
     * non-literal or non-integer argument gets a pointed resolution-time
     * error instead of an unbound-reference eval / ClassCastException. */
+  private def strArg(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a constant string")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+  }
+
   private def intArg(e: Expression, what: String): Int = {
     val l = longArg(e, what)
     require(l >= Int.MinValue && l <= Int.MaxValue,

@@ -25,7 +25,11 @@ object ScaleProof {
     // (one-pass expression) — each must hold its bounded-fan-out /
     // scan-speed shape through the decades
     "q166_containment_join", "q169_linkage_subblocked",
-    "q170_sorted_neighborhood", "q172_winnow_robust")
+    "q170_sorted_neighborhood", "q172_winnow_robust",
+    // round 10: blocklist screening (one automaton pass per row —
+    // must scale at scan speed) and rendezvous sharding (argmax of
+    // N portable scores per row — narrow, no shuffle)
+    "q183_blocklist", "q189_rendezvous_shard")
 
   /** Optional slice filter (comma-separated name prefixes via
     * `SPARK_GRAFT_SCALE_ONLY`): the 100x corpus' full pass runs ~20

@@ -2376,7 +2376,196 @@ object SparkEntry {
             .as("est_inter"),
           col("n_inter_exact"))
         .orderBy("type_a", "type_b")
-    })
+    }),
+
+    // Incrementally-maintained QUANTILES via deterministic bottom-k
+    // row-sample state (order statistics are not self-maintainable
+    // from scalar partials, and GK/KLL/t-digest are merge-order- or
+    // randomness-sensitive). Build the state from pre-1997 orders,
+    // absorb the 1997+ delta without rescanning the base, and read
+    // p50/p90/p99 per priority. The sample membership is the portable
+    // md5 hash order, so the oracle rebuilds the SAME sample and the
+    // SAME lower-quantile rule over the full table independently —
+    // and a one-shot build must be indistinguishable from the
+    // incremental state (merged_equals_oneshot).
+    "q182_incremental_quantiles" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val keys = Seq("o_orderpriority")
+      val probs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+      val pInc = graft.etl.Scratch.dir("mq-inc")
+      val pOne = graft.etl.Scratch.dir("mq-oneshot")
+      graft.etl.MaterializedQuantiles.create(
+        orders.where(year(col("o_orderdate")) < 1997),
+        keys, "o_orderkey", "o_totalprice", pInc, k = 256, nBuckets = 8)
+      graft.etl.MaterializedQuantiles.refresh(s, pInc,
+        orders.where(year(col("o_orderdate")) >= 1997),
+        keys, "o_orderkey", "o_totalprice", k = 256, nBuckets = 8)
+      graft.etl.MaterializedQuantiles.create(orders,
+        keys, "o_orderkey", "o_totalprice", pOne, k = 256, nBuckets = 8)
+      val inc = graft.etl.MaterializedQuantiles.read(s, pInc, keys, probs)
+      val one = graft.etl.MaterializedQuantiles.read(s, pOne, keys, probs)
+        .select(col("o_orderpriority"), col("n_sample").as("n1"),
+          col("p50").as("q1"), col("p90").as("q2"), col("p99").as("q3"))
+      inc.join(one, keys)
+        .select(col("o_orderpriority"), col("n_sample"),
+          col("p50"), col("p90"), col("p99"),
+          (col("n_sample") === col("n1") && col("p50") === col("q1") &&
+            col("p90") === col("q2") && col("p99") === col("q3"))
+            .as("merged_equals_oneshot"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Blocklist screen: which of a fixed phrase list occur in each
+    // document — ONE Aho-Corasick automaton pass per row (O(n+hits)
+    // regardless of list size) where the composed form pays P
+    // contains-probes per row. Overlapping phrases ("scan slow" /
+    // "agg row scan" share words; "spark" hits inside longer tokens'
+    // contexts) exercise the failure links; the last phrase never
+    // matches. Oracle: DuckDB list_filter + contains must agree on
+    // the matched set AND its phrase-list order.
+    "q183_blocklist" -> ((s, dir) => {
+      val phrases = Seq("scan slow", "slow fast table", "agg row scan",
+        "table part", "spark", "zebra quantum fox")
+      graft.ops.Blocklist.screen(t(s, dir, "documents"), "text", phrases)
+        .select(col("doc_id"), col("n_matched"),
+          array_join(col("matched"), ",").as("matched"), col("blocked"))
+        .orderBy("doc_id")
+    }),
+
+    // Stream-MAINTAINED distinct counts across a kill-and-resume:
+    // per-micro-batch HLL sketches land under their own __batch=
+    // partition (replay overwrites itself; HLL union is additionally
+    // idempotent in the VALUE, so the half-then-restart split cannot
+    // perturb the estimate), and the merged view must equal a
+    // one-shot sketch build over the full event set bit-for-bit,
+    // within the lgK=14 envelope of the exact count the oracle pins.
+    "q184_stream_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val streamed = graft.streaming.StreamAsBatch
+        .maintainedDistinctRestarted(s, s"$dir/events.parquet")
+      val pOne = graft.etl.Scratch.dir("dist-oneshot-b")
+      graft.etl.MaterializedDistinct.create(ev, Seq("event_type"),
+        "user_id", pOne, nBuckets = 8, lgK = 14)
+      val one = graft.etl.MaterializedDistinct.read(s, pOne,
+          Seq("event_type"))
+        .withColumnRenamed("n_distinct_est", "est_oneshot")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      streamed.join(one, Seq("event_type")).join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (col("n_distinct_est") === col("est_oneshot"))
+            .as("stream_equals_oneshot"),
+          (abs(col("n_distinct_est") - col("n_exact"))
+            <= col("n_exact") * 0.05).as("est_within_5pct"))
+        .orderBy("event_type")
+    }),
+
+    // Bloom-reduced EXACT semi-join (semi-join reduction): lineitem
+    // rows for urgent-1995 orders. The 64Kbit filter over the build
+    // keys screens the fact side in a NARROW pre-filter (no probe
+    // shuffle for the dropped rows); the exact LEFT SEMI join then
+    // removes the bounded false positives, so the result is
+    // indistinguishable from the plain semi-join the oracle runs.
+    // The scale story: at large-large joins the bloom's bits travel
+    // as a literal while the dropped fact bytes never cross the wire.
+    "q185_bloom_semijoin" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1995)
+      graft.ops.Approx.bloomReducedSemiJoin(li, "l_orderkey", urgent,
+          "o_orderkey", numBits = 1 << 16, numHashes = 5)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Schema-evolution-tolerant read: a v1 producer lands (doc_id,
+    // text) batches, a v2 producer adds (lang, n_chars); the evolved
+    // read unions the schemas with NULL fill — NO rewrite of the v1
+    // files (rewriting 100 TB because a column appeared is the
+    // anti-pattern). The oracle reconstructs the same union view from
+    // the source table directly.
+    "q186_schema_evolution" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents")
+      val root = graft.etl.Scratch.dir("evolve")
+      val v1 = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val v2 = StructType(v1.fields ++ Seq(
+        StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      graft.etl.SchemaEvolution.appendConformed(
+        docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), col("source")),
+        v1, root, 0L, dropExtras = true)
+      graft.etl.SchemaEvolution.appendConformed(
+        docs.where(col("doc_id") % 2 === 1), v2, root, 1L,
+        dropExtras = true)
+      graft.etl.SchemaEvolution.readEvolved(s, root)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text")).as("text_hash"),
+          col("batch").cast("long").as("batch"))
+        .orderBy("doc_id")
+    }),
+
+    // Declarative data-quality expectations over a landed table: all
+    // row-level rules share ONE aggregation pass (a rule is a codegen'd
+    // conditional count, never a scan); uniqueness is a map-side-
+    // combinable key aggregation; referential integrity is an anti
+    // join against the broadcastable key set. The report is plain
+    // data, so the oracle recomputes every count independently.
+    "q187_expectations" -> ((s, dir) => {
+      import graft.ops.Expectations._
+      val orders = t(s, dir, "orders")
+      check(orders, Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 400000.0),
+        MatchesRegex("o_orderpriority", "^[1-5]-"),
+        OneOf("o_orderstatus", Seq("O", "F")),
+        Unique(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
+        .orderBy("rule")
+    }),
+
+    // Item co-occurrence + PMI over per-user event-type baskets
+    // (market-basket association mining / item2item similarity). The
+    // basket table is distinct-reduced first; pairs come from a
+    // group-key equi-join with an item_a < item_b residual — work is
+    // sum(basket^2), never corpus^2; margins broadcast back onto the
+    // vocabulary-sized pair frame.
+    "q188_cooccurrence" -> ((s, dir) =>
+      graft.ops.Cooccurrence.pmiPairs(t(s, dir, "events"),
+          "user_id", "event_type")
+        .orderBy("item_a", "item_b")),
+
+    // Rendezvous (highest-random-weight) sharding: stable assignment
+    // under shard-count growth — going 5 -> 6 shards must move ONLY
+    // the docs whose new shard wins the argmax (~1/6 of the corpus),
+    // where pmod resharding would move ~5/6. Assignments are argmaxes
+    // over portable md5 scores, so the oracle replays every one.
+    "q189_rendezvous_shard" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.ops.Sharding.rendezvousShard(col("doc_id"), 5)
+            .cast("long").as("shard5"),
+          graft.ops.Sharding.rendezvousShard(col("doc_id"), 6)
+            .cast("long").as("shard6"))
+        .withColumn("moved", col("shard5") =!= col("shard6"))
+        .orderBy("doc_id")),
+
+    // Stream-MAINTAINED quantiles across a kill-and-resume — the
+    // third leg of the maintained-view family. The bottom-k sample is
+    // DETERMINISTIC in the (hash, id) set, so no matter how the
+    // stream (and the mid-input restart) chopped the events, the
+    // merged state must reproduce the oracle's from-scratch sample
+    // and quantile rule over the full table EXACTLY — stronger than
+    // the HLL legs' estimate-equality: here every output value is
+    // pinned.
+    "q190_stream_quantiles" -> ((s, dir) =>
+      graft.streaming.StreamAsBatch.maintainedQuantilesRestarted(
+          s, s"$dir/events.parquet")
+        .orderBy("event_type"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -6171,7 +6360,196 @@ ORDER BY 1, 2"""
         |SELECT e.type_a, e.type_b, e.est_a, e.est_b, e.est_union,
         |  e.rho * e.est_union AS est_inter, x.n_inter_exact
         |FROM est e JOIN ex x USING (type_a, type_b)
-        |ORDER BY e.type_a, e.type_b""".stripMargin
+        |ORDER BY e.type_a, e.type_b""".stripMargin,
+
+    // independent rebuild of the deterministic bottom-256 sample (by
+    // portable md5 hash of the order key) and the lower-quantile rule
+    // over the FULL table — must equal the incrementally-maintained
+    // state's view exactly; the one-shot-equality claim is pinned TRUE
+    "q182_incremental_quantiles" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority AS key, o_orderkey AS rid,
+        |    o_totalprice AS v,
+        |    CAST(('0x'||substr(md5('mq:'||CAST(o_orderkey AS VARCHAR)),1,12))
+        |      AS BIGINT) AS h
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |), rk AS (
+        |  SELECT key, v,
+        |    row_number() OVER (PARTITION BY key ORDER BY h, rid) AS r
+        |  FROM h
+        |), samp AS (
+        |  SELECT key, list(v ORDER BY v) AS vs, COUNT(1) AS n
+        |  FROM rk WHERE r <= 256 GROUP BY key
+        |)
+        |SELECT key AS o_orderpriority, n AS n_sample,
+        |  vs[CAST(floor((n-1)*0.5) AS BIGINT)+1] AS p50,
+        |  vs[CAST(floor((n-1)*0.9) AS BIGINT)+1] AS p90,
+        |  vs[CAST(floor((n-1)*0.99) AS BIGINT)+1] AS p99,
+        |  TRUE AS merged_equals_oneshot
+        |FROM samp ORDER BY o_orderpriority""".stripMargin,
+
+    // the matched set and its phrase-list order must agree with the
+    // one-pass automaton
+    "q183_blocklist" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    list_filter(['scan slow','slow fast table','agg row scan',
+        |      'table part','spark','zebra quantum fox'],
+        |      p -> contains(text, p)) AS hits
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matched,
+        |  COALESCE(array_to_string(hits, ','), '') AS matched,
+        |  len(hits) > 0 AS blocked
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the sketch-side claims are Spark-computed booleans; the oracle
+    // pins the exact counts and demands both claims hold everywhere
+    "q184_stream_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_exact,
+        |  TRUE AS stream_equals_oneshot,
+        |  TRUE AS est_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the bloom pre-filter must be invisible in the result: plain
+    // semi-join semantics
+    "q185_bloom_semijoin" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(1) AS n,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND year(o_orderdate) = 1995)
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // the union view of the evolved batches, reconstructed from the
+    // source table: even docs are v1 (no lang/n_chars), odd are v2
+    "q186_schema_evolution" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars,
+        |  md5(text) AS text_hash,
+        |  doc_id % 2 AS batch
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every expectation's violation count recomputed independently;
+    // report rows sort by rule name
+    "q187_expectations" ->
+      """WITH n AS (SELECT COUNT(1) AS n_rows FROM orders)
+        |SELECT rule, n_violations, n_rows, n_violations = 0 AS pass
+        |FROM (
+        |  SELECT 'not_null(o_custkey)' AS rule,
+        |    (SELECT COUNT(1) FROM orders WHERE o_custkey IS NULL)
+        |      AS n_violations, n_rows FROM n
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice,0.0,400000.0)',
+        |    (SELECT COUNT(1) FROM orders WHERE o_totalprice IS NOT NULL
+        |       AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)),
+        |    n_rows FROM n
+        |  UNION ALL
+        |  SELECT 'matches_regex(o_orderpriority)',
+        |    (SELECT COUNT(1) FROM orders WHERE o_orderpriority IS NOT NULL
+        |       AND NOT regexp_matches(o_orderpriority, '^[1-5]-')),
+        |    n_rows FROM n
+        |  UNION ALL
+        |  SELECT 'one_of(o_orderstatus)',
+        |    (SELECT COUNT(1) FROM orders WHERE o_orderstatus IS NOT NULL
+        |       AND o_orderstatus NOT IN ('O', 'F')),
+        |    n_rows FROM n
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |    (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (
+        |       SELECT COUNT(1) AS c FROM orders GROUP BY o_orderkey
+        |       HAVING COUNT(1) > 1)),
+        |    n_rows FROM n
+        |  UNION ALL
+        |  SELECT 'ref_integrity(o_custkey)',
+        |    (SELECT COUNT(1) FROM orders o
+        |     WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |       SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |    n_rows FROM n
+        |)
+        |ORDER BY rule""".stripMargin,
+
+    // association counts and ln-PMI recomputed independently
+    "q188_cooccurrence" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id AS g, event_type AS item FROM events
+        |), n AS (
+        |  SELECT COUNT(DISTINCT g) AS n_baskets FROM b
+        |), m AS (
+        |  SELECT item, COUNT(1) AS n_item FROM b GROUP BY item
+        |), p AS (
+        |  SELECT x.item AS item_a, y.item AS item_b, COUNT(1) AS n_ab
+        |  FROM b x JOIN b y ON x.g = y.g AND x.item < y.item
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.item_a, p.item_b, p.n_ab,
+        |  ma.n_item AS n_a, mb.n_item AS n_b, n.n_baskets,
+        |  ROUND(ln((CAST(p.n_ab AS DOUBLE) * CAST(n.n_baskets AS DOUBLE))
+        |    / (CAST(ma.n_item AS DOUBLE) * CAST(mb.n_item AS DOUBLE))), 6)
+        |    AS pmi
+        |FROM p
+        |JOIN m ma ON ma.item = p.item_a
+        |JOIN m mb ON mb.item = p.item_b
+        |CROSS JOIN n
+        |ORDER BY p.item_a, p.item_b""".stripMargin,
+
+    // every argmax assignment replayed from the same portable scores;
+    // ties (impossible at 48 bits in practice) break to the LARGER
+    // shard id on both sides
+    "q189_rendezvous_shard" ->
+      """WITH s5 AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT d.doc_id, u.s, row_number() OVER (
+        |      PARTITION BY d.doc_id
+        |      ORDER BY CAST(('0x'||substr(md5(
+        |        'shard:'||u.s||':'||CAST(d.doc_id AS VARCHAR)),1,12))
+        |        AS BIGINT) DESC, u.s DESC) AS r
+        |    FROM documents d, (SELECT unnest(range(5)) AS s) u)
+        |  WHERE r = 1
+        |), s6 AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT d.doc_id, u.s, row_number() OVER (
+        |      PARTITION BY d.doc_id
+        |      ORDER BY CAST(('0x'||substr(md5(
+        |        'shard:'||u.s||':'||CAST(d.doc_id AS VARCHAR)),1,12))
+        |        AS BIGINT) DESC, u.s DESC) AS r
+        |    FROM documents d, (SELECT unnest(range(6)) AS s) u)
+        |  WHERE r = 1
+        |)
+        |SELECT d.doc_id, s5.s AS shard5, s6.s AS shard6,
+        |  s5.s != s6.s AS moved
+        |FROM documents d
+        |JOIN s5 ON s5.doc_id = d.doc_id
+        |JOIN s6 ON s6.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // from-scratch rebuild of the deterministic bottom-256 sample and
+    // the lower-quantile rule over the full event set — the stream-
+    // maintained state must be indistinguishable
+    "q190_stream_quantiles" ->
+      """WITH h AS (
+        |  SELECT event_type AS key, event_id AS rid, value AS v,
+        |    CAST(('0x'||substr(md5('mq:'||CAST(event_id AS VARCHAR)),1,12))
+        |      AS BIGINT) AS h
+        |  FROM events WHERE value IS NOT NULL
+        |), rk AS (
+        |  SELECT key, v,
+        |    row_number() OVER (PARTITION BY key ORDER BY h, rid) AS r
+        |  FROM h
+        |), samp AS (
+        |  SELECT key, list(v ORDER BY v) AS vs, COUNT(1) AS n
+        |  FROM rk WHERE r <= 256 GROUP BY key
+        |)
+        |SELECT key AS event_type, n AS n_sample,
+        |  vs[CAST(floor((n-1)*0.5) AS BIGINT)+1] AS p50,
+        |  vs[CAST(floor((n-1)*0.9) AS BIGINT)+1] AS p90,
+        |  vs[CAST(floor((n-1)*0.99) AS BIGINT)+1] AS p99
+        |FROM samp ORDER BY event_type""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -180,4 +180,35 @@ object MaterializedDistinct {
       .agg(hll_sketch_estimate(
         hll_union_agg(col("__hll"), false))
         .as("n_distinct_est"))
+
+  // ----------------------------------------------------------------
+  // Streaming maintenance — the sketch-state twin of
+  // [[MaterializedAgg.appendBatchPartials]]: one HLL sketch per
+  // (key, bucket) per micro-batch under its own `__batch=` partition.
+  // The exactly-once story is the same (a replayed batch overwrites
+  // its own partition) PLUS sketch idempotence: even a value seen in
+  // TWO batches perturbs nothing, because HLL union is slot-wise max.
+
+  /** Land one micro-batch's sketches under `__batch=<batchId>` —
+    * idempotent under Structured Streaming's replayed-batch
+    * contract. */
+  def appendBatchPartials(batch: DataFrame, keys: Seq[String],
+      valueCol: String, path: String, batchId: Long,
+      nBuckets: Int = 64, lgK: Int = 12): Unit =
+    partials(batch, keys, valueCol, nBuckets, lgK)
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(path)
+
+  /** Finalized view over batch-partitioned sketches: one union per
+    * key across all batches (reads one lgK-bounded sketch per touched
+    * key per batch — never the raw stream). */
+  def readMergedBatches(spark: SparkSession, path: String,
+      keys: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("__hll"), false))
+        .as("n_distinct_est"))
 }

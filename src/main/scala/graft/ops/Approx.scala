@@ -207,4 +207,22 @@ object Approx {
     val filter = bloomBuild(build, buildKey, numBits, numHashes)
     probe.where(bloomMightContain(col(probeKey), filter, numHashes))
   }
+
+  /** EXACT semi-join with a Bloom pre-filter — the semi-join-reduction
+    * pattern for large-large joins where the build side's key set is
+    * too big to broadcast-HASH-join cheaply but its BITS fit a few MB:
+    * the narrow bloom screen drops most non-matching probe rows BEFORE
+    * the join shuffle (only survivors' bytes cross the wire), and the
+    * exact LEFT SEMI join then removes the bounded false positives.
+    * Result ≡ the plain semi-join, always; the bloom changes only the
+    * shuffled volume. (Spark's own runtime bloom filter —
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled` — applies the
+    * same idea inside AQE; this is the explicit, plan-visible form
+    * with the filter built over an arbitrary derived build frame.) */
+  def bloomReducedSemiJoin(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String, numBits: Int,
+      numHashes: Int): DataFrame =
+    bloomSemiJoin(probe, probeKey, build, buildKey, numBits, numHashes)
+      .join(build.select(col(buildKey)),
+        col(probeKey) === col(buildKey), "left_semi")
 }

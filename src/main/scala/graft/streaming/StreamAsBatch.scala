@@ -187,6 +187,93 @@ object StreamAsBatch {
     graft.etl.MaterializedAgg.readMergedBatches(s, statePath, keys)
   }
 
+  /** Stream-MAINTAINED distinct counts across a kill-and-resume — the
+    * sketch-state twin of [[maintainedAggRestarted]]: each micro-batch
+    * lands one HLL sketch per key under its own `__batch=` partition
+    * (idempotent replay: the batch overwrites its own partition, and
+    * HLL union is idempotent in the VALUE as well, so even re-seen
+    * values cannot inflate the count), the query restarts from its
+    * checkpoint mid-input, and the merged view's estimate must equal
+    * the one-shot batch sketch estimate over everything. */
+  def maintainedDistinctRestarted(spark: SparkSession,
+      eventsParquet: String, keys: Seq[String] = Seq("event_type"),
+      valueCol: String = "user_id", lgK: Int = 14): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = graft.etl.Scratch.dir("dist-stage")
+    val ckpt = java.nio.file.Paths.get(graft.etl.Scratch.dir("dist-ckpt"))
+    val statePath = graft.etl.Scratch.dir("dist-state")
+    val all = graft.etl.Tables.normalizeEventTime(
+      s.read.parquet(eventsParquet))
+    val cut = all.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head().getLong(0)
+    all.where(unix_micros(col("ts")) <= cut)
+      .write.mode("overwrite").parquet(stage)
+    def runOnce(): Unit = {
+      val q = EventStream.readEvents(s, stage).writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.etl.MaterializedDistinct.appendBatchPartials(
+            batch, keys, valueCol, statePath, id, nBuckets = 8, lgK = lgK)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      runOnce()
+      all.where(unix_micros(col("ts")) > cut)
+        .write.mode("append").parquet(stage)
+      runOnce()
+    } finally deleteRecursively(ckpt)
+    graft.etl.MaterializedDistinct.readMergedBatches(s, statePath, keys)
+  }
+
+  /** Stream-MAINTAINED quantiles across a kill-and-resume — the third
+    * leg of the maintained-view family: per-batch bottom-k sample
+    * partials land under `__batch=` partitions, and because the
+    * sample is DETERMINISTIC in the (hash, id) set, the merged view
+    * is bit-identical to a one-shot build regardless of how the
+    * stream (and the restart) chopped the input. */
+  def maintainedQuantilesRestarted(spark: SparkSession,
+      eventsParquet: String, keys: Seq[String] = Seq("event_type"),
+      idCol: String = "event_id", valueCol: String = "value",
+      probs: Seq[(String, Double)] =
+        Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)),
+      k: Int = 256): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = graft.etl.Scratch.dir("mq-stage")
+    val ckpt = java.nio.file.Paths.get(graft.etl.Scratch.dir("mq-ckpt"))
+    val statePath = graft.etl.Scratch.dir("mq-state")
+    val all = graft.etl.Tables.normalizeEventTime(
+      s.read.parquet(eventsParquet))
+    val cut = all.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head().getLong(0)
+    all.where(unix_micros(col("ts")) <= cut)
+      .write.mode("overwrite").parquet(stage)
+    def runOnce(): Unit = {
+      val q = EventStream.readEvents(s, stage).writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.etl.MaterializedQuantiles.appendBatchPartials(
+            batch, keys, idCol, valueCol, statePath, id,
+            k = k, nBuckets = 8)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      runOnce()
+      all.where(unix_micros(col("ts")) > cut)
+        .write.mode("append").parquet(stage)
+      runOnce()
+    } finally deleteRecursively(ckpt)
+    graft.etl.MaterializedQuantiles.readMergedBatches(
+      s, statePath, keys, probs, k)
+  }
+
   /** Kill-and-resume harness: stage the input split at its median
     * event time (second half strictly later, so nothing arrives behind
     * the checkpointed watermark), run the built stream to completion

@@ -120,6 +120,23 @@ class MaterializedAggSpec extends SparkSpec {
       s"replayed batch double-counted: $got")
   }
 
+  test("MaterializedDistinct.appendBatchPartials: replayed batch AND " +
+      "re-seen values perturb nothing") {
+    val path = graft.etl.Scratch.dir("mdist-batch")
+    val b0 = Seq(("a", 1L), ("a", 2L), ("b", 9L)).toDF("k", "v")
+    val b1 = Seq(("a", 2L), ("a", 3L)).toDF("k", "v") // value 2 re-seen
+    graft.etl.MaterializedDistinct.appendBatchPartials(
+      b0, Seq("k"), "v", path, 0L, 2)
+    graft.etl.MaterializedDistinct.appendBatchPartials(
+      b1, Seq("k"), "v", path, 1L, 2)
+    graft.etl.MaterializedDistinct.appendBatchPartials(
+      b1, Seq("k"), "v", path, 1L, 2) // crash-replay
+    val got = graft.etl.MaterializedDistinct
+      .readMergedBatches(spark, path, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 1L), s"got $got")
+  }
+
   test("repeated refreshes accumulate (three deltas, one key)") {
     val path = graft.etl.Scratch.dir("magg-rep")
     MaterializedAgg.create(Seq(("x", 1.0)).toDF("k", "v"),

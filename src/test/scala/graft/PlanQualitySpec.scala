@@ -39,7 +39,9 @@ class PlanQualitySpec extends SparkSpec {
     "q139_mmr_rerank",      // bounded query set x corpus (pool retrieval)
     "q141_silhouette",      // 1-row broadcast centroid array (two-min fold)
     "q146_label_agreement", // 1-row broadcast chance-agreement attach (κ)
-    "q159_hybrid_persisted")// q112's corpus-stats attach over the persisted index
+    "q159_hybrid_persisted",// q112's corpus-stats attach over the persisted index
+    "q181_kmv_sketch",      // one-row-per-group sketch pairing (5x5 inequality)
+    "q188_cooccurrence")    // 1-row broadcast basket-total attach
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
