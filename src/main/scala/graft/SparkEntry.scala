@@ -2565,7 +2565,43 @@ object SparkEntry {
     "q190_stream_quantiles" -> ((s, dir) =>
       graft.streaming.StreamAsBatch.maintainedQuantilesRestarted(
           s, s"$dir/events.parquet")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Hop-bounded single-source shortest paths over the nation trade
+    // graph (cheapest ≤3-leg route from nation 0, edge cost = trade
+    // volume). Frontier Bellman-Ford — per round one frontier-edge
+    // join + one min-reduce shuffle, checkpoint-truncated; the hop
+    // bound is the SEMANTIC the recursive-CTE oracle enumerates, and
+    // every path cost is the same left-fold of doubles in both
+    // engines, so distances match without rounding.
+    "q191_sssp_bounded" -> ((s, dir) => {
+      val e = graft.ops.Graph.tradeEdges(t(s, dir, "lineitem"),
+          t(s, dir, "orders"), t(s, dir, "customer"),
+          t(s, dir, "supplier"))
+        .select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      graft.ops.Graph.ssspBounded(e, source = 0L, maxRounds = 3)
+        .orderBy("node")
+    }),
+
+    // Small-file compaction under gate: land the corpus as 64
+    // micro-batch-sized files, compact to ~16MB targets (a metadata-
+    // only file-count decision + one shuffle-free coalesce rewrite
+    // with rename-aside crash safety), and prove the content came
+    // through untouched — the oracle aggregates the SOURCE table; any
+    // dropped/duplicated row or mangled text breaks the checksum.
+    "q192_compaction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = graft.etl.Scratch.dir("compact")
+      docs.repartition(64).write.mode("overwrite").parquet(root)
+      graft.etl.Layout.compact(s, root, targetBytes = 16L * 1024 * 1024)
+      s.read.parquet(root)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+            .cast("long")).as("content_sum"))
+        .orderBy("source")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -6549,7 +6585,36 @@ ORDER BY 1, 2"""
         |  vs[CAST(floor((n-1)*0.5) AS BIGINT)+1] AS p50,
         |  vs[CAST(floor((n-1)*0.9) AS BIGINT)+1] AS p90,
         |  vs[CAST(floor((n-1)*0.99) AS BIGINT)+1] AS p99
-        |FROM samp ORDER BY event_type""".stripMargin
+        |FROM samp ORDER BY event_type""".stripMargin,
+
+    // exhaustive ≤3-hop path enumeration (recursive CTE) — the
+    // frontier Bellman-Ford must reproduce every hop-bounded minimum
+    "q191_sssp_bounded" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+        |         CAST(COUNT(1) AS DOUBLE) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2
+        |), walk(node, d, hops) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), 0
+        |  UNION
+        |  SELECT e.dst, wk.d + e.w, wk.hops + 1
+        |  FROM walk wk JOIN e ON e.src = wk.node
+        |  WHERE wk.hops < 3
+        |)
+        |SELECT node, MIN(d) AS d FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    // the compacted files must aggregate exactly like the source
+    "q192_compaction" ->
+      """SELECT source, COUNT(1) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CAST(('0x'||substr(md5(text),1,8)) AS BIGINT))
+        |    AS BIGINT) AS content_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

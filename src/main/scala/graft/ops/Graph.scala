@@ -163,4 +163,61 @@ object Graph {
     if (frontier ne levels) Checkpoints.free(frontier)
     levels
   }
+
+  /** Hop-bounded single-source shortest paths (non-negative weights):
+    * (node, d) with d = the minimum total `w` over directed paths of
+    * AT MOST `maxRounds` hops from `source`; nodes unreachable within
+    * the bound absent. The hop bound is part of the SEMANTICS
+    * (itinerary-style "cheapest route with ≤H legs"), not just a
+    * safety valve — and unbounded SSSP is the fixed point (raise
+    * `maxRounds` past the graph's hop-diameter and the loop exits
+    * early on an empty frontier).
+    *
+    * Frontier Bellman-Ford: per round, one join of the IMPROVED-last-
+    * round set (not the whole dist table) against the edges, one
+    * min-reduce partial-agg shuffle on `dst`, one union+min with the
+    * standing dist table; each round's table checkpoint-truncated and
+    * the superseded one freed (the CC/PageRank lesson). Frontier-only
+    * relaxation preserves the Bellman-Ford round invariant (dist
+    * after round h = exact ≤h-hop minimum), which is what the
+    * recursive-CTE oracle enumerates.
+    *
+    * Determinism: every path's cost is the same left-fold of adds in
+    * any engine, and min over identical value sets is exact — no
+    * rounding needed. */
+  def ssspBounded(edges: DataFrame, source: Long,
+      maxRounds: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    require(maxRounds >= 0, "maxRounds must be non-negative")
+    var dist = Checkpoints.truncate(Seq((source, 0.0)).toDF("node", "d"))
+    var frontier = dist
+    var round = 0
+    var done = maxRounds == 0
+    while (!done) {
+      val cand = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"),
+          (frontier("d") + edges("w").cast("double")).as("c"))
+        .groupBy("node").agg(min(col("c")).as("c"))
+      val improved = Checkpoints.truncate(
+        cand.join(dist.select(col("node"), col("d").as("__old")),
+            Seq("node"), "left")
+          .where(col("__old").isNull || col("c") < col("__old"))
+          .select(col("node"), col("c").as("d")))
+      if (improved.isEmpty) { Checkpoints.free(improved); done = true }
+      else {
+        val grown = Checkpoints.truncate(
+          dist.unionByName(improved)
+            .groupBy("node").agg(min(col("d")).as("d")))
+        Checkpoints.free(dist)
+        if (frontier ne dist) Checkpoints.free(frontier)
+        dist = grown
+        frontier = improved
+        round += 1
+        if (round >= maxRounds) done = true
+      }
+    }
+    if (frontier ne dist) Checkpoints.free(frontier)
+    dist
+  }
 }

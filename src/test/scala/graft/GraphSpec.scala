@@ -143,4 +143,47 @@ class GraphSpec extends SparkSpec {
     val hf = graft.ops.Binning.histogram(flat, "v", 10).collect()
     assert(hf.length == 1 && hf.head.getLong(3) == 3)
   }
+
+  test("ssspBounded: detour beats direct edge; hop bound is semantic") {
+    // 0 -> 2 direct costs 10; 0 -> 1 -> 2 costs 3; 0 -> 1 -> 2 -> 3
+    val e = Seq((0L, 2L, 10.0), (0L, 1L, 1.0), (1L, 2L, 2.0),
+      (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    def run(h: Int) = graft.ops.Graph.ssspBounded(e, 0L, h)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(1) == Map(0L -> 0.0, 1L -> 1.0, 2L -> 10.0))
+    assert(run(2) == Map(0L -> 0.0, 1L -> 1.0, 2L -> 3.0, 3L -> 11.0))
+    assert(run(3) == Map(0L -> 0.0, 1L -> 1.0, 2L -> 3.0, 3L -> 4.0))
+    // past the diameter the fixed point holds (early exit, same answer)
+    assert(run(10) == run(3))
+  }
+
+  test("ssspBounded equals brute-force path enumeration on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 9
+    val edges = (for {
+      s0 <- 0 until n; d0 <- 0 until n
+      if s0 != d0 && rnd.nextDouble() < 0.35
+    } yield (s0.toLong, d0.toLong, rnd.nextInt(20) + 1.0)).toSeq
+    val e = edges.toDF("src", "dst", "w")
+    val h = 4
+    val got = graft.ops.Graph.ssspBounded(e, 0L, h)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // brute force: all paths from 0 of length <= h
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    var best = Map(0L -> 0.0)
+    var frontier = Map(0L -> 0.0)
+    for (_ <- 1 to h) {
+      val next = scala.collection.mutable.Map.empty[Long, Double]
+      frontier.foreach { case (u, du) =>
+        adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          val c = du + w
+          if (c < next.getOrElse(v, Double.MaxValue)) next(v) = c
+        }
+      }
+      frontier = next.toMap
+      next.foreach { case (v, c) =>
+        if (c < best.getOrElse(v, Double.MaxValue)) best += v -> c }
+    }
+    assert(got == best, s"got $got\nexp $best")
+  }
 }
