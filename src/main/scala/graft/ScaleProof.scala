@@ -25,11 +25,7 @@ object ScaleProof {
     // (one-pass expression) — each must hold its bounded-fan-out /
     // scan-speed shape through the decades
     "q166_containment_join", "q169_linkage_subblocked",
-    "q170_sorted_neighborhood", "q172_winnow_robust",
-    // round 10: blocklist screening (one automaton pass per row —
-    // must scale at scan speed) and rendezvous sharding (argmax of
-    // N portable scores per row — narrow, no shuffle)
-    "q183_blocklist", "q189_rendezvous_shard")
+    "q170_sorted_neighborhood", "q172_winnow_robust")
 
   /** Optional slice filter (comma-separated name prefixes via
     * `SPARK_GRAFT_SCALE_ONLY`): the 100x corpus' full pass runs ~20
@@ -105,6 +101,48 @@ object ScaleProof {
         sections += f""""posting_index_build":{"sec":$idxSec%.2f}"""
         sections +=
           f""""q112_hybrid_persisted":{"rows":$hybRows,"sec":$hybSec%.2f}"""
+        sweep(spark)
+      }
+
+      // round 10: blocklist screening at a PRODUCTION list size (2000
+      // phrases + the gate's naturals) — one Aho-Corasick pass per
+      // row, so time must track corpus bytes, not list size. The
+      // aggregate over n_matched/blocked forces evaluation (a bare
+      // count() would let column pruning drop the automaton entirely).
+      if (selected("blocklist")) {
+        import org.apache.spark.sql.functions.{col, sum, when}
+        val phrases = (1 to 2000).map(i => s"phrase$i needle") ++
+          Seq("scan slow", "slow fast table", "agg row scan",
+            "table part", "spark")
+        val t0 = System.nanoTime()
+        val r = graft.ops.Blocklist.screen(docs, "text", phrases)
+          .agg(sum(col("n_matched")),
+            sum(when(col("blocked"), 1L).otherwise(0L)))
+          .head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        sections += f""""blocklist_2005":{"hits":${r.getLong(0)},""" +
+          f""""blocked":${r.getLong(1)},"sec":$sec%.2f}"""
+        sweep(spark)
+      }
+      // round 10: rendezvous sharding at a real shard fan-out (64) —
+      // N scores + argmax per row, narrow, no shuffle; the sum forces
+      // the expression to run. Timed in BOTH forms: the portable-md5
+      // oracle reference and the xxhash64 production path.
+      if (selected("rendezvous")) {
+        import org.apache.spark.sql.functions.{col, sum}
+        val t0 = System.nanoTime()
+        val r = docs.select(graft.ops.Sharding
+            .rendezvousShard(col("doc_id"), 64).cast("long").as("s"))
+          .agg(sum(col("s"))).head().getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        sections += f""""rendezvous_64_md5":{"shard_sum":$r,"sec":$sec%.2f}"""
+        val t1 = System.nanoTime()
+        val rf = docs.select(graft.ops.Sharding
+            .rendezvousShardFast(col("doc_id"), 64).cast("long").as("s"))
+          .agg(sum(col("s"))).head().getLong(0)
+        val secF = (System.nanoTime() - t1) / 1e9
+        sections +=
+          f""""rendezvous_64_fast":{"shard_sum":$rf,"sec":$secF%.2f}"""
         sweep(spark)
       }
 

@@ -36,4 +36,21 @@ object Sharding {
       struct(score(key, i, seed).as("h"),
         lit(i).as("s"))): _*)).getField("s")
   }
+
+  /** The production form of [[rendezvousShard]]: same HRW argmax, but
+    * scores come from codegen'd `xxhash64(seed, shard, key)` instead
+    * of the md5 hex chain — ~20× cheaper per row (one integer-mix
+    * hash vs string concat + md5 + hex parse, times N shards). Not
+    * engine-portable (xxhash64 is Spark's), so the md5 form remains
+    * the oracle-gated semantic reference; this one is property-gated
+    * (movement bound, uniformity, stability) in the spec. The two
+    * assign keys to DIFFERENT shards — pick one per table and stay
+    * with it. */
+  def rendezvousShardFast(key: Column, nShards: Int,
+      seed: String = "shard"): Column = {
+    require(nShards > 0, "nShards must be positive")
+    array_max(array((0 until nShards).map(i =>
+      struct(xxhash64(lit(seed), lit(i), key).as("h"),
+        lit(i).as("s"))): _*)).getField("s")
+  }
 }

@@ -59,6 +59,21 @@ class CooccurrenceShardingSpec extends SparkSpec {
     assert(moved.where(col("s6") =!= 5).count() == 0)
   }
 
+  test("fast (xxhash64) path keeps the HRW properties: uniform, " +
+      "bounded movement, all moves to the new shard") {
+    val df = (1L to 6000L).toDF("id").select(col("id"),
+      Sharding.rendezvousShardFast(col("id"), 5).as("s5"),
+      Sharding.rendezvousShardFast(col("id"), 6).as("s6"))
+    val counts = df.groupBy("s5").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0, 1, 2, 3, 4))
+    counts.values.foreach(n =>
+      assert(math.abs(n - 1200L) < 300, s"skewed shard: $counts"))
+    val moved = df.where(col("s5") =!= col("s6"))
+    assert(math.abs(moved.count() - 1000L) < 160)
+    assert(moved.where(col("s6") =!= 5).count() == 0)
+  }
+
   test("pmod resharding moves ~5/6 — the contrast rendezvous fixes") {
     val df = (1L to 6000L).toDF("id").select(
       pmod(xxhash64(col("id")), lit(5)).as("s5"),
