@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => graft.rules.HammingZeroToEquality)
     ext.injectOptimizerRule(_ => graft.rules.BucketedRangeJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -274,5 +275,8 @@ object GraftExtensions {
       graft.rules.BucketedRangeJoin)
     spark.experimental.extraOptimizations ++=
       rules.filterNot(spark.experimental.extraOptimizations.contains)
+    val strategies = Seq(graft.plans.AsOfJoinStrategy)
+    spark.experimental.extraStrategies ++=
+      strategies.filterNot(spark.experimental.extraStrategies.contains)
   }
 }

@@ -2601,6 +2601,42 @@ object SparkEntry {
           sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
             .cast("long")).as("content_sum"))
         .orderBy("source")
+    }),
+
+    // NATIVE as-of join — q31's exact semantics through the custom
+    // LogicalPlan + Strategy + SortMergeAsOfJoinExec instead of the
+    // union-window formulation: one shuffle per side, merge scan with
+    // ONE retained right row of state per key. Same DuckDB ASOF JOIN
+    // oracle; the two formulations must be indistinguishable.
+    "q193_asof_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wFirst = Window.partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      val rates = ev
+        .withColumn("__rn", row_number().over(wFirst))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("ts").as("upd_ts"),
+          col("value").as("rate"))
+      graft.ops.AsOf.joinAsOfNative(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          rates, Seq("user_id"), "ts", "upd_ts", Seq("rate"))
+        .select(col("event_id"), col("user_id"), col("rate"))
+        .orderBy("event_id")
+    }),
+
+    // Welch's unequal-variances t-test per event type: variant =
+    // user_id parity (a deterministic assignment both engines
+    // replay). One partial-agg pass computes each (group, variant)'s
+    // n/mean/var; the statistic assembles on the reduced frame. The
+    // oracle recomputes t and the Welch-Satterthwaite dof from its
+    // own aggregates.
+    "q194_ab_welch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      graft.ops.Abtest.welch(ev, "event_type", "variant", "value",
+          "A", "B")
+        .orderBy("event_type")
     })
   )
 
@@ -6614,7 +6650,45 @@ ORDER BY 1, 2"""
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(SUM(CAST(('0x'||substr(md5(text),1,8)) AS BIGINT))
         |    AS BIGINT) AS content_sum
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // q31's oracle verbatim — the native physical operator must be
+    // indistinguishable from the composed form
+    "q193_asof_native" ->
+      """WITH rates AS (
+        |  SELECT user_id, ts AS upd_ts, value AS rate
+        |  FROM (SELECT user_id, ts, value,
+        |          ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                             ORDER BY ts, event_id) AS rn
+        |        FROM events) WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id, r.rate
+        |FROM events e
+        |ASOF JOIN rates r ON e.user_id = r.user_id AND r.upd_ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    // Welch t and dof recomputed from DuckDB's own aggregates; the
+    // same deterministic parity assignment on both sides
+    "q194_ab_welch" ->
+      """WITH per AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    COUNT(1) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), a AS (SELECT event_type, n AS n_a, m AS m_a, v AS v_a
+        |         FROM per WHERE variant = 'A'),
+        |b AS (SELECT event_type, n AS n_b, m AS m_b, v AS v_b
+        |      FROM per WHERE variant = 'B')
+        |SELECT a.event_type, n_a, n_b,
+        |  ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+        |  ROUND((m_a - m_b) / sqrt(v_a/n_a + v_b/n_b), 6) AS t,
+        |  ROUND(((v_a/n_a + v_b/n_b) * (v_a/n_a + v_b/n_b)) /
+        |    ((v_a/n_a) * (v_a/n_a) / (n_a - 1)
+        |      + (v_b/n_b) * (v_b/n_b) / (n_b - 1)), 6) AS dof,
+        |  abs(ROUND((m_a - m_b) / sqrt(v_a/n_a + v_b/n_b), 6)) > 1.96
+        |    AS significant
+        |FROM a JOIN b USING (event_type)
+        |ORDER BY a.event_type""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

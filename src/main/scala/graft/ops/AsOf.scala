@@ -112,4 +112,41 @@ object AsOf {
     unpacked.where(col("__k") === 1)
       .drop("__k", "__tie", "__r", "__b", "__f", "__pick")
   }
+
+  /** NATIVE backward as-of join — plans
+    * [[graft.plans.SortMergeAsOfJoinExec]] (custom LogicalPlan +
+    * Strategy + SparkPlan) instead of the union-window formulation:
+    * each side shuffles once on its own keys, sorts by (keys, ts),
+    * and a merge scan holds exactly ONE right row of state per key.
+    * Prefer this when the right payload is wide (the composed form
+    * carries it as structs through the union's sort) or when either
+    * side is already bucketed/sorted on the keys (EnsureRequirements
+    * then skips the exchange entirely). Backward + inclusive +
+    * LEFT-outer only; the composed [[joinAsOf]] keeps the full
+    * direction/tolerance surface. Right-side column names must be
+    * disjoint from the left's (like [[joinAsOf]]). */
+  def joinAsOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      rightTieBreak: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies :+= graft.plans.AsOfJoinStrategy
+    val lp = Bridge.analyzedPlan(left)
+    // fresh exprIds on the right so self-joins (left and right derived
+    // from one source) cannot alias the same attributes — the dedup
+    // the analyzer does for Join, done here at construction
+    val rp = Bridge.analyzedPlan(
+      right.select(right.columns.map(c => col(c).as(c)).toIndexedSeq: _*))
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n in ${p.output}"))
+    val node = graft.plans.AsOfJoin(lp, rp,
+      keys.map(attr(lp, _)), keys.map(attr(rp, _)),
+      attr(lp, leftTs), attr(rp, rightTs),
+      rightTieBreak.map(attr(rp, _)).toSeq,
+      payload.map(attr(rp, _)))
+    Bridge.ofRows(spark, node)
+  }
 }

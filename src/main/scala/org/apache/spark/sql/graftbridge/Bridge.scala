@@ -21,6 +21,18 @@ object Bridge {
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** DataFrame over an arbitrary (resolved) logical plan — the
+    * constructor custom plan nodes need (`Dataset.ofRows` is
+    * `private[sql]`). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan under a DataFrame. */
+  def analyzedPlan(df: Dataset[Row]):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
   /** Register a function into an already-running session's registry
     * (extensions only apply at session construction). */
   def registerFunction(spark: SparkSession, name: String,
