@@ -2637,6 +2637,66 @@ object SparkEntry {
       graft.ops.Abtest.welch(ev, "event_type", "variant", "value",
           "A", "B")
         .orderBy("event_type")
+    }),
+
+    // Z-order (Morton) clustering key — the layout lever behind
+    // multi-column scan pruning (Layout.writeZOrdered). The oracle
+    // replays the identical mask-cascade bit spreading in DuckDB
+    // arithmetic, pinning every interleaved key bit-for-bit.
+    "q195_zorder_key" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          graft.etl.Layout.zOrder2(
+            col("user_id") % 1024, col("event_id") % 1024).as("zkey"))
+        .orderBy("event_id")
+    }),
+
+    // Seeded epoch-shuffle manifest: global position + training batch
+    // id for every document under the portable md5 shuffle order,
+    // computed WITHOUT a global-order window (per-block row_number +
+    // broadcast block offsets). The oracle's single ROW_NUMBER() over
+    // the same key must agree on every position.
+    "q196_epoch_shuffle" -> ((s, dir) => {
+      graft.ops.Sampling.epochPositions(
+          t(s, dir, "documents").select("doc_id"), "doc_id", "7", 1000L)
+        .select(col("doc_id"), col("shuffle_key"), col("pos"), col("batch"))
+        .orderBy("doc_id")
+    }),
+
+    // k-anonymity / l-diversity release audit over quasi-identifiers
+    // (lang, source, n_chars bucket), sensitive = n_chars mod 10: one
+    // hash aggregation per QI combination with both verdicts.
+    "q197_k_anonymity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("len_bucket", expr("n_chars div 200"))
+        .withColumn("sens", col("n_chars") % 10)
+      graft.ops.Privacy.kAnonymityAudit(d,
+          Seq("lang", "source", "len_bucket"), "sens", 5, 3)
+        .orderBy("lang", "source", "len_bucket")
+    }),
+
+    // CUPED variance reduction: per-user pre/post period means around
+    // a mid-month cutoff, pooled theta broadcast back, per-variant
+    // adjusted means + variance reduction. The oracle recomputes
+    // theta from its own covar/var aggregates.
+    "q198_cuped" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      graft.ops.Abtest.cuped(ev, "user_id", "variant", "ts", "value",
+          to_timestamp(lit("2024-01-15 00:00:00")))
+        .orderBy("variant")
+    }),
+
+    // Sample-ratio-mismatch chi-squared screen per event type under
+    // the parity assignment — the trust gate preceding any A/B
+    // readout (q194/q198).
+    "q199_srm" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      graft.ops.Abtest.srm(ev, "event_type", "variant", "A", "B")
+        .orderBy("event_type")
     })
   )
 
@@ -6688,7 +6748,105 @@ ORDER BY 1, 2"""
         |  abs(ROUND((m_a - m_b) / sqrt(v_a/n_a + v_b/n_b), 6)) > 1.96
         |    AS significant
         |FROM a JOIN b USING (event_type)
-        |ORDER BY a.event_type""".stripMargin
+        |ORDER BY a.event_type""".stripMargin,
+
+    // the identical Morton mask cascade in DuckDB arithmetic (hex
+    // masks as decimals — this DuckDB has no hex literals); both
+    // dimensions ride one cascade via a 2-row-per-event union
+    "q195_zorder_key" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id % 1024 AS a, event_id % 1024 AS b
+        |  FROM events
+        |), s AS (
+        |  SELECT event_id, 0 AS w, CAST(a AS BIGINT) & 4294967295 AS v
+        |  FROM base
+        |  UNION ALL
+        |  SELECT event_id, 1 AS w, CAST(b AS BIGINT) & 4294967295 AS v
+        |  FROM base
+        |), c1 AS (SELECT event_id, w,
+        |    (v | (v << 16)) & 281470681808895 AS v FROM s),
+        |c2 AS (SELECT event_id, w,
+        |    (v | (v << 8)) & 71777214294589695 AS v FROM c1),
+        |c3 AS (SELECT event_id, w,
+        |    (v | (v << 4)) & 1085102592571150095 AS v FROM c2),
+        |c4 AS (SELECT event_id, w,
+        |    (v | (v << 2)) & 3689348814741910323 AS v FROM c3),
+        |c5 AS (SELECT event_id, w,
+        |    (v | (v << 1)) & 6148914691236517205 AS v FROM c4)
+        |SELECT event_id,
+        |  CAST(MAX(CASE WHEN w = 0 THEN v END)
+        |    | (MAX(CASE WHEN w = 1 THEN v END) << 1) AS BIGINT) AS zkey
+        |FROM c5 GROUP BY event_id ORDER BY event_id""".stripMargin,
+
+    // one global ROW_NUMBER over the portable md5 key — the exact
+    // order the two-phase block formulation must reproduce
+    "q196_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS shuffle_key
+        |  FROM documents
+        |)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
+        |    AS BIGINT) AS pos,
+        |  CAST((ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1) // 1000
+        |    AS BIGINT) AS batch
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q197_k_anonymity" ->
+      """SELECT lang, source, n_chars // 200 AS len_bucket,
+        |  CAST(COUNT(1) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT n_chars % 10) AS BIGINT) AS l_div,
+        |  COUNT(1) >= 5 AS k_anonymous,
+        |  COUNT(DISTINCT n_chars % 10) >= 3 AS l_diverse
+        |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // theta recomputed from DuckDB's own pooled covar/var moments
+    "q198_cuped" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    AVG(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |        THEN value END) AS pre,
+        |    AVG(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |        THEN value END) AS post
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), per2 AS (
+        |  SELECT * FROM per WHERE pre IS NOT NULL AND post IS NOT NULL
+        |), st AS (
+        |  SELECT covar_samp(pre, post) / var_samp(pre) AS theta,
+        |    AVG(pre) AS pre_mean
+        |  FROM per2
+        |), adj AS (
+        |  SELECT variant, post, post - theta * (pre - pre_mean) AS adj
+        |  FROM per2, st
+        |)
+        |SELECT variant, CAST(COUNT(1) AS BIGINT) AS n,
+        |  ROUND(AVG(post), 6) AS mean_raw,
+        |  ROUND(AVG(adj), 6) AS mean_adj,
+        |  ROUND(1 - var_samp(adj) / var_samp(post), 6) AS var_reduction
+        |FROM adj GROUP BY variant ORDER BY variant""".stripMargin,
+
+    "q199_srm" ->
+      """WITH per AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_b
+        |  FROM events GROUP BY 1
+        |), e AS (
+        |  SELECT event_type, n_a, n_b,
+        |    CAST(n_a + n_b AS DOUBLE) / 2 AS ex
+        |  FROM per
+        |)
+        |SELECT event_type, n_a, n_b,
+        |  ROUND((n_a - ex) * (n_a - ex) / ex
+        |    + (n_b - ex) * (n_b - ex) / ex, 6) AS chi2,
+        |  ROUND((n_a - ex) * (n_a - ex) / ex
+        |    + (n_b - ex) * (n_b - ex) / ex, 6) > 3.841459 AS srm
+        |FROM e ORDER BY event_type""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Two-sample A/B comparison per metric group — Welch's unequal-
@@ -46,5 +46,69 @@ object Abtest {
         round(t, 6).as("t"),
         round(dof, 6).as("dof"),
         (abs(round(t, 6)) > 1.96).as("significant"))
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi, Walker 2013): adjust
+    * each unit's experiment-period metric by its PRE-period value,
+    * `adj = post − θ·(pre − mean(pre))` with `θ = cov(pre, post) /
+    * var(pre)` pooled across variants (the pre-period predates
+    * assignment, so pooling is unbiased). The adjusted means estimate
+    * the same treatment effect with variance shrunk by ≈ the squared
+    * pre/post correlation — the difference between a two-week and a
+    * two-day experiment on the same traffic.
+    *
+    * Plan shape: one aggregation to per-unit (pre, post), one
+    * 1-row pooled-moment aggregate broadcast back, one per-variant
+    * aggregation — three shuffles total, each on a reduced frame;
+    * nothing driver-side. Units missing either period are excluded
+    * (they contribute no pre/post pair to θ). Output per variant:
+    * `n`, `mean_raw`, `mean_adj`, `var_reduction` =
+    * `1 − var(adj)/var(post)`, floats rounded at 6. */
+  def cuped(df: DataFrame, unitCol: String, variantCol: String,
+      tsCol: String, valueCol: String, cutoff: Column): DataFrame = {
+    val per = df.where(col(valueCol).isNotNull)
+      .groupBy(col(unitCol), col(variantCol))
+      .agg(avg(when(col(tsCol) < cutoff, col(valueCol))).as("pre"),
+        avg(when(col(tsCol) >= cutoff, col(valueCol))).as("post"))
+      .where(col("pre").isNotNull && col("post").isNotNull)
+    val st = per.agg(
+      (covar_samp(col("pre"), col("post")) / var_samp(col("pre")))
+        .as("__theta"),
+      avg(col("pre")).as("__pre_mean"))
+    per.crossJoin(broadcast(st))
+      .withColumn("adj",
+        col("post") - col("__theta") * (col("pre") - col("__pre_mean")))
+      .groupBy(col(variantCol))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("post")), 6).as("mean_raw"),
+        round(avg(col("adj")), 6).as("mean_adj"),
+        round(lit(1.0) - var_samp(col("adj")) / var_samp(col("post")), 6)
+          .as("var_reduction"))
+  }
+
+  /** Sample-ratio-mismatch check (the first thing a trustworthy
+    * experimentation readout verifies — Fabijan et al. 2019): per
+    * group, a one-degree chi-squared test of the observed A/B counts
+    * against the design ratio. `srm` = true means the assignment
+    * mechanism itself is broken and every downstream metric on that
+    * group is untrustworthy. One partial-agg pass; the statistic
+    * assembles on the one-row-per-group frame. 3.841459 is the 5%
+    * critical value of χ²(1). */
+  def srm(df: DataFrame, groupCol: String, variantCol: String,
+      variantA: String, variantB: String,
+      ratioA: Double = 0.5): DataFrame = {
+    require(ratioA > 0 && ratioA < 1, s"ratioA must be in (0,1), got $ratioA")
+    val per = df.where(col(variantCol).isin(variantA, variantB))
+      .groupBy(col(groupCol))
+      .agg(sum(when(col(variantCol) === variantA, 1L).otherwise(0L))
+          .as("n_a"),
+        sum(when(col(variantCol) === variantB, 1L).otherwise(0L)).as("n_b"))
+    val ea = (col("n_a") + col("n_b")) * ratioA
+    val eb = (col("n_a") + col("n_b")) * (1 - ratioA)
+    val chi2 = round(
+      (col("n_a") - ea) * (col("n_a") - ea) / ea +
+        (col("n_b") - eb) * (col("n_b") - eb) / eb, 6)
+    per.withColumn("chi2", chi2)
+      .withColumn("srm", chi2 > 3.841459)
   }
 }

@@ -74,6 +74,39 @@ object Sampling {
       seed: String): DataFrame =
     df.orderBy(shuffleKey(col(keyCol), seed), col(keyCol))
 
+  /** [[deterministicShuffle]] with EXPLICIT global positions and
+    * training-batch ids: `pos` = the row's 0-based rank in the seeded
+    * shuffle order, `batch` = `pos div batchSize` — the epoch
+    * manifest a data loader consumes (resume from batch b = filter,
+    * a narrow scan; next epoch = next seed). NO global-order window:
+    * the 32-bit [[shuffleKey]]'s top 8 bits are a block id MONOTONE
+    * in the shuffle order, so rank = per-block `row_number` (a
+    * partitioned window) + the block's exclusive offset (a cumsum
+    * over the 256-row block-count frame, broadcast back) — the
+    * [[graft.ops.Packing.packByBudget]] two-phase shape. Output:
+    * input columns + (shuffle_key, pos, batch). */
+  def epochPositions(df: DataFrame, keyCol: String, seed: String,
+      batchSize: Long): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val keyed = df.withColumn("shuffle_key", shuffleKey(col(keyCol), seed))
+      .withColumn("__blk", shiftright(col("shuffle_key"), 24))
+    val wLocal = Window.partitionBy(col("__blk"))
+      .orderBy(col("shuffle_key"), col(keyCol))
+    val local = keyed.withColumn("__local",
+      row_number().over(wLocal).cast("long"))
+    // block offsets: exclusive cumsum over the <=256-row count frame
+    val wBlocks = Window.orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("__blk"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wBlocks), lit(0L)))
+      .select(col("__blk"), col("__off"))
+    local.join(broadcast(offsets), "__blk")
+      .withColumn("pos", col("__off") + col("__local") - 1)
+      .withColumn("batch", expr(s"pos div ${batchSize}L"))
+      .drop("__blk", "__local", "__off")
+  }
+
   /** Deterministic train/val/test split by portable hash: bucket =
     * hash mod 10_000; `[0, val)` -> "val", `[val, val+test)` -> "test",
     * rest "train" (granularity 1e-4). A row's assignment depends only

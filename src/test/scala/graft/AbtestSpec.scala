@@ -30,4 +30,46 @@ class AbtestSpec extends SparkSpec {
     val r = Abtest.welch(df, "g", "variant", "v", "A", "B").head()
     assert(r.getDouble(5) == 0.0 && !r.getBoolean(7))
   }
+
+  test("cuped matches the hand case: perfect pre/post correlation") {
+    // post = 2*pre per unit -> theta = cov/var = 2, pre_mean = 2.5,
+    // adj = post - 2*(pre - 2.5) = 5 for every unit -> var(adj) = 0,
+    // var_reduction = 1 on both variants; raw means 4 (A) and 6 (B)
+    val rows = Seq(
+      (1L, "A", 5, 1.0), (1L, "A", 15, 2.0),
+      (2L, "B", 5, 2.0), (2L, "B", 15, 4.0),
+      (3L, "A", 5, 3.0), (3L, "A", 15, 6.0),
+      (4L, "B", 5, 4.0), (4L, "B", 15, 8.0))
+      .toDF("u", "variant", "ts", "v")
+    val r = Abtest.cuped(rows, "u", "variant", "ts", "v", lit(10))
+      .orderBy("variant").collect()
+    assert(r.length == 2)
+    assert(r(0).getString(0) == "A" && r(0).getLong(1) == 2L)
+    assert(r(0).getDouble(2) == 4.0 && r(0).getDouble(3) == 5.0)
+    assert(r(0).getDouble(4) == 1.0, s"var_reduction=${r(0).getDouble(4)}")
+    assert(r(1).getDouble(2) == 6.0 && r(1).getDouble(3) == 5.0)
+    // units missing a period are excluded from theta and the readout
+    val extra = rows.union(Seq((9L, "A", 5, 100.0)).toDF("u", "variant", "ts", "v"))
+    val r2 = Abtest.cuped(extra, "u", "variant", "ts", "v", lit(10))
+      .orderBy("variant").collect()
+    assert(r2(0).getLong(1) == 2L, "pre-only unit must not join the readout")
+  }
+
+  test("srm flags a 60/40 split and passes a 50/50 one") {
+    // g: A=60 B=40, e=50 -> chi2 = 100/50 + 100/50 = 4.0 > 3.841459
+    val df = ((1 to 60).map(_ => ("g", "A")) ++ (1 to 40).map(_ => ("g", "B")) ++
+      (1 to 50).map(_ => ("h", "A")) ++ (1 to 50).map(_ => ("h", "B")))
+      .toDF("g", "variant")
+    val r = Abtest.srm(df, "g", "variant", "A", "B").orderBy("g").collect()
+    assert(r(0).getLong(1) == 60L && r(0).getLong(2) == 40L)
+    assert(r(0).getDouble(3) == 4.0 && r(0).getBoolean(4))
+    assert(r(1).getDouble(3) == 0.0 && !r(1).getBoolean(4))
+    // a designed 75/25 ratio: the same 60/40 observed counts are now
+    // consistent (e_a=75: (15^2)/75 + (15^2)/25 = 3 + 9 = 12 -> srm;
+    // 75/25 observed -> chi2 0)
+    val df2 = ((1 to 75).map(_ => ("g", "A")) ++ (1 to 25).map(_ => ("g", "B")))
+      .toDF("g", "variant")
+    val r2 = Abtest.srm(df2, "g", "variant", "A", "B", 0.75).head()
+    assert(r2.getDouble(3) == 0.0 && !r2.getBoolean(4))
+  }
 }

@@ -41,7 +41,8 @@ class PlanQualitySpec extends SparkSpec {
     "q146_label_agreement", // 1-row broadcast chance-agreement attach (κ)
     "q159_hybrid_persisted",// q112's corpus-stats attach over the persisted index
     "q181_kmv_sketch",      // one-row-per-group sketch pairing (5x5 inequality)
-    "q188_cooccurrence")    // 1-row broadcast basket-total attach
+    "q188_cooccurrence",    // 1-row broadcast basket-total attach
+    "q198_cuped")           // 1-row broadcast pooled theta/pre-mean attach
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
@@ -114,7 +115,8 @@ class PlanQualitySpec extends SparkSpec {
     "q129_pq_topk",         // codebook ids over the sampled training set
     "q66_token_shards",     // shard ids over the vocabulary table
     "q81_vocab",            // vocabulary ranks (bounded by |vocab|)
-    "q82_bpe_pairs")        // merge-pair ranks (bounded by |pair vocab|)
+    "q82_bpe_pairs",        // merge-pair ranks (bounded by |pair vocab|)
+    "q196_epoch_shuffle")   // block offsets over the <=256-row count frame
 
   test("order-without-partition windows appear only over bounded-by-design frames") {
     // a Window line prints [funcs], [partition], [order]; the

@@ -99,6 +99,29 @@ class SamplingSpec extends SparkSpec {
     assert(s1.sorted == s2.sorted, "shuffle permutes, never drops")
   }
 
+  test("epochPositions: two-phase ranks equal the global shuffle order") {
+    val ids = docs.select("doc_id")
+    val out = Sampling.epochPositions(ids, "doc_id", "a", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val n = out.length
+    // pos is a bijection onto [0, n)
+    assert(out.map(_._2).sorted.toSeq == (0L until n).toSeq)
+    // batch = pos div 100
+    assert(out.forall { case (_, p, b) => b == p / 100 })
+    // sorting by pos reproduces deterministicShuffle's order exactly
+    val byPos = out.sortBy(_._2).map(_._1).toSeq
+    val global = Sampling.deterministicShuffle(ids, "doc_id", "a")
+      .collect().map(_.getLong(0)).toSeq
+    assert(byPos == global, "block-offset ranks must equal the global sort")
+    // partitioning-independent; a different seed permutes
+    val again = Sampling.epochPositions(ids.repartition(7), "doc_id", "a", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(again.toSeq == out.map(t => (t._1, t._2)).sortBy(_._1).toSeq)
+    val other = Sampling.epochPositions(ids, "doc_id", "b", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(other.map(_._2).toSeq != out.sortBy(_._1).map(_._2).toSeq)
+  }
+
   test("Misra-Gries sketch finds planted heavy hitters within the error bound") {
     // 10k tail tokens + two heavy items at 8% and 4%
     val n = 10000
