@@ -2697,6 +2697,28 @@ object SparkEntry {
           when(col("user_id") % 2 === 0, "A").otherwise("B"))
       graft.ops.Abtest.srm(ev, "event_type", "variant", "A", "B")
         .orderBy("event_type")
+    }),
+
+    // BROADCAST as-of join — q31's semantics a third way: the rates
+    // side packs into per-key sorted history arrays and broadcasts;
+    // each fact row binary-searches (AsOfPick, codegen'd) inside the
+    // scan stage. The fact side is never shuffled or sorted — the
+    // 100 TB plan when the right side is a small reference table.
+    // Same DuckDB ASOF JOIN oracle as q31/q193.
+    "q200_asof_broadcast" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wFirst = Window.partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      val rates = ev
+        .withColumn("__rn", row_number().over(wFirst))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("ts").as("upd_ts"),
+          col("value").as("rate"))
+      graft.ops.AsOf.joinAsOfBroadcast(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          rates, Seq("user_id"), "ts", "upd_ts", Seq("rate"))
+        .select(col("event_id"), col("user_id"), col("rate"))
+        .orderBy("event_id")
     })
   )
 
@@ -6846,7 +6868,22 @@ ORDER BY 1, 2"""
         |    + (n_b - ex) * (n_b - ex) / ex, 6) AS chi2,
         |  ROUND((n_a - ex) * (n_a - ex) / ex
         |    + (n_b - ex) * (n_b - ex) / ex, 6) > 3.841459 AS srm
-        |FROM e ORDER BY event_type""".stripMargin
+        |FROM e ORDER BY event_type""".stripMargin,
+
+    // q31's oracle verbatim — broadcast + binary-search formulation
+    // must be indistinguishable from the composed and native forms
+    "q200_asof_broadcast" ->
+      """WITH rates AS (
+        |  SELECT user_id, ts AS upd_ts, value AS rate
+        |  FROM (SELECT user_id, ts, value,
+        |          ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                             ORDER BY ts, event_id) AS rn
+        |        FROM events) WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id, r.rate
+        |FROM events e
+        |ASOF JOIN rates r ON e.user_id = r.user_id AND r.upd_ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

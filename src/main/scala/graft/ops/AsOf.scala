@@ -149,4 +149,39 @@ object AsOf {
       payload.map(attr(rp, _)))
     Bridge.ofRows(spark, node)
   }
+
+  /** BROADCAST backward as-of join — ZERO shuffle (and zero sort) of
+    * the left/fact side, the right plan for the 100 TB case where the
+    * right side is a small reference table (rates, calendars, config
+    * history): the right side packs into one sorted history array per
+    * key (`sort_array(collect_list(struct(ts, payload...)))` — a
+    * small-side-only shuffle), broadcasts, and each fact row resolves
+    * its match with a codegen'd O(log n) binary search
+    * ([[graft.expressions.AsOfPick]]) inside the scan's
+    * WholeStageCodegen stage. Compare [[joinAsOfNative]] (one shuffle
+    * per side — right side too big to broadcast) and [[joinAsOf]]
+    * (full direction/tolerance surface).
+    *
+    * Semantics: backward, inclusive, LEFT-outer — identical to
+    * [[joinAsOfNative]]; among equal-ts right rows the greatest
+    * (ts, payload...) struct wins (supply unique (keys, ts) on the
+    * right for deterministic results, as with any as-of form).
+    * NULL right timestamps are dropped (they can never be effective);
+    * payload names must be disjoint from the left's columns. Memory:
+    * each key's FULL history lives in one broadcast row — this is the
+    * small-dimension path by contract. */
+  def joinAsOfBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "need at least one payload column")
+    val hist = right.where(col(rightTs).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(rightTs).as("__t") +: payload.map(col): _*))).as("__hist"))
+    val picked = left.join(broadcast(hist), keys, "left")
+      .withColumn("__pick",
+        graft.expressions.AsOfPick(col("__hist"), col(leftTs)))
+    payload.foldLeft(picked) { (d, c) =>
+      d.withColumn(c, col("__pick").getField(c))
+    }.drop("__hist", "__pick")
+  }
 }
