@@ -2719,6 +2719,27 @@ object SparkEntry {
           rates, Seq("user_id"), "ts", "upd_ts", Seq("rate"))
         .select(col("event_id"), col("user_id"), col("rate"))
         .orderBy("event_id")
+    }),
+
+    // Smoothed target encoding + leave-one-out variant over the
+    // source category: one broadcast category aggregate + a 1-row
+    // global-mean attach; the oracle recomputes both encodings from
+    // its own aggregates.
+    "q201_target_encode" -> ((s, dir) => {
+      graft.ops.Features.targetEncode(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "n_chars", alpha = 10.0)
+        .select(col("doc_id"), col("source"),
+          round(col("te"), 6).as("te"), round(col("te_loo"), 6).as("te_loo"))
+        .orderBy("doc_id")
+    }),
+
+    // Feature hashing: portable md5 index + ±1 sign nibble, one
+    // partial-agg shuffle to the sparse (doc, idx) design matrix.
+    "q202_hash_features" -> ((s, dir) => {
+      graft.ops.Features.hashFeatures(t(s, dir, "documents"),
+          "doc_id", "text", dim = 64)
+        .orderBy("doc_id", "idx")
     })
   )
 
@@ -6883,7 +6904,39 @@ ORDER BY 1, 2"""
         |SELECT e.event_id, e.user_id, r.rate
         |FROM events e
         |ASOF JOIN rates r ON e.user_id = r.user_id AND r.upd_ts <= e.ts
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q201_target_encode" ->
+      """WITH agg AS (
+        |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS s,
+        |    CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(SUM(n_chars) AS DOUBLE) / COUNT(1) AS gmean
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |)
+        |SELECT doc_id, source,
+        |  ROUND((s + 10 * gmean) / (n + 10), 6) AS te,
+        |  ROUND((s - n_chars + 10 * gmean) / (n - 1 + 10), 6) AS te_loo
+        |FROM documents LEFT JOIN agg USING (source), g
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical portable hash: first 8 md5 nibbles -> index, 9th
+    // nibble high bit -> sign
+    "q202_hash_features" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, md5(token) AS hx FROM toks WHERE token <> ''
+        |)
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 64 AS idx,
+        |  CAST(COUNT(1) AS BIGINT) AS tf,
+        |  CAST(SUM(CASE WHEN strpos('01234567', substr(hx, 9, 1)) > 0
+        |    THEN 1 ELSE -1 END) AS BIGINT) AS sv
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, idx""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -42,7 +42,8 @@ class PlanQualitySpec extends SparkSpec {
     "q159_hybrid_persisted",// q112's corpus-stats attach over the persisted index
     "q181_kmv_sketch",      // one-row-per-group sketch pairing (5x5 inequality)
     "q188_cooccurrence",    // 1-row broadcast basket-total attach
-    "q198_cuped")           // 1-row broadcast pooled theta/pre-mean attach
+    "q198_cuped",           // 1-row broadcast pooled theta/pre-mean attach
+    "q201_target_encode")   // 1-row broadcast global-mean attach
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
