@@ -2740,6 +2740,25 @@ object SparkEntry {
       graft.ops.Features.hashFeatures(t(s, dir, "documents"),
           "doc_id", "text", dim = 64)
         .orderBy("doc_id", "idx")
+    }),
+
+    // Unigram-LM tokenizer (SentencePiece family, Kudo 2018): seed
+    // substring vocabulary + minimum-cost Viterbi segmentation. The
+    // Spark side runs the distributed position-DP (maxWordLen rounds
+    // of bounded joins over the DISTINCT-word frame); the oracle
+    // reaches the same numbers by a DIFFERENT algorithm — recursive
+    // full path enumeration — so a shared recurrence bug cannot pass.
+    // Costs fold along the winning path in identical order on both
+    // sides (the q191 argument), so round(6) is exact.
+    "q203_unigram_cost" -> ((s, dir) => {
+      val words = graft.ops.Unigram.wordCounts(
+        t(s, dir, "documents"), "text", maxWordLen = 12)
+      val vocab = graft.ops.Unigram.seedVocab(words, maxPieceLen = 4,
+        topV = 200)
+      graft.ops.Unigram.segmentCosts(words, vocab, maxPieceLen = 4,
+          maxWordLen = 12)
+        .select(col("word"), round(col("cost"), 6).as("cost"))
+        .orderBy("word")
     })
   )
 
@@ -6936,7 +6955,55 @@ ORDER BY 1, 2"""
         |  CAST(COUNT(1) AS BIGINT) AS tf,
         |  CAST(SUM(CASE WHEN strpos('01234567', substr(hx, 9, 1)) > 0
         |    THEN 1 ELSE -1 END) AS BIGINT) AS sv
-        |FROM h GROUP BY 1, 2 ORDER BY doc_id, idx""".stripMargin
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, idx""".stripMargin,
+
+    // independent algorithm: enumerate EVERY segmentation path by
+    // recursive CTE and take the min — vs the Spark side's position
+    // DP. Seed vocab replayed identically (top-200 multi-char
+    // substrings by (cnt desc, piece) + all single chars).
+    "q203_unigram_cost" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT word, CAST(COUNT(1) AS BIGINT) AS wcnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' AND len(word) <= 12 GROUP BY 1
+        |), p1 AS (
+        |  SELECT word, wcnt, unnest(range(1, len(word) + 1)) AS i FROM words
+        |), p2 AS (
+        |  SELECT word, wcnt, i,
+        |    unnest(range(1, least(4, len(word) - i + 1) + 1)) AS l
+        |  FROM p1
+        |), subs AS (
+        |  SELECT substr(word, i, l) AS piece, SUM(wcnt) AS cnt
+        |  FROM p2 GROUP BY 1
+        |), multi AS (
+        |  SELECT piece, cnt FROM subs WHERE len(piece) >= 2
+        |  ORDER BY cnt DESC, piece LIMIT 200
+        |), kept AS (
+        |  SELECT piece, cnt FROM multi
+        |  UNION ALL
+        |  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+        |), vocab AS (
+        |  SELECT piece, -ln(CAST(cnt AS DOUBLE) /
+        |    (SELECT CAST(SUM(cnt) AS DOUBLE) FROM kept)) AS w
+        |  FROM kept
+        |), spans AS (
+        |  SELECT DISTINCT word, i - 1 AS s, i - 1 + l AS e,
+        |    substr(word, i, l) AS piece
+        |  FROM p2
+        |), edges AS (
+        |  SELECT spans.word, s, e, vocab.w FROM spans
+        |  JOIN vocab USING (piece)
+        |), seg AS (
+        |  SELECT word, CAST(0 AS BIGINT) AS pos,
+        |    CAST(0.0 AS DOUBLE) AS cost FROM words
+        |  UNION ALL
+        |  SELECT e.word, e.e AS pos, seg.cost + e.w AS cost
+        |  FROM seg JOIN edges e ON e.word = seg.word AND e.s = seg.pos
+        |)
+        |SELECT w.word, ROUND(MIN(s.cost), 6) AS cost
+        |FROM seg s JOIN words w ON s.word = w.word AND s.pos = len(w.word)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see
