@@ -2759,6 +2759,34 @@ object SparkEntry {
           maxWordLen = 12)
         .select(col("word"), round(col("cost"), 6).as("cost"))
         .orderBy("word")
+    }),
+
+    // Calibration curve + ECE over a hash-planted calibrated scorer
+    // (P(label|score) = score by construction): one partial-agg pass
+    // to the 10-bin frame, ECE as a bounded-frame window.
+    "q204_calibration" -> ((s, dir) => {
+      val ks = pmod(graft.ops.Sampling.shuffleKey(col("event_id"), "cs"),
+        lit(1000000L))
+      val ky = pmod(graft.ops.Sampling.shuffleKey(col("event_id"), "cy"),
+        lit(1000000L))
+      val ev = t(s, dir, "events")
+        .withColumn("score", ks / 1000000.0)
+        .withColumn("label", when(ky < ks, 1.0).otherwise(0.0))
+      graft.ops.Eval.calibration(ev, "score", "label", 10)
+        .select(col("bin"), col("n"),
+          round(col("conf"), 6).as("conf"), round(col("acc"), 6).as("acc"),
+          round(col("gap"), 6).as("gap"), round(col("ece"), 6).as("ece"))
+        .orderBy("bin")
+    }),
+
+    // EXACT-count stratified split (vs q68's in-expectation hash
+    // split): per-stratum seeded rank against floor(n·frac) cuts —
+    // row-for-row reproducible in any engine with md5 + IEEE doubles.
+    "q205_exact_split" -> ((s, dir) => {
+      graft.ops.Sampling.exactSplit(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", valFrac = 0.1, testFrac = 0.2, seed = "xs1")
+        .orderBy("doc_id")
     })
   )
 
@@ -7003,7 +7031,47 @@ ORDER BY 1, 2"""
         |)
         |SELECT w.word, ROUND(MIN(s.cost), 6) AS cost
         |FROM seg s JOIN words w ON s.word = w.word AND s.pos = len(w.word)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q204_calibration" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(('0x' || substr(md5('cs:' || CAST(event_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % 1000000 AS ks,
+        |    CAST(('0x' || substr(md5('cy:' || CAST(event_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % 1000000 AS ky
+        |  FROM events
+        |), sy AS (
+        |  SELECT CAST(ks AS DOUBLE) / 1000000 AS sc,
+        |    CASE WHEN ky < ks THEN 1.0 ELSE 0.0 END AS y
+        |  FROM s
+        |), per AS (
+        |  SELECT CAST(LEAST(FLOOR(sc * 10), 9) AS BIGINT) AS bin,
+        |    CAST(COUNT(1) AS BIGINT) AS n, AVG(sc) AS conf, AVG(y) AS acc
+        |  FROM sy GROUP BY 1
+        |), tot AS (
+        |  SELECT SUM(abs(acc - conf) * n) / SUM(n) AS ece FROM per
+        |)
+        |SELECT bin, n, ROUND(conf, 6) AS conf, ROUND(acc, 6) AS acc,
+        |  ROUND(abs(acc - conf), 6) AS gap, ROUND(ece, 6) AS ece
+        |FROM per, tot ORDER BY bin""".stripMargin,
+
+    // floor(n * frac) in DOUBLE on both sides (0.1e0 forces IEEE, not
+    // DuckDB decimal) so the cut indices agree bit-for-bit
+    "q205_exact_split" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      CAST(('0x' || substr(md5('xs1:' || CAST(doc_id AS VARCHAR)),
+        |        1, 8)) AS BIGINT), doc_id) AS rn,
+        |    COUNT(1) OVER (PARTITION BY source) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, source,
+        |  CASE WHEN rn <= FLOOR(n * 0.1e0) THEN 'val'
+        |       WHEN rn <= FLOOR(n * 0.1e0) + FLOOR(n * 0.2e0) THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

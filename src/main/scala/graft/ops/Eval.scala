@@ -121,4 +121,37 @@ object Eval {
           round((col("__po") - col("__pe")) / (lit(1.0) - col("__pe")), 6))
           .as("kappa"))
   }
+
+  /** Calibration curve + expected calibration error (ECE, Naeini
+    * et al. 2015): scores in [0,1] bin equi-width into `nBins`; per
+    * bin `conf` = mean score, `acc` = mean label, `gap` = |acc−conf|;
+    * `ece` (same value on every row) = Σ n_b/N · gap_b. The standard
+    * model-quality readout before a scored corpus filters on a
+    * threshold — an uncalibrated quality model silently biases the
+    * kept corpus.
+    *
+    * Shape: one partial-agg pass to the ≤nBins frame; totals/ECE as
+    * windows over that bounded frame. Scores outside [0,1] and NULL
+    * rows are excluded. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need at least 2 bins, got $nBins")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("double").as("__y"))
+      .where(col("__s") >= 0 && col("__s") <= 1)
+    val per = base
+      .withColumn("bin",
+        least(floor(col("__s") * nBins), lit(nBins - 1L)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), avg(col("__s")).as("conf"),
+        avg(col("__y")).as("acc"))
+    val w = Window.partitionBy(lit(1))
+    per
+      .withColumn("gap", abs(col("acc") - col("conf")))
+      .withColumn("ece",
+        sum(col("gap") * col("n")).over(w) / sum(col("n")).over(w))
+  }
 }

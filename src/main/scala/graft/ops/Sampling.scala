@@ -124,6 +124,34 @@ object Sampling {
       when(b < valCut, "val").when(b < testCut, "test").otherwise("train"))
   }
 
+  /** EXACT-count stratified split: within each stratum, rank rows by
+    * the portable seeded hash and cut at `floor(n·valFrac)` /
+    * `floor(n·valFrac) + floor(n·testFrac)` — every stratum lands
+    * within one row of its target proportions, where [[hashSplit]]
+    * only hits them in expectation (a 30-row stratum can easily come
+    * out 40/60 there). The price: one shuffle on the stratum key (two
+    * partitioned windows share it); hashSplit stays the narrow
+    * no-shuffle default for corpus-scale strata. floor(n·frac) is
+    * plain IEEE double math — identical in any engine, so the split
+    * is oracle-gatable row-for-row. */
+  def exactSplit(df: DataFrame, strataCol: String, keyCol: String,
+      valFrac: Double, testFrac: Double, seed: String): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1,
+      s"fractions val=$valFrac test=$testFrac invalid")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(shuffleKey(col(keyCol), seed), col(keyCol))
+    val wc = Window.partitionBy(col(strataCol))
+    val nVal = floor(col("__n") * valFrac)
+    val nTest = floor(col("__n") * testFrac)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .withColumn("split",
+        when(col("__rn") <= nVal, "val")
+          .when(col("__rn") <= nVal + nTest, "test")
+          .otherwise("train"))
+      .drop("__rn", "__n")
+  }
+
   /** Deterministic round-robin source interleave — the data-mixing
     * ORDER operator: training reads the corpus as source1[0],
     * source2[0], ..., sourceK[0], source1[1], ... so no long

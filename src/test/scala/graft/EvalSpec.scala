@@ -109,4 +109,23 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_hit") == 0 && r.getAs[Double]("mrr") == 0.0
       && r.getAs[Double]("ndcg") == 0.0 && r.getAs[Double]("recall") == 0.0)
   }
+
+  test("calibration matches the hand case; out-of-range rows excluded") {
+    import org.apache.spark.sql.functions.col
+    // bin 1 (scores .11/.15): conf .13, acc 1.0 -> gap .87 (n=2)
+    // bin 9 (scores .95/1.0): conf .975, acc 0.5 -> gap .475 (n=2)
+    // ece = (2*.87 + 2*.475)/4 = .6725; score 1.0 lands in bin 9 (cap)
+    val df = Seq((0.11, 1.0), (0.15, 1.0), (0.95, 0.0), (1.0, 1.0),
+      (1.5, 1.0), (-0.1, 0.0)).toDF("s", "y")
+    val out = Eval.calibration(df, "s", "y", 10)
+      .orderBy("bin").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("bin") == 1L && out(0).getAs[Long]("n") == 2L)
+    assert(math.abs(out(0).getAs[Double]("conf") - 0.13) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("gap") - 0.87) < 1e-12)
+    assert(out(1).getAs[Long]("bin") == 9L)
+    assert(math.abs(out(1).getAs[Double]("acc") - 0.5) < 1e-12)
+    out.foreach(r =>
+      assert(math.abs(r.getAs[Double]("ece") - 0.6725) < 1e-10))
+  }
 }

@@ -122,6 +122,32 @@ class SamplingSpec extends SparkSpec {
     assert(other.map(_._2).toSeq != out.sortBy(_._1).map(_._2).toSeq)
   }
 
+  test("exactSplit hits floor-exact per-stratum counts, deterministically") {
+    val split = Sampling.exactSplit(docs.select("doc_id", "source"),
+      "source", "doc_id", 0.1, 0.2, "s1")
+    val counts = split.groupBy("source", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, n) =>
+      val v = counts.getOrElse((src, "val"), 0L)
+      val t = counts.getOrElse((src, "test"), 0L)
+      assert(v == math.floor(n * 0.1).toLong, s"$src val $v of $n")
+      assert(t == math.floor(n * 0.2).toLong, s"$src test $t of $n")
+      assert(counts.getOrElse((src, "train"), 0L) == n - v - t)
+    }
+    // stable under repartitioning; a row's split depends only on
+    // (seed, stratum membership)
+    val again = Sampling.exactSplit(
+        docs.select("doc_id", "source").repartition(7),
+        "source", "doc_id", 0.1, 0.2, "s1")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again)
+  }
+
   test("Misra-Gries sketch finds planted heavy hitters within the error bound") {
     // 10k tail tokens + two heavy items at 8% and 4%
     val n = 10000
