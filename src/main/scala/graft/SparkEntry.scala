@@ -2787,6 +2787,17 @@ object SparkEntry {
           t(s, dir, "documents").select("doc_id", "source"),
           "source", "doc_id", valFrac = 0.1, testFrac = 0.2, seed = "xs1")
         .orderBy("doc_id")
+    }),
+
+    // CDC changelog apply: events as a per-user change stream ordered
+    // by (ts, event_id), 'error' as the tombstone op — final state =
+    // last event's payload, tombstoned keys absent. One max_by
+    // partial aggregation, no window over the log.
+    "q206_cdc_apply" -> ((s, dir) => {
+      graft.ops.Scd.applyChangelog(t(s, dir, "events"),
+          "user_id", Seq("ts", "event_id"), "event_type",
+          deleteOp = "error", payloadCols = Seq("value"))
+        .orderBy("user_id")
     })
   )
 
@@ -7071,7 +7082,18 @@ ORDER BY 1, 2"""
         |  CASE WHEN rn <= FLOOR(n * 0.1e0) THEN 'val'
         |       WHEN rn <= FLOOR(n * 0.1e0) + FLOOR(n * 0.2e0) THEN 'test'
         |       ELSE 'train' END AS split
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q206_cdc_apply" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, ts, event_id, value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

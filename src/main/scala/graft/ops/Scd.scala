@@ -38,4 +38,33 @@ object Scd {
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
       .drop("__run")
   }
+
+  /** CDC changelog apply: reduce a stream of keyed change events
+    * (op ∈ insert/update marks vs `deleteOp`) to the FINAL table
+    * state — per key, the payload of the LAST event in `orderCols`
+    * order, with keys whose last event is a delete absent entirely
+    * (the replication-sink semantics of MERGE applied in sequence;
+    * [[graft.etl.WarehouseSink.upsertByKey]] is the single-batch,
+    * no-delete special case).
+    *
+    * One shuffle on the key; latest-event selection is a max_by-style
+    * partial aggregation over a struct of (orderCols..., op,
+    * payload...) — map-side combinable, NO window over the changelog
+    * (at 100 TB the log is much bigger than the key space; the
+    * aggregate reduces early). `orderCols` must totally order events
+    * within a key. */
+  def applyChangelog(log: DataFrame, keyCol: String, orderCols: Seq[String],
+      opCol: String, deleteOp: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(payloadCols.nonEmpty, "need at least one payload column")
+    val ord = struct(orderCols.map(col): _*)
+    val carried = struct(
+      (orderCols.map(col) :+ col(opCol)) ++ payloadCols.map(col): _*)
+    log.groupBy(col(keyCol))
+      .agg(max_by(carried, ord).as("__last"))
+      .where(col(s"__last.$opCol") =!= deleteOp)
+      .select(col(keyCol) +:
+        (orderCols ++ payloadCols).map(c => col(s"__last.$c").as(c)): _*)
+  }
 }

@@ -76,6 +76,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(planOf("q11_sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("per-group top-k never windows the fact table") {
+    // TopK.topKPerGroup is a bounded-heap UDAF: k rows per group per
+    // partition reach the shuffle via partial aggregation — stronger
+    // than a window + rank<=k filter (even with WindowGroupLimit
+    // pushdown, the window still sorts within partitions)
+    val p = planOf("q57_topk_per_group")
+    assert(!p.contains("Window ["), s"q57 must not plan a window\n$p")
+    assert(p.contains("partial_topkbyscore") ||
+      p.contains("ObjectHashAggregate"), s"q57 must partial-aggregate\n$p")
+  }
+
   test("single-pass aggregations keep partial (map-side) aggregation") {
     // q06 count and q10 grouped agg must show partial_ then final agg
     assert(planOf("q06_count").contains("partial_count"))

@@ -82,4 +82,26 @@ class ScdTfidfSimSpec extends SparkSpec {
     val flat = Seq((1L, "x y"), (2L, "x y")).toDF("doc_id", "text")
     assert(Tfidf.similarDocs(flat, "doc_id", "text", 10, 1).isEmpty)
   }
+
+  test("applyChangelog: last op wins, tombstones drop the key") {
+    // k1: insert then update -> final = update payload
+    // k2: update then delete -> absent
+    // k3: delete then re-insert (later seq) -> reappears
+    // rows arrive OUT of order; seq ties broken by the second col
+    val log = Seq(
+      ("k1", 2L, 0L, "U", 20.0), ("k1", 1L, 0L, "I", 10.0),
+      ("k2", 1L, 0L, "U", 5.0), ("k2", 2L, 0L, "D", 0.0),
+      ("k3", 3L, 1L, "I", 7.0), ("k3", 3L, 0L, "D", 0.0))
+      .toDF("k", "seq", "sub", "op", "v")
+    val out = Scd.applyChangelog(log, "k", Seq("seq", "sub"), "op", "D",
+        Seq("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map("k1" -> ((2L, 0L, 20.0)), "k3" -> ((3L, 1L, 7.0))))
+    // partitioning-independent
+    val again = Scd.applyChangelog(log.repartition(5), "k",
+        Seq("seq", "sub"), "op", "D", Seq("v"))
+      .collect().map(_.getString(0)).sorted
+    assert(again.toSeq == Seq("k1", "k3"))
+  }
 }
