@@ -2798,7 +2798,16 @@ object SparkEntry {
           "user_id", Seq("ts", "event_id"), "event_type",
           deleteOp = "error", payloadCols = Seq("value"))
         .orderBy("user_id")
-    })
+    }),
+
+    // Interpolated Kneser-Ney perplexity (q78's add-k upgraded to the
+    // continuation-probability smoothing): model = bigram-type frame
+    // with two partitioned windows + one 1-row broadcast; the oracle
+    // recomputes every statistic and the identical discount formula.
+    "q207_kneser_ney" -> ((s, dir) =>
+      graft.ops.LangModel.knPerplexity(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -7093,7 +7102,45 @@ ORDER BY 1, 2"""
         |)
         |SELECT user_id, ts, event_id, value
         |FROM r WHERE rn = 1 AND event_type <> 'error'
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    // every KN statistic recomputed; discounts/smoothers as 0.75e0 /
+    // 0.5e0 (DOUBLE, not DuckDB decimal) and the p formula associated
+    // exactly as the Spark expression
+    "q207_kneser_ney" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w)-1), i -> w[i]))
+        |      AS w1,
+        |    unnest(list_transform(generate_series(1, len(w)-1), i -> w[i+1]))
+        |      AS w2
+        |  FROM t WHERE len(w) >= 2
+        |), model AS (
+        |  SELECT w1, w2, COUNT(1) AS c12 FROM bg GROUP BY 1, 2
+        |), model2 AS (
+        |  SELECT w1, w2, c12,
+        |    SUM(c12) OVER (PARTITION BY w1) AS c1,
+        |    COUNT(1) OVER (PARTITION BY w1) AS n1fw,
+        |    COUNT(1) OVER (PARTITION BY w2) AS n1bw
+        |  FROM model
+        |), tot AS (
+        |  SELECT CAST(COUNT(1) AS DOUBLE) AS t,
+        |    CAST(COUNT(DISTINCT w2) AS DOUBLE) AS v
+        |  FROM model
+        |), scored AS (
+        |  SELECT b.doc_id,
+        |    ln(greatest(m.c12 - 0.75e0, 0) / m.c1
+        |      + (0.75e0 * m.n1fw / m.c1)
+        |        * ((m.n1bw + 0.5e0) / (tot.t + (tot.v + 1) * 0.5e0))) AS logp
+        |  FROM bg b JOIN model2 m ON m.w1 = b.w1 AND m.w2 = b.w2, tot
+        |)
+        |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(logp), 6) AS avg_logp,
+        |  ROUND(exp(-AVG(logp)), 6) AS ppl
+        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

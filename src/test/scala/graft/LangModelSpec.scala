@@ -58,4 +58,31 @@ class LangModelSpec extends SparkSpec {
     val inline = LangModel.perplexity(docs, "doc_id", "text")
     assert(indexed.except(inline).isEmpty && inline.except(indexed).isEmpty)
   }
+
+  test("Kneser-Ney matches hand-computed discounted probabilities") {
+    import spark.implicits._
+    // corpus: doc1 "a b a b", doc2 "a c"
+    // types: (a,b) c12=2; (b,a) 1; (a,c) 1 -> c1(a)=3, c1(b)=1
+    // N1+(a.)=2, N1+(b.)=1; N1+(.b)=N1+(.a)=N1+(.c)=1; T=3, V=3
+    // Pcont = 1.5/5 = 0.3 for all three continuations; d=0.75:
+    //   P(b|a) = 1.25/3 + (0.75*2/3)*0.3
+    //   P(a|b) = 0.25/1 + (0.75*1/1)*0.3
+    //   P(c|a) = 0.25/3 + (0.75*2/3)*0.3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = LangModel.knPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val pBA = 1.25 / 3 + (0.75 * 2 / 3) * 0.3
+    val pAB = 0.25 + 0.75 * 0.3
+    val pCA = 0.25 / 3 + (0.75 * 2 / 3) * 0.3
+    val d1 = (2 * math.log(pBA) + math.log(pAB)) / 3
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - d1) < 1e-6, s"got ${out(1L)._2} want $d1")
+    assert(out(2L)._1 == 1L)
+    assert(math.abs(out(2L)._2 - math.log(pCA)) < 1e-6)
+    // discounted mass conservation (unsmoothed Pcont sums to 1 over
+    // the three continuations, so sum over seen+backoff stays < 1
+    // only through the +0.5 smoothing): all probabilities in (0,1)
+    assert(Seq(pBA, pAB, pCA).forall(p => p > 0 && p < 1))
+  }
 }

@@ -43,7 +43,8 @@ class PlanQualitySpec extends SparkSpec {
     "q181_kmv_sketch",      // one-row-per-group sketch pairing (5x5 inequality)
     "q188_cooccurrence",    // 1-row broadcast basket-total attach
     "q198_cuped",           // 1-row broadcast pooled theta/pre-mean attach
-    "q201_target_encode")   // 1-row broadcast global-mean attach
+    "q201_target_encode",   // 1-row broadcast global-mean attach
+    "q207_kneser_ney")      // 1-row broadcast type-total attach (T, V)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
