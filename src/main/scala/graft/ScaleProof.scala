@@ -25,7 +25,13 @@ object ScaleProof {
     // (one-pass expression) — each must hold its bounded-fan-out /
     // scan-speed shape through the decades
     "q166_containment_join", "q169_linkage_subblocked",
-    "q170_sorted_neighborhood", "q172_winnow_robust")
+    "q170_sorted_neighborhood", "q172_winnow_robust",
+    // round 10: epoch-shuffle two-phase ranks and feature hashing
+    // must track corpus rows; the unigram DP and the KN model run on
+    // Heaps-scale frames (distinct words / bigram types), so their
+    // times must FLATTEN as the synthetic vocabulary saturates
+    "q196_epoch_shuffle", "q202_hash_features", "q203_unigram_cost",
+    "q207_kneser_ney")
 
   /** Optional slice filter (comma-separated name prefixes via
     * `SPARK_GRAFT_SCALE_ONLY`): the 100x corpus' full pass runs ~20
