@@ -2807,7 +2807,20 @@ object SparkEntry {
     "q207_kneser_ney" -> ((s, dir) =>
       graft.ops.LangModel.knPerplexity(t(s, dir, "documents"),
           "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Distributed suffix array by prefix doubling (Manber-Myers):
+    // dense global rank of every suffix of every document. The oracle
+    // reaches the same ranks by a DIFFERENT algorithm — materialize
+    // every suffix STRING and sort (O(n²) characters, viable only at
+    // oracle scale; the doubling schedule is O(n log n) fixed-width
+    // rows, the form that survives 100 TB).
+    "q208_suffix_ranks" -> ((s, dir) =>
+      graft.ops.Suffix.suffixRanks(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("pos").cast("long").as("pos"),
+          col("rank"))
+        .orderBy("doc_id", "pos"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -7140,7 +7153,21 @@ ORDER BY 1, 2"""
         |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
         |  ROUND(AVG(logp), 6) AS avg_logp,
         |  ROUND(exp(-AVG(logp)), 6) AS ppl
-        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // independent algorithm: every suffix string materialized and
+    // sorted (DENSE_RANK over binary order) vs the Spark side's
+    // prefix doubling
+    "q208_suffix_ranks" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest(range(1, len(text) + 1)) AS pos, text
+        |  FROM documents WHERE text IS NOT NULL AND len(text) >= 1
+        |), suf AS (
+        |  SELECT doc_id, pos, substr(text, pos) AS suf FROM s
+        |)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(DENSE_RANK() OVER (ORDER BY suf) AS BIGINT) AS rank
+        |FROM suf ORDER BY doc_id, pos""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see
