@@ -41,22 +41,36 @@ object Suffix {
     val txt = docs
       .where(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(idCol).as("id"), col(textCol).as("t"))
+    // seed with 8-char prefix ranks (vs single chars): string order
+    // on the k0-prefix IS the suffix order at k0 granularity (a
+    // shorter remainder compares before its extensions), and it cuts
+    // three doubling rounds off the schedule
+    val k0 = 8L
     val base = Checkpoints.truncate(txt
       .withColumn("pos", explode(sequence(lit(1), length(col("t")))))
       .select(col("id"), col("pos"),
-        expr("substring(t, pos, 1)").as("c")))
+        expr(s"substring(t, pos, $k0)").as("c")))
     // bounded driver statistics: corpus char count + longest doc
     val stats = txt.agg(sum(length(col("t"))).as("n"),
       max(length(col("t"))).as("m")).head()
     val n = stats.getLong(0)
     val maxLen = stats.getInt(1)
-    // round 0: dense char ranks — a window over the alphabet frame
-    val charRanks = base.select("c").distinct()
-      .withColumn("r", row_number()
-        .over(Window.orderBy(col("c"))).cast("long"))
+    // round 0: dense k0-gram ranks, two-phase (first char = the
+    // monotone block; offsets over the alphabet-sized count frame)
+    val keys = base.select("c").distinct()
+      .withColumn("__b", substring(col("c"), 1, 1))
+    val wKey = Window.partitionBy(col("__b")).orderBy(col("c"))
+    val loc0 = keys.withColumn("__rn", row_number().over(wKey).cast("long"))
+    val off0 = loc0.groupBy("__b").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__off")
+    val keyRanks = loc0.join(broadcast(off0), "__b")
+      .select(col("c"), (col("__off") + col("__rn")).as("r"))
     var s = Checkpoints.truncate(
-      base.join(broadcast(charRanks), "c").select("id", "pos", "r"))
-    var h = 1L
+      base.join(keyRanks, "c").select("id", "pos", "r"))
+    var h = k0
     var distinctRanks = 0L
     while (h < maxLen && distinctRanks < n) {
       // partner rank: the suffix at pos+h (0 past the end — shorter
