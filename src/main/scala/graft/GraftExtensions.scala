@@ -36,6 +36,12 @@ object GraftExtensions {
       "", "", "", "", "", "", "scala_udf")
 
   private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("common_prefix_len",
+      "common_prefix_len(a, b) - code-point length of the common prefix",
+      args => {
+        require(args.length == 2, "common_prefix_len(a, b) takes 2 arguments")
+        graft.expressions.CommonPrefixLen(args.head, args(1))
+      }),
     ("dot_product", "dot_product(arr, arr) - double-accumulated dot product",
       args => {
         require(args.length == 2, "dot_product(a, b) takes 2 arguments")

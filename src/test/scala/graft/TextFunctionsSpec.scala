@@ -157,6 +157,7 @@ class TextFunctionsSpec extends SparkSpec {
       Seq("a b", "b c"))
     assert(one("SELECT dot_product(array(1.0F,2.0F), array(3.0F,4.0F))") ==
       11.0)
+    assert(one("SELECT common_prefix_len('abcdef', 'abcxyz')") == 3L)
     assert(one("SELECT redact_pii('mail bob@ex.io now')") ==
       "mail [EMAIL] now")
     assert(one("SELECT redact_pii_full('ssn 219-09-9999 ok')") ==
