@@ -2820,7 +2820,36 @@ object SparkEntry {
           "doc_id", "text")
         .select(col("id").as("doc_id"), col("pos").cast("long").as("pos"),
           col("rank"))
-        .orderBy("doc_id", "pos"))
+        .orderBy("doc_id", "pos")),
+
+    // Mann-Whitney U per event type (nonparametric companion to
+    // q194's Welch t): tie-averaged ranks in one partitioned window,
+    // tie-corrected normal approximation on the reduced frame.
+    "q209_mann_whitney" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      graft.ops.Abtest.mannWhitney(ev, "event_type", "variant", "value",
+          "A", "B")
+        .orderBy("event_type")
+    }),
+
+    // CUSUM change detection per user (Page 1954) via the drawup
+    // identity (cumsum minus running min — the recursion's
+    // window-expressible form). k/h from ROUNDED global moments so
+    // the sequential folds are bit-identical cross-engine.
+    "q210_cusum" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("value").isNotNull)
+      val st = ev.agg(round(avg(col("value")), 6).as("__k"),
+        round(stddev_samp(col("value")) * 2, 6).as("__h"))
+      graft.ops.TimeSeries.cusum(ev.crossJoin(broadcast(st)),
+          "user_id", Seq("ts", "event_id"), "value",
+          col("__k"), col("__h"))
+        .select(col("user_id"), col("n"), col("max_cusum"),
+          col("n_alarms"),
+          col("first_alarm.event_id").as("first_alarm_event"))
+        .orderBy("user_id")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -7167,7 +7196,73 @@ ORDER BY 1, 2"""
         |)
         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
         |  CAST(DENSE_RANK() OVER (ORDER BY suf) AS BIGINT) AS rank
-        |FROM suf ORDER BY doc_id, pos""".stripMargin
+        |FROM suf ORDER BY doc_id, pos""".stripMargin,
+
+    "q209_mann_whitney" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    value
+        |  FROM events WHERE value IS NOT NULL
+        |), rk AS (
+        |  SELECT event_type, variant,
+        |    RANK() OVER (PARTITION BY event_type ORDER BY value) AS r,
+        |    CAST(COUNT(1) OVER (PARTITION BY event_type, value)
+        |      AS DOUBLE) AS t
+        |  FROM base
+        |), per AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS na,
+        |    CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS nb,
+        |    SUM(CASE WHEN variant = 'A' THEN r + (t - 1) / 2.0e0
+        |      ELSE 0 END) AS ra,
+        |    SUM(t * t - 1) AS tcorr
+        |  FROM rk GROUP BY 1
+        |)
+        |SELECT event_type, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  ROUND(ra - na * (na + 1) / 2, 6) AS u_a,
+        |  ROUND((ra - na * (na + 1) / 2 - na * nb / 2)
+        |    / sqrt(na * nb / 12 * ((na + nb + 1)
+        |        - tcorr / ((na + nb) * (na + nb - 1)))), 6) AS z,
+        |  abs(ROUND((ra - na * (na + 1) / 2 - na * nb / 2)
+        |    / sqrt(na * nb / 12 * ((na + nb + 1)
+        |        - tcorr / ((na + nb) * (na + nb - 1)))), 6)) > 1.96
+        |    AS significant
+        |FROM per ORDER BY event_type""".stripMargin,
+
+    "q210_cusum" ->
+      """WITH st AS (
+        |  SELECT ROUND(AVG(value), 6) AS k,
+        |    ROUND(stddev_samp(value) * 2, 6) AS h
+        |  FROM events WHERE value IS NOT NULL
+        |), b AS (
+        |  SELECT user_id, ts, event_id, st.h,
+        |    SUM(value - st.k) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS S
+        |  FROM events, st WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT user_id, ts, event_id, h,
+        |    S - LEAST(MIN(S) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 0) AS s
+        |  FROM b
+        |), al AS (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM c WHERE s > h
+        |)
+        |SELECT c.user_id, CAST(COUNT(1) AS BIGINT) AS n,
+        |  ROUND(MAX(s), 6) AS max_cusum,
+        |  CAST(SUM(CASE WHEN s > h THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms,
+        |  MAX(f.first_alarm_event) AS first_alarm_event
+        |FROM c LEFT JOIN (
+        |  SELECT user_id, event_id AS first_alarm_event FROM al
+        |  WHERE rn = 1) f ON f.user_id = c.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -111,4 +111,46 @@ object Abtest {
     per.withColumn("chi2", chi2)
       .withColumn("srm", chi2 > 3.841459)
   }
+
+  /** Mann–Whitney U test (Mann & Whitney 1947) per metric group — the
+    * nonparametric companion to [[welch]]: compares rank sums, so one
+    * whale user cannot drag the readout (the usual failure of mean
+    * tests on revenue-like metrics). Tie-averaged ranks, normal
+    * approximation with the tie-corrected variance
+    * σ² = nA·nB/12 · ((n+1) − Σ(t³−t)/(n(n−1))), z = (U_A − nA·nB/2)/σ.
+    *
+    * Shape: one rank window partitioned by group (one shuffle), tie
+    * counts as a (group, value) aggregate joined back map-side-ish,
+    * statistics on the two-rows-per-group frame. Output per group:
+    * n_a, n_b, u_a, z, significant (|z| > 1.96), rounded at 6. */
+  def mannWhitney(df: DataFrame, groupCol: String, variantCol: String,
+      valueCol: String, variantA: String, variantB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(col(variantCol).isin(variantA, variantB) &&
+      col(valueCol).isNotNull)
+    val wRank = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val wTie = Window.partitionBy(col(groupCol), col(valueCol))
+    val ranked = base
+      .withColumn("__t", count(lit(1)).over(wTie).cast("double"))
+      .withColumn("__avgrank",
+        rank().over(wRank) + (col("__t") - 1) / 2.0)
+    val per = ranked.groupBy(col(groupCol))
+      .agg(
+        sum(when(col(variantCol) === variantA, 1L).otherwise(0L))
+          .cast("double").as("__na"),
+        sum(when(col(variantCol) === variantB, 1L).otherwise(0L))
+          .cast("double").as("__nb"),
+        sum(when(col(variantCol) === variantA, col("__avgrank"))
+          .otherwise(0.0)).as("__ra"),
+        // Σ(t³−t): each member of a t-tie contributes (t³−t)/t = t²−1
+        sum(col("__t") * col("__t") - 1).as("__tcorr"))
+    val n = col("__na") + col("__nb")
+    val ua = col("__ra") - col("__na") * (col("__na") + 1) / 2
+    val sigma = sqrt(col("__na") * col("__nb") / 12 *
+      ((n + 1) - col("__tcorr") / (n * (n - 1))))
+    val z = round((ua - col("__na") * col("__nb") / 2) / sigma, 6)
+    per.select(col(groupCol),
+      col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+      round(ua, 6).as("u_a"), z.as("z"), (abs(z) > 1.96).as("significant"))
+  }
 }

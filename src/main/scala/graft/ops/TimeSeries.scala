@@ -155,6 +155,38 @@ object TimeSeries {
     * cold-start convention that flags nothing on the first row
     * (stddev of one sample is null). Same shape as [[ewma]]: one
     * key shuffle, O(window) state. */
+  /** One-sided CUSUM change detection (Page 1954) per series: the
+    * recursion s_t = max(0, s_{t−1} + (x_t − k)) rewritten as the
+    * WINDOW-EXPRESSIBLE identity s_t = S_t − min_{j≤t} S_j with
+    * S = running Σ(x − k) — a cumulative sum and a running min, both
+    * partitioned per series (the recursion itself has no
+    * fixed-frame window form; the drawup identity is what makes CUSUM
+    * a two-window batch operator instead of a sequential scan).
+    * Alarm when s_t > h. Output per series: n, max_cusum, n_alarms,
+    * first_alarm (min order value where s > h, null if never).
+    * `k` (allowed drift) and `h` (threshold) are caller columns —
+    * typically global mean + multiples of σ broadcast back. */
+  def cusum(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, k: org.apache.spark.sql.Column,
+      h: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.where(col(valueCol).isNotNull)
+      .withColumn("__S", sum(col(valueCol) - k).over(w))
+    // the running min must include the EMPTY prefix S_0 = 0 (the
+    // recursion starts at s_0 = 0), hence the least(..., 0)
+    val s = col("__S") - least(min(col("__S")).over(w), lit(0.0))
+    base
+      .withColumn("__s", s)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("__s")), 6).as("max_cusum"),
+        sum(when(col("__s") > h, 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("__s") > h, struct(orderCols.map(col): _*)))
+          .as("first_alarm"))
+  }
+
   def rollingZ(df: DataFrame, keyCol: String, orderCols: Seq[String],
       valueCol: String, window: Int, z: Double = 3.0): DataFrame = {
     require(window > 1, "window must exceed 1")

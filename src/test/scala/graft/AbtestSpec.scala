@@ -72,4 +72,24 @@ class AbtestSpec extends SparkSpec {
     val r2 = Abtest.srm(df2, "g", "variant", "A", "B", 0.75).head()
     assert(r2.getDouble(3) == 0.0 && !r2.getBoolean(4))
   }
+
+  test("mannWhitney: tie-averaged ranks and the hand-computed z") {
+    // g: A={1,3}, B={2,2} -> ranks 1, (2.5, 2.5), 4; U_A = 5-3 = 2 =
+    // mu -> z = 0, not significant
+    val g = Seq(("g", "A", 1.0), ("g", "A", 3.0),
+      ("g", "B", 2.0), ("g", "B", 2.0))
+    // h: A={10,11,12} > B={1,2,3}: U_A=9, mu=4.5, sigma=sqrt(5.25)
+    //   -> z = 4.5/2.2912878 = 1.963961 > 1.96
+    val h = Seq(("h", "A", 10.0), ("h", "A", 11.0), ("h", "A", 12.0),
+      ("h", "B", 1.0), ("h", "B", 2.0), ("h", "B", 3.0))
+    val out = Abtest.mannWhitney((g ++ h).toDF("g", "variant", "v"),
+        "g", "variant", "v", "A", "B")
+      .orderBy("g").collect()
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 2L)
+    assert(out(0).getDouble(3) == 2.0, s"u_a=${out(0).getDouble(3)}")
+    assert(out(0).getDouble(4) == 0.0 && !out(0).getBoolean(5))
+    assert(out(1).getDouble(3) == 9.0)
+    assert(math.abs(out(1).getDouble(4) - 1.963961) < 1e-5)
+    assert(out(1).getBoolean(5))
+  }
 }

@@ -216,4 +216,26 @@ class ChunkingTimeSeriesSpec extends SparkSpec {
     assert(got("u1") == ((3L, 15.0)))
     assert(got("u2") == ((1L, 50.0)))
   }
+
+  test("cusum drawup identity matches the hand recursion") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // x=[1,5,1], k=1 -> S=[0,4,4], s=S-minS=[0,4,4]; h=2 -> 2 alarms,
+    // first at seq 2, max 4. Flat series u2 never alarms.
+    val df = Seq(("u1", 1L, 1.0), ("u1", 2L, 5.0), ("u1", 3L, 1.0),
+      ("u2", 1L, 1.0), ("u2", 2L, 1.0)).toDF("k", "seq", "v")
+    val out = TimeSeries.cusum(df, "k", Seq("seq"), "v", lit(1.0), lit(2.0))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getStruct(4).getLong(0)))))
+      .toMap
+    assert(out("u1") == ((3L, 4.0, 2L, Some(2L))))
+    assert(out("u2") == ((2L, 0.0, 0L, None)))
+    // the drawup form also RESETS: x=[5,-5,5], k=0 -> S=[5,0,5],
+    // s=[5,0,5] (recursion: 5, max(0,0)=0, 5) — identical
+    val reset = TimeSeries.cusum(
+        Seq(("r", 1L, 5.0), ("r", 2L, -5.0), ("r", 3L, 5.0))
+          .toDF("k", "seq", "v"),
+        "k", Seq("seq"), "v", lit(0.0), lit(4.0)).head()
+    assert(reset.getDouble(2) == 5.0 && reset.getLong(3) == 2L)
+  }
 }

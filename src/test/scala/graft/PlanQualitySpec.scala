@@ -44,7 +44,8 @@ class PlanQualitySpec extends SparkSpec {
     "q188_cooccurrence",    // 1-row broadcast basket-total attach
     "q198_cuped",           // 1-row broadcast pooled theta/pre-mean attach
     "q201_target_encode",   // 1-row broadcast global-mean attach
-    "q207_kneser_ney")      // 1-row broadcast type-total attach (T, V)
+    "q207_kneser_ney",      // 1-row broadcast type-total attach (T, V)
+    "q210_cusum")           // 1-row broadcast k/h moment attach
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
