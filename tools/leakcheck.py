@@ -76,6 +76,13 @@ def main():
             for i, line in enumerate(text.splitlines(), 1):
                 m = re.search(rx, line)
                 if m:
+                    # generic doc-placeholder authorities (the
+                    # object-store contract's scaladoc examples) are
+                    # not references to any real bucket
+                    if cat == "internal-bucket" and re.match(
+                            r"\w+://(bucket|corpus|example|my-bucket)\b",
+                            m.group(0)):
+                        continue
                     hits[cat].append(f"{rel}:{i}:{m.group(0)[:80]}")
 
     out = {
