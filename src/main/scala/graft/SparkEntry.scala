@@ -2849,6 +2849,36 @@ object SparkEntry {
           col("n_alarms"),
           col("first_alarm.event_id").as("first_alarm_event"))
         .orderBy("user_id")
+    }),
+
+    // Jensen-Shannon divergence between two sources' token
+    // distributions — the bounded drift measure for text (KL explodes
+    // on unshared tokens; JSD <= ln 2).
+    "q211_js_divergence" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .where(col("source").isin("src1", "src2"))
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("token"))
+        .where(col("token") =!= "")
+      graft.ops.Quality.jsDivergence(toks, "token", "source",
+        "src1", "src2")
+    }),
+
+    // Benford first-digit audit over event values; the digit comes
+    // from the decimal string rendering (portable — log10-floor
+    // flips on 1-ulp differences at exact powers of ten).
+    "q212_benford" -> ((s, dir) =>
+      graft.ops.Quality.benford(t(s, dir, "events"), "value")
+        .orderBy("digit")),
+
+    // Mutual information between event type and the parity variant —
+    // the feature-selection screen over a contingency frame.
+    "q213_mutual_info" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      graft.ops.Quality.mutualInformation(ev, "event_type", "variant")
     })
   )
 
@@ -7262,7 +7292,73 @@ ORDER BY 1, 2"""
         |FROM c LEFT JOIN (
         |  SELECT user_id, event_id AS first_alarm_event FROM al
         |  WHERE rn = 1) f ON f.user_id = c.user_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q211_js_divergence" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE source IN ('src1', 'src2')
+        |), c AS (
+        |  SELECT token,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS oa,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS ob
+        |  FROM toks WHERE token <> '' GROUP BY 1
+        |), p AS (
+        |  SELECT oa / SUM(oa) OVER () AS p, ob / SUM(ob) OVER () AS q
+        |  FROM c
+        |)
+        |SELECT ROUND(SUM(
+        |    CASE WHEN p > 0 THEN p / 2 * ln(p / ((p + q) / 2))
+        |      ELSE 0 END
+        |    + CASE WHEN q > 0 THEN q / 2 * ln(q / ((p + q) / 2))
+        |      ELSE 0 END), 6) AS jsd,
+        |  CAST(COUNT(1) AS BIGINT) AS n_cats
+        |FROM p""".stripMargin,
+
+    "q212_benford" ->
+      """WITH d AS (
+        |  SELECT TRY_CAST(regexp_extract(CAST(abs(value) AS VARCHAR),
+        |    '[1-9]') AS BIGINT) AS digit
+        |  FROM events WHERE value IS NOT NULL AND value <> 0
+        |), g AS (
+        |  SELECT digit, CAST(COUNT(1) AS BIGINT) AS n FROM d
+        |  WHERE digit IS NOT NULL GROUP BY 1
+        |), t AS (
+        |  SELECT digit, n, SUM(n) OVER () AS tot,
+        |    log10(1 + 1.0e0 / digit) AS e
+        |  FROM g
+        |), x AS (
+        |  SELECT digit, n, n / CAST(tot AS DOUBLE) AS obs_p, e,
+        |    SUM((n - tot * e) * (n - tot * e) / (tot * e)) OVER () AS chi
+        |  FROM t
+        |)
+        |SELECT digit, n, ROUND(obs_p, 6) AS obs_p, ROUND(e, 6) AS exp_p,
+        |  ROUND(chi, 6) AS chi2, ROUND(chi, 6) > 15.507313 AS non_benford
+        |FROM x ORDER BY digit""".stripMargin,
+
+    "q213_mutual_info" ->
+      """WITH j AS (
+        |  SELECT event_type AS x,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS y,
+        |    CAST(COUNT(1) AS BIGINT) AS nxy
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT x, y, nxy, SUM(nxy) OVER () AS N,
+        |    SUM(nxy) OVER (PARTITION BY x) AS nx,
+        |    SUM(nxy) OVER (PARTITION BY y) AS ny
+        |  FROM j
+        |)
+        |SELECT ROUND(SUM((nxy / CAST(N AS DOUBLE))
+        |    * ln((nxy / CAST(N AS DOUBLE))
+        |      / ((nx / CAST(N AS DOUBLE)) * (ny / CAST(N AS DOUBLE))))), 6)
+        |    AS mi,
+        |  CAST(MAX(N) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT x) AS BIGINT) AS n_x,
+        |  CAST(COUNT(DISTINCT y) AS BIGINT) AS n_y
+        |FROM p""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

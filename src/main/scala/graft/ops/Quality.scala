@@ -306,6 +306,95 @@ object Quality {
     * group width the drop-in scale path is [[Approx]]'s GK quantile
     * sketch. MAD-zero groups (>50% identical values) flag nothing —
     * degenerate by definition. */
+  /** Jensen–Shannon divergence between two groups' CATEGORY
+    * distributions (Lin 1991): JSD = ½KL(p‖m) + ½KL(q‖m) with
+    * m = (p+q)/2 — the symmetric, finite drift measure for token /
+    * category distributions (KL explodes on any unshared category;
+    * JSD is bounded by ln 2). Zero-count sides contribute 0 to their
+    * own KL term, so no smoothing is needed. One hash aggregation to
+    * per-(category) counts for both groups at once, totals as
+    * windows over that bounded frame, one row out: (jsd, n_cats),
+    * jsd rounded at 6. */
+  def jsDivergence(df: DataFrame, catCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(groupCol).isin(a, b))
+      .groupBy(col(catCol)).agg(
+        sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__oa"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__ob"))
+    val w = Window.partitionBy(lit(1))
+    val withTot = counts
+      .withColumn("__p", col("__oa") / sum(col("__oa")).over(w))
+      .withColumn("__q", col("__ob") / sum(col("__ob")).over(w))
+    val m = (col("__p") + col("__q")) / 2
+    val term =
+      when(col("__p") > 0, col("__p") / 2 * log(col("__p") / m))
+        .otherwise(0.0) +
+      when(col("__q") > 0, col("__q") / 2 * log(col("__q") / m))
+        .otherwise(0.0)
+    withTot.agg(round(sum(term), 6).as("jsd"),
+      count(lit(1)).as("n_cats"))
+  }
+
+  /** Benford's-law first-digit audit (Benford 1938; the fraud/
+    * data-entry screen): observed first-significant-digit shares vs
+    * the log10(1 + 1/d) expectation, χ²(8) on the 9-digit frame. The
+    * digit comes from the DECIMAL STRING RENDERING's first [1-9]
+    * (portable across engines, where floor(v/10^floor(log10 v))
+    * flips on 1-ulp log10 differences at exact powers of ten).
+    * NULL/zero values are excluded. Output per digit: (digit, n,
+    * obs_p, exp_p) + the same χ² and its 5% verdict on every row. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digits = df
+      .where(col(valueCol).isNotNull && col(valueCol) =!= 0)
+      .select(regexp_extract(abs(col(valueCol)).cast("string"),
+        "[1-9]", 0).cast("long").as("digit"))
+      .where(col("digit").isNotNull)
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(lit(1))
+    val withTot = digits
+      .withColumn("__N", sum(col("n")).over(w))
+      .withColumn("obs_p", col("n") / col("__N"))
+      .withColumn("exp_p", log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+    val chi = (col("n") - col("__N") * col("exp_p")) *
+      (col("n") - col("__N") * col("exp_p")) /
+      (col("__N") * col("exp_p"))
+    withTot
+      .withColumn("chi2", round(sum(chi).over(w), 6))
+      .select(col("digit"), col("n"), round(col("obs_p"), 6).as("obs_p"),
+        round(col("exp_p"), 6).as("exp_p"), col("chi2"),
+        // 5% critical value of chi-squared with 8 dof
+        (col("chi2") > 15.507313).as("non_benford"))
+  }
+
+  /** Mutual information between two categorical columns (the
+    * feature-selection screen): I = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))),
+    * in nats. One (x,y) aggregation; marginals as windows over the
+    * contingency frame (bounded by the category-pair alphabet). One
+    * row out: (mi, n, n_x, n_y), mi rounded at 6; NULL in either
+    * column is its own category (null-safe grouping). */
+  def mutualInformation(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joint = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__nxy"))
+    val w = Window.partitionBy(lit(1))
+    val wx = Window.partitionBy(col("__x"))
+    val wy = Window.partitionBy(col("__y"))
+    val withP = joint
+      .withColumn("__N", sum(col("__nxy")).over(w))
+      .withColumn("__pxy", col("__nxy") / col("__N"))
+      .withColumn("__px", sum(col("__nxy")).over(wx) / col("__N"))
+      .withColumn("__py", sum(col("__nxy")).over(wy) / col("__N"))
+    withP.agg(
+      round(sum(col("__pxy") * log(col("__pxy") /
+        (col("__px") * col("__py")))), 6).as("mi"),
+      max(col("__N")).as("n"),
+      count_distinct(col("__x")).as("n_x"),
+      count_distinct(col("__y")).as("n_y"))
+  }
+
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
       z: Double = 3.0): DataFrame = {
     val med = df.groupBy(col(groupCol))

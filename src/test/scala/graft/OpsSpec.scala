@@ -277,4 +277,44 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, "changed"), (3L, "changed"),
       (4L, "added"), (5L, "removed")))
   }
+
+  test("jsDivergence: 0 for identical, ln 2 for disjoint distributions") {
+    import spark.implicits._
+    val same = (Seq.fill(10)(("x", "a")) ++ Seq.fill(5)(("y", "a")) ++
+      Seq.fill(10)(("x", "b")) ++ Seq.fill(5)(("y", "b")))
+      .toDF("cat", "g")
+    val r0 = graft.ops.Quality.jsDivergence(same, "cat", "g", "a", "b")
+      .head()
+    assert(r0.getDouble(0) == 0.0 && r0.getLong(1) == 2L)
+    val disjoint = (Seq.fill(7)(("x", "a")) ++ Seq.fill(9)(("y", "b")))
+      .toDF("cat", "g")
+    val r1 = graft.ops.Quality.jsDivergence(disjoint, "cat", "g", "a", "b")
+      .head()
+    assert(math.abs(r1.getDouble(0) - math.log(2)) < 1e-6,
+      s"jsd=${r1.getDouble(0)}")
+  }
+
+  test("benford extracts first significant digits portably") {
+    import spark.implicits._
+    // digits: 1.5->1, 19->1, 0.25->2, -2.3->2, 300->3; 0/null dropped
+    val df = Seq(Some(1.5), Some(19.0), Some(0.25), Some(-2.3),
+      Some(300.0), Some(0.0), None).toDF("v")
+    val out = graft.ops.Quality.benford(df, "v")
+      .orderBy("digit").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("mutualInformation: 0 when independent, ln 2 when determined") {
+    import spark.implicits._
+    val indep = (for (x <- Seq("a", "b"); y <- Seq("u", "v");
+      _ <- 1 to 25) yield (x, y)).toDF("x", "y")
+    assert(graft.ops.Quality.mutualInformation(indep, "x", "y")
+      .head().getDouble(0) == 0.0)
+    val dep = (Seq.fill(30)(("a", "u")) ++ Seq.fill(30)(("b", "v")))
+      .toDF("x", "y")
+    val r = graft.ops.Quality.mutualInformation(dep, "x", "y").head()
+    assert(math.abs(r.getDouble(0) - math.log(2)) < 1e-6)
+    assert(r.getLong(1) == 60L && r.getLong(2) == 2L && r.getLong(3) == 2L)
+  }
 }
