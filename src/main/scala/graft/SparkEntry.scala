@@ -2879,7 +2879,24 @@ object SparkEntry {
         .withColumn("variant",
           when(col("user_id") % 2 === 0, "A").otherwise("B"))
       graft.ops.Quality.mutualInformation(ev, "event_type", "variant")
-    })
+    }),
+
+    // Per-stratum Efraimidis-Spirakis weighted sample (the class
+    // balancer with weighted inclusion): one stratum-key shuffle,
+    // never a global sort; every kept row + rank replayed by the
+    // oracle.
+    "q214_weighted_stratum" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSamplePerStratum(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "doc_id", "n_chars", n = 10, seed = "ws2")
+        .orderBy("source", "rn")),
+
+    // Per-group Gini concentration of event values — the "is 1% of
+    // keys all the mass" audit, one rank window + one aggregation.
+    "q215_gini" -> ((s, dir) =>
+      graft.ops.Quality.gini(t(s, dir, "events"), "event_type", "value",
+          "event_id")
+        .orderBy("event_type"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -7358,7 +7375,38 @@ ORDER BY 1, 2"""
         |  CAST(MAX(N) AS BIGINT) AS n,
         |  CAST(COUNT(DISTINCT x) AS BIGINT) AS n_x,
         |  CAST(COUNT(DISTINCT y) AS BIGINT) AS n_y
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // identical ES key: ln((k mod 1e6 + 0.5)/1e6)/weight rounded 9,
+    // ranked per stratum
+    "q214_weighted_stratum" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROUND(ln((CAST(('0x' || substr(md5('ws2:'
+        |        || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 1000000 + 0.5e0) / 1000000)
+        |      / n_chars, 9) AS es_key
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |), r AS (
+        |  SELECT doc_id, source, n_chars, es_key,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY es_key DESC, doc_id) AS BIGINT) AS rn
+        |  FROM k
+        |)
+        |SELECT doc_id, source, n_chars, es_key, rn
+        |FROM r WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+
+    "q215_gini" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS i
+        |  FROM events WHERE value IS NOT NULL AND value >= 0
+        |)
+        |SELECT event_type, CAST(COUNT(1) AS BIGINT) AS n,
+        |  ROUND((2 * SUM(i * value) - (COUNT(1) + 1) * SUM(value))
+        |    / (COUNT(1) * SUM(value)), 6) AS gini
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

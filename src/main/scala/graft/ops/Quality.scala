@@ -395,6 +395,27 @@ object Quality {
       count_distinct(col("__y")).as("n_y"))
   }
 
+  /** Per-group Gini coefficient over non-negative values — the
+    * concentration audit (is 1% of users 99% of the traffic? is one
+    * source most of the corpus?): G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) /
+    * (n·Σx) over each group's ascending-sorted values. One
+    * partitioned rank window (ties broken by `tieCol` — the rank
+    * assignment among equal values cannot change the statistic) + one
+    * aggregation. Output per group: (n, gini), rounded at 6. */
+  def gini(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+    df.where(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round((lit(2) * sum(col("__i") * col(valueCol))
+            - (count(lit(1)) + 1) * sum(col(valueCol)))
+          / (count(lit(1)) * sum(col(valueCol))), 6).as("gini"))
+  }
+
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
       z: Double = 3.0): DataFrame = {
     val med = df.groupBy(col(groupCol))

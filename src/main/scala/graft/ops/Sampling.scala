@@ -259,6 +259,27 @@ object Sampling {
       .limit(n)
   }
 
+  /** [[weightedSample]] PER STRATUM: the class-balancing cap
+    * ([[capPerStratumSeeded]]) upgraded to weighted inclusion
+    * probabilities — each stratum keeps its top `n` by the
+    * Efraimidis–Spirakis key, so within a class, heavier rows (longer
+    * docs, higher-engagement users) are proportionally likelier to
+    * survive, deterministically. One shuffle on the stratum key
+    * (a partitioned rank window — never a global sort + limit like
+    * the global form). Adds (es_key, rn). */
+  def weightedSamplePerStratum(df: DataFrame, strataCol: String,
+      keyCol: String, weightCol: String, n: Int, seed: String): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (pmod(shuffleKey(col(keyCol), seed), lit(1000000L))
+      .cast("double") + 0.5) / 1000000.0
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("es_key").desc, col(keyCol))
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key", round(log(u) / col(weightCol), 9))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= n)
+  }
+
   /** Deterministic mixture resampling: downsample each source so the
     * kept corpus approaches the TARGET mixture proportions, without
     * ever duplicating a row (downsample-only — upsampling is a

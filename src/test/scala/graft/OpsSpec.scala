@@ -317,4 +317,16 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - math.log(2)) < 1e-6)
     assert(r.getLong(1) == 60L && r.getLong(2) == 2L && r.getLong(3) == 2L)
   }
+
+  test("gini: 0 for equality, hand value for concentration") {
+    import spark.implicits._
+    val df = Seq(("eq", 1L, 1.0), ("eq", 2L, 1.0), ("eq", 3L, 1.0),
+      ("cc", 1L, 0.0), ("cc", 2L, 0.0), ("cc", 3L, 10.0))
+      .toDF("g", "id", "v")
+    val out = graft.ops.Quality.gini(df, "g", "v", "id")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("eq") == 0.0)
+    // (2*(3*10) - 4*10) / (3*10) = 20/30
+    assert(math.abs(out("cc") - 20.0 / 30) < 1e-6)
+  }
 }

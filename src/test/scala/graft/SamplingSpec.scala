@@ -148,6 +148,29 @@ class SamplingSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("weightedSamplePerStratum caps each stratum and favors weight") {
+    val out = Sampling.weightedSamplePerStratum(
+      docs.select("doc_id", "source", "n_chars"),
+      "source", "doc_id", "n_chars", 5, "t1")
+    val sizes = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(sizes.forall(_._2 <= 5))
+    // deterministic across partitioning
+    val again = Sampling.weightedSamplePerStratum(
+        docs.select("doc_id", "source", "n_chars").repartition(7),
+        "source", "doc_id", "n_chars", 5, "t1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // weight preference: with one giant weight, that row is (almost)
+    // always kept — make it deterministic with weight >> others
+    import spark.implicits._
+    val skew = ((1L to 50L).map(i => (i, "s", 1L)) :+ ((99L, "s", 100000L)))
+      .toDF("id", "s", "w")
+    val kept = Sampling.weightedSamplePerStratum(skew, "s", "id", "w",
+      3, "t1").select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(99L), s"heavy row must survive, kept=$kept")
+  }
+
   test("Misra-Gries sketch finds planted heavy hitters within the error bound") {
     // 10k tail tokens + two heavy items at 8% and 4%
     val n = 10000
