@@ -2896,7 +2896,27 @@ object SparkEntry {
     "q215_gini" -> ((s, dir) =>
       graft.ops.Quality.gini(t(s, dir, "events"), "event_type", "value",
           "event_id")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Incrementally-maintained CDC state (4th maintained-view leg,
+    // now with DELETE semantics): create from the first half-month,
+    // absorb the second as a delta — "latest per key" is associative,
+    // so the state must equal q206's one-shot apply bit-for-bit
+    // (same oracle).
+    "q216_cdc_maintained" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      val path = graft.etl.Scratch.dir("matcdc")
+      graft.etl.MaterializedCdc.create(ev.where(col("ts") < cut),
+        "user_id", Seq("ts", "event_id"), "event_type", Seq("value"),
+        path, nBuckets = 16)
+      graft.etl.MaterializedCdc.refresh(s, path, ev.where(col("ts") >= cut),
+        "user_id", Seq("ts", "event_id"), "event_type", Seq("value"),
+        nBuckets = 16)
+      graft.etl.MaterializedCdc.read(s, path, "event_type", "error")
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy("user_id")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -7406,7 +7426,20 @@ ORDER BY 1, 2"""
         |SELECT event_type, CAST(COUNT(1) AS BIGINT) AS n,
         |  ROUND((2 * SUM(i * value) - (COUNT(1) + 1) * SUM(value))
         |    / (COUNT(1) * SUM(value)), 6) AS gini
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q206's oracle verbatim — the incremental state must equal the
+    // one-shot changelog apply
+    "q216_cdc_maintained" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, ts, event_id, value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see
