@@ -2916,7 +2916,16 @@ object SparkEntry {
       graft.etl.MaterializedCdc.read(s, path, "event_type", "error")
         .select("user_id", "ts", "event_id", "value")
         .orderBy("user_id")
-    })
+    }),
+
+    // The same CDC state maintained by a REAL restarted stream
+    // (kill-and-resume mid-input): replay safety from latest-per-key
+    // idempotence. Same one-shot oracle.
+    "q217_cdc_stream" -> ((s, dir) =>
+      graft.streaming.StreamAsBatch.maintainedCdcRestarted(
+          s, s"$dir/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy("user_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -7431,6 +7440,17 @@ ORDER BY 1, 2"""
     // q206's oracle verbatim — the incremental state must equal the
     // one-shot changelog apply
     "q216_cdc_maintained" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, ts, event_id, value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q217_cdc_stream" ->
       """WITH r AS (
         |  SELECT user_id, ts, event_id, event_type, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id

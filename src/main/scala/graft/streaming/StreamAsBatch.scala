@@ -274,6 +274,59 @@ object StreamAsBatch {
       s, statePath, keys, probs, k)
   }
 
+  /** Stream-MAINTAINED CDC state across a kill-and-resume — the 4th
+    * maintained-view leg under the streaming harness, now with DELETE
+    * semantics: each micro-batch MERGES into the bucket-partitioned
+    * latest-per-key state ([[graft.etl.MaterializedCdc]]). Unlike the
+    * other legs' per-batch partitions, the sink here REWRITES state
+    * in place — replay safety comes from "latest per key" being
+    * IDEMPOTENT as well as associative: a crash mid-overwrite leaves
+    * some buckets merged, and replaying the same batch re-merges the
+    * same events to the same fixpoint. The restarted result must
+    * equal the one-shot changelog apply over all events. */
+  def maintainedCdcRestarted(spark: SparkSession, eventsParquet: String,
+      keyCol: String = "user_id",
+      orderCols: Seq[String] = Seq("ts", "event_id"),
+      opCol: String = "event_type", deleteOp: String = "error",
+      payloadCols: Seq[String] = Seq("value")): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = graft.etl.Scratch.dir("cdc-stage")
+    val ckpt = java.nio.file.Paths.get(graft.etl.Scratch.dir("cdc-ckpt"))
+    val statePath = graft.etl.Scratch.dir("cdc-state")
+    val all = graft.etl.Tables.normalizeEventTime(
+      s.read.parquet(eventsParquet))
+    val cut = all.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head().getLong(0)
+    all.where(unix_micros(col("ts")) <= cut)
+      .write.mode("overwrite").parquet(stage)
+    def runOnce(): Unit = {
+      val q = EventStream.readEvents(s, stage).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val initialized = new java.io.File(statePath).listFiles() != null &&
+            new java.io.File(statePath).listFiles().nonEmpty
+          if (!initialized)
+            graft.etl.MaterializedCdc.create(batch, keyCol, orderCols,
+              opCol, payloadCols, statePath, nBuckets = 8)
+          else
+            graft.etl.MaterializedCdc.refresh(batch.sparkSession,
+              statePath, batch, keyCol, orderCols, opCol, payloadCols,
+              nBuckets = 8)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      runOnce()
+      all.where(unix_micros(col("ts")) > cut)
+        .write.mode("append").parquet(stage)
+      runOnce()
+    } finally deleteRecursively(ckpt)
+    graft.etl.MaterializedCdc.read(s, statePath, opCol, deleteOp)
+  }
+
   /** Kill-and-resume harness: stage the input split at its median
     * event time (second half strictly later, so nothing arrives behind
     * the checkpointed watermark), run the built stream to completion
