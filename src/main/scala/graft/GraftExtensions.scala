@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => graft.rules.HammingZeroToEquality)
     ext.injectOptimizerRule(_ => graft.rules.BucketedRangeJoin)
+    ext.injectOptimizerRule(_ => graft.etl.MvRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -41,6 +42,19 @@ object GraftExtensions {
       args => {
         require(args.length == 2, "common_prefix_len(a, b) takes 2 arguments")
         graft.expressions.CommonPrefixLen(args.head, args(1))
+      }),
+    ("jaro_winkler",
+      "jaro_winkler(a, b) - Jaro-Winkler similarity over UTF-8 bytes",
+      args => {
+        require(args.length == 2, "jaro_winkler(a, b) takes 2 arguments")
+        graft.expressions.JaroWinkler(args.head, args(1))
+      }),
+    ("damerau_levenshtein",
+      "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein distance",
+      args => {
+        require(args.length == 2,
+          "damerau_levenshtein(a, b) takes 2 arguments")
+        graft.expressions.DamerauLevenshtein(args.head, args(1))
       }),
     ("dot_product", "dot_product(arr, arr) - double-accumulated dot product",
       args => {
@@ -278,7 +292,7 @@ object GraftExtensions {
         spark, name, info(name, usage), builder)
     }
     val rules = Seq(graft.rules.HammingZeroToEquality,
-      graft.rules.BucketedRangeJoin)
+      graft.rules.BucketedRangeJoin, graft.etl.MvRewrite)
     spark.experimental.extraOptimizations ++=
       rules.filterNot(spark.experimental.extraOptimizations.contains)
     val strategies = Seq(graft.plans.AsOfJoinStrategy)

@@ -2925,7 +2925,153 @@ object SparkEntry {
       graft.streaming.StreamAsBatch.maintainedCdcRestarted(
           s, s"$dir/events.parquet")
         .select("user_id", "ts", "event_id", "value")
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Zipf's-law fit over the top-500 vocabulary: closed-form least
+    // squares of ln(freq) on ln(rank) — the corpus-health check.
+    "q218_zipf_fit" -> ((s, dir) =>
+      graft.ops.Vocab.zipfFit(t(s, dir, "documents"), "doc_id", "text",
+        topN = 500)),
+
+    // Kaplan-Meier survival of time-to-first-purchase per user, with
+    // never-purchasers right-censored at their last activity —
+    // retention's principled upgrade; the product runs over the
+    // bounded distinct-duration frame.
+    "q219_kaplan_meier" -> ((s, dir) =>
+      graft.ops.Cohorts.kaplanMeier(
+          graft.ops.Cohorts.timeToEvent(t(s, dir, "events"),
+            "user_id", "ts", col("event_type") === "purchase"),
+          "duration", "censored")
+        .orderBy("duration")),
+
+    // Every within-brand part-name pair scored by the two native
+    // codegen'd string-similarity expressions (Jaro-Winkler +
+    // unrestricted Damerau-Levenshtein), folded per brand — the
+    // linkage verify stage head-to-head against DuckDB's own native
+    // jaro_winkler_similarity / damerau_levenshtein.
+    "q220_fuzzy_pairs" -> ((s, dir) =>
+      graft.ops.Linkage.fuzzyScoredPairs(
+          t(s, dir, "part").select("p_partkey", "p_brand", "p_name"),
+          "p_brand", "p_partkey", "p_name")
+        .groupBy(col("block").as("brand"))
+        .agg(count(lit(1)).as("pairs_scored"),
+          sum(when(col("jw") >= 0.8, 1L).otherwise(0L)).as("n_close"),
+          min(col("dl")).as("min_dl"),
+          round(avg(col("jw")), 6).as("avg_jw"))
+        .orderBy("brand")),
+
+    // ROC curve + trapezoid AUC of event value against the purchase
+    // label — the classifier-quality measurement; thresholds are the
+    // DISTINCT scores (bounded by value resolution, not rows).
+    "q221_roc_auc" -> ((s, dir) =>
+      graft.ops.Eval.rocCurve(
+          t(s, dir, "events")
+            .withColumn("label", col("event_type") === "purchase"),
+          "value", "label")
+        .orderBy(col("thr").desc)),
+
+    // Per-returnflag Spearman rank correlation of quantity vs
+    // extended price — monotone association with tie-averaged ranks,
+    // all windows partitioned by the group key.
+    "q222_spearman" -> ((s, dir) =>
+      graft.ops.Quality.spearman(t(s, dir, "lineitem"),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
+    // Log-rank test: do even-parity users convert (first purchase)
+    // on a different clock than odd-parity ones — the hypothesis
+    // test over q219's censored time-to-event observations.
+    "q223_logrank" -> ((s, dir) =>
+      graft.ops.Cohorts.logRank(
+        graft.ops.Cohorts.timeToEvent(t(s, dir, "events"),
+            "user_id", "ts", col("event_type") === "purchase")
+          .withColumn("cohort",
+            when(col("user_id") % 2 === 0, "A").otherwise("B")),
+        "duration", "censored", "cohort", "A")),
+
+    // Chi-squared independence of document language vs source (+
+    // Cramer's V effect size) — expected counts from the marginal
+    // cross product, so zero observed cells still contribute.
+    "q224_chi2" -> ((s, dir) =>
+      graft.ops.Quality.chiSquare(t(s, dir, "documents"),
+        "lang", "source")),
+
+    // Zone-map data skipping: land events range-clustered on user_id
+    // with an explicit per-file min/max manifest, then answer a range
+    // query opening ONLY the overlapping files (LayoutSpec asserts
+    // the pruning; this gates the pruned scan's answers).
+    "q225_zonemap_prune" -> ((s, dir) => {
+      val path = graft.etl.Scratch.dir("zm225")
+      graft.etl.Layout.writeZoneMapped(
+        t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value"),
+        path, "user_id", numFiles = 16)
+      graft.etl.Layout.readZonePruned(s, path, lit(2L), lit(9L))
+        .where(col("user_id").between(2L, 9L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Optimizer-integrated materialized-view reuse: register the
+    // returnflag/linestatus rollup, then run the SAME aggregation
+    // rebuilt independently — the MvRewrite rule substitutes the
+    // materialization (MvSpec asserts the fact table is NOT
+    // re-scanned; this gates the substituted answers).
+    "q226_mv_rewrite" -> ((s, dir) => {
+      val mvPath = graft.etl.Scratch.dir("mv226")
+      def agg = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"),
+          count(lit(1)).as("n"))
+      graft.etl.Mv.register(agg, mvPath)
+      agg.orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q5-shaped star join (local-supplier revenue by nation for
+    // one region-year): the canonical OLAP plan — filters pushed to
+    // the scans, dimensions broadcast, one fact-side shuffle pair.
+    "q227_star_join" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA"
+          && to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date")
+          && to_date(col("o_orderdate")) < lit("1997-01-01").cast("date"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+          4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))),
+
+    // Heaps'-law vocabulary-growth fit V(n) = K*n^beta at power-of-two
+    // checkpoints — zipf's companion corpus-health curve; global token
+    // positions via the two-phase doc-offset cumsum, never a global
+    // row window.
+    "q228_heaps_fit" -> ((s, dir) =>
+      graft.ops.Vocab.heapsFit(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Sample autocorrelation of each event type's daily count series
+    // at lags 1..7 — the seasonality/persistence diagnostic; the
+    // stream reduces to the bounded daily frame before any pairing.
+    "q229_autocorr" -> ((s, dir) =>
+      graft.ops.TimeSeries.dailyAutocorr(t(s, dir, "events"),
+          "event_type", "ts", maxLag = 7)
+        .orderBy("event_type", "lag")),
+
+    // Entropy rate of the first-order event-type chain — how
+    // predictable is the next action, in nats per transition; the
+    // scalar audit over q95's transition frame.
+    "q230_entropy_rate" -> ((s, dir) =>
+      graft.ops.Markov.entropyRate(t(s, dir, "events"), "user_id",
+        Seq("ts", "event_id"), "event_type"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -7459,7 +7605,293 @@ ORDER BY 1, 2"""
         |)
         |SELECT user_id, ts, event_id, value
         |FROM r WHERE rn = 1 AND event_type <> 'error'
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q218_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, CAST(COUNT(1) AS DOUBLE) AS n FROM toks GROUP BY 1
+        |), r AS (
+        |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+        |  FROM c ORDER BY n DESC, token LIMIT 500
+        |), p AS (
+        |  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(n) AS y FROM r
+        |), a AS (
+        |  SELECT CAST(COUNT(1) AS DOUBLE) AS m, SUM(x * y) AS sxy,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx
+        |  FROM p
+        |)
+        |SELECT CAST(m AS BIGINT) AS n_tokens,
+        |  ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m,
+        |    6) AS intercept
+        |FROM a""".stripMargin,
+
+    "q219_kaplan_meier" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      coalesce(MIN(CASE WHEN event_type = 'purchase'
+        |          THEN CAST(ts AS DATE) END),
+        |        MAX(CAST(ts AS DATE)))) AS BIGINT) AS duration,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ts AS DATE) END) IS NULL AS censored
+        |  FROM events GROUP BY user_id
+        |), lf AS (
+        |  SELECT duration, CAST(COUNT(1) AS BIGINT) AS alln,
+        |    CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS events
+        |  FROM u GROUP BY 1
+        |), k AS (
+        |  SELECT duration, events,
+        |    SUM(alln) OVER (ORDER BY duration
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+        |  FROM lf
+        |), s AS (
+        |  SELECT duration, n_risk, events,
+        |    ROUND(exp(SUM(ln(greatest(
+        |        1 - CAST(events AS DOUBLE) / n_risk, 1e-300)))
+        |      OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)), 6) AS s
+        |  FROM k
+        |)
+        |SELECT duration, CAST(n_risk AS BIGINT) AS n_risk, events, s
+        |FROM s WHERE events > 0 ORDER BY duration""".stripMargin,
+
+    "q220_fuzzy_pairs" ->
+      """WITH pairs AS (
+        |  SELECT a.p_brand AS brand,
+        |    jaro_winkler_similarity(a.p_name, b.p_name) AS jw,
+        |    damerau_levenshtein(a.p_name, b.p_name) AS dl
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |)
+        |SELECT brand, COUNT(1) AS pairs_scored,
+        |  CAST(SUM(CASE WHEN jw >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_close,
+        |  MIN(dl) AS min_dl, ROUND(AVG(jw), 6) AS avg_jw
+        |FROM pairs GROUP BY brand ORDER BY brand""".stripMargin,
+
+    "q221_roc_auc" ->
+      """WITH s AS (
+        |  SELECT value AS thr,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), c AS (
+        |  SELECT thr, SUM(p) OVER w AS tp, SUM(n) OVER w AS fp,
+        |    SUM(p) OVER () AS tot_p, SUM(n) OVER () AS tot_n
+        |  FROM s WINDOW w AS (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)
+        |), r AS (
+        |  SELECT thr, tp, fp, CAST(tp AS DOUBLE) / tot_p AS tpr,
+        |    CAST(fp AS DOUBLE) / tot_n AS fpr
+        |  FROM c
+        |), g AS (
+        |  SELECT thr, tp, fp, tpr, fpr,
+        |    (fpr - coalesce(lag(fpr) OVER (ORDER BY thr DESC), 0)) *
+        |      (tpr + coalesce(lag(tpr) OVER (ORDER BY thr DESC), 0)) / 2
+        |      AS trap
+        |  FROM r
+        |), a AS (
+        |  SELECT thr, tp, fp, tpr, fpr,
+        |    SUM(trap) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)
+        |      AS auc
+        |  FROM g
+        |)
+        |SELECT thr, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  ROUND(tpr, 6) AS tpr, ROUND(fpr, 6) AS fpr, ROUND(auc, 6) AS auc
+        |FROM a ORDER BY thr DESC""".stripMargin,
+
+    "q222_spearman" ->
+      """WITH f AS (
+        |  SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), r AS (
+        |  SELECT g,
+        |    (2.0 * RANK() OVER (PARTITION BY g ORDER BY x)
+        |      + COUNT(1) OVER (PARTITION BY g, x) - 1) / 2 AS rx,
+        |    (2.0 * RANK() OVER (PARTITION BY g ORDER BY y)
+        |      + COUNT(1) OVER (PARTITION BY g, y) - 1) / 2 AS ry
+        |  FROM f
+        |)
+        |SELECT g AS l_returnflag, COUNT(1) AS n,
+        |  ROUND(corr(rx, ry), 6) AS rho
+        |FROM r GROUP BY g ORDER BY 1""".stripMargin,
+
+    "q223_logrank" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      coalesce(MIN(CASE WHEN event_type = 'purchase'
+        |          THEN CAST(ts AS DATE) END),
+        |        MAX(CAST(ts AS DATE)))) AS BIGINT) AS duration,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ts AS DATE) END) IS NULL AS censored,
+        |    user_id % 2 = 0 AS is_a
+        |  FROM events GROUP BY user_id
+        |), pd AS (
+        |  SELECT duration, CAST(COUNT(1) AS BIGINT) AS alln,
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS all_a,
+        |    CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(SUM(CASE WHEN NOT censored AND is_a THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d_a
+        |  FROM u GROUP BY 1
+        |), k AS (
+        |  SELECT duration, d, d_a,
+        |    CAST(SUM(alln) OVER w AS DOUBLE) AS n,
+        |    CAST(SUM(all_a) OVER w AS DOUBLE) AS n_a
+        |  FROM pd WINDOW w AS (ORDER BY duration
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |), agg AS (
+        |  SELECT ROUND(CAST(SUM(d_a) AS DOUBLE), 6) AS o_a,
+        |    ROUND(SUM(d * n_a / n), 6) AS e_a,
+        |    ROUND(SUM(CASE WHEN n > 1 THEN d * (n_a / n) * (1 - n_a / n)
+        |      * (n - d) / (n - 1) ELSE 0 END), 6) AS v
+        |  FROM k WHERE d > 0
+        |)
+        |SELECT o_a, e_a, v,
+        |  ROUND((o_a - e_a) * (o_a - e_a) / v, 6) AS chi2,
+        |  (ROUND((o_a - e_a) * (o_a - e_a) / v, 6) > 3.841459)
+        |    AS significant
+        |FROM agg""".stripMargin,
+
+    "q224_chi2" ->
+      """WITH joint AS (
+        |  SELECT lang AS x, source AS y, CAST(COUNT(1) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2
+        |), mx AS (
+        |  SELECT x, CAST(SUM(o) AS BIGINT) AS nx FROM joint GROUP BY 1
+        |), my AS (
+        |  SELECT y, CAST(SUM(o) AS BIGINT) AS ny FROM joint GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(o) AS BIGINT) AS nn FROM joint
+        |), cells AS (
+        |  SELECT mx.x, my.y, tot.nn,
+        |    CAST(mx.nx AS DOUBLE) * my.ny / tot.nn AS e,
+        |    coalesce(joint.o, 0) - CAST(mx.nx AS DOUBLE) * my.ny / tot.nn
+        |      AS dd
+        |  FROM mx CROSS JOIN my CROSS JOIN tot
+        |  LEFT JOIN joint ON joint.x = mx.x AND joint.y = my.y
+        |)
+        |SELECT MAX(nn) AS n,
+        |  (COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1) AS dof,
+        |  ROUND(SUM(dd * dd / e), 6) AS chi2,
+        |  ROUND(SQRT(SUM(dd * dd / e) / (MAX(nn) *
+        |    LEAST(COUNT(DISTINCT x) - 1, COUNT(DISTINCT y) - 1))), 6)
+        |    AS cramers_v
+        |FROM cells""".stripMargin,
+
+    "q225_zonemap_prune" ->
+      """SELECT event_type, COUNT(1) AS n,
+        |  ROUND(SUM(value), 4) AS sum_value
+        |FROM events WHERE user_id BETWEEN 2 AND 9
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q226_mv_rewrite" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 4) AS sum_price,
+        |  COUNT(1) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q227_star_join" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q228_heaps_fit" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, unnest(toks) AS token,
+        |    unnest(range(1, len(toks) + 1)) AS pos
+        |  FROM d
+        |), g AS (
+        |  SELECT token, ROW_NUMBER() OVER (ORDER BY doc_id, pos) AS gpos
+        |  FROM tk
+        |), fp AS (
+        |  SELECT token, MIN(gpos) AS first_pos FROM g GROUP BY 1
+        |), nn AS (
+        |  SELECT COUNT(1) AS n FROM g
+        |), cps AS (
+        |  SELECT CAST(pow(2, i) AS BIGINT) AS n_tok
+        |  FROM generate_series(6, 40) t(i)
+        |  WHERE CAST(pow(2, i) AS BIGINT) < (SELECT n FROM nn)
+        |  UNION ALL SELECT n FROM nn
+        |), vc AS (
+        |  SELECT c.n_tok, CAST(COUNT(1) AS BIGINT) AS v
+        |  FROM cps c JOIN fp ON fp.first_pos <= c.n_tok GROUP BY 1
+        |), p AS (
+        |  SELECT ln(CAST(n_tok AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+        |  FROM vc
+        |), a AS (
+        |  SELECT CAST(COUNT(1) AS DOUBLE) AS m, SUM(x * y) AS sxy,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx
+        |  FROM p
+        |)
+        |SELECT CAST(m AS BIGINT) AS n_points,
+        |  ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m,
+        |    6) AS intercept
+        |FROM a""".stripMargin,
+
+    "q229_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(1) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2
+        |), mu AS (
+        |  SELECT g, AVG(x) AS mu FROM daily GROUP BY 1
+        |), st AS (
+        |  SELECT daily.g, MAX(mu) AS mu, SUM((x - mu) * (x - mu)) AS ss
+        |  FROM daily JOIN mu USING (g) GROUP BY 1
+        |), lags AS (
+        |  SELECT unnest(range(1, 8)) AS lag
+        |), pairs AS (
+        |  SELECT a.g, l.lag, a.x AS xa, b.x AS xb
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON b.g = a.g AND b.d = a.d + CAST(l.lag AS INTEGER)
+        |)
+        |SELECT p.g AS event_type, CAST(p.lag AS INTEGER) AS lag,
+        |  COUNT(1) AS n_pairs,
+        |  ROUND(CASE WHEN MAX(ss) > 0
+        |    THEN SUM((xa - mu) * (xb - mu)) / MAX(ss) END, 6) AS acf
+        |FROM pairs p JOIN st ON st.g = p.g
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q230_entropy_rate" ->
+      """WITH s AS (
+        |  SELECT event_type AS f,
+        |    LEAD(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |  FROM events
+        |), c AS (
+        |  SELECT f, t, CAST(COUNT(1) AS DOUBLE) AS n FROM s
+        |  WHERE t IS NOT NULL GROUP BY 1, 2
+        |), w AS (
+        |  SELECT f, t, n, SUM(n) OVER (PARTITION BY f) AS nf,
+        |    SUM(n) OVER () AS tot
+        |  FROM c
+        |)
+        |SELECT ROUND(-SUM((nf / tot) * (n / nf) * ln(n / nf)), 6) AS h_rate,
+        |  CAST(MAX(tot) AS BIGINT) AS n_transitions,
+        |  CAST(COUNT(DISTINCT f) AS BIGINT) AS n_states
+        |FROM w""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -60,6 +60,47 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Write `df` range-clustered on `clusterCol` into ~`numFiles`
+    * parquet files AND record an explicit zone map (per-file min/max
+    * of the cluster column) under `path/_zonemap` — the data-skipping
+    * manifest pattern (Delta/Iceberg file stats): a range predicate
+    * consults the manifest and opens only overlapping files, skipping
+    * even the footer reads a parquet row-group filter still pays. The
+    * `_`-prefixed manifest dir is invisible to plain readers of
+    * `path`. Cost: the same single range shuffle a sorted write pays,
+    * plus one file-grain aggregation over the written data. */
+  def writeZoneMapped(df: DataFrame, path: String, clusterCol: String,
+      numFiles: Int): Unit = {
+    df.repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zonemap")
+  }
+
+  /** Scan of `path` pruned by the zone map: only files whose
+    * [min, max] overlaps [lo, hi] are opened (the residual per-row
+    * predicate remains the caller's job — zone maps bound files, not
+    * rows). The manifest read + overlap filter is metadata-scale (one
+    * row per file); the returned scan is a plain pruned parquet read,
+    * so every downstream pushdown still applies. Returns an empty
+    * frame of the right schema when nothing overlaps. */
+  def readZonePruned(spark: org.apache.spark.sql.SparkSession,
+      path: String, lo: Column, hi: Column): DataFrame = {
+    val zm = spark.read.parquet(s"$path/_zonemap")
+    val files = zm.where(col("max_v") >= lo && col("min_v") <= hi)
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(path).schema)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files. The file-count decision reads ONLY
     * filesystem metadata (listing sizes — a driver-side metadata walk,

@@ -41,6 +41,7 @@ object Scratch {
     import scala.jdk.CollectionConverters._
     try Files.list(root).iterator().asScala.toSeq.foreach(deleteTree)
     catch { case _: Throwable => () }
+    Mv.prune() // registered views backed by swept scratch self-evict
   }
 
   private def deleteTree(p: Path): Unit = {

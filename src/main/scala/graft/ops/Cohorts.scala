@@ -17,6 +17,101 @@ object Cohorts {
     * from each first-week cohort active `week_offset` weeks after
     * their cohort week (offset 0 = the cohort week itself, so
     * offset-0 rows count the full cohort). */
+  /** Kaplan–Meier product-limit survival estimate (Kaplan & Meier
+    * 1958) over per-subject (duration, censored) observations —
+    * retention's principled upgrade: right-censored subjects (the
+    * event hadn't happened by their observation edge) stay in the
+    * risk set until their censoring time instead of counting as
+    * events. At each distinct event duration t: n_risk = subjects
+    * with duration ≥ t, d = events at t, S(t) = Π_{t'≤t} (1 − d/n) —
+    * the product as exp(Σ ln) over the DISTINCT-duration frame
+    * (bounded by the observation window, not subjects).
+    *
+    * Shape: one bounded duration-frame aggregation; suffix counts +
+    * the product as windows over that frame. Output per event time:
+    * (duration, n_risk, events, s), s rounded at 6. */
+  def kaplanMeier(subjects: DataFrame, durationCol: String,
+      censoredCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val durations = subjects.groupBy(col(durationCol).as("duration"))
+      .agg(count(lit(1)).as("__all"),
+        sum(when(!col(censoredCol), 1L).otherwise(0L)).as("events"))
+    val wSuffix = Window.orderBy(col("duration"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wPrefix = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    durations
+      .withColumn("n_risk", sum(col("__all")).over(wSuffix))
+      // greatest(..., 1e-300): an all-events time point (d = n) sends
+      // S to exactly 0; a bare ln(0) is NULL in Spark and an error in
+      // other engines — the clamp makes S round to 0.000000 portably
+      .withColumn("s", round(exp(sum(
+        log(greatest(lit(1.0) - col("events") / col("n_risk"),
+          lit(1e-300)))).over(wPrefix)), 6))
+      .where(col("events") > 0)
+      .select(col("duration"), col("n_risk"), col("events"), col("s"))
+  }
+
+  /** Log-rank test (Mantel 1966) comparing two cohorts' survival —
+    * "do variant A's users convert on a different clock than B's",
+    * the hypothesis test [[kaplanMeier]]'s curves eyeball. At each
+    * distinct event time: observed group-A events d_a vs expected
+    * d·n_a/n under H₀, hypergeometric variance
+    * d·(n_a/n)·(1−n_a/n)·(n−d)/(n−1); χ²(1) = (ΣO−ΣE)²/ΣV.
+    *
+    * Shape: one (duration, group) aggregation, suffix-sum risk sets
+    * as windows over the bounded DISTINCT-duration frame, one final
+    * fold. One row out: (o_a, e_a, v, chi2, significant) with the
+    * sums rounded at 6 (χ² from the rounded sums, so the verdict is
+    * bit-portable). Groups with n = 1 at a time point contribute
+    * zero variance (the hypergeometric is degenerate there). */
+  def logRank(subjects: DataFrame, durationCol: String,
+      censoredCol: String, groupCol: String, groupA: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDur = subjects
+      .groupBy(col(durationCol).as("duration"))
+      .agg(count(lit(1)).as("__all"),
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__all_a"),
+        sum(when(!col(censoredCol), 1L).otherwise(0L)).as("__d"),
+        sum(when(!col(censoredCol) && col(groupCol) === groupA, 1L)
+          .otherwise(0L)).as("__d_a"))
+    val wSuffix = Window.orderBy(col("duration"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = perDur
+      .withColumn("__n", sum(col("__all")).over(wSuffix).cast("double"))
+      .withColumn("__n_a", sum(col("__all_a")).over(wSuffix).cast("double"))
+      .where(col("__d") > 0)
+    risk.agg(
+        round(sum(col("__d_a")).cast("double"), 6).as("o_a"),
+        round(sum(col("__d") * col("__n_a") / col("__n")), 6).as("e_a"),
+        round(sum(when(col("__n") > 1,
+          col("__d") * (col("__n_a") / col("__n")) *
+            (lit(1.0) - col("__n_a") / col("__n")) *
+            (col("__n") - col("__d")) / (col("__n") - 1))
+          .otherwise(0.0)), 6).as("v"))
+      .withColumn("chi2", round(
+        (col("o_a") - col("e_a")) * (col("o_a") - col("e_a")) / col("v"), 6))
+      // 5% critical value of chi-squared with 1 dof
+      .withColumn("significant", col("chi2") > 3.841459)
+  }
+
+  /** Per-subject time-to-first-event observations for [[kaplanMeier]]:
+    * duration = days from the subject's first activity to its first
+    * row satisfying `isEvent`; subjects never satisfying it are
+    * right-CENSORED at their last activity. One per-subject
+    * aggregation (one shuffle). Output: (subject, duration,
+    * censored). */
+  def timeToEvent(events: DataFrame, userCol: String, tsCol: String,
+      isEvent: org.apache.spark.sql.Column): DataFrame =
+    events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("__first"),
+        max(to_date(col(tsCol))).as("__last"),
+        min(when(isEvent, to_date(col(tsCol)))).as("__ev"))
+      .select(col(userCol),
+        datediff(coalesce(col("__ev"), col("__last")), col("__first"))
+          .cast("long").as("duration"),
+        col("__ev").isNull.as("censored"))
+
   def retention(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
     val firsts = events.groupBy(col(userCol))

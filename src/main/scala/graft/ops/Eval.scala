@@ -154,4 +154,41 @@ object Eval {
       .withColumn("ece",
         sum(col("gap") * col("n")).over(w) / sum(col("n")).over(w))
   }
+
+  /** ROC curve + trapezoid AUC of a score against a boolean label —
+    * the classifier-quality measurement (is the quality score
+    * actually separating keep from drop?). One threshold per DISTINCT
+    * score, predicted positive when score ≥ threshold; tp/fp as
+    * descending cumulative sums, AUC as the running trapezoid
+    * integral (the last row's `auc` is the total; it equals the
+    * tie-corrected Mann–Whitney U/(P·N)).
+    *
+    * Shape: one score aggregation (the only data-sized pass), then
+    * windows over the DISTINCT-score frame — bounded by score
+    * resolution, not row count. Output per threshold, descending:
+    * (thr, tp, fp, tpr, fpr, auc), rates rounded at 6. */
+  def rocCurve(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val perScore = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("thr"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
+    val wAll = Window.partitionBy(lit(1))
+    val wDesc = Window.orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("tp", sum(col("__p")).over(wDesc))
+      .withColumn("fp", sum(col("__n")).over(wDesc))
+      .withColumn("tpr", col("tp") / sum(col("__p")).over(wAll))
+      .withColumn("fpr", col("fp") / sum(col("__n")).over(wAll))
+      .withColumn("auc", round(sum(
+        (col("fpr") - coalesce(lag(col("fpr"), 1).over(
+            Window.orderBy(col("thr").desc)), lit(0.0))) *
+          (col("tpr") + coalesce(lag(col("tpr"), 1).over(
+            Window.orderBy(col("thr").desc)), lit(0.0))) / 2)
+        .over(wDesc), 6))
+      .select(col("thr"), col("tp"), col("fp"),
+        round(col("tpr"), 6).as("tpr"), round(col("fpr"), 6).as("fpr"),
+        col("auc"))
+  }
 }

@@ -467,4 +467,29 @@ object Linkage {
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("entity_id"))))
   }
+
+  /** Every within-block candidate pair scored with BOTH native
+    * string-similarity expressions ([[graft.expressions.JaroWinkler]]
+    * + [[graft.expressions.DamerauLevenshtein]]) — the verify stage
+    * laid bare, for callers that bring their own blocking key (the
+    * principled key generators live in [[linkPairs]]/
+    * [[sortedNeighborhood]]). One equi-shuffle on the block key, then
+    * a codegen'd scoring pass; the half-matrix via `id_a < id_b`.
+    * SCALE CONTRACT: the block key's cardinality must grow with the
+    * data — a constant-cardinality key makes each block quadratic
+    * (use the capped generators above when keys can run hot). */
+  def fuzzyScoredPairs(df: DataFrame, blockCol: String, idCol: String,
+      strCol: String): DataFrame = {
+    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
+      col(strCol).as("__sa"))
+    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
+      col(strCol).as("__sb"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("block"), col("id_a"), col("id_b"),
+        graft.expressions.StringSimilarity
+          .jaroWinkler(col("__sa"), col("__sb")).as("jw"),
+        graft.expressions.StringSimilarity
+          .damerauLevenshtein(col("__sa"), col("__sb")).as("dl"))
+  }
 }

@@ -432,4 +432,57 @@ object Quality {
         sum(when(col("mad") > 0 && score > z, 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** Per-group Spearman rank correlation (the monotone-association
+    * screen — Pearson on tie-AVERAGED ranks, the textbook treatment):
+    * avg rank = (2·RANK + |ties| − 1)/2, then the closed-form Pearson
+    * over the rank pairs. Two partitioned rank windows + one
+    * aggregation per group — every window is keyed by the group, so
+    * the shape is shuffle-bounded, never a global sort. Output per
+    * group: (group, n, rho), rho rounded at 6 (NULL when either
+    * column is constant within the group). */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def avgRank(c: String) =
+      (lit(2) * rank().over(Window.partitionBy(col(groupCol))
+          .orderBy(col(c)))
+        + count(lit(1)).over(Window.partitionBy(col(groupCol), col(c)))
+        - 1).cast("double") / 2
+    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("__rx", avgRank(xCol))
+      .withColumn("__ry", avgRank(yCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("__rx"), col("__ry")), 6).as("rho"))
+  }
+
+  /** χ² test of independence between two categorical columns + the
+    * effect size (Cramér's V) — [[mutualInformation]]'s
+    * classical-statistics sibling. Expected counts come from the
+    * MARGINAL CROSS PRODUCT (zero observed cells still contribute
+    * their expectation — a joint-only aggregation would understate
+    * χ²); the cross join is of two alphabet-sized marginal frames,
+    * never data-sized. One row out: (n, dof, chi2, cramers_v),
+    * rounded at 6; NULL category is its own level. */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__o"))
+    val mx = joint.groupBy(col("__x")).agg(sum(col("__o")).as("__nx"))
+    val my = joint.groupBy(col("__y")).agg(sum(col("__o")).as("__ny"))
+    val n = joint.agg(sum(col("__o")).as("__N"))
+    val cells = mx.crossJoin(my).crossJoin(broadcast(n))
+      .join(joint, Seq("__x", "__y"), "left")
+      .withColumn("__e", col("__nx") * col("__ny") / col("__N"))
+      .withColumn("__d", coalesce(col("__o"), lit(0L)) - col("__e"))
+    cells.agg(
+        max(col("__N")).as("n"),
+        ((count_distinct(col("__x")) - 1) *
+          (count_distinct(col("__y")) - 1)).as("dof"),
+        round(sum(col("__d") * col("__d") / col("__e")), 6).as("chi2"),
+        round(sqrt(sum(col("__d") * col("__d") / col("__e")) /
+          (max(col("__N")) *
+            least(count_distinct(col("__x")) - 1,
+              count_distinct(col("__y")) - 1))), 6).as("cramers_v"))
+  }
 }

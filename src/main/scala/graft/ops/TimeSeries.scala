@@ -203,4 +203,45 @@ object TimeSeries {
         coalesce(abs(col("zscore")) > z, lit(false)))
       .drop("__m", "__s")
   }
+
+  /** Sample autocorrelation of the per-group DAILY count series at
+    * lags 1..`maxLag` — the seasonality/persistence diagnostic
+    * (weekly traffic shows a spike at lag 7; a memoryless series sits
+    * near 0 everywhere): r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², with
+    * μ and the denominator over the group's full series (the
+    * standard biased ACF). Missing days pair with nothing, exactly
+    * like the calendar self-join they stand for.
+    *
+    * Scale shape: one (group, day) aggregation reduces the stream to
+    * the bounded daily frame; lags come from exploding a LITERAL
+    * 1..maxLag array (no join); the lagged pairing is an equi-join of
+    * the daily frame with itself on (group, day+lag). Output per
+    * (group, lag): (n_pairs, acf), rounded at 6. */
+  def dailyAutocorr(events: DataFrame, groupCol: String, tsCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be positive, got $maxLag")
+    val daily = events
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val mu = daily.groupBy(col("g")).agg(avg(col("x")).as("__mu"))
+    val stats = daily.join(broadcast(mu), "g")
+      .groupBy(col("g"))
+      .agg(max(col("__mu")).as("__mu"),
+        sum((col("x") - col("__mu")) * (col("x") - col("__mu")))
+          .as("__ss"))
+    val probes = daily
+      .select(col("g"), col("d"), col("x").as("__xa"),
+        explode(lit((1 to maxLag).toArray)).as("lag"))
+      .withColumn("d2", date_add(col("d"), col("lag")))
+    val pairs = probes.join(
+      daily.select(col("g"), col("d").as("d2"), col("x").as("__xb")),
+      Seq("g", "d2"))
+    pairs.join(broadcast(stats), "g")
+      .groupBy(col("g").as(groupCol), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        // a constant series has zero variance: ACF undefined -> NULL
+        round(when(max(col("__ss")) > 0,
+          sum((col("__xa") - col("__mu")) * (col("__xb") - col("__mu")))
+            / max(col("__ss"))), 6).as("acf"))
+  }
 }

@@ -305,4 +305,82 @@ object Vocab {
         .otherwise(split(piecesStr, " ")).as("pieces"))
       .withColumn("n_tokens", size(col("pieces")).cast("long"))
   }
+
+  /** Zipf's-law fit over the top-N vocabulary: least-squares slope /
+    * intercept of ln(freq) on ln(rank) — the corpus-health check
+    * (natural text sits near slope −1; a slope collapsing toward 0
+    * means boilerplate/template flooding, a cliff means truncation).
+    * Closed-form normal equations on the N-row [[vocabulary]] frame;
+    * one row out: (n_tokens, slope, intercept), rounded at 6. */
+  def zipfFit(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame =
+    loglogFit(vocabulary(docs, idCol, textCol, topN)
+      .select(log(col("rank").cast("double")).as("__x"),
+        log(col("n").cast("double")).as("__y")), "n_tokens")
+
+  /** Closed-form least squares of `__y` on `__x` over a (bounded)
+    * point frame: one row (countName, slope, intercept), rounded
+    * at 6. Shared by [[zipfFit]] and [[heapsFit]]. */
+  private def loglogFit(pts: DataFrame, countName: String): DataFrame = {
+    val m = count(lit(1)).cast("double")
+    val slope = (m * sum(col("__x") * col("__y"))
+        - sum(col("__x")) * sum(col("__y"))) /
+      (m * sum(col("__x") * col("__x")) - sum(col("__x")) * sum(col("__x")))
+    pts.agg(count(lit(1)).as(countName),
+      round(slope, 6).as("slope"),
+      round((sum(col("__y")) - slope * sum(col("__x"))) / m, 6)
+        .as("intercept"))
+  }
+
+  /** Heaps'-law fit V(n) = K·n^β — vocabulary growth against corpus
+    * size (Heaps 1978), [[zipfFit]]'s companion curve (β collapsing
+    * toward 0 means the crawl stopped finding new language; β near 1
+    * means id/hash soup). ln V is regressed on ln n at checkpoint
+    * sizes n ∈ {powers of two ≥ `minN`} ∪ {N} — integer-exact on any
+    * engine, log-spaced as the fit wants.
+    *
+    * Scale shape: global token positions come from per-doc positions
+    * plus a TWO-PHASE doc-offset cumsum (local window inside each
+    * doc-id block, then a block-offset frame — [[Packing]]'s
+    * pattern), never a global row window; vocabulary-at-checkpoint is
+    * ONE conditional aggregation over the first-occurrence frame
+    * (bounded by |vocab|), one sum column per checkpoint. The only
+    * driver value is the scalar token total (one-row action). */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+      minN: Long = 64L): DataFrame = {
+    val lens = docs.select(col(idCol).as("doc"),
+      size(tokens(col(textCol))).cast("long").as("len"))
+    val withBlock = lens.withColumn("__block", (col("doc") / 256).cast("long"))
+    val wLocal = Window.partitionBy(col("__block")).orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withBlock
+      .withColumn("__local", coalesce(sum(col("len")).over(wLocal), lit(0L)))
+    // one row per block — the only order-without-partition window
+    // runs over THIS frame, never the docs
+    val wBlocks = Window.orderBy(col("__block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withBlock.groupBy(col("__block"))
+      .agg(sum(col("len")).as("__btot"))
+      .withColumn("__boff", coalesce(sum(col("__btot")).over(wBlocks), lit(0L)))
+      .select(col("__block"), col("__boff"))
+    val docOff = local.join(broadcast(offsets), "__block")
+      .select(col("doc"), (col("__local") + col("__boff")).as("__off"))
+    val firstPos = docs
+      .select(col(idCol).as("doc"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .join(docOff, "doc")
+      .groupBy(col("token"))
+      .agg(min(col("__off") + col("pos") + 1).as("first_pos"))
+    val nTotal = lens.agg(sum(col("len"))).head().getLong(0)
+    val cps = (0 to 62).map(1L << _)
+      .filter(p => p >= minN && p < nTotal) :+ nTotal
+    val vExprs = cps.map(c =>
+      sum(when(col("first_pos") <= c, 1L)).as(s"__v$c"))
+    val vAtCp = firstPos.agg(vExprs.head, vExprs.tail: _*)
+    val pts = vAtCp.select(explode(array(cps.map(c =>
+        struct(lit(c).as("n_tok"), col(s"__v$c").as("v"))): _*)).as("p"))
+      .select(log(col("p.n_tok").cast("double")).as("__x"),
+        log(col("p.v").cast("double")).as("__y"))
+    loglogFit(pts, "n_points")
+  }
 }

@@ -238,4 +238,48 @@ class ChunkingTimeSeriesSpec extends SparkSpec {
         "k", Seq("seq"), "v", lit(0.0), lit(4.0)).head()
     assert(reset.getDouble(2) == 5.0 && reset.getLong(3) == 2L)
   }
+
+  test("dailyAutocorr matches the alternating-series hand case") {
+    // counts 1,2,1,2,1,2 on six consecutive days: mu=1.5, ss=1.5
+    // lag1: five (-0.25) products -> -1.25/1.5; lag2: four 0.25 -> 1/1.5
+    val ev = (1 to 6).flatMap { d =>
+      val n = if (d % 2 == 0) 2 else 1
+      (1 to n).map(i => ("g", s"2024-01-0$d 00:00:0$i"))
+    }.toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = TimeSeries.dailyAutocorr(ev, "t", "ts", maxLag = 2)
+      .orderBy("lag").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1, 5L, -0.833333), (2, 4L, 0.666667)))
+  }
+
+  test("dailyAutocorr pairs only days that exist; constant series is NULL") {
+    // counts 1,2,1 on days 1,2,4 (day 3 missing): each lag pairs once
+    val ev = Seq(("g", "2024-01-01 00:00:01"), ("g", "2024-01-02 00:00:01"),
+      ("g", "2024-01-02 00:00:02"), ("g", "2024-01-04 00:00:01"))
+      .toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = TimeSeries.dailyAutocorr(ev, "t", "ts", maxLag = 3)
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // mu=4/3, ss=2/3; lag1 (1,2): -2/9; lag2 (2,1): -2/9; lag3 (1,1): 1/9
+    assert(out == Map(1 -> ((1L, -0.333333)), 2 -> ((1L, -0.333333)),
+      3 -> ((1L, 0.166667))))
+    // all-equal counts: zero variance -> NULL acf, not an error
+    val const = Seq(("g", "2024-01-01"), ("g", "2024-01-02"))
+      .toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    val c = TimeSeries.dailyAutocorr(const, "t", "ts", maxLag = 1).collect()
+    assert(c.length == 1 && c(0).isNullAt(3))
+  }
+
+  test("entropyRate: 0 for a deterministic chain, ln 2 for a fair binary fork") {
+    import graft.ops.Markov
+    val det = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"))
+      .toDF("k", "seq", "et")
+    val h0 = Markov.entropyRate(det, "k", Seq("seq"), "et").head()
+    assert(h0.getDouble(0) == 0.0 && h0.getLong(1) == 3L && h0.getLong(2) == 2L)
+    val fork = Seq((1L, 1L, "A"), (1L, 2L, "B"), (2L, 1L, "A"), (2L, 2L, "C"))
+      .toDF("k", "seq", "et")
+    val h1 = Markov.entropyRate(fork, "k", Seq("seq"), "et").head()
+    assert(h1.getDouble(0) == 0.693147 && h1.getLong(1) == 2L
+      && h1.getLong(2) == 1L)
+  }
 }

@@ -128,4 +128,32 @@ class EvalSpec extends SparkSpec {
     out.foreach(r =>
       assert(math.abs(r.getAs[Double]("ece") - 0.6725) < 1e-10))
   }
+
+  test("rocCurve matches the sklearn hand case (AUC 0.75)") {
+    import spark.implicits._
+    val df = Seq((0.9, true), (0.8, false), (0.7, true), (0.6, false))
+      .toDF("score", "label")
+    val out = Eval.rocCurve(df, "score", "label").orderBy(col("thr").desc)
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (0.9, 1L, 0L, 0.5, 0.0, 0.0),
+      (0.8, 1L, 1L, 0.5, 0.5, 0.25),
+      (0.7, 2L, 1L, 1.0, 0.5, 0.25),
+      (0.6, 2L, 2L, 1.0, 1.0, 0.75)))
+  }
+
+  test("rocCurve merges tied scores into one threshold; perfect scorer gets AUC 1") {
+    import spark.implicits._
+    val tied = Seq((0.5, true), (0.5, false), (0.2, false)).toDF("s", "y")
+    val rows = Eval.rocCurve(tied, "s", "y").orderBy(col("thr").desc).collect()
+    assert(rows.length == 2 && rows(0).getLong(1) == 1L
+      && rows(0).getLong(2) == 1L)
+    val perfect = Seq((0.9, true), (0.8, true), (0.3, false), (0.1, false))
+      .toDF("s", "y")
+    val auc = Eval.rocCurve(perfect, "s", "y")
+      .orderBy(col("thr")).limit(1).head().getDouble(5)
+    assert(auc == 1.0)
+  }
 }

@@ -114,4 +114,49 @@ class FunnelCohortSpec extends SparkSpec {
     assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq
       == again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("kaplanMeier matches the textbook product-limit hand case") {
+    import spark.implicits._
+    // subjects: d=1 event, d=2 censored, d=3 event, d=4 event
+    // S(1) = 3/4; S(3) = 3/4 * 1/2 = 0.375; S(4) = 0 (all at risk die)
+    val subj = Seq((1L, false), (2L, true), (3L, false), (4L, false))
+      .toDF("duration", "censored")
+    val out = Cohorts.kaplanMeier(subj, "duration", "censored")
+      .orderBy("duration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 4L, 1L, 0.75), (3L, 2L, 1L, 0.375),
+      (4L, 1L, 1L, 0.0)))
+  }
+
+  test("logRank matches the hand-worked two-cohort case") {
+    import spark.implicits._
+    // A: events at t=1 and t=3; B: event at t=2, censored at t=3
+    // t=1: n=4 n_a=2 d=1 d_a=1 -> E=0.5,   V=0.25
+    // t=2: n=3 n_a=1 d=1 d_a=0 -> E=1/3,   V=2/9
+    // t=3: n=2 n_a=1 d=1 d_a=1 -> E=0.5,   V=0.25
+    val subj = Seq(("A", 1L, false), ("A", 3L, false),
+      ("B", 2L, false), ("B", 3L, true))
+      .toDF("cohort", "duration", "censored")
+    val r = Cohorts.logRank(subj, "duration", "censored", "cohort", "A")
+      .head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 1.333333) // 0.5 + 1/3 + 0.5 rounded
+    assert(r.getDouble(2) == 0.722222) // 0.25 + 2/9 + 0.25 rounded
+    val expChi = BigDecimal((2.0 - 1.333333) * (2.0 - 1.333333) / 0.722222)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == expChi && !r.getBoolean(4))
+  }
+
+  test("timeToEvent censors subjects that never hit the event") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01", "view"), (1L, "2024-01-05", "buy"),
+      (1L, "2024-01-09", "view"),
+      (2L, "2024-01-02", "view"), (2L, "2024-01-08", "view"))
+      .toDF("u", "d", "et").withColumn("ts", col("d").cast("timestamp"))
+    val out = Cohorts.timeToEvent(ev, "u", "ts", col("et") === "buy")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out == Map(1L -> ((4L, false)), 2L -> ((6L, true))))
+  }
 }

@@ -86,4 +86,26 @@ class LayoutSpec extends SparkSpec {
     // the refused dataset is untouched
     assert(spark.read.parquet(dir).count() == 100)
   }
+
+  test("zone map prunes non-overlapping files; pruned scan equals the full filter") {
+    val dir = graft.etl.Scratch.dir("zonemap")
+    val df = (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Layout.writeZoneMapped(df, dir, "k", numFiles = 8)
+    val zm = spark.read.parquet(s"$dir/_zonemap")
+    assert(zm.count() == 8 &&
+      zm.agg(sum("n_rows")).head().getLong(0) == 10000L)
+    // a narrow range must open a strict subset of files
+    val pruned = Layout.readZonePruned(spark, dir, lit(2000L), lit(2100L))
+    val opened = pruned.select(input_file_name()).distinct().count()
+    assert(opened < 8, s"expected pruning, opened $opened of 8 files")
+    val got = pruned.where(col("k").between(2000, 2100))
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (2000L to 2100L))
+    // a miss range yields an empty, correctly-typed frame
+    val none = Layout.readZonePruned(spark, dir, lit(90000L), lit(99000L))
+    assert(none.schema == pruned.schema && none.count() == 0)
+    // plain readers of the data dir do not see the manifest
+    assert(spark.read.parquet(dir).count() == 10000)
+    graft.etl.Scratch.remove(dir)
+  }
 }

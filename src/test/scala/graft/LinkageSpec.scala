@@ -227,4 +227,19 @@ class LinkageSpec extends SparkSpec {
     assert(Linkage.resolveEntities(short, "id", "name", maxDist = 1)
       .count() == 0)
   }
+
+  test("fuzzyScoredPairs scores each within-block half-matrix pair once") {
+    import spark.implicits._
+    val df = Seq((1L, "blk1", "martha"), (2L, "blk1", "marhta"),
+      (3L, "blk1", "marsha"), (4L, "blk2", "jon"), (5L, "blk2", "john"))
+      .toDF("id", "blk", "name")
+    val out = Linkage.fuzzyScoredPairs(df, "blk", "id", "name")
+      .orderBy("id_a", "id_b").collect()
+    assert(out.length == 4) // C(3,2) + C(2,2)
+    val m = out.map(r => (r.getLong(1), r.getLong(2)) ->
+      ((r.getDouble(3), r.getLong(4)))).toMap
+    assert(m((1L, 2L)) == ((0.9611111111111111, 1L))) // DuckDB golden
+    assert(m((4L, 5L))._2 == 1L) // jon -> john: one insertion
+    assert(m.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+  }
 }

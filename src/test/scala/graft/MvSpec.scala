@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Mv
+
+class MvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def factDir(): String = {
+    val dir = graft.etl.Scratch.dir("mvfact")
+    (1 to 5000).map(i => (s"g${i % 7}", i.toLong, i * 0.5))
+      .toDF("g", "k", "v").write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def aggOf(dir: String) =
+    spark.read.parquet(dir).groupBy("g")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+
+  test("a registered aggregate is substituted: plan reads the MV, not the fact") {
+    GraftExtensions.register(spark)
+    Mv.clear()
+    val dir = factDir()
+    val mvPath = graft.etl.Scratch.dir("mv")
+    Mv.register(aggOf(dir), mvPath)
+    // the SAME aggregation, rebuilt independently, with post-processing
+    val q = aggOf(dir).where(col("n") > 0).orderBy("g")
+    // optimizedPlan prints relations without paths; the executed plan's
+    // FileScan shows the location — and the Aggregate must be GONE
+    assert(!q.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      s"rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains(new java.io.File(mvPath).getName),
+      s"MV not scanned:\n$physical")
+    assert(!physical.contains(new java.io.File(dir).getName),
+      s"fact table still scanned:\n$physical")
+    val got = q.collect().map(r => (r.getString(0), r.getDouble(1),
+      r.getLong(2)))
+    val want = (1 to 5000).map(i => (s"g${i % 7}", i * 0.5))
+      .groupBy(_._1).map { case (g, xs) =>
+        (g, xs.map(_._2).sum, xs.size.toLong) }.toSeq.sortBy(_._1)
+    got.zip(want).foreach { case ((gg, gs, gn), (wg, ws, wn)) =>
+      assert(gg == wg && gn == wn && math.abs(gs - ws) < 1e-6)
+    }
+    Mv.clear()
+  }
+
+  test("a structurally different aggregate does NOT match") {
+    GraftExtensions.register(spark)
+    Mv.clear()
+    val dir = factDir()
+    val mvPath = graft.etl.Scratch.dir("mv")
+    Mv.register(aggOf(dir), mvPath)
+    // different aggregate list -> different fingerprint -> no rewrite
+    val other = spark.read.parquet(dir).groupBy("g")
+      .agg(max("v").as("mv"), count(lit(1)).as("n"))
+    val plan = other.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Aggregate"), plan)
+    // different source files -> no rewrite either
+    val dir2 = factDir()
+    val p2 = aggOf(dir2).queryExecution.optimizedPlan.toString
+    assert(p2.contains("Aggregate"), p2)
+    Mv.clear()
+  }
+
+  test("entries self-evict when the backing files are swept") {
+    GraftExtensions.register(spark)
+    Mv.clear()
+    val dir = factDir()
+    val mvPath = graft.etl.Scratch.dir("mv")
+    Mv.register(aggOf(dir), mvPath)
+    graft.etl.Scratch.remove(mvPath)
+    Mv.prune()
+    val plan = aggOf(dir).queryExecution.optimizedPlan.toString
+    assert(plan.contains("Aggregate"), plan)
+    // and the un-rewritten query still answers from the fact table
+    assert(aggOf(dir).count() == 7)
+    Mv.clear()
+  }
+
+  test("re-registering the same shape repoints to the new materialization") {
+    GraftExtensions.register(spark)
+    Mv.clear()
+    val dir = factDir()
+    val p1 = graft.etl.Scratch.dir("mv")
+    val p2 = graft.etl.Scratch.dir("mv")
+    Mv.register(aggOf(dir), p1)
+    Mv.register(aggOf(dir), p2) // must not route its own write via p1
+    val physical = aggOf(dir).queryExecution.executedPlan.toString
+    assert(physical.contains(new java.io.File(p2).getName), physical)
+    assert(!physical.contains(new java.io.File(p1).getName), physical)
+    assert(aggOf(dir).count() == 7)
+    Mv.clear()
+  }
+}

@@ -329,4 +329,34 @@ class OpsSpec extends SparkSpec {
     // (2*(3*10) - 4*10) / (3*10) = 20/30
     assert(math.abs(out("cc") - 20.0 / 30) < 1e-6)
   }
+
+  test("spearman matches the tie-averaged textbook case; exact 1 on monotone") {
+    import spark.implicits._
+    // x 1..5, y = (5,6,7,8,7): y's two 7s tie-average to rank 3.5
+    // -> rho = 8/sqrt(10*9.5) = 0.8207826... (scipy spearmanr value)
+    val df = Seq((1.0, 5.0), (2.0, 6.0), (3.0, 7.0), (4.0, 8.0), (5.0, 7.0))
+      .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = graft.ops.Quality.spearman(df, "g", "x", "y").head()
+    assert(r.getLong(1) == 5L && r.getDouble(2) == 0.820783)
+    val mono = (1 to 9).map(i => ("m", i.toDouble, i * i.toDouble))
+      .toDF("g", "x", "y")
+    assert(graft.ops.Quality.spearman(mono, "g", "x", "y")
+      .head().getDouble(2) == 1.0)
+  }
+
+  test("chiSquare matches the 2x2 hand case and charges zero observed cells") {
+    import spark.implicits._
+    // [[10,20],[30,40]]: chi2 = 4/12+4/18+4/28+4/42 = 0.793651, dof 1
+    val rows = Seq.fill(10)(("a", "c1")) ++ Seq.fill(20)(("a", "c2")) ++
+      Seq.fill(30)(("b", "c1")) ++ Seq.fill(40)(("b", "c2"))
+    val r = graft.ops.Quality.chiSquare(rows.toDF("x", "y"), "x", "y").head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 0.793651)
+    assert(r.getDouble(3) == 0.089087) // sqrt(0.793651/100)
+    // (b,2) never observed: its expected 2.5 must still contribute
+    val z = Seq.fill(5)(("a", "1")) ++ Seq.fill(5)(("a", "2")) ++
+      Seq.fill(10)(("b", "1"))
+    val rz = graft.ops.Quality.chiSquare(z.toDF("x", "y"), "x", "y").head()
+    assert(rz.getDouble(2) == 6.666667 && rz.getDouble(3) == 0.57735)
+  }
 }

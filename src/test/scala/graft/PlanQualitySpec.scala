@@ -45,7 +45,8 @@ class PlanQualitySpec extends SparkSpec {
     "q198_cuped",           // 1-row broadcast pooled theta/pre-mean attach
     "q201_target_encode",   // 1-row broadcast global-mean attach
     "q207_kneser_ney",      // 1-row broadcast type-total attach (T, V)
-    "q210_cusum")           // 1-row broadcast k/h moment attach
+    "q210_cusum",           // 1-row broadcast k/h moment attach
+    "q224_chi2")            // alphabet-sized marginal cross product (+ 1-row N)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
@@ -69,7 +70,8 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("dimension joins broadcast the small side (no fact-side shuffle)") {
-    for (name <- Seq("q01_weekly_compound", "q04_grouped_avg_topn", "q35_left_outer"))
+    for (name <- Seq("q01_weekly_compound", "q04_grouped_avg_topn",
+        "q35_left_outer", "q227_star_join"))
       assert(planOf(name).contains("BroadcastHashJoin"),
         s"$name does not broadcast its dimension side")
   }
@@ -130,7 +132,12 @@ class PlanQualitySpec extends SparkSpec {
     "q66_token_shards",     // shard ids over the vocabulary table
     "q81_vocab",            // vocabulary ranks (bounded by |vocab|)
     "q82_bpe_pairs",        // merge-pair ranks (bounded by |pair vocab|)
-    "q196_epoch_shuffle")   // block offsets over the <=256-row count frame
+    "q196_epoch_shuffle",   // block offsets over the <=256-row count frame
+    "q218_zipf_fit",        // ranks over the top-N vocabulary frame
+    "q219_kaplan_meier",    // suffix/product over the DISTINCT-duration frame
+    "q221_roc_auc",         // cumulative tp/fp over the DISTINCT-score frame
+    "q223_logrank",         // suffix risk sets over the DISTINCT-duration frame
+    "q228_heaps_fit")       // block offsets over the 256-docs-per-row frame
 
   test("order-without-partition windows appear only over bounded-by-design frames") {
     // a Window line prints [funcs], [partition], [order]; the

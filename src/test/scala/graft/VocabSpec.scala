@@ -133,4 +133,46 @@ class VocabSpec extends SparkSpec {
       .select($"v_w").collect().map(_.getDouble(0)).sorted
     assert(nullG.head >= 5.0 && nullG.last <= 6.0)
   }
+
+  test("heapsFit: exact two-checkpoint line; global positions follow doc order") {
+    import spark.implicits._
+    // doc 1 "x y", doc 2 "z z": first_pos x=1 y=2 z=3; N=4
+    // checkpoints {2, 4}: V(2)=2, V(4)=3 — doc-order offsets are
+    // load-bearing (reversed docs would give V(2)=1)
+    val docs = Seq((1L, "x y"), (2L, "z z")).toDF("doc_id", "text")
+    val r = Vocab.heapsFit(docs, "doc_id", "text", minN = 2L).head()
+    assert(r.getLong(0) == 2L)
+    val slope = (math.log(3) - math.log(2)) / (math.log(4) - math.log(2))
+    val icpt = math.log(2) - slope * math.log(2)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-6, s"beta=${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - icpt) < 1e-6)
+  }
+
+  test("heapsFit three-checkpoint least squares matches the closed form") {
+    import spark.implicits._
+    // "a b a c a b a d": first a=1 b=2 c=4 d=8; cps {2,4,8}:
+    // V = 2, 3, 4
+    val docs = Seq((1L, "a b a c a b a d")).toDF("doc_id", "text")
+    val r = Vocab.heapsFit(docs, "doc_id", "text", minN = 2L).head()
+    assert(r.getLong(0) == 3L)
+    val xs = Seq(2.0, 4.0, 8.0).map(math.log)
+    val ys = Seq(2.0, 3.0, 4.0).map(math.log)
+    val m = 3.0
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-6)
+    assert(math.abs(r.getDouble(2) - (sy - slope * sx) / m) < 1e-6)
+  }
+
+  test("zipfFit recovers the exact line through a two-point corpus") {
+    import spark.implicits._
+    // "a" x8, "b" x2 -> (ln1, ln8), (ln2, ln2): slope = -2, icpt = ln8
+    val docs = Seq((1L, ("a " * 8 + "b b").trim)).toDF("doc_id", "text")
+    val r = Vocab.zipfFit(docs, "doc_id", "text", 10).head()
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getDouble(1) - -2.0) < 1e-6, s"slope=${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - math.log(8)) < 1e-6)
+  }
 }
