@@ -31,7 +31,12 @@ object ScaleProof {
     // Heaps-scale frames (distinct words / bigram types), so their
     // times must FLATTEN as the synthetic vocabulary saturates
     "q196_epoch_shuffle", "q202_hash_features", "q203_unigram_cost",
-    "q207_kneser_ney")
+    "q207_kneser_ney",
+    // round 10 second wave: the corpus-curve fits (zipf ranks a
+    // bounded top-N; heaps' two-phase offsets + per-checkpoint
+    // conditional sums must track corpus tokens) and the chi-square
+    // contingency fold (alphabet-sized after one aggregation)
+    "q218_zipf_fit", "q224_chi2", "q228_heaps_fit")
 
   /** Optional slice filter (comma-separated name prefixes via
     * `SPARK_GRAFT_SCALE_ONLY`): the 100x corpus' full pass runs ~20

@@ -3071,7 +3071,69 @@ object SparkEntry {
     // scalar audit over q95's transition frame.
     "q230_entropy_rate" -> ((s, dir) =>
       graft.ops.Markov.entropyRate(t(s, dir, "events"), "user_id",
-        Seq("ts", "event_id"), "event_type"))
+        Seq("ts", "event_id"), "event_type")),
+
+    // TPC-H Q10-shaped returned-item report: top-20 customers by
+    // revenue lost to returns in a quarter — the classic
+    // TakeOrderedAndProject plan over a fact-side shuffle pair with a
+    // broadcast nation dim.
+    "q231_returned_topn" -> ((s, dir) =>
+      t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date")
+          && to_date(col("o_orderdate")) < lit("1996-07-01").cast("date"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+          4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+
+    // MERGE INTO: upsert a source batch into a target snapshot with a
+    // delete clause (matched 'F' rows drop), an update clause
+    // (matched prices uplift 5%), and not-matched inserts — one
+    // full-outer pass, gated row-for-row against the SQL expansion.
+    "q232_merge_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.etl.Merge.mergeInto(
+          o.where(col("o_orderkey") % 3 =!= 0),
+          o.where(col("o_orderkey") % 2 === 0),
+          Seq("o_orderkey"),
+          whenMatchedDelete = col("s.o_orderstatus") === "F",
+          whenMatchedUpdate = Map(
+            "o_totalprice" -> round(col("s.o_totalprice") * 1.05, 4)))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Centered moments per returnflag: two-pass population variance /
+    // skewness / excess kurtosis (the raw-moment identity cancels
+    // catastrophically at sum-x^4 scale and cannot match cross-engine).
+    "q233_central_moments" -> ((s, dir) =>
+      graft.ops.Quality.centralMoments(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
+    // Gaps-and-islands: stitch each user's 30-minute activity
+    // intervals into maximal sessions (touching merges), one island
+    // row out per stitched interval.
+    "q234_interval_merge" -> ((s, dir) =>
+      graft.ops.EventWindows.coalesceIntervals(
+          t(s, dir, "events").select(col("user_id"), col("ts").as("s_ts"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("e_ts")),
+          "user_id", "s_ts", "e_ts")
+        .orderBy("user_id", "island")),
+
+    // Exact lower weighted median of extended price weighted by
+    // quantity, per returnflag — robust location under unequal row
+    // mass; one partitioned cumulative-weight window.
+    "q235_weighted_median" -> ((s, dir) =>
+      graft.ops.Binning.weightedMedian(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", "l_quantity")
+        .orderBy("l_returnflag"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -7891,7 +7953,103 @@ ORDER BY 1, 2"""
         |SELECT ROUND(-SUM((nf / tot) * (n / nf) * ln(n / nf)), 6) AS h_rate,
         |  CAST(MAX(tot) AS BIGINT) AS n_transitions,
         |  CAST(COUNT(DISTINCT f) AS BIGINT) AS n_states
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    "q231_returned_topn" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q232_merge_upsert" ->
+      """WITH t AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+        |s AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+        |m AS (
+        |  SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |    CASE WHEN t.o_orderkey IS NOT NULL
+        |        AND s.o_orderkey IS NOT NULL THEN 'upd'
+        |      WHEN t.o_orderkey IS NOT NULL THEN 'keep'
+        |      ELSE 'ins' END AS src,
+        |    t.o_orderstatus AS t_st, s.o_orderstatus AS s_st,
+        |    t.o_totalprice AS t_tp, s.o_totalprice AS s_tp
+        |  FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+        |)
+        |SELECT o_orderkey,
+        |  CASE WHEN src = 'ins' THEN s_st ELSE t_st END AS o_orderstatus,
+        |  ROUND(CASE src WHEN 'upd' THEN ROUND(s_tp * 1.05, 4)
+        |    WHEN 'keep' THEN t_tp ELSE s_tp END, 4) AS o_totalprice
+        |FROM m
+        |WHERE NOT (src = 'upd' AND s_st = 'F')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q233_central_moments" ->
+      """WITH mu AS (
+        |  SELECT l_returnflag AS g, AVG(l_extendedprice) AS mu
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+        |), c AS (
+        |  SELECT g, mu, l_extendedprice - mu AS d
+        |  FROM lineitem JOIN mu ON l_returnflag = g
+        |  WHERE l_extendedprice IS NOT NULL
+        |), a AS (
+        |  SELECT g, CAST(COUNT(1) AS BIGINT) AS n, MAX(mu) AS mean,
+        |    SUM(d * d) / COUNT(1) AS m2,
+        |    SUM(d * d * d) / COUNT(1) AS m3,
+        |    SUM(d * d * d * d) / COUNT(1) AS m4
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT g AS l_returnflag, n, ROUND(mean, 6) AS mean,
+        |  ROUND(m2, 6) AS variance,
+        |  ROUND(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END, 6) AS skewness,
+        |  ROUND(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END, 6) AS kurtosis
+        |FROM a ORDER BY 1""".stripMargin,
+
+    "q234_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, ts AS s_ts, ts + INTERVAL 30 MINUTE AS e_ts
+        |  FROM events
+        |), x AS (
+        |  SELECT user_id, s_ts, e_ts,
+        |    MAX(e_ts) OVER (PARTITION BY user_id ORDER BY s_ts, e_ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv
+        |), y AS (
+        |  SELECT user_id, s_ts, e_ts,
+        |    CASE WHEN pmax IS NULL OR s_ts > pmax THEN 1 ELSE 0 END AS brk
+        |  FROM x
+        |), z AS (
+        |  SELECT user_id, s_ts, e_ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY s_ts, e_ts
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM y
+        |)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  MIN(s_ts) AS start, MAX(e_ts) AS "end",
+        |  COUNT(1) AS n_merged
+        |FROM z GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q235_weighted_median" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v, l_quantity AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |), x AS (
+        |  SELECT g, v,
+        |    SUM(w) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(w) OVER (PARTITION BY g) AS tot,
+        |    COUNT(1) OVER (PARTITION BY g) AS nn
+        |  FROM c
+        |)
+        |SELECT g AS l_returnflag, CAST(MAX(nn) AS BIGINT) AS n,
+        |  MIN(v) AS w_median
+        |FROM x WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -147,4 +147,28 @@ object Binning {
         round(min(col("__lo")) + min(width) * (col("bin") + 1), 6).as("hi"),
         count(lit(1)).as("n"))
   }
+
+  /** Exact weighted median per group — the lower weighted median: the
+    * smallest value whose cumulative weight reaches half the group's
+    * total (robust location when rows carry unequal mass — revenue
+    * weighted by quantity, latency weighted by calls). One cumulative
+    * window partitioned by the group; deterministic under value ties
+    * because the pick is the MIN qualifying value — intra-tie
+    * cumulative order cannot change which value first crosses.
+    * NULL values/weights excluded. Output: (group, n, w_median). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clean = df.where(col(valueCol).isNotNull && col(weightCol).isNotNull)
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    clean
+      .withColumn("__cum", sum(col(weightCol)).over(wCum))
+      .withColumn("__tot", sum(col(weightCol)).over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"), min(col(valueCol)).as("w_median"))
+  }
 }

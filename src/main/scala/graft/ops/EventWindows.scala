@@ -62,4 +62,27 @@ object EventWindows {
         round(sum(col(valueCol)), 4).as("sum_value"),
         (unix_timestamp(date_trunc("second", max(col(tsCol)))) -
           unix_timestamp(date_trunc("second", min(col(tsCol))))).as("duration_s"))
+
+  /** Coalesce overlapping/touching intervals per key into maximal
+    * islands (gaps-and-islands): an interval starts a new island iff
+    * its start lies strictly AFTER the running max end of everything
+    * before it (equal = touching = merged). The interval-algebra
+    * normalizer behind availability windows, session stitching, and
+    * blackout masks. Two windows partitioned by the key (running max
+    * end, then the island counter), one aggregation. Output per
+    * island: (key, island, start, end, n_merged). */
+  def coalesceIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__brk",
+        when(prevMax.isNull || col(startCol) > prevMax, 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__island").cast("long").as("island"))
+      .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"),
+        count(lit(1)).as("n_merged"))
+  }
 }

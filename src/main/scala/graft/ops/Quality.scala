@@ -457,6 +457,34 @@ object Quality {
         round(corr(col("__rx"), col("__ry")), 6).as("rho"))
   }
 
+  /** Centered moments per group: population variance, skewness
+    * (g₁ = m₃/m₂^1.5) and EXCESS kurtosis (m₄/m₂² − 3) — the shape
+    * audit behind heavy-tail and asymmetry screens. Computed by the
+    * numerically stable TWO-PASS form (mean joined back, then sums of
+    * centered powers): the one-pass raw-moment identity cancels
+    * catastrophically at Σx⁴ scale and cannot hold 6-decimal parity
+    * cross-engine. Constant-valued groups yield NULL skew/kurtosis
+    * (m₂ = 0). Output: (group, n, mean, variance, skewness,
+    * kurtosis), rounded at 6. */
+  def centralMoments(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val clean = df.where(col(valueCol).isNotNull)
+    val mu = clean.groupBy(col(groupCol))
+      .agg(avg(col(valueCol)).as("__mu"))
+    val d = col(valueCol) - col("__mu")
+    val n = count(lit(1)).cast("double")
+    val m2 = sum(d * d) / n
+    val m3 = sum(d * d * d) / n
+    val m4 = sum(d * d * d * d) / n
+    clean.join(broadcast(mu), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("__mu")), 6).as("mean"),
+        round(m2, 6).as("variance"),
+        round(when(m2 > 0, m3 / pow(m2, 1.5)), 6).as("skewness"),
+        round(when(m2 > 0, m4 / (m2 * m2) - 3), 6).as("kurtosis"))
+  }
+
   /** χ² test of independence between two categorical columns + the
     * effect size (Cramér's V) — [[mutualInformation]]'s
     * classical-statistics sibling. Expected counts come from the

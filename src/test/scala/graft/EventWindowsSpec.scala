@@ -73,4 +73,31 @@ class EventWindowsSpec extends SparkSpec {
     assert(first.getAs[Long]("duration_s") == 900L)
     assert(first.getAs[Timestamp]("session_start") == ts("2024-01-01 00:05:00"))
   }
+
+  test("coalesceIntervals merges overlapping and touching, splits on gaps") {
+    import spark.implicits._
+    // [1,4] [2,5] overlap -> [1,5]; [5,6] touches -> [1,6]; [8,9] gaps
+    val iv = Seq((1L, 1, 4), (1L, 2, 5), (1L, 5, 6), (1L, 8, 9),
+      (2L, 0, 10)).toDF("k", "s", "e")
+    val out = graft.ops.EventWindows.coalesceIntervals(iv, "k", "s", "e")
+      .orderBy("k", "island").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 1L, 1, 6, 3L), (1L, 2L, 8, 9, 1L),
+      (2L, 1L, 0, 10, 1L)))
+  }
+
+  test("weightedMedian: crossing row wins; ties and unweighted degenerate agree") {
+    import spark.implicits._
+    // values 1,2,3 with weights 1,1,10: tot 12, cum crosses 6 at v=3
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 10L))
+      .toDF("k", "v", "w")
+    val r = graft.ops.Binning.weightedMedian(df, "k", "v", "w").head()
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 3.0)
+    // equal weights -> lower median of 1,2,3,4 is 2
+    val eq = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 1L),
+      ("g", 4.0, 1L)).toDF("k", "v", "w")
+    assert(graft.ops.Binning.weightedMedian(eq, "k", "v", "w")
+      .head().getDouble(2) == 2.0)
+  }
 }

@@ -344,6 +344,23 @@ class OpsSpec extends SparkSpec {
       .head().getDouble(2) == 1.0)
   }
 
+  test("centralMoments matches hand values; constant group yields NULL shape") {
+    import spark.implicits._
+    // values 1,2,3,6: mu=3, m2=3.5, m3=4.5, m4=24.5
+    // skew = 4.5/3.5^1.5 = 0.687243; kurt = 24.5/12.25 - 3 = -1 exactly
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 6.0),
+      ("c", 5.0), ("c", 5.0)).toDF("k", "v")
+    val out = graft.ops.Quality.centralMoments(df, "k", "v")
+      .orderBy("k").collect()
+    val c = out(0); val g = out(1)
+    assert(g.getLong(1) == 4L && g.getDouble(2) == 3.0
+      && g.getDouble(3) == 3.5)
+    assert(g.getDouble(4) == BigDecimal(4.5 / math.pow(3.5, 1.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(g.getDouble(5) == -1.0)
+    assert(c.getDouble(3) == 0.0 && c.isNullAt(4) && c.isNullAt(5))
+  }
+
   test("chiSquare matches the 2x2 hand case and charges zero observed cells") {
     import spark.implicits._
     // [[10,20],[30,40]]: chi2 = 4/12+4/18+4/28+4/42 = 0.793651, dof 1
