@@ -3133,7 +3133,47 @@ object SparkEntry {
     "q235_weighted_median" -> ((s, dir) =>
       graft.ops.Binning.weightedMedian(t(s, dir, "lineitem"),
           "l_returnflag", "l_extendedprice", "l_quantity")
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Zone-map APPEND maintenance: land half the events, append the
+    // other half (manifest extended incrementally from only the new
+    // files), then answer the same pruned range query as q225 —
+    // same oracle, now over a two-batch layout.
+    "q236_zonemap_append" -> ((s, dir) => {
+      val path = graft.etl.Scratch.dir("zm236")
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      graft.etl.Layout.writeZoneMapped(
+        ev.where(col("user_id") % 2 === 0), path, "user_id", numFiles = 8)
+      graft.etl.Layout.appendZoneMapped(
+        ev.where(col("user_id") % 2 =!= 0), path, "user_id", numFiles = 8)
+      graft.etl.Layout.readZonePruned(s, path, lit(2L), lit(9L))
+        .where(col("user_id").between(2L, 9L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Day-of-week-adjusted daily anomaly screen: divide out the
+    // weekly seasonal index, z-score the residual series — "is this
+    // Monday odd for a Monday".
+    "q237_seasonal_z" -> ((s, dir) =>
+      graft.ops.TimeSeries.seasonalZ(t(s, dir, "events"),
+          "event_type", "ts")
+        .orderBy("event_type", "d")),
+
+    // Degree distribution of the supplier-customer interaction graph
+    // (distinct counterparties per supplier, then the count-of-counts
+    // histogram) — the connectivity audit before any graph algorithm.
+    "q238_degree_dist" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count_distinct(col("o_custkey")).as("degree"))
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_suppliers"))
+        .orderBy("degree"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -8049,7 +8089,50 @@ ORDER BY 1, 2"""
         |)
         |SELECT g AS l_returnflag, CAST(MAX(nn) AS BIGINT) AS n,
         |  MIN(v) AS w_median
-        |FROM x WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM x WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q236_zonemap_append" ->
+      """SELECT event_type, COUNT(1) AS n,
+        |  ROUND(SUM(value), 4) AS sum_value
+        |FROM events WHERE user_id BETWEEN 2 AND 9
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q237_seasonal_z" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(1) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2
+        |), f AS (
+        |  SELECT g, isodow(d) - 1 AS dow, AVG(x) AS dow_avg
+        |  FROM daily GROUP BY 1, 2
+        |), o AS (
+        |  SELECT g, AVG(x) AS all_avg FROM daily GROUP BY 1
+        |), adj AS (
+        |  SELECT daily.g, d, x, x / (dow_avg / all_avg) AS a
+        |  FROM daily JOIN f ON f.g = daily.g AND f.dow = isodow(d) - 1
+        |  JOIN o ON o.g = daily.g
+        |), mu AS (
+        |  SELECT g, AVG(a) AS mu, CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM adj GROUP BY 1
+        |), sd AS (
+        |  SELECT adj.g, SQRT(SUM((a - mu) * (a - mu)) / (MAX(n) - 1)) AS sd
+        |  FROM adj JOIN mu ON mu.g = adj.g GROUP BY 1
+        |)
+        |SELECT adj.g AS event_type, d, CAST(x AS BIGINT) AS n,
+        |  ROUND(CASE WHEN sd > 0 THEN (a - mu) / sd END, 6) AS z,
+        |  coalesce(abs((a - mu) / sd) > 2, false) AS anomaly
+        |FROM adj JOIN mu ON mu.g = adj.g JOIN sd ON sd.g = adj.g
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q238_degree_dist" ->
+      """WITH deg AS (
+        |  SELECT l_suppkey,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS degree
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1
+        |)
+        |SELECT degree, COUNT(1) AS n_suppliers
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

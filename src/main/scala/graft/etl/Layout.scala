@@ -101,6 +101,41 @@ object Layout {
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
+  /** Append a batch to a zone-mapped dataset and maintain the
+    * manifest INCREMENTALLY: the batch lands range-clustered as new
+    * files, per-file stats are computed from ONLY those files, and
+    * the manifest becomes old ∪ new (manifest rows are metadata-scale
+    * — one per file — so the swap materializes driver-side, like
+    * every table-format metadata commit). Batches cluster internally;
+    * cross-batch ranges may overlap — pruning stays CORRECT (the
+    * overlap test is per file), merely less selective until a
+    * compaction re-clusters. */
+  def appendZoneMapped(df: DataFrame, path: String, clusterCol: String,
+      numFiles: Int): Unit = {
+    val spark = df.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles: Set[String] = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSet
+    val before = dataFiles
+    df.repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("append").parquet(path)
+    val added = (dataFiles -- before).toSeq
+    require(added.nonEmpty, "append wrote no files")
+    val newStats = spark.read.parquet(added: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+    val manifest = spark.read.parquet(s"$path/_zonemap")
+    val merged = manifest.collect() ++ newStats.collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(merged.toIndexedSeq, 1),
+        manifest.schema)
+      .write.mode("overwrite").parquet(s"$path/_zonemap")
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files. The file-count decision reads ONLY
     * filesystem metadata (listing sizes — a driver-side metadata walk,

@@ -244,4 +244,44 @@ object TimeSeries {
           sum((col("__xa") - col("__mu")) * (col("__xb") - col("__mu")))
             / max(col("__ss"))), 6).as("acf"))
   }
+
+  /** Seasonality-adjusted anomaly score of the per-group DAILY count
+    * series: divide out the day-of-week multiplicative index
+    * (dow mean / overall mean), then z-score the adjusted series —
+    * "is this Monday odd FOR A MONDAY", the screen a raw z-score
+    * fails on weekly-patterned traffic. All statistics by the
+    * explicit two-pass centered form (cross-engine-stable); every
+    * frame after the daily reduction is bounded (days × groups,
+    * groups × 7). Output per day: (group, d, n, z, anomaly =
+    * |z| > zCut); z rounded at 6, NULL when the adjusted series is
+    * constant. */
+  def seasonalZ(events: DataFrame, groupCol: String, tsCol: String,
+      zCut: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val dowOf = weekday(col("d")) // 0 = Monday, matching isodow - 1
+    val dowAvg = daily.groupBy(col("g"), dowOf.as("dow"))
+      .agg(avg(col("x")).as("__dow_avg"))
+    val allAvg = daily.groupBy(col("g")).agg(avg(col("x")).as("__all_avg"))
+    val adj = daily
+      .join(broadcast(dowAvg),
+        daily("g") === dowAvg("g") && dowOf === dowAvg("dow"))
+      .drop(dowAvg("g")).drop("dow")
+      .join(broadcast(allAvg), "g")
+      .withColumn("__a", col("x") / (col("__dow_avg") / col("__all_avg")))
+    val mu = adj.groupBy(col("g"))
+      .agg(avg(col("__a")).as("__mu"), count(lit(1)).as("__n"))
+    val sd = adj.join(broadcast(mu), "g")
+      .groupBy(col("g"))
+      .agg(sqrt(sum((col("__a") - col("__mu")) * (col("__a") - col("__mu")))
+        / (max(col("__n")) - 1)).as("__sd"))
+    adj.join(broadcast(mu), "g").join(broadcast(sd), "g")
+      .select(col("g").as(groupCol), col("d"),
+        col("x").cast("long").as("n"),
+        round(when(col("__sd") > 0,
+          (col("__a") - col("__mu")) / col("__sd")), 6).as("z"),
+        coalesce(abs((col("__a") - col("__mu")) / col("__sd")) > zCut,
+          lit(false)).as("anomaly"))
+  }
 }

@@ -270,6 +270,23 @@ class ChunkingTimeSeriesSpec extends SparkSpec {
     assert(c.length == 1 && c(0).isNullAt(3))
   }
 
+  test("seasonalZ: a weekly-patterned series is flat after adjustment; a true spike flags") {
+    // two full weeks: Mondays always 4x the other days -> the raw
+    // pattern is seasonal, adjusted series constant -> z NULL rows;
+    // then a genuine 10x Tuesday spike in week 3 must flag
+    val base = for {
+      w <- 0 to 2; dow <- 0 to 6
+      day = 1 + w * 7 + dow
+      n = if (w == 2 && dow == 1) 40 else if (dow == 0) 4 else 1
+      i <- 1 to n
+    } yield ("g", f"2024-01-$day%02d 00:00:${i % 60}%02d.${i}%03d")
+    val ev = base.toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = TimeSeries.seasonalZ(ev, "t", "ts").collect()
+      .map(r => r.getDate(1).toString -> r.getBoolean(4)).toMap
+    assert(out("2024-01-16")) // the week-3 Tuesday spike
+    assert(out.count(_._2) == 1, s"only the spike flags: $out")
+  }
+
   test("entropyRate: 0 for a deterministic chain, ln 2 for a fair binary fork") {
     import graft.ops.Markov
     val det = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"))

@@ -108,4 +108,22 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 10000)
     graft.etl.Scratch.remove(dir)
   }
+
+  test("appendZoneMapped extends the manifest from only the new files") {
+    val dir = graft.etl.Scratch.dir("zonemapapp")
+    val lo = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val hi = (5001 to 10000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Layout.writeZoneMapped(lo, dir, "k", numFiles = 4)
+    Layout.appendZoneMapped(hi, dir, "k", numFiles = 4)
+    val zm = spark.read.parquet(s"$dir/_zonemap")
+    assert(zm.count() == 8 &&
+      zm.agg(sum("n_rows")).head().getLong(0) == 10000L)
+    // a range inside the APPENDED half is pruned and complete
+    val pruned = Layout.readZonePruned(spark, dir, lit(7000L), lit(7100L))
+    assert(pruned.select(input_file_name()).distinct().count() < 8)
+    assert(pruned.where(col("k").between(7000, 7100)).count() == 101)
+    // the full dataset is intact
+    assert(spark.read.parquet(dir).count() == 10000)
+    graft.etl.Scratch.remove(dir)
+  }
 }
