@@ -26,7 +26,11 @@ import org.apache.spark.sql.SparkSession
 object ClusterCheck {
 
   private val Gates = Seq("q67_dedup_clusters", "q98_bfs_levels",
-    "q178_incremental_agg", "q152_skew_salted_join", "q15_minhash_lsh")
+    "q178_incremental_agg", "q152_skew_salted_join", "q15_minhash_lsh",
+    // round 10 second wave: optimizer-substituted MV reads and the
+    // zone-map append/prune path both write+re-read their own files
+    // across executor JVMs
+    "q226_mv_rewrite", "q236_zonemap_append")
 
   private val AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",

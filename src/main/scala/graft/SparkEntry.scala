@@ -3173,7 +3173,26 @@ object SparkEntry {
         .agg(count_distinct(col("o_custkey")).as("degree"))
         .groupBy(col("degree"))
         .agg(count(lit(1)).as("n_suppliers"))
-        .orderBy("degree"))
+        .orderBy("degree")),
+
+    // q219's survival curve with the Greenwood variance and the 95%
+    // normal band — the error bars the bare estimate is read without.
+    "q239_km_greenwood" -> ((s, dir) =>
+      graft.ops.Cohorts.kaplanMeierCi(
+          graft.ops.Cohorts.timeToEvent(t(s, dir, "events"),
+            "user_id", "ts", col("event_type") === "purchase"),
+          "duration", "censored")
+        .orderBy("duration")),
+
+    // Brier score + Murphy decomposition of the purchase "forecast"
+    // value/100: reliability (binned calibration), resolution (bin
+    // separation), uncertainty (base-rate variance).
+    "q240_brier" -> ((s, dir) =>
+      graft.ops.Eval.brierDecomposition(
+        t(s, dir, "events")
+          .withColumn("p", least(col("value") / 100, lit(1.0)))
+          .withColumn("label", col("event_type") === "purchase"),
+        "p", "label", nBins = 10))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -8132,7 +8151,74 @@ ORDER BY 1, 2"""
         |  GROUP BY 1
         |)
         |SELECT degree, COUNT(1) AS n_suppliers
-        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q239_km_greenwood" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      coalesce(MIN(CASE WHEN event_type = 'purchase'
+        |          THEN CAST(ts AS DATE) END),
+        |        MAX(CAST(ts AS DATE)))) AS BIGINT) AS duration,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ts AS DATE) END) IS NULL AS censored
+        |  FROM events GROUP BY user_id
+        |), lf AS (
+        |  SELECT duration, CAST(COUNT(1) AS BIGINT) AS alln,
+        |    CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS events
+        |  FROM u GROUP BY 1
+        |), k AS (
+        |  SELECT duration, events,
+        |    SUM(alln) OVER (ORDER BY duration
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+        |  FROM lf
+        |), s AS (
+        |  SELECT duration, n_risk, events,
+        |    exp(SUM(ln(greatest(
+        |        1 - CAST(events AS DOUBLE) / n_risk, 1e-300)))
+        |      OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)) AS sv,
+        |    SUM(CASE WHEN events < n_risk THEN
+        |        CAST(events AS DOUBLE) / (n_risk * (n_risk - events))
+        |      ELSE CAST('nan' AS DOUBLE) END)
+        |      OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) AS gw
+        |  FROM k
+        |), c AS (
+        |  SELECT duration, n_risk, events, sv,
+        |    CASE WHEN NOT isnan(sv * sqrt(gw)) THEN sv * sqrt(gw) END AS se
+        |  FROM s WHERE events > 0
+        |)
+        |SELECT duration, CAST(n_risk AS BIGINT) AS n_risk, events,
+        |  ROUND(sv, 6) AS s, ROUND(se, 6) AS se,
+        |  ROUND(CASE WHEN se IS NOT NULL
+        |    THEN greatest(sv - 1.96 * se, 0) END, 6) AS lo,
+        |  ROUND(CASE WHEN se IS NOT NULL
+        |    THEN least(sv + 1.96 * se, 1) END, 6) AS hi
+        |FROM c ORDER BY duration""".stripMargin,
+
+    "q240_brier" ->
+      """WITH f AS (
+        |  SELECT least(value / 100, 1.0) AS p,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL AND value >= 0
+        |), b AS (
+        |  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+        |    CAST(COUNT(1) AS BIGINT) AS nk, AVG(p) AS fk, AVG(y) AS ok,
+        |    SUM((p - y) * (p - y)) AS sq
+        |  FROM f GROUP BY 1
+        |), tot AS (
+        |  SELECT SUM(nk * ok) / SUM(nk) AS obar,
+        |    CAST(SUM(nk) AS DOUBLE) AS n
+        |  FROM b
+        |)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |  ROUND(SUM(sq) / MAX(n), 6) AS brier,
+        |  ROUND(SUM(nk * (fk - ok) * (fk - ok)) / MAX(n), 6) AS reliability,
+        |  ROUND(SUM(nk * (ok - obar) * (ok - obar)) / MAX(n), 6)
+        |    AS resolution,
+        |  ROUND(MAX(obar) * (1 - MAX(obar)), 6) AS uncertainty
+        |FROM b CROSS JOIN tot""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -31,6 +31,44 @@ object Cohorts {
     * the product as windows over that frame. Output per event time:
     * (duration, n_risk, events, s), s rounded at 6. */
   def kaplanMeier(subjects: DataFrame, durationCol: String,
+      censoredCol: String): DataFrame =
+    kmCore(subjects, durationCol, censoredCol)
+      .select(col("duration"), col("n_risk"), col("events"),
+        round(col("__s"), 6).as("s"))
+
+  /** [[kaplanMeier]] plus the Greenwood (1926) variance and the plain
+    * 95% normal-approximation band: se = S·sqrt(Σ_{t'≤t} d/(n(n−d))),
+    * lo/hi = S ∓ 1.96·se clamped to [0, 1]. An all-events time point
+    * (d = n) has undefined Greenwood variance — its se/lo/hi are NULL
+    * (S is exactly 0 there and needs no band). Same bounded
+    * distinct-duration frame as the estimate itself. */
+  def kaplanMeierCi(subjects: DataFrame, durationCol: String,
+      censoredCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPrefix = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gw = sum(when(col("events") < col("n_risk"),
+        col("events") / (col("n_risk") * (col("n_risk") - col("events"))))
+      .otherwise(Double.NaN)).over(wPrefix)
+    kmCore(subjects, durationCol, censoredCol)
+      .withColumn("__se",
+        when(!isnan(col("__s") * sqrt(gw)), col("__s") * sqrt(gw)))
+      .select(col("duration"), col("n_risk"), col("events"),
+        round(col("__s"), 6).as("s"),
+        round(col("__se"), 6).as("se"),
+        // greatest/least IGNORE nulls — guard explicitly so the d=n
+        // point's undefined band stays NULL, not clamped to 0/1
+        round(when(col("__se").isNotNull,
+          greatest(col("__s") - lit(1.96) * col("__se"), lit(0.0))), 6)
+          .as("lo"),
+        round(when(col("__se").isNotNull,
+          least(col("__s") + lit(1.96) * col("__se"), lit(1.0))), 6)
+          .as("hi"))
+  }
+
+  /** Shared product-limit frame: one duration aggregation + the
+    * suffix risk set and prefix product windows, `__s` UNROUNDED. */
+  private def kmCore(subjects: DataFrame, durationCol: String,
       censoredCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val durations = subjects.groupBy(col(durationCol).as("duration"))
@@ -45,11 +83,10 @@ object Cohorts {
       // greatest(..., 1e-300): an all-events time point (d = n) sends
       // S to exactly 0; a bare ln(0) is NULL in Spark and an error in
       // other engines — the clamp makes S round to 0.000000 portably
-      .withColumn("s", round(exp(sum(
+      .withColumn("__s", exp(sum(
         log(greatest(lit(1.0) - col("events") / col("n_risk"),
-          lit(1e-300)))).over(wPrefix)), 6))
+          lit(1e-300)))).over(wPrefix)))
       .where(col("events") > 0)
-      .select(col("duration"), col("n_risk"), col("events"), col("s"))
   }
 
   /** Log-rank test (Mantel 1966) comparing two cohorts' survival —

@@ -191,4 +191,45 @@ object Eval {
         round(col("tpr"), 6).as("tpr"), round(col("fpr"), 6).as("fpr"),
         col("auc"))
   }
+
+  /** Brier score + Murphy (1973) decomposition over `nBins`
+    * equal-width forecast bins: brier = mean (p−y)² exactly;
+    * reliability = Σ nₖ(f̄ₖ−ōₖ)²/N (binned calibration error, the
+    * squared cousin of [[calibration]]'s ECE); resolution =
+    * Σ nₖ(ōₖ−ō)²/N (how much the bins separate outcomes);
+    * uncertainty = ō(1−ō). brier = REL − RES + UNC holds exactly only
+    * for bin-constant forecasts — the residual is the within-bin
+    * forecast spread, so all four are reported and the identity is
+    * checkable. One data pass to the ≤nBins frame, then a fold.
+    * Scores outside [0,1] and NULLs are excluded. One row out,
+    * rounded at 6. */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be positive, got $nBins")
+    val p = col(scoreCol)
+    val y = when(col(labelCol), 1.0).otherwise(0.0)
+    val bins = df
+      .where(p.isNotNull && p >= 0 && p <= 1)
+      .withColumn("__bin",
+        least(floor(p * nBins).cast("long"), lit(nBins - 1L)))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__nk"), avg(p).as("__fk"), avg(y).as("__ok"),
+        sum((p - y) * (p - y)).as("__sq"))
+    // ō as a 1-row broadcast attach: it cannot nest inside the final
+    // fold (aggregates of aggregates), and the bins frame is ≤nBins
+    val tot = bins.agg(
+      (sum(col("__nk") * col("__ok")) / sum(col("__nk"))).as("__obar"),
+      sum(col("__nk")).cast("double").as("__n"))
+    bins.crossJoin(broadcast(tot)).agg(
+      sum(col("__nk")).as("n"),
+      round(sum(col("__sq")) / max(col("__n")), 6).as("brier"),
+      round(sum(col("__nk") * (col("__fk") - col("__ok"))
+        * (col("__fk") - col("__ok"))) / max(col("__n")), 6)
+        .as("reliability"),
+      round(sum(col("__nk") * (col("__ok") - col("__obar"))
+        * (col("__ok") - col("__obar"))) / max(col("__n")), 6)
+        .as("resolution"),
+      round(max(col("__obar")) * (lit(1.0) - max(col("__obar"))), 6)
+        .as("uncertainty"))
+  }
 }

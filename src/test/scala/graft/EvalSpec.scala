@@ -144,6 +144,26 @@ class EvalSpec extends SparkSpec {
       (0.6, 2L, 2L, 1.0, 1.0, 0.75)))
   }
 
+  test("brierDecomposition: hand case where the Murphy identity is exact") {
+    import spark.implicits._
+    // bin-constant forecasts: brier = REL - RES + UNC exactly
+    val df = Seq((0.8, true), (0.8, false), (0.2, false), (0.2, false))
+      .toDF("p", "y")
+    val r = Eval.brierDecomposition(df, "p", "y", nBins = 10).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.19)      // brier
+    assert(r.getDouble(2) == 0.065)     // reliability
+    assert(r.getDouble(3) == 0.0625)    // resolution
+    assert(r.getDouble(4) == 0.1875)    // uncertainty
+    assert(r.getDouble(1) ==
+      r.getDouble(2) - r.getDouble(3) + r.getDouble(4))
+    // out-of-range and NULL scores are excluded; p=1.0 lands in the top bin
+    val edge = Seq((Option(1.0), true), (Option(1.5), true),
+      (Option.empty[Double], false)).toDF("p", "y")
+    val e = Eval.brierDecomposition(edge, "p", "y", nBins = 10).head()
+    assert(e.getLong(0) == 1L && e.getDouble(1) == 0.0)
+  }
+
   test("rocCurve merges tied scores into one threshold; perfect scorer gets AUC 1") {
     import spark.implicits._
     val tied = Seq((0.5, true), (0.5, false), (0.2, false)).toDF("s", "y")

@@ -128,6 +128,29 @@ class FunnelCohortSpec extends SparkSpec {
       (4L, 1L, 1L, 0.0)))
   }
 
+  test("kaplanMeierCi: Greenwood bands match hand values; d=n point has NULL band") {
+    import spark.implicits._
+    val subj = Seq((1L, false), (2L, true), (3L, false), (4L, false))
+      .toDF("duration", "censored")
+    val out = Cohorts.kaplanMeierCi(subj, "duration", "censored")
+      .orderBy("duration").collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // t=1: S=0.75, gw=1/12
+    val se1 = 0.75 * math.sqrt(1.0 / 12)
+    assert(out(0).getDouble(4) == r6(se1))
+    assert(out(0).getDouble(5) == r6(0.75 - 1.96 * se1))
+    assert(out(0).getDouble(6) == 1.0) // clamped
+    // t=3: S=0.375, gw=1/12 + 1/2
+    val se3 = 0.375 * math.sqrt(1.0 / 12 + 0.5)
+    assert(out(1).getDouble(4) == r6(se3))
+    assert(out(1).getDouble(5) == 0.0) // clamped at 0
+    assert(out(1).getDouble(6) == r6(0.375 + 1.96 * se3))
+    // t=4: everyone at risk dies -> S=0, Greenwood undefined
+    assert(out(2).getDouble(3) == 0.0 && out(2).isNullAt(4)
+      && out(2).isNullAt(5) && out(2).isNullAt(6))
+  }
+
   test("logRank matches the hand-worked two-cohort case") {
     import spark.implicits._
     // A: events at t=1 and t=3; B: event at t=2, censored at t=3

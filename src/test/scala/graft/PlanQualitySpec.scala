@@ -46,7 +46,8 @@ class PlanQualitySpec extends SparkSpec {
     "q201_target_encode",   // 1-row broadcast global-mean attach
     "q207_kneser_ney",      // 1-row broadcast type-total attach (T, V)
     "q210_cusum",           // 1-row broadcast k/h moment attach
-    "q224_chi2")            // alphabet-sized marginal cross product (+ 1-row N)
+    "q224_chi2",            // alphabet-sized marginal cross product (+ 1-row N)
+    "q240_brier")           // 1-row broadcast base-rate/total attach
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
@@ -137,7 +138,8 @@ class PlanQualitySpec extends SparkSpec {
     "q219_kaplan_meier",    // suffix/product over the DISTINCT-duration frame
     "q221_roc_auc",         // cumulative tp/fp over the DISTINCT-score frame
     "q223_logrank",         // suffix risk sets over the DISTINCT-duration frame
-    "q228_heaps_fit")       // block offsets over the 256-docs-per-row frame
+    "q228_heaps_fit",       // block offsets over the 256-docs-per-row frame
+    "q239_km_greenwood")    // same DISTINCT-duration frame as q219
 
   test("order-without-partition windows appear only over bounded-by-design frames") {
     // a Window line prints [funcs], [partition], [order]; the
