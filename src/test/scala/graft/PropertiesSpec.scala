@@ -193,4 +193,36 @@ class PropertiesSpec extends SparkSpec {
     // and both tails DID clamp something (the property isn't vacuous)
     assert(moved > 0)
   }
+
+  test("property: string-similarity metric laws on random pairs/triples") {
+    import graft.expressions.StringSimilarity
+    val strGen = for {
+      n <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'e') ++ Seq(' ', 'X')))
+    } yield cs.mkString
+    val tripleGen = for {
+      a <- strGen; b <- strGen; c <- strGen
+    } yield (a, b, c)
+    val triples = sample(tripleGen, 400, 77L)
+    val df = triples.toDF("a", "b", "c")
+    def jw(x: String, y: String) = StringSimilarity.jaroWinkler(col(x), col(y))
+    def dl(x: String, y: String) =
+      StringSimilarity.damerauLevenshtein(col(x), col(y))
+    val checked = df.select(
+      // bounds + identity-of-indiscernibles
+      (jw("a", "b") >= 0 && jw("a", "b") <= 1).as("jw_bounds"),
+      ((col("a") =!= col("b")) || jw("a", "b") === 1.0).as("jw_eq1"),
+      ((dl("a", "b") === 0) === (col("a") === col("b"))).as("dl_zero_iff"),
+      // symmetry
+      (jw("a", "b") === jw("b", "a")).as("jw_sym"),
+      (dl("a", "b") === dl("b", "a")).as("dl_sym"),
+      // DL lower/upper bounds: |len diff| <= d <= max(len)
+      (dl("a", "b") >= abs(length(col("a")) - length(col("b")))
+        && dl("a", "b") <= greatest(length(col("a")), length(col("b"))))
+        .as("dl_len_bounds"),
+      // triangle inequality (full DL is a true metric)
+      (dl("a", "c") <= dl("a", "b") + dl("b", "c")).as("dl_triangle"))
+    val bad = checked.where(checked.columns.map(c => !col(c)).reduce(_ || _))
+    assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
+  }
 }
