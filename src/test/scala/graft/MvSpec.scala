@@ -61,6 +61,13 @@ class MvSpec extends SparkSpec {
     val dir2 = factDir()
     val p2 = aggOf(dir2).queryExecution.optimizedPlan.toString
     assert(p2.contains("Aggregate"), p2)
+    // a PRE-aggregation filter changes the subtree -> no rewrite
+    // (reading the MV there would silently include the filtered rows)
+    val filtered = spark.read.parquet(dir).where(col("k") > 100L)
+      .groupBy("g").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val p3 = filtered.queryExecution.optimizedPlan.toString
+    assert(p3.contains("Aggregate"), p3)
+    assert(filtered.agg(sum("n")).head().getLong(0) == 4900L)
     Mv.clear()
   }
 
