@@ -8127,20 +8127,26 @@ ORDER BY 1, 2"""
         |), o AS (
         |  SELECT g, AVG(x) AS all_avg FROM daily GROUP BY 1
         |), adj AS (
-        |  SELECT daily.g, d, x, x / (dow_avg / all_avg) AS a
+        |  SELECT daily.g, d, x,
+        |    CAST(ROUND(x / (dow_avg / all_avg) * 1e6, 0) AS BIGINT) AS am
         |  FROM daily JOIN f ON f.g = daily.g AND f.dow = isodow(d) - 1
         |  JOIN o ON o.g = daily.g
-        |), mu AS (
-        |  SELECT g, AVG(a) AS mu, CAST(COUNT(1) AS BIGINT) AS n
+        |), st AS (
+        |  SELECT g, SUM(am) AS s,
+        |    SUM(CAST(am AS HUGEINT) * CAST(am AS HUGEINT)) AS ss,
+        |    CAST(COUNT(1) AS BIGINT) AS n
         |  FROM adj GROUP BY 1
-        |), sd AS (
-        |  SELECT adj.g, SQRT(SUM((a - mu) * (a - mu)) / (MAX(n) - 1)) AS sd
-        |  FROM adj JOIN mu ON mu.g = adj.g GROUP BY 1
+        |), ms AS (
+        |  SELECT g, CAST(s AS DOUBLE) / n AS mu,
+        |    SQRT(GREATEST((CAST(ss AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1),
+        |      0.0)) AS sd
+        |  FROM st
         |)
         |SELECT adj.g AS event_type, d, CAST(x AS BIGINT) AS n,
-        |  ROUND(CASE WHEN sd > 0 THEN (a - mu) / sd END, 6) AS z,
-        |  coalesce(abs((a - mu) / sd) > 2, false) AS anomaly
-        |FROM adj JOIN mu ON mu.g = adj.g JOIN sd ON sd.g = adj.g
+        |  ROUND(CASE WHEN sd > 0 THEN (am - mu) / sd END, 6) AS z,
+        |  coalesce(abs((am - mu) / sd) > 2, false) AS anomaly
+        |FROM adj JOIN ms ON ms.g = adj.g
         |ORDER BY 1, 2""".stripMargin,
 
     "q238_degree_dist" ->

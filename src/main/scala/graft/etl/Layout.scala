@@ -123,7 +123,9 @@ object Layout {
       .sortWithinPartitions(clusterCol)
       .write.mode("append").parquet(path)
     val added = (dataFiles -- before).toSeq
-    require(added.nonEmpty, "append wrote no files")
+    // an empty delta can legitimately commit zero part files — a
+    // no-op append must not fail the job (and has no manifest delta)
+    if (added.isEmpty) return
     val newStats = spark.read.parquet(added: _*)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),

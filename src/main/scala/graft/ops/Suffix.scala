@@ -36,75 +36,157 @@ object Suffix {
     df.select(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
 
   /** (id, pos, rank): 1-based char positions, dense 1-based global
-    * ranks over suffix strings. Empty/NULL texts contribute nothing. */
+    * ranks over suffix strings. Empty/NULL texts contribute nothing.
+    *
+    * Refinement schedule (Larsson & Sadakane 1999, "Faster suffix
+    * sorting"): the iterating rank is the HEAD rank (1 + count of
+    * strictly-smaller suffixes), so a tied group of size g owns the
+    * closed band [r, r+g-1] and can be refined IN PLACE — new rank =
+    * r + (within-group rank by partner rank) − 1 — without touching
+    * any other group. Each round therefore processes ONLY the
+    * still-tied positions (a frame that collapses geometrically for
+    * natural text), not the whole corpus; the full frame is updated
+    * by a join against the (small, AQE-broadcast) changed set. The
+    * loop exits as soon as a round changes nothing: if no group
+    * splits at span h, the h-prefix partition is closed under
+    * h-shift refinement and, by induction, under every longer span —
+    * so rounds are bounded by log(longest repeated substring), not
+    * log(longest document). Dense ranks are produced by one final
+    * two-phase compression of the distinct head ranks (bucket by
+    * `r·256/(n+1)`, monotone in r; per-bucket `row_number` +
+    * broadcast bucket offsets — never a global-order window). */
   def suffixRanks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val txt = docs
       .where(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(idCol).as("id"), col(textCol).as("t"))
-    // seed with 8-char prefix ranks (vs single chars): string order
-    // on the k0-prefix IS the suffix order at k0 granularity (a
-    // shorter remainder compares before its extensions), and it cuts
-    // three doubling rounds off the schedule
-    val k0 = 8L
-    val base = Checkpoints.truncate(txt
-      .withColumn("pos", explode(sequence(lit(1), length(col("t")))))
-      .select(col("id"), col("pos"),
-        expr(s"substring(t, pos, $k0)").as("c")))
+    // seed span: string order on the k0-prefix IS the suffix order
+    // at k0 granularity (a shorter remainder compares before its
+    // extensions). 32 chars resolves all but genuinely-repeated
+    // spans in one pass for natural text (an 8-char seed leaves a
+    // small-vocabulary corpus ~100% tied — word-level repetition
+    // dominates below a few words); the cost is a one-round k0×
+    // string amplification, linear and local to the seed.
+    val k0 = 32L
     // bounded driver statistics: corpus char count + longest doc
     val stats = txt.agg(sum(length(col("t"))).as("n"),
       max(length(col("t"))).as("m")).head()
     val n = stats.getLong(0)
     val maxLen = stats.getInt(1)
-    // round 0: dense k0-gram ranks, two-phase (first char = the
-    // monotone block; offsets over the alphabet-sized count frame)
-    val keys = base.select("c").distinct()
-      .withColumn("__b", substring(col("c"), 1, 1))
-    val wKey = Window.partitionBy(col("__b")).orderBy(col("c"))
-    val loc0 = keys.withColumn("__rn", row_number().over(wKey).cast("long"))
-    val off0 = loc0.groupBy("__b").agg(count(lit(1)).as("__c"))
+    // round 0: HEAD rank of each position's k0-prefix, computed
+    // DIRECTLY on the position frame (no distinct + join-back):
+    // bucket by the first two chars (a prefix of the sort key, so
+    // bucket order is consistent), rank() within bucket (+ peer
+    // count from the same window spec — one sort pass), broadcast
+    // bucket offsets. rank() keeps equal prefixes tied and yields
+    // the head rank: 1 + count of strictly smaller.
+    val base = txt
+      .withColumn("pos", explode(sequence(lit(1), length(col("t")))))
+      .select(col("id"), col("pos"),
+        expr(s"substring(t, pos, $k0)").as("c"))
+      .withColumn("__b", substring(col("c"), 1, 2))
+      .persist() // read by both the window branch and the offsets
+    val wSeed = Window.partitionBy(col("__b")).orderBy(col("c"))
+    val offs0 = base.groupBy("__b").agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(
         Window.orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__b", "__off")
-    val keyRanks = loc0.join(broadcast(off0), "__b")
-      .select(col("c"), (col("__off") + col("__rn")).as("r"))
-    var s = Checkpoints.truncate(
-      base.join(keyRanks, "c").select("id", "pos", "r"))
+    val seeded = Checkpoints.truncate(base
+      .withColumn("__rk", rank().over(wSeed).cast("long"))
+      .withColumn("__g", count(lit(1)).over(
+        wSeed.rangeBetween(Window.currentRow, Window.currentRow)))
+      .join(broadcast(offs0), "__b")
+      .select(col("id"), col("pos"), (col("__off") + col("__rk")).as("r"),
+        col("__g")))
+    base.unpersist(blocking = false)
+    var s = seeded.select("id", "pos", "r")
+    // active set: members of groups still tied after the seed round
+    var tied = Checkpoints.truncate(
+      seeded.where(col("__g") >= 2).select("id", "pos", "r"))
     var h = k0
-    var distinctRanks = 0L
-    while (h < maxLen && distinctRanks < n) {
-      // partner rank: the suffix at pos+h (0 past the end — shorter
-      // sorts first, matching string order on a proper prefix)
-      val partner = fresh(s).select(col("id"),
-        (col("pos") - h).as("pos"), col("r").as("r2"))
-      val paired = s.join(partner, Seq("id", "pos"), "left")
-        .withColumn("r2", coalesce(col("r2"), lit(0L)))
-      // dense rank of the distinct (r, r2) pairs, two-phase
-      val pairs = paired.select("r", "r2").distinct()
-        .withColumn("__b", (col("r") * 256L / (n + 1L)).cast("long"))
-      val wLoc = Window.partitionBy(col("__b"))
-        .orderBy(col("r"), col("r2"))
-      val loc = pairs
-        .withColumn("__rn", row_number().over(wLoc).cast("long"))
-      val offs = loc.groupBy("__b").agg(count(lit(1)).as("__c"))
-        .withColumn("__off", coalesce(sum(col("__c")).over(
-          Window.orderBy(col("__b"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("__b", "__off")
-      val ranked = loc.join(broadcast(offs), "__b")
-        .select(col("r"), col("r2"), (col("__off") + col("__rn")).as("nr"))
-      val next = Checkpoints.truncate(
-        paired.join(ranked, Seq("r", "r2"))
-          .select(col("id"), col("pos"), col("nr").as("r")))
-      Checkpoints.free(s)
-      s = next
-      // dense ranks: max rank == number of distinct ranks (bounded
-      // scalar per round, read from the just-materialized frame)
-      distinctRanks = s.agg(max(col("r"))).head().getLong(0)
-      h *= 2
+    var active = tied.count()
+    // One-shot finish: once the active set is small enough that its
+    // FULL suffix strings fit a fixed char budget (active × longest
+    // doc, an upper bound), rank each surviving group directly by
+    // its materialized suffixes — exact (no cap: docs bound suffix
+    // length), and it replaces every remaining doubling round with
+    // one partitioned sort. At 100 TB the doubling loop below is the
+    // guard: it runs only while the active set is genuinely huge.
+    val finishBudget = 512L << 20
+    while (h < maxLen && active > 0) {
+      if (active * maxLen <= finishBudget) {
+        // only the active docs' texts travel (broadcast-semi prune:
+        // the full corpus is scanned, never shuffled)
+        val docsNeeded = txt.join(broadcast(tied.select("id").distinct()),
+          Seq("id"), "left_semi")
+        val paired = tied.join(docsNeeded, Seq("id"))
+          .select(col("id"), col("pos"), col("r"),
+            expr("substring(t, pos)").as("__suf"))
+        val wGrp = Window.partitionBy(col("r")).orderBy(col("__suf"))
+        val refined = Checkpoints.truncate(paired
+          .withColumn("nr", col("r") + rank().over(wGrp).cast("long") - 1L)
+          .select("id", "pos", "nr"))
+        val next = Checkpoints.truncate(
+          s.join(refined, Seq("id", "pos"), "left")
+            .select(col("id"), col("pos"),
+              coalesce(col("nr"), col("r")).as("r")))
+        Checkpoints.free(s); Checkpoints.free(tied); Checkpoints.free(refined)
+        s = next
+        active = 0
+      } else {
+        // partner rank: the suffix at pos+h (0 past the end — shorter
+        // sorts first, matching string order on a proper prefix);
+        // looked up in the FULL frame, but only for active positions
+        val partner = fresh(s).select(col("id"),
+          (col("pos") - h).as("pos"), col("r").as("r2"))
+        val paired = tied.join(partner, Seq("id", "pos"), "left")
+          .withColumn("r2", coalesce(col("r2"), lit(0L)))
+        // in-band refinement: groups (sharing r) are small — the
+        // duplicates of one h-prefix — so the partitioned window is
+        // safe; rank() keeps equal partners tied
+        val wGrp = Window.partitionBy(col("r")).orderBy(col("r2"))
+        val refined = Checkpoints.truncate(paired
+          .withColumn("nr", col("r") + rank().over(wGrp).cast("long") - 1L)
+          // peer count from the SAME window spec — one sort pass, no
+          // second shuffle on (r, r2)
+          .withColumn("__g", count(lit(1)).over(
+            wGrp.rangeBetween(Window.currentRow, Window.currentRow))))
+        val changed = refined.where(col("nr") =!= col("r")).count()
+        if (changed == 0) {
+          // closure: no split at span h ⇒ none at any longer span
+          Checkpoints.free(refined)
+          active = 0
+        } else {
+          val next = Checkpoints.truncate(
+            s.join(refined.select(col("id"), col("pos"), col("nr")),
+                Seq("id", "pos"), "left")
+              .select(col("id"), col("pos"),
+                coalesce(col("nr"), col("r")).as("r")))
+          val nextTied = Checkpoints.truncate(
+            refined.where(col("__g") >= 2)
+              .select(col("id"), col("pos"), col("nr").as("r")))
+          Checkpoints.free(s); Checkpoints.free(tied); Checkpoints.free(refined)
+          s = next
+          tied = nextTied
+          active = tied.count()
+          h *= 2
+        }
+      }
     }
-    Checkpoints.free(base)
-    s.withColumnRenamed("r", "rank")
+    // dense compression of the surviving head ranks, two-phase
+    val distinctR = s.select("r").distinct()
+      .withColumn("__b", (col("r") * 256L / (n + 1L)).cast("long"))
+    val wLoc = Window.partitionBy(col("__b")).orderBy(col("r"))
+    val loc = distinctR
+      .withColumn("__rn", row_number().over(wLoc).cast("long"))
+    val offs = loc.groupBy("__b").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__off")
+    val denseMap = loc.join(broadcast(offs), "__b")
+      .select(col("r"), (col("__off") + col("__rn")).as("rank"))
+    s.join(denseMap, "r").select("id", "pos", "rank")
   }
 
   /** Longest repeated substring(s): the maximal LCP over rank-adjacent

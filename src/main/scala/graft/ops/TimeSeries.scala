@@ -249,12 +249,21 @@ object TimeSeries {
     * series: divide out the day-of-week multiplicative index
     * (dow mean / overall mean), then z-score the adjusted series —
     * "is this Monday odd FOR A MONDAY", the screen a raw z-score
-    * fails on weekly-patterned traffic. All statistics by the
-    * explicit two-pass centered form (cross-engine-stable); every
-    * frame after the daily reduction is bounded (days × groups,
-    * groups × 7). Output per day: (group, d, n, z, anomaly =
-    * |z| > zCut); z rounded at 6, NULL when the adjusted series is
-    * constant. */
+    * fails on weekly-patterned traffic.
+    *
+    * Cross-engine stability: the per-day adjusted value is quantized
+    * to integer MICRO-UNITS (`round(a·1e6)` as long) BEFORE any
+    * aggregation, so the mean comes from an exact long sum and the
+    * sum of squares from an exact decimal(38,0) sum — both
+    * order-independent, unlike a float sum whose low bits depend on
+    * reduction order (the q237 hash-miss of round 10; same fix as
+    * [[Cluster.silhouette]]'s integer micro-unit means). The inputs
+    * to the quantization are themselves bit-deterministic: daily
+    * counts are integers (exact as doubles), so every AVG upstream
+    * is an exact-integer sum over a count. Every frame after the
+    * daily reduction is bounded (days × groups, groups × 7). Output
+    * per day: (group, d, n, z, anomaly = |z| > zCut); z rounded at
+    * 6, NULL when the adjusted series is constant. */
   def seasonalZ(events: DataFrame, groupCol: String, tsCol: String,
       zCut: Double = 2.0): DataFrame = {
     val daily = events
@@ -269,19 +278,26 @@ object TimeSeries {
         daily("g") === dowAvg("g") && dowOf === dowAvg("dow"))
       .drop(dowAvg("g")).drop("dow")
       .join(broadcast(allAvg), "g")
-      .withColumn("__a", col("x") / (col("__dow_avg") / col("__all_avg")))
-    val mu = adj.groupBy(col("g"))
-      .agg(avg(col("__a")).as("__mu"), count(lit(1)).as("__n"))
-    val sd = adj.join(broadcast(mu), "g")
-      .groupBy(col("g"))
-      .agg(sqrt(sum((col("__a") - col("__mu")) * (col("__a") - col("__mu")))
-        / (max(col("__n")) - 1)).as("__sd"))
-    adj.join(broadcast(mu), "g").join(broadcast(sd), "g")
+      .withColumn("__am",
+        round(col("x") / (col("__dow_avg") / col("__all_avg")) * 1e6)
+          .cast("long"))
+    // exact integer moments: sum fits long, sum of squares decimal(38,0)
+    val stats = adj.groupBy(col("g"))
+      .agg(sum(col("__am")).as("__s"),
+        sum(col("__am").cast("decimal(19,0)")
+          * col("__am").cast("decimal(19,0)")).as("__ss"),
+        count(lit(1)).as("__n"))
+      .withColumn("__mu", col("__s").cast("double") / col("__n"))
+      .withColumn("__sd", sqrt(greatest(
+        (col("__ss").cast("double")
+          - col("__s").cast("double") * col("__s").cast("double")
+            / col("__n")) / (col("__n") - 1), lit(0.0))))
+    adj.join(broadcast(stats.select("g", "__mu", "__sd", "__n")), "g")
       .select(col("g").as(groupCol), col("d"),
         col("x").cast("long").as("n"),
         round(when(col("__sd") > 0,
-          (col("__a") - col("__mu")) / col("__sd")), 6).as("z"),
-        coalesce(abs((col("__a") - col("__mu")) / col("__sd")) > zCut,
+          (col("__am") - col("__mu")) / col("__sd")), 6).as("z"),
+        coalesce(abs((col("__am") - col("__mu")) / col("__sd")) > zCut,
           lit(false)).as("anomaly"))
   }
 }

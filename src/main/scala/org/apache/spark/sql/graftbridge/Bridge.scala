@@ -33,6 +33,10 @@ object Bridge {
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
+  /** Stable per-session UUID (`private[sql]` on classic sessions). */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** Register a function into an already-running session's registry
     * (extensions only apply at session construction). */
   def registerFunction(spark: SparkSession, name: String,

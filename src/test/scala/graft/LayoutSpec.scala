@@ -124,6 +124,11 @@ class LayoutSpec extends SparkSpec {
     assert(pruned.where(col("k").between(7000, 7100)).count() == 101)
     // the full dataset is intact
     assert(spark.read.parquet(dir).count() == 10000)
+    // an EMPTY delta is a legitimate no-op, not a failure, and
+    // leaves the manifest untouched
+    Layout.appendZoneMapped(hi.where(col("k") < 0), dir, "k", numFiles = 4)
+    assert(spark.read.parquet(s"$dir/_zonemap")
+      .agg(sum("n_rows")).head().getLong(0) == 10000L)
     graft.etl.Scratch.remove(dir)
   }
 }

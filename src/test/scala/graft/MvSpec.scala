@@ -86,6 +86,44 @@ class MvSpec extends SparkSpec {
     Mv.clear()
   }
 
+  test("files appended to the SAME base directory defeat the rewrite (staleness guard)") {
+    GraftExtensions.register(spark)
+    Mv.clear()
+    val dir = factDir()
+    val mvPath = graft.etl.Scratch.dir("mv")
+    Mv.register(aggOf(dir), mvPath)
+    // sanity: before the append, the rewrite fires
+    assert(!aggOf(dir).queryExecution.optimizedPlan.toString
+      .contains("Aggregate"))
+    // append rows IN PLACE — same root path, new files: the snapshot
+    // fingerprint must miss, and the query must see the new rows
+    Seq(("g9", 9999L, 1.25)).toDF("g", "k", "v")
+      .write.mode("append").parquet(dir)
+    val q = aggOf(dir)
+    assert(q.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      s"stale MV served after same-dir append:\n${q.queryExecution.optimizedPlan}")
+    assert(q.count() == 8) // g0..g6 plus the appended g9
+    Mv.clear()
+  }
+
+  test("registrations are session-scoped: a sibling session does not rewrite") {
+    GraftExtensions.register(spark)
+    Mv.clear()
+    val dir = factDir()
+    val mvPath = graft.etl.Scratch.dir("mv")
+    Mv.register(aggOf(dir), mvPath)
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    val q2 = s2.read.parquet(dir).groupBy("g")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    assert(q2.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      s"MV leaked across sessions:\n${q2.queryExecution.optimizedPlan}")
+    // while the registering session still rewrites
+    assert(!aggOf(dir).queryExecution.optimizedPlan.toString
+      .contains("Aggregate"))
+    Mv.clear()
+  }
+
   test("re-registering the same shape repoints to the new materialization") {
     GraftExtensions.register(spark)
     Mv.clear()
