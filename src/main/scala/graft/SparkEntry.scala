@@ -3192,7 +3192,33 @@ object SparkEntry {
         t(s, dir, "events")
           .withColumn("p", least(col("value") / 100, lit(1.0)))
           .withColumn("label", col("event_type") === "purchase"),
-        "p", "label", nBins = 10))
+        "p", "label", nBins = 10)),
+
+    // Incrementally-maintained MV wired into the optimizer rewrite:
+    // stage 90% of events as the base table, create the maintained
+    // view, ingest the remaining 10% as a delta (absorbed into the
+    // bucketed partial state — the base is never rescanned), then
+    // run the canonical aggregate against the BASE table: MvRewrite
+    // must substitute the refreshed MV and the answer must equal the
+    // full dataset's aggregate.
+    "q241_mv_incremental" -> ((s, dir) => {
+      val baseDir = graft.etl.Scratch.dir("mmv241base")
+      val statePath = graft.etl.Scratch.dir("mmv241state")
+      val mvPath = graft.etl.Scratch.dir("mmv241mv")
+      val ev = t(s, dir, "events").select("event_type", "value", "user_id")
+      ev.where(col("user_id") % 10 =!= 0).select("event_type", "value")
+        .write.mode("overwrite").parquet(baseDir)
+      graft.etl.MaintainedMv.create(s, baseDir, Seq("event_type"),
+        "value", statePath, mvPath, nBuckets = 16)
+      graft.etl.MaintainedMv.ingestAndRefresh(s, baseDir,
+        ev.where(col("user_id") % 10 === 0).select("event_type", "value"),
+        Seq("event_type"), "value", statePath, mvPath, nBuckets = 16)
+      graft.etl.MaintainedMv.viewOf(s, baseDir, Seq("event_type"), "value")
+        .select(col("event_type"), col("n"),
+          round(col("total"), 4).as("total"), col("lo"), col("hi"),
+          round(col("mean"), 6).as("mean"))
+        .orderBy("event_type")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -8224,7 +8250,15 @@ ORDER BY 1, 2"""
         |  ROUND(SUM(nk * (ok - obar) * (ok - obar)) / MAX(n), 6)
         |    AS resolution,
         |  ROUND(MAX(obar) * (1 - MAX(obar)), 6) AS uncertainty
-        |FROM b CROSS JOIN tot""".stripMargin
+        |FROM b CROSS JOIN tot""".stripMargin,
+
+    // base (90%) ∪ delta (10%) == the whole table, so the maintained
+    // view must answer the full-table aggregate
+    "q241_mv_incremental" ->
+      """SELECT event_type, COUNT(value) AS n,
+        |  ROUND(SUM(value), 4) AS total, MIN(value) AS lo,
+        |  MAX(value) AS hi, ROUND(AVG(value), 6) AS mean
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -84,6 +84,28 @@ object Mv {
     } finally disabled.set(false)
   }
 
+  /** Register a view whose materialization ALREADY exists at `path`
+    * (maintained externally, e.g. [[MaintainedMv]]): records the
+    * defining plan's fingerprint without re-writing the data. Any
+    * previous registration pointing at the same path (an older base
+    * snapshot) is dropped — one materialization, one live
+    * fingerprint. */
+  private[etl] def registerExisting(df: DataFrame, path: String): Unit = {
+    disabled.set(true)
+    try {
+      val plan = df.queryExecution.optimizedPlan
+      require(plan.isInstanceOf[Aggregate],
+        "Mv.registerExisting expects an Aggregate-rooted query (got " +
+          plan.nodeName + ")")
+      val sk = sessionKey(df.sparkSession)
+      registry.keys.foreach { key =>
+        if (key._1 == sk && registry.get(key).exists(_.path == path))
+          registry.remove(key)
+      }
+      registry.put((sk, fingerprint(plan)), Entry(path, rootPathsOf(plan)))
+    } finally disabled.set(false)
+  }
+
   /** Union of the registered views' base-table root paths for this
     * session — the pre-screen set. Empty ⇒ the rewrite is a no-op. */
   def registeredRoots(spark: SparkSession): Set[String] =

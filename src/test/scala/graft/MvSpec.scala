@@ -124,6 +124,40 @@ class MvSpec extends SparkSpec {
     Mv.clear()
   }
 
+  test("MaintainedMv: incremental refresh re-points the rewrite after a base append") {
+    import graft.etl.MaintainedMv
+    GraftExtensions.register(spark)
+    Mv.clear()
+    val base = graft.etl.Scratch.dir("mmvbase")
+    val state = graft.etl.Scratch.dir("mmvstate")
+    val mv = graft.etl.Scratch.dir("mmvmv")
+    (1 to 1000).map(i => (s"g${i % 3}", i * 1.0)).toDF("g", "v")
+      .write.mode("overwrite").parquet(base)
+    MaintainedMv.create(spark, base, Seq("g"), "v", state, mv, nBuckets = 4)
+    val q1 = MaintainedMv.viewOf(spark, base, Seq("g"), "v")
+    assert(!q1.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      s"rewrite did not fire after create:\n${q1.queryExecution.optimizedPlan}")
+    assert(q1.agg(sum("n")).head().getLong(0) == 1000L)
+    // ingest a delta: the state absorbs it incrementally and the
+    // NEW base snapshot's fingerprint takes over
+    MaintainedMv.ingestAndRefresh(spark, base,
+      Seq(("g0", 10000.0), ("g3", 1.5)).toDF("g", "v"),
+      Seq("g"), "v", state, mv, nBuckets = 4)
+    val q2 = MaintainedMv.viewOf(spark, base, Seq("g"), "v")
+    assert(!q2.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      s"rewrite did not fire after refresh:\n${q2.queryExecution.optimizedPlan}")
+    val rows = q2.orderBy("g").collect()
+    assert(rows.length == 4) // g3 arrived with the delta
+    assert(rows.map(_.getLong(1)).sum == 1002L)
+    val g0 = rows(0)
+    assert(g0.getDouble(4) == 10000.0, s"delta max not absorbed: $g0")
+    // and the physical read is the MV parquet, not the base
+    val physical = q2.queryExecution.executedPlan.toString
+    assert(physical.contains(new java.io.File(mv).getName), physical)
+    assert(!physical.contains(new java.io.File(base).getName), physical)
+    Mv.clear()
+  }
+
   test("re-registering the same shape repoints to the new materialization") {
     GraftExtensions.register(spark)
     Mv.clear()
