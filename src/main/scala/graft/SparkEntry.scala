@@ -3218,7 +3218,85 @@ object SparkEntry {
           round(col("total"), 4).as("total"), col("lo"), col("hi"),
           round(col("mean"), 6).as("mean"))
         .orderBy("event_type")
-    })
+    }),
+
+    // ORC round-trip (S-family: a second columnar format beside
+    // parquet): land a lineitem projection as ORC, read it back, and
+    // aggregate — the values must match the parquet-native oracle.
+    "q242_orc_roundtrip" -> ((s, dir) => {
+      val path = graft.etl.Scratch.dir("orc242")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Kruskal-Wallis H per event type across three hash-assigned
+    // variants (the k-sample extension of q209's Mann-Whitney):
+    // tie-averaged ranks in group-partitioned windows, H with tie
+    // correction on the (group x class) frame.
+    "q243_kruskal_wallis" -> ((s, dir) =>
+      graft.ops.Abtest.kruskalWallis(
+        t(s, dir, "events")
+          .withColumn("variant", concat(lit("v"), col("user_id") % 3)),
+        "event_type", "variant", "value")
+        .orderBy("event_type")),
+
+    // Flesch reading-ease per document aggregated by word-count band
+    // - the classical readability screen beside the Gopher/C4 rules.
+    "q244_readability" -> ((s, dir) =>
+      graft.ops.Quality.readability(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("band")),
+
+    // Holt double exponential smoothing of the per-type daily count
+    // series with a 7-day-ahead linear forecast - the trend-aware
+    // sibling of q86's EWMA, folded sequentially per group.
+    "q245_holt" -> ((s, dir) =>
+      graft.ops.TimeSeries.holt(t(s, dir, "events"), "event_type", "ts")
+        .orderBy("event_type")),
+
+    // TPC-H Q18 shape (large-volume orders): the HAVING-subquery
+    // join-back - aggregate the fact, filter the aggregate, then
+    // rejoin the fact+dims; the per-orderkey agg and the
+    // orders-lineitem join share their shuffle key.
+    "q246_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 200)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Theil T and mean-log-deviation L inequality indices per event
+    // type - q215 gini's decomposable information-theoretic sibling.
+    "q247_theil" -> ((s, dir) =>
+      graft.ops.Quality.theil(t(s, dir, "events"), "event_type", "value")
+        .orderBy("event_type")),
+
+    // Global top-20 corpus words WITHOUT a global sort of the count
+    // frame: per-hash-bucket complete counts, per-bucket top-k
+    // windows, then one bounded candidate ordering.
+    "q248_heavy_hitters" -> ((s, dir) =>
+      graft.ops.TopK.globalTopK(
+        t(s, dir, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+          .where(length(col("w")) >= 1),
+        "w", k = 20)
+        .orderBy("rank"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -8258,7 +8336,133 @@ ORDER BY 1, 2"""
       """SELECT event_type, COUNT(value) AS n,
         |  ROUND(SUM(value), 4) AS total, MIN(value) AS lo,
         |  MAX(value) AS hi, ROUND(AVG(value), 6) AS mean
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the ORC round-trip must preserve every value bit-for-bit, so
+    // the oracle aggregates the parquet source directly
+    "q242_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(1) AS n,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 4) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q243_kruskal_wallis" ->
+      """WITH f AS (
+        |  SELECT event_type AS g, 'v' || CAST(user_id % 3 AS VARCHAR)
+        |      AS c, value AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), ranked AS (
+        |  SELECT g, c, v,
+        |    CAST(COUNT(1) OVER (PARTITION BY g, v) AS DOUBLE) AS t,
+        |    RANK() OVER (PARTITION BY g ORDER BY v)
+        |      + (CAST(COUNT(1) OVER (PARTITION BY g, v) AS DOUBLE) - 1)
+        |        / 2.0 AS ar
+        |  FROM f
+        |), pc AS (
+        |  SELECT g, c, SUM(ar) AS rc, CAST(COUNT(1) AS BIGINT) AS nc
+        |  FROM ranked GROUP BY 1, 2
+        |), st AS (
+        |  SELECT g, CAST(SUM(nc) AS DOUBLE) AS n,
+        |    CAST(COUNT(1) AS BIGINT) AS k,
+        |    SUM(rc * rc / nc) AS s
+        |  FROM pc GROUP BY 1
+        |), ties AS (
+        |  SELECT g, SUM(t * t - 1) AS tcorr FROM ranked GROUP BY 1
+        |)
+        |SELECT st.g AS event_type, CAST(n AS BIGINT) AS n, k,
+        |  ROUND(12.0 / (n * (n + 1)) * s - 3 * (n + 1), 6) AS h,
+        |  ROUND(CASE WHEN 1.0 - tcorr / (n * n * n - n) > 0
+        |    THEN (12.0 / (n * (n + 1)) * s - 3 * (n + 1))
+        |      / (1.0 - tcorr / (n * n * n - n)) END, 6) AS h_adj
+        |FROM st JOIN ties ON ties.g = st.g
+        |ORDER BY 1""".stripMargin,
+
+    "q244_readability" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split_regex(trim(text), '\s+'))
+        |      AS DOUBLE) AS w,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS DOUBLE) AS sent,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS DOUBLE) AS syl
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) >= 1
+        |), f AS (
+        |  SELECT least(CAST(floor(w / 20) AS BIGINT), 4) AS band,
+        |    CAST(ROUND((206.835 - 1.015 * (w / sent)
+        |      - 84.6 * (syl / w)) * 1e6, 0) AS BIGINT) AS fm
+        |  FROM d
+        |)
+        |SELECT band, CAST(COUNT(1) AS BIGINT) AS n_docs,
+        |  ROUND(CAST(SUM(fm) AS DOUBLE) / COUNT(1) / 1e6, 6)
+        |    AS mean_flesch
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // row-by-row recursive CTE, NOT list_reduce: DuckDB 1.0's
+    // list_reduce evaluates struct-typed lambda fields sequentially
+    // against an in-place-updated accumulator (field 'b' sees the
+    // 'l' already written this step), which silently corrupts any
+    // coupled two-state fold
+    "q245_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(1) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2
+        |), idx AS (
+        |  SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i
+        |  FROM daily
+        |), nmax AS (SELECT g, CAST(MAX(i) AS INT) AS t FROM idx GROUP BY 1),
+        |rec AS (
+        |  SELECT i1.g, 1 AS i, i1.x AS l, i2.x - i1.x AS b
+        |  FROM idx i1 JOIN idx i2 ON i2.g = i1.g AND i2.i = 2
+        |  WHERE i1.i = 1
+        |  UNION ALL
+        |  SELECT rec.g, rec.i + 1,
+        |    0.5 * nx.x + 0.5 * (rec.l + rec.b),
+        |    0.3 * ((0.5 * nx.x + 0.5 * (rec.l + rec.b)) - rec.l)
+        |      + 0.7 * rec.b
+        |  FROM rec JOIN idx nx ON nx.g = rec.g AND nx.i = rec.i + 1
+        |)
+        |SELECT rec.g AS event_type, t, ROUND(l, 6) AS level,
+        |  ROUND(b, 6) AS trend, ROUND(l + 7 * b, 6) AS forecast
+        |FROM rec JOIN nmax ON nmax.g = rec.g
+        |WHERE rec.i = t ORDER BY 1""".stripMargin,
+
+    "q246_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 200
+        |)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q247_theil" ->
+      """WITH pos AS (
+        |  SELECT event_type AS g, value AS v FROM events
+        |  WHERE value IS NOT NULL AND value > 0
+        |), mu AS (
+        |  SELECT g, AVG(v) AS m FROM pos GROUP BY 1
+        |)
+        |SELECT pos.g AS event_type, CAST(COUNT(1) AS BIGINT) AS n,
+        |  ROUND(SUM((v / m) * ln(v / m)) / COUNT(1), 6) AS theil_t,
+        |  ROUND(SUM(ln(1.0 / (v / m))) / COUNT(1), 6) AS theil_l
+        |FROM pos JOIN mu ON mu.g = pos.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q248_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT w, COUNT(1) AS n FROM w WHERE len(w) >= 1 GROUP BY 1
+        |)
+        |SELECT w, n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS rank
+        |FROM c ORDER BY n DESC, w LIMIT 20""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

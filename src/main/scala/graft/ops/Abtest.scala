@@ -153,4 +153,43 @@ object Abtest {
       col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
       round(ua, 6).as("u_a"), z.as("z"), (abs(z) > 1.96).as("significant"))
   }
+
+  /** Kruskal–Wallis H per metric group — the k-sample extension of
+    * [[mannWhitney]] (Kruskal & Wallis 1952): does `valueCol`'s
+    * distribution differ across the levels of `classCol`? Tie-
+    * averaged ranks within each group (rank window + peer-count
+    * window, both partitioned by the group — shuffle-bounded, never
+    * a global sort), class rank-sums on the (group × class) frame,
+    * then H = 12/(N(N+1)) · Σ R_c²/n_c − 3(N+1) with the standard
+    * tie correction C = 1 − Σ(t³−t)/(N³−N). Rank sums are exact
+    * (.5-multiples of integers), so H is bit-stable cross-engine.
+    * Output per group: n, k, h, h_adj (= H/C; NULL when every value
+    * ties), rounded at 6. */
+  def kruskalWallis(df: DataFrame, groupCol: String, classCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clean = df.where(col(valueCol).isNotNull && col(classCol).isNotNull)
+    val wRank = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val wTie = Window.partitionBy(col(groupCol), col(valueCol))
+    val ranked = clean
+      .withColumn("__t", count(lit(1)).over(wTie).cast("double"))
+      .withColumn("__ar", rank().over(wRank) + (col("__t") - 1) / 2.0)
+    val perClass = ranked.groupBy(col(groupCol), col(classCol))
+      .agg(sum(col("__ar")).as("__rc"), count(lit(1)).as("__nc"))
+    val stats = perClass.groupBy(col(groupCol))
+      .agg(sum(col("__nc")).cast("double").as("__n"),
+        count(lit(1)).as("k"),
+        sum(col("__rc") * col("__rc") / col("__nc")).as("__s"))
+    // Σ(t³−t) from the per-(group, value) tie counts — each member
+    // of a t-tie contributes (t³−t)/t = t²−1, so one pass suffices
+    val ties = ranked.groupBy(col(groupCol))
+      .agg(sum(col("__t") * col("__t") - 1).as("__tcorr"))
+    val n = col("__n")
+    val h = lit(12.0) / (n * (n + 1)) * col("__s") - lit(3.0) * (n + 1)
+    val c = lit(1.0) - col("__tcorr") / (n * n * n - n)
+    stats.join(ties, groupCol)
+      .select(col(groupCol), n.cast("long").as("n"), col("k"),
+        round(h, 6).as("h"),
+        round(when(c > 0, h / c), 6).as("h_adj"))
+  }
 }

@@ -513,4 +513,55 @@ object Quality {
             least(count_distinct(col("__x")) - 1,
               count_distinct(col("__y")) - 1))), 6).as("cramers_v"))
   }
+
+  /** Flesch reading-ease per document, aggregated by word-count band
+    * — the classical readability screen (Flesch 1948) that
+    * complements the [[gopherFlags]] structural rules: 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * syllables approximated by vowel-group count (the standard
+    * hyphenation-free heuristic) and sentence count floored at 1.
+    * Everything is per-row regex arithmetic (codegen'd, no shuffle
+    * until the band aggregate); the band mean is summed in integer
+    * micro-units so it is bit-stable cross-engine. Output per band
+    * (words ÷ `bandWidth`, capped at `maxBand`): n_docs,
+    * mean_flesch (6 decimals). */
+  def readability(df: DataFrame, idCol: String, textCol: String,
+      bandWidth: Int = 20, maxBand: Int = 4): DataFrame = {
+    val words = size(split(trim(col(textCol)), "\\s+")).cast("double")
+    val sentences = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))),
+      lit(1)).cast("double")
+    val syllables = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("double")
+    val flesch = lit(206.835) - lit(1.015) * (words / sentences) -
+      lit(84.6) * (syllables / words)
+    df.where(col(textCol).isNotNull && length(trim(col(textCol))) >= 1)
+      .select(col(idCol),
+        least(floor(words / bandWidth), lit(maxBand)).cast("long")
+          .as("band"),
+        round(flesch * 1e6).cast("long").as("__fm"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("__fm")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_flesch"))
+  }
+
+  /** Theil T inequality index per group — [[gini]]'s information-
+    * theoretic sibling (Theil 1967), decomposable across subgroups
+    * where Gini is not: T = (1/n) Σ (x/μ)·ln(x/μ) over POSITIVE
+    * values (0 = perfect equality, ln n = one unit owns
+    * everything). Also emits the mean-log-deviation L = (1/n) Σ
+    * ln(μ/x) (Theil's second measure). One aggregation for μ, one
+    * pass for the log terms — no window, no sort. Output per group:
+    * n, theil_t, theil_l, rounded at 6. */
+  def theil(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val pos = df.where(col(valueCol).isNotNull && col(valueCol) > 0)
+    val mu = pos.groupBy(col(groupCol)).agg(avg(col(valueCol)).as("__mu"))
+    val share = col(valueCol) / col("__mu")
+    pos.join(broadcast(mu), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(share * log(share)) / count(lit(1)), 6).as("theil_t"),
+        round(sum(log(lit(1.0) / share)) / count(lit(1)), 6).as("theil_l"))
+  }
 }

@@ -300,4 +300,47 @@ object TimeSeries {
         coalesce(abs((col("__am") - col("__mu")) / col("__sd")) > zCut,
           lit(false)).as("anomaly"))
   }
+
+  /** Holt's linear-trend (double) exponential smoothing of the
+    * per-group DAILY count series — [[ewma]]'s trend-aware sibling
+    * (Holt 1957): level l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}), trend
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, initialized l₁ = x₁,
+    * b₁ = x₂−x₁. The recursion is a SEQUENTIAL fold over each
+    * group's (bounded, days-sized) series via the `aggregate`
+    * higher-order function — strictly ordered arithmetic, so the
+    * result is bit-identical across engines folding the same list
+    * (no float-order hazard to stabilize). Gaps are ignored (the
+    * fold runs over observed days in date order). Output per group:
+    * t (series length), level, trend, forecast (l + horizon·b),
+    * rounded at 6; groups with fewer than 2 days are dropped (no
+    * trend is estimable). */
+  def holt(events: DataFrame, groupCol: String, tsCol: String,
+      alpha: Double = 0.5, beta: Double = 0.3,
+      horizon: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val series = daily.groupBy(col("g"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("x")))),
+        s => s.getField("x")).as("xs"))
+      .where(size(col("xs")) >= 2)
+    val x1 = element_at(col("xs"), 1)
+    val x2 = element_at(col("xs"), 2)
+    val lNext = (acc: Column, xv: Column) =>
+      lit(alpha) * xv + lit(1 - alpha) *
+        (acc.getField("l") + acc.getField("b"))
+    val folded = aggregate(
+      slice(col("xs"), lit(2), size(col("xs")) - 1),
+      struct(x1.as("l"), (x2 - x1).as("b")),
+      (acc, xv) => struct(lNext(acc, xv).as("l"),
+        (lit(beta) * (lNext(acc, xv) - acc.getField("l"))
+          + lit(1 - beta) * acc.getField("b")).as("b")))
+    series
+      .withColumn("__hb", folded)
+      .select(col("g").as(groupCol), size(col("xs")).as("t"),
+        round(col("__hb.l"), 6).as("level"),
+        round(col("__hb.b"), 6).as("trend"),
+        round(col("__hb.l") + lit(horizon) * col("__hb.b"), 6)
+          .as("forecast"))
+  }
 }

@@ -59,4 +59,35 @@ object TopK {
         col("col._1").as(scoreCol),
         (col("pos") + 1).cast("long").as("rank")): _*)
   }
+
+  /** GLOBAL top-k keys by count — exact heavy hitters without a
+    * global sort of the count frame. The naive `groupBy(key).count.
+    * orderBy(desc).limit(k)` is correct but its final stage sorts
+    * the whole key-cardinality frame through one ordering; at
+    * vocabulary/URL cardinalities (10⁸–10⁹ keys) that ordering is
+    * the bottleneck. Here every key hashes to one of `nBuckets`
+    * buckets, so per-bucket counts are COMPLETE counts; the global
+    * top-k is necessarily a subset of the union of per-bucket
+    * top-k's (each a small partitioned window), and only that
+    * (nBuckets·k)-row candidate frame is globally ordered — a
+    * driver-scale sort. Output: key, n, rank (1..k, count desc,
+    * key asc). */
+  def globalTopK(df: DataFrame, keyCol: String, k: Int,
+      nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__b", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
+    val wB = Window.partitionBy(col("__b"))
+      .orderBy(col("n").desc, col(keyCol))
+    val candidates = counts
+      .withColumn("__r", row_number().over(wB))
+      .where(col("__r") <= k)
+    candidates
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col(keyCol))))
+      .select(col(keyCol), col("n"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -92,4 +92,22 @@ class AbtestSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(4) - 1.963961) < 1e-5)
     assert(out(1).getBoolean(5))
   }
+
+  test("kruskalWallis: hand-computed three-sample H, tie correction") {
+    // A={1,2}, B={3,4}, C={5,6}: ranks 1..6, R=(3,7,11)
+    // H = 12/(6*7) * (9/2 + 49/2 + 121/2) - 3*7 = 179/7*2/... = 4.571429
+    // no ties -> h_adj == h
+    val g = Seq(("g", "A", 1.0), ("g", "A", 2.0), ("g", "B", 3.0),
+      ("g", "B", 4.0), ("g", "C", 5.0), ("g", "C", 6.0))
+    // h: every value ties -> C = 0 -> h_adj NULL, H = -? all ranks 3.5
+    //  R_c = 7 each, n=6: H = 12/42*(49/2*3) - 21 = 0
+    val h = Seq.fill(6)(("h", "A", 9.0)).zipWithIndex.map { case ((a, _, v), i) =>
+      (a, if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else "C", v) }
+    val out = Abtest.kruskalWallis((g ++ h).toDF("g", "c", "v"),
+      "g", "c", "v").orderBy("g").collect()
+    assert(out(0).getLong(1) == 6L && out(0).getLong(2) == 3L)
+    assert(math.abs(out(0).getDouble(3) - 4.571429) < 1e-6)
+    assert(out(0).getDouble(4) == out(0).getDouble(3)) // tieless: H/1
+    assert(out(1).getDouble(3) == 0.0 && out(1).isNullAt(4))
+  }
 }

@@ -287,6 +287,21 @@ class ChunkingTimeSeriesSpec extends SparkSpec {
     assert(out.count(_._2) == 1, s"only the spike flags: $out")
   }
 
+  test("holt: pure linear trend is tracked exactly; forecast extrapolates") {
+    // daily counts 1,2,3 (i copies on day i): l=3, b=1, forecast=3+7=10
+    val ev = (1 to 3).flatMap(day => (1 to day).map(i =>
+        ("g", f"2024-02-0$day%01d 00:00:${i % 60}%02d")))
+      .toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    val r = TimeSeries.holt(ev, "t", "ts").head()
+    assert(r.getInt(1) == 3)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 1.0
+      && r.getDouble(4) == 10.0, r.toString)
+    // a single-day group yields no row (no trend estimable)
+    val one = Seq(("h", "2024-02-01 00:00:00")).toDF("t", "s")
+      .withColumn("ts", col("s").cast("timestamp"))
+    assert(TimeSeries.holt(one, "t", "ts").count() == 0)
+  }
+
   test("entropyRate: 0 for a deterministic chain, ln 2 for a fair binary fork") {
     import graft.ops.Markov
     val det = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"))

@@ -376,4 +376,37 @@ class OpsSpec extends SparkSpec {
     val rz = graft.ops.Quality.chiSquare(z.toDF("x", "y"), "x", "y").head()
     assert(rz.getDouble(2) == 6.666667 && rz.getDouble(3) == 0.57735)
   }
+
+  test("theil: 0 for equality, hand value for a 1-vs-3 split") {
+    import spark.implicits._
+    val df = Seq(("eq", 2.0), ("eq", 2.0), ("eq", 2.0),
+      ("cc", 1.0), ("cc", 3.0)).toDF("g", "v")
+    val out = graft.ops.Quality.theil(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out("eq") == ((0.0, 0.0)))
+    // mu=2: T = (0.5 ln 0.5 + 1.5 ln 1.5)/2; L = (ln 2 + ln(2/3))/2
+    assert(math.abs(out("cc")._1 -
+      (0.5 * math.log(0.5) + 1.5 * math.log(1.5)) / 2) < 1e-6)
+    assert(math.abs(out("cc")._2 -
+      (math.log(2.0) + math.log(2.0 / 3)) / 2) < 1e-6)
+    // zero/negative values are excluded, not log-crashed
+    val z = Seq(("g", 0.0), ("g", -1.0), ("g", 5.0)).toDF("g", "v")
+    assert(graft.ops.Quality.theil(z, "g", "v").head().getLong(1) == 1L)
+  }
+
+  test("readability: hand-computed Flesch for a two-word sentence") {
+    import spark.implicits._
+    // "Hello world." w=2, sentences=1, vowel groups e,o,o = 3
+    // flesch = 206.835 - 1.015*2 - 84.6*1.5 = 77.905
+    val df = Seq((1L, "Hello world.")).toDF("doc_id", "text")
+    val r = graft.ops.Quality.readability(df, "doc_id", "text").head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 77.905)
+    // banding: 45 words lands in band 2 with width 20
+    val long = Seq((2L, Seq.fill(45)("word").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(graft.ops.Quality.readability(long, "doc_id", "text")
+      .head().getLong(0) == 2L)
+  }
 }

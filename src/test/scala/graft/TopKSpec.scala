@@ -39,4 +39,17 @@ class TopKSpec extends SparkSpec {
       plan)
     assert(!plan.contains("Sort "), s"unexpected global/group sort:\n$plan")
   }
+
+  test("globalTopK: exact heavy hitters, equal to the naive global order") {
+    import spark.implicits._
+    val words = (1 to 100).flatMap(i => Seq.fill(i % 7 + 1)(s"w$i"))
+      .toDF("w")
+    val got = TopK.globalTopK(words, "w", 10, nBuckets = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = words.groupBy("w").count()
+      .orderBy(col("count").desc, col("w")).limit(10)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1L) }
+    assert(got.toSeq == want.toSeq)
+  }
 }
