@@ -3296,7 +3296,22 @@ object SparkEntry {
           .select(explode(split(trim(col("text")), "\\s+")).as("w"))
           .where(length(col("w")) >= 1),
         "w", k = 20)
-        .orderBy("rank"))
+        .orderBy("rank")),
+
+    // RFM customer segmentation: recency/frequency/monetary quintile
+    // scores via exact interpolated thresholds (no global per-row
+    // window), segment = r*100 + f*10 + m with 5 best.
+    "q249_rfm" -> ((s, dir) =>
+      graft.ops.Cohorts.rfm(t(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("segment")),
+
+    // Classical additive decomposition of the per-type daily series:
+    // centered MA-7 trend, day-of-week seasonal index on the
+    // detrended (micro-unit-stabilized) series, residual remainder.
+    "q250_seasonal_decompose" -> ((s, dir) =>
+      graft.ops.TimeSeries.decompose(t(s, dir, "events"),
+          "event_type", "ts")
+        .orderBy("event_type", "d"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -8462,7 +8477,70 @@ ORDER BY 1, 2"""
         |)
         |SELECT w, n,
         |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS rank
-        |FROM c ORDER BY n DESC, w LIMIT 20""".stripMargin
+        |FROM c ORDER BY n DESC, w LIMIT 20""".stripMargin,
+
+    "q249_rfm" ->
+      """WITH refd AS (
+        |  SELECT MAX(CAST(ts AS DATE)) AS a FROM events
+        |), u AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', MAX(CAST(ts AS DATE)),
+        |      (SELECT a FROM refd)) AS BIGINT) AS recency,
+        |    CAST(COUNT(1) AS BIGINT) AS frequency,
+        |    ROUND(SUM(value), 4) AS monetary
+        |  FROM events GROUP BY 1
+        |), cr AS (
+        |  SELECT list_transform(quantile_cont(recency,
+        |    [0.2,0.4,0.6,0.8]), x -> ROUND(x, 6)) AS c FROM u
+        |), cf AS (
+        |  SELECT list_transform(quantile_cont(frequency,
+        |    [0.2,0.4,0.6,0.8]), x -> ROUND(x, 6)) AS c FROM u
+        |), cm AS (
+        |  SELECT list_transform(quantile_cont(monetary,
+        |    [0.2,0.4,0.6,0.8]), x -> ROUND(x, 6)) AS c FROM u
+        |), b AS (
+        |  SELECT monetary,
+        |    (5 - len(list_filter((SELECT c FROM cr), x -> recency > x)))
+        |      * 100
+        |    + (len(list_filter((SELECT c FROM cf), x -> frequency > x))
+        |      + 1) * 10
+        |    + len(list_filter((SELECT c FROM cm), x -> monetary > x))
+        |      + 1 AS segment
+        |  FROM u
+        |)
+        |SELECT CAST(segment AS BIGINT) AS segment,
+        |  CAST(COUNT(1) AS BIGINT) AS n_users,
+        |  ROUND(CAST(SUM(CAST(ROUND(monetary * 1e4, 0) AS BIGINT))
+        |    AS DOUBLE) / COUNT(1) / 1e4, 6) AS mean_monetary
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q250_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(1) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT g, d, x,
+        |    CASE WHEN COUNT(1) OVER w = 7
+        |      THEN SUM(x) OVER w / 7.0 END AS trend
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY g ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), dt AS (
+        |  SELECT g, d, x, trend,
+        |    CAST(ROUND((x - trend) * 1e6, 0) AS BIGINT) AS dm
+        |  FROM tr WHERE trend IS NOT NULL
+        |), se AS (
+        |  SELECT g, isodow(d) - 1 AS dow,
+        |    SIGN(SUM(dm)) * FLOOR((10 * ABS(SUM(dm)) + 5 * COUNT(1))
+        |      / (10 * COUNT(1))) / 1e6 AS seasonal
+        |  FROM dt GROUP BY 1, 2
+        |)
+        |SELECT dt.g AS event_type, d, CAST(x AS BIGINT) AS n,
+        |  ROUND(trend, 6) AS trend, ROUND(seasonal, 6) AS seasonal,
+        |  ROUND(x - trend - seasonal, 6) AS residual
+        |FROM dt JOIN se ON se.g = dt.g AND se.dow = isodow(d) - 1
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

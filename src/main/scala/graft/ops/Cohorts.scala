@@ -163,4 +163,38 @@ object Cohorts {
           .cast("long").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** RFM segmentation (Hughes 1994) — the classical customer-value
+    * grid over recency / frequency / monetary, each quintile-scored
+    * by [[Binning.quantileBins]]' exact interpolated thresholds (no
+    * global per-row window; the cuts are one percentile aggregate
+    * broadcast back). Scores run 1..k with k best: recency scores
+    * REVERSED (most recent = k), frequency/monetary ascending.
+    * Monetary is rounded at 4 BEFORE binning so the float sum of a
+    * user's values can never straddle a cut cross-engine. Output per
+    * non-empty segment (r·100 + f·10 + m): n_users and the segment's
+    * mean monetary (integer micro-unit mean — bit-stable). */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, k: Int = 5): DataFrame = {
+    val asOf = events.agg(max(to_date(col(tsCol))).as("__asof"))
+    val users = events.join(broadcast(asOf), lit(true))
+      .groupBy(col(userCol))
+      .agg(datediff(max(col("__asof")), max(to_date(col(tsCol))))
+          .cast("long").as("recency"),
+        count(lit(1)).as("frequency"),
+        round(sum(col(valueCol)), 4).as("monetary"))
+    val binned = Seq(("recency", "__rb"), ("frequency", "__fb"),
+      ("monetary", "__mb")).foldLeft(users) { case (df, (c, b)) =>
+        Binning.quantileBins(df, c, k).withColumnRenamed("bin", b)
+      }
+    binned
+      .withColumn("segment",
+        (lit(k.toLong) - col("__rb")) * 100 + (col("__fb") + 1) * 10
+          + (col("__mb") + 1))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(round(col("monetary") * 1e4).cast("long"))
+            .cast("double") / count(lit(1)) / 1e4, 6)
+          .as("mean_monetary"))
+  }
 }

@@ -301,6 +301,54 @@ object TimeSeries {
           lit(false)).as("anomaly"))
   }
 
+  /** Classical additive seasonal decomposition of the per-group
+    * DAILY count series: x = trend + seasonal + residual, with
+    * trend the CENTERED 7-observation moving average (defined only
+    * where the full window exists), the day-of-week seasonal index
+    * the mean of the detrended series per (group, dow), and the
+    * residual what remains — the explainable/unexplained split
+    * behind [[seasonalZ]]'s anomaly screen. Detrended values are
+    * quantized to integer micro-units before the seasonal mean (the
+    * [[seasonalZ]] stabilization), so every emitted float is
+    * bit-stable cross-engine. Windows are group-partitioned; the
+    * seasonal frame is bounded (groups × 7). Output per day with a
+    * defined trend: (group, d, n, trend, seasonal, residual),
+    * rounded at 6. */
+  def decompose(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val w7 = Window.partitionBy(col("g")).orderBy(col("d"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("__trend",
+        when(count(lit(1)).over(w7) === 7, sum(col("x")).over(w7) / 7.0))
+      .where(col("__trend").isNotNull)
+      .withColumn("__dm",
+        round((col("x") - col("__trend")) * 1e6).cast("long"))
+    // half-up integer micro-unit mean (the Cluster.silhouette
+    // pattern): a plain float mean can land exactly on a …5 at the
+    // 6th digit, where Spark's decimal-string HALF_UP and DuckDB's
+    // binary-value round disagree by one ulp of output
+    val seasonal = trended.groupBy(col("g"), weekday(col("d")).as("__dow"))
+      .agg(sum(col("__dm")).as("__sm"), count(lit(1)).as("__n"))
+      .select(col("g"), col("__dow"),
+        (signum(col("__sm"))
+          * floor((lit(10L) * abs(col("__sm")) + lit(5L) * col("__n"))
+            / (lit(10L) * col("__n"))) / lit(1e6)).as("__seasonal"))
+    trended
+      .join(broadcast(seasonal),
+        trended("g") === seasonal("g") && weekday(col("d")) === col("__dow"))
+      .drop(seasonal("g")).drop("__dow")
+      .select(col("g").as(groupCol), col("d"),
+        col("x").cast("long").as("n"),
+        round(col("__trend"), 6).as("trend"),
+        round(col("__seasonal"), 6).as("seasonal"),
+        round(col("x") - col("__trend") - col("__seasonal"), 6)
+          .as("residual"))
+  }
+
   /** Holt's linear-trend (double) exponential smoothing of the
     * per-group DAILY count series — [[ewma]]'s trend-aware sibling
     * (Holt 1957): level l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}), trend

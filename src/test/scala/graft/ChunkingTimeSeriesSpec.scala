@@ -287,6 +287,27 @@ class ChunkingTimeSeriesSpec extends SparkSpec {
     assert(out.count(_._2) == 1, s"only the spike flags: $out")
   }
 
+  test("decompose: a pure weekly pattern is all seasonal, zero residual") {
+    // 3 full weeks, Mondays 8 events, other days 1: trend = 2
+    // everywhere the window is full, seasonal = +6 Monday / -1 rest,
+    // residual identically 0
+    val ev = (for {
+      day <- 1 to 21
+      date = java.time.LocalDate.of(2024, 1, day) // Jan 1 2024 is a Monday
+      n = if (date.getDayOfWeek.getValue == 1) 8 else 1
+      i <- 1 to n
+    } yield ("g", f"2024-01-$day%02d 00:00:${i % 60}%02d"))
+      .toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = TimeSeries.decompose(ev, "t", "ts").collect()
+    assert(out.length == 15) // days 4..18 have a full centered window
+    out.foreach { r =>
+      assert(r.getDouble(3) == 2.0, s"trend: $r")
+      assert(r.getDouble(5) == 0.0, s"residual: $r")
+      assert(r.getDouble(4) == (if (r.getLong(2) == 8L) 6.0 else -1.0),
+        s"seasonal: $r")
+    }
+  }
+
   test("holt: pure linear trend is tracked exactly; forecast extrapolates") {
     // daily counts 1,2,3 (i copies on day i): l=3, b=1, forecast=3+7=10
     val ev = (1 to 3).flatMap(day => (1 to day).map(i =>

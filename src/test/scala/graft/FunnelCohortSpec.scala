@@ -182,4 +182,23 @@ class FunnelCohortSpec extends SparkSpec {
       .toMap
     assert(out == Map(1L -> ((4L, false)), 2L -> ((6L, true))))
   }
+
+  test("rfm: the best customer lands in 555, the worst in 111") {
+    import spark.implicits._
+    // 10 users; user u has u events on day u with value u*10 each:
+    // user 10 is most recent (recency 0), most frequent, highest
+    // spend -> every score 5; user 1 the opposite -> every score 1
+    val ev = (1 to 10).flatMap(u => (1 to u).map(i =>
+        (u.toLong, f"2024-01-$u%02d 00:00:$i%02d", u * 10.0)))
+      .toDF("u", "s", "v").withColumn("ts", col("s").cast("timestamp"))
+    val segs = Cohorts.rfm(ev, "u", "ts", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(segs.values.sum == 10L)
+    assert(segs.getOrElse(555L, 0L) >= 1L, segs.toString)
+    assert(segs.getOrElse(111L, 0L) >= 1L, segs.toString)
+    // mean monetary of the 555 segment includes user 10: 100.0 each
+    val top = Cohorts.rfm(ev, "u", "ts", "v")
+      .where(col("segment") === 555).head()
+    assert(top.getDouble(2) >= 90.0)
+  }
 }
