@@ -36,7 +36,12 @@ object ScaleProof {
     // bounded top-N; heaps' two-phase offsets + per-checkpoint
     // conditional sums must track corpus tokens) and the chi-square
     // contingency fold (alphabet-sized after one aggregation)
-    "q218_zipf_fit", "q224_chi2", "q228_heaps_fit")
+    "q218_zipf_fit", "q224_chi2", "q228_heaps_fit",
+    // round 11: the reworked suffix ranks — tie-only refinement with
+    // the budgeted one-shot finish; at 100x the active set exceeds
+    // the finish budget, so this measures the doubling-loop guard
+    // path, not just the small-corpus shortcut
+    "q208_suffix_ranks")
 
   /** Optional slice filter (comma-separated name prefixes via
     * `SPARK_GRAFT_SCALE_ONLY`): the 100x corpus' full pass runs ~20

@@ -14,21 +14,21 @@ import graft.etl.Checkpoints
   * Every suffix (doc, pos) receives its DENSE rank in the global
   * lexicographic order of suffix STRINGS (identical suffixes — same
   * text in different docs — share a rank; a proper prefix sorts before
-  * its extensions). No suffix string is ever materialized beyond
-  * single characters: round k orders by the pair
-  * (rank of first 2^(k-1) chars, rank of next 2^(k-1) chars), so
-  * ceil(log2 maxLen) rounds of joins + rank reassignments over the
-  * (corpus-chars)-sized frame build the full order — the classic
-  * O(n log n) schedule, expressed as Spark shuffles.
+  * its extensions). A round at span h orders tied suffixes by the pair
+  * (rank of first h chars, rank of next h chars) — the doubling
+  * invariant — but refinement is TIE-ONLY (Larsson & Sadakane 1999):
+  * head ranks give each tied group the closed band [r, r+g−1], so a
+  * round touches only still-tied positions, a frame that collapses
+  * geometrically for natural text, never the whole corpus.
   *
-  * Rank reassignment never uses a global-order window: distinct
-  * (r, r2) pairs bucket by `r·256/(n+1)` (monotone in the pair order),
-  * rank = per-bucket `row_number` + broadcast bucket offsets (the
-  * two-phase [[Sampling.epochPositions]] shape); the only
-  * order-without-partition windows run over the ≤256-row offset frame
-  * and the alphabet-sized round-0 character frame. Driver state: two
-  * bounded scalars (total suffix count, max doc length) + one
-  * convergence count per round.
+  * No global-order window anywhere: the seed ranks k0-prefixes with
+  * per-(2-char-bucket) windows + broadcast bucket offsets (the
+  * two-phase [[Sampling.epochPositions]] shape), in-loop refinement
+  * partitions by the (small) tied group, and the final dense
+  * compression buckets distinct head ranks by `r·256/(n+1)`. The only
+  * order-without-partition windows run over the bounded bucket-offset
+  * frames. Driver state: two bounded scalars (total suffix count, max
+  * doc length) + one active/changed count per round.
   */
 object Suffix {
 

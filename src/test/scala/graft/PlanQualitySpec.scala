@@ -47,7 +47,8 @@ class PlanQualitySpec extends SparkSpec {
     "q207_kneser_ney",      // 1-row broadcast type-total attach (T, V)
     "q210_cusum",           // 1-row broadcast k/h moment attach
     "q224_chi2",            // alphabet-sized marginal cross product (+ 1-row N)
-    "q240_brier")           // 1-row broadcast base-rate/total attach
+    "q240_brier",           // 1-row broadcast base-rate/total attach
+    "q249_rfm")             // three 1-row broadcast quantile-cut array attaches
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
@@ -139,7 +140,9 @@ class PlanQualitySpec extends SparkSpec {
     "q221_roc_auc",         // cumulative tp/fp over the DISTINCT-score frame
     "q223_logrank",         // suffix risk sets over the DISTINCT-duration frame
     "q228_heaps_fit",       // block offsets over the 256-docs-per-row frame
-    "q239_km_greenwood")    // same DISTINCT-duration frame as q219
+    "q239_km_greenwood",    // same DISTINCT-duration frame as q219
+    "q208_suffix_ranks",    // dense-pass bucket offsets over the <=256-row frame
+    "q248_heavy_hitters")   // final rank over the LIMIT-k candidate frame
 
   test("order-without-partition windows appear only over bounded-by-design frames") {
     // a Window line prints [funcs], [partition], [order]; the
