@@ -3311,7 +3311,48 @@ object SparkEntry {
     "q250_seasonal_decompose" -> ((s, dir) =>
       graft.ops.TimeSeries.decompose(t(s, dir, "events"),
           "event_type", "ts")
-        .orderBy("event_type", "d"))
+        .orderBy("event_type", "d")),
+
+    // Manifest time travel over the append-only zone-mapped layout:
+    // commit v1 (even users), append v2 (odd users), then read BOTH
+    // versions — the v1 snapshot must exclude everything the append
+    // landed, the v2 read must see the whole table.
+    "q251_timetravel" -> ((s, dir) => {
+      val path = graft.etl.Scratch.dir("tt251")
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      graft.etl.Layout.writeZoneMapped(
+        ev.where(col("user_id") % 2 === 0), path, "user_id", 8)
+      graft.etl.Layout.appendZoneMapped(
+        ev.where(col("user_id") % 2 =!= 0), path, "user_id", 8)
+      def aggOf(v: Long) =
+        graft.etl.Layout.readZoneMappedAsOf(s, path, v)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .withColumn("version", lit(v))
+      aggOf(1L).unionByName(aggOf(2L))
+        .select("version", "event_type", "n", "sum_value")
+        .orderBy("version", "event_type")
+    }),
+
+    // File-membership-sketch skipping (the point-lookup complement
+    // of the zone map's range pruning): an equality probe opens only
+    // files whose 16-bit hash-slot set contains the probe's slot;
+    // the exact residual predicate absorbs collisions.
+    "q252_membership_skip" -> ((s, dir) => {
+      val path = graft.etl.Scratch.dir("mm252")
+      graft.etl.Layout.writeMemberMapped(
+        t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value"),
+        path, "user_id", numFiles = 16)
+      graft.etl.Layout.readMemberPruned(s, path, lit(7L))
+        .where(col("user_id") === 7L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_type")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -8540,7 +8581,28 @@ ORDER BY 1, 2"""
         |  ROUND(trend, 6) AS trend, ROUND(seasonal, 6) AS seasonal,
         |  ROUND(x - trend - seasonal, 6) AS residual
         |FROM dt JOIN se ON se.g = dt.g AND se.dow = isodow(d) - 1
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // v1 committed the even-user half; v2 appended the rest, so the
+    // two snapshots are the even-user subset and the whole table
+    "q251_timetravel" ->
+      """WITH v1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, event_type,
+        |    COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
+        |  FROM events WHERE user_id % 2 = 0 GROUP BY 2
+        |), v2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, event_type,
+        |    COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
+        |  FROM events GROUP BY 2
+        |)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q252_membership_skip" ->
+      """SELECT event_type, COUNT(1) AS n,
+        |  ROUND(SUM(value), 4) AS sum_value
+        |FROM events WHERE user_id = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

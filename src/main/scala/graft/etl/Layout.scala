@@ -75,12 +75,57 @@ object Layout {
       .sortWithinPartitions(clusterCol)
       .write.mode("overwrite").parquet(path)
     val spark = df.sparkSession
-    spark.read.parquet(path)
+    val manifest = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),
         count(lit(1)).as("n_rows"))
-      .coalesce(1)
+    manifest.coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_zonemap")
+    manifest.coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zonemap_v/1")
+  }
+
+  /** Committed manifest versions of a zone-mapped dataset, ascending
+    * (1 = the initial [[writeZoneMapped]]; each [[appendZoneMapped]]
+    * adds one). A filesystem listing — metadata-scale. */
+  def zoneMapVersions(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] = {
+    val vRoot = new org.apache.hadoop.fs.Path(s"$path/_zonemap_v")
+    val fs = vRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vRoot)) Seq.empty
+    else fs.listStatus(vRoot).filter(_.isDirectory)
+      .flatMap(d => scala.util.Try(d.getPath.getName.toLong).toOption)
+      .sorted.toSeq
+  }
+
+  /** TIME-TRAVEL read: the dataset exactly as of manifest `version`.
+    * The layout is append-only (appends land NEW files and commit a
+    * new manifest version; old files are never rewritten), so the
+    * version's file list IS the snapshot — reading those files
+    * reproduces the table as committed then, regardless of what was
+    * appended since. Metadata-scale: one small manifest read, then a
+    * plain parquet scan of the listed files (all pushdowns apply).
+    * [[compact]] rewrites files and therefore invalidates older
+    * snapshots — the VACUUM trade every table format makes. */
+  def readZoneMappedAsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Long): DataFrame = {
+    val files = spark.read.parquet(s"$path/_zonemap_v/$version")
+      .select("file").collect().map(_.getString(0))
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** [[readZonePruned]] against a historical manifest version: zone
+    * pruning AND time travel compose — only the snapshot's files
+    * whose [min, max] overlaps [lo, hi] are opened. */
+  def readZonePrunedAsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Long, lo: Column, hi: Column): DataFrame = {
+    val zm = spark.read.parquet(s"$path/_zonemap_v/$version")
+    val files = zm.where(col("max_v") >= lo && col("min_v") <= hi)
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(path).schema)
+    else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
   /** Scan of `path` pruned by the zone map: only files whose
@@ -132,10 +177,59 @@ object Layout {
         count(lit(1)).as("n_rows"))
     val manifest = spark.read.parquet(s"$path/_zonemap")
     val merged = manifest.collect() ++ newStats.collect()
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(merged.toIndexedSeq, 1),
-        manifest.schema)
-      .write.mode("overwrite").parquet(s"$path/_zonemap")
+    val mergedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(merged.toIndexedSeq, 1),
+      manifest.schema)
+    mergedDf.write.mode("overwrite").parquet(s"$path/_zonemap")
+    // commit the snapshot: the next manifest version (time travel)
+    val next = zoneMapVersions(spark, path).lastOption.getOrElse(0L) + 1
+    mergedDf.write.mode("overwrite").parquet(s"$path/_zonemap_v/$next")
+  }
+
+  /** Write `df` with a FILE-MEMBERSHIP sketch on `keyCol` — the
+    * point-lookup complement of the zone map's range pruning: the
+    * manifest records, per file, the SET of 16-bit hash slots its
+    * keys occupy (`pmod(xxhash64(key), 65536)`), so an equality probe
+    * opens only files whose slot set contains the probe's slot. No
+    * false negatives (every key sets its slot); false positives are
+    * hash collisions (~n_distinct/65536 per file), which the caller's
+    * exact residual predicate absorbs. Unlike the zone map this needs
+    * NO clustering — it prunes even a layout ordered for some other
+    * column. Manifest size: ≤ min(distinct keys, 65536) ints per
+    * file. */
+  def writeMemberMapped(df: DataFrame, path: String, keyCol: String,
+      numFiles: Int): Unit = {
+    df.repartition(numFiles)
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      // hash the STRING rendering: xxhash64 is type-sensitive, and a
+      // probe literal of a different width (int vs long) would
+      // silently prune the wrong files — a false NEGATIVE
+      .agg(sort_array(collect_set(
+          pmod(xxhash64(col(keyCol).cast("string")), lit(65536L))))
+          .as("slots"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_memmap")
+  }
+
+  /** Scan of `path` pruned by the membership sketch: only files whose
+    * slot set contains `value`'s hash slot are opened (the exact
+    * equality predicate remains the caller's job — collisions pass
+    * the sketch). Metadata-scale manifest probe, then a plain pruned
+    * parquet read. */
+  def readMemberPruned(spark: org.apache.spark.sql.SparkSession,
+      path: String, value: Column): DataFrame = {
+    val mm = spark.read.parquet(s"$path/_memmap")
+    val files = mm.where(array_contains(col("slots"),
+        pmod(xxhash64(value.cast("string")), lit(65536L))))
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(path).schema)
+    else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
   /** Small-file compaction: rewrite a parquet directory into

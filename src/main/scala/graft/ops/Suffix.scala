@@ -38,6 +38,18 @@ object Suffix {
   /** (id, pos, rank): 1-based char positions, dense 1-based global
     * ranks over suffix strings. Empty/NULL texts contribute nothing.
     *
+    * `finishBudgetChars` caps the one-shot finishing pass (below):
+    * once the still-tied set could materialize at most that many
+    * suffix characters (active × longest doc — an upper bound), the
+    * remaining groups are ranked directly by their full suffix
+    * strings in one partitioned, spill-safe sort instead of further
+    * doubling rounds. The default (16 Gi chars) keeps the pass a
+    * bounded fraction of any corpus big enough to exceed it; at true
+    * 100 TB scale the active set after the seed is far larger, and
+    * the doubling loop below (whose per-round cost is two
+    * corpus-frame joins + a tied-frame window) is the path that
+    * runs — set the budget to 0 to force it.
+    *
     * Refinement schedule (Larsson & Sadakane 1999, "Faster suffix
     * sorting"): the iterating rank is the HEAD rank (1 + count of
     * strictly-smaller suffixes), so a tied group of size g owns the
@@ -55,7 +67,8 @@ object Suffix {
     * two-phase compression of the distinct head ranks (bucket by
     * `r·256/(n+1)`, monotone in r; per-bucket `row_number` +
     * broadcast bucket offsets — never a global-order window). */
-  def suffixRanks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
+      finishBudgetChars: Long = 16L << 30): DataFrame = {
     val txt = docs
       .where(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(idCol).as("id"), col(textCol).as("t"))
@@ -106,15 +119,14 @@ object Suffix {
     var h = k0
     var active = tied.count()
     // One-shot finish: once the active set is small enough that its
-    // FULL suffix strings fit a fixed char budget (active × longest
+    // FULL suffix strings fit the char budget (active × longest
     // doc, an upper bound), rank each surviving group directly by
     // its materialized suffixes — exact (no cap: docs bound suffix
     // length), and it replaces every remaining doubling round with
     // one partitioned sort. At 100 TB the doubling loop below is the
     // guard: it runs only while the active set is genuinely huge.
-    val finishBudget = 512L << 20
     while (h < maxLen && active > 0) {
-      if (active * maxLen <= finishBudget) {
+      if (active * maxLen <= finishBudgetChars) {
         // only the active docs' texts travel (broadcast-semi prune:
         // the full corpus is scanned, never shuffled)
         val docsNeeded = txt.join(broadcast(tied.select("id").distinct()),

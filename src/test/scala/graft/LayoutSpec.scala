@@ -131,4 +131,43 @@ class LayoutSpec extends SparkSpec {
       .agg(sum("n_rows")).head().getLong(0) == 10000L)
     graft.etl.Scratch.remove(dir)
   }
+
+  test("time travel: each manifest version reproduces its snapshot exactly") {
+    val dir = graft.etl.Scratch.dir("tt")
+    val lo = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val hi = (5001 to 8000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Layout.writeZoneMapped(lo, dir, "k", numFiles = 4)
+    Layout.appendZoneMapped(hi, dir, "k", numFiles = 4)
+    assert(Layout.zoneMapVersions(spark, dir) == Seq(1L, 2L))
+    val v1 = Layout.readZoneMappedAsOf(spark, dir, 1L)
+    assert(v1.count() == 5000 && v1.agg(max("k")).head().getLong(0) == 5000L)
+    assert(Layout.readZoneMappedAsOf(spark, dir, 2L).count() == 8000)
+    // pruned time travel composes: a range inside the appended half
+    // is EMPTY as of v1, complete as of v2
+    assert(Layout.readZonePrunedAsOf(spark, dir, 1L, lit(6000L), lit(6100L))
+      .where(col("k").between(6000, 6100)).count() == 0)
+    assert(Layout.readZonePrunedAsOf(spark, dir, 2L, lit(6000L), lit(6100L))
+      .where(col("k").between(6000, 6100)).count() == 101)
+    graft.etl.Scratch.remove(dir)
+  }
+
+  test("membership sketch: point probes open few files, never lose rows") {
+    val dir = graft.etl.Scratch.dir("mm")
+    // keys deliberately NOT range-clustered (hash-ish round robin),
+    // so a zone map would prune nothing — the sketch must anyway
+    val df = (1 to 20000).map(i => (i.toLong, s"p$i")).toDF("k", "payload")
+    Layout.writeMemberMapped(df, dir, "k", numFiles = 16)
+    val pruned = Layout.readMemberPruned(spark, dir, lit(42L))
+    // exactness: the residual filter over the pruned scan equals the
+    // direct filter over the full table
+    assert(pruned.where(col("k") === 42L).count() == 1)
+    // pruning: key 42 lives in ONE file; collisions may admit a
+    // couple more of the 16, never most
+    assert(pruned.select(input_file_name()).distinct().count() <= 4)
+    // a key that never occurs opens (almost) nothing and returns
+    // zero rows after the residual
+    assert(Layout.readMemberPruned(spark, dir, lit(123456789L))
+      .where(col("k") === 123456789L).count() == 0)
+    graft.etl.Scratch.remove(dir)
+  }
 }

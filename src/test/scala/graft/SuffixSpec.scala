@@ -44,6 +44,12 @@ class SuffixSpec extends SparkSpec {
         s"$k want $v got ${got.get(k)}" }
       bad.take(5).mkString("; ")
     })
+    // budget 0 forces the pure doubling-loop path (no one-shot
+    // finish) — it must reach the identical ranks
+    val loop = Suffix.suffixRanks(docs.toDF("id", "text"), "id", "text",
+        finishBudgetChars = 0L)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(loop == want)
   }
 
   test("common_prefix_len: ASCII, multi-byte boundary, and nulls") {
