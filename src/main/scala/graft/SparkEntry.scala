@@ -3352,7 +3352,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 4).as("sum_value"))
         .orderBy("event_type")
-    })
+    }),
+
+    // Top session-opening event paths ("a>b>c"): sessionize, render
+    // each session's first three events, count sessions per path —
+    // the path frame is alphabet-bounded, so the top-20 ordering is
+    // metadata-scale.
+    "q253_event_paths" -> ((s, dir) =>
+      graft.ops.Funnel.eventPaths(t(s, dir, "events"), "user_id", "ts",
+          "event_type", "event_id", gapSeconds = 1800)
+        .orderBy("rank")),
+
+    // Weekly growth accounting: new / retained / resurrected /
+    // churned actives per week, the ledger where actives(w) -
+    // actives(w-1) = new + resurrected - churned.
+    "q254_growth_accounting" -> ((s, dir) =>
+      graft.ops.Cohorts.growthAccounting(t(s, dir, "events"),
+          "user_id", "ts")
+        .orderBy("wk"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -8602,7 +8619,74 @@ ORDER BY 1, 2"""
       """SELECT event_type, COUNT(1) AS n,
         |  ROUND(SUM(value), 4) AS sum_value
         |FROM events WHERE user_id = 7
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q23's session CTE chain, then first-3 paths per session
+    "q253_event_paths" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM l
+        |), s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f
+        |), r AS (
+        |  SELECT user_id, session_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM s
+        |), p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1, 2
+        |)
+        |SELECT path, COUNT(1) AS n_sessions,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY COUNT(1) DESC, path)
+        |    AS BIGINT) AS rank
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "q254_growth_accounting" ->
+      """WITH wku AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events
+        |), fw AS (
+        |  SELECT u, MIN(wk) AS first_wk FROM wku GROUP BY 1
+        |), st AS (
+        |  SELECT w.wk,
+        |    CAST(SUM(CASE WHEN w.wk = fw.first_wk THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN w.wk <> fw.first_wk
+        |        AND p.u IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN w.wk <> fw.first_wk
+        |        AND p.u IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM wku w JOIN fw ON fw.u = w.u
+        |  LEFT JOIN wku p ON p.u = w.u AND p.wk = w.wk - 7
+        |  GROUP BY 1
+        |), ch AS (
+        |  SELECT w.wk + 7 AS wk, COUNT(1) AS n_churned
+        |  FROM wku w LEFT JOIN wku n ON n.u = w.u AND n.wk = w.wk + 7
+        |  WHERE n.u IS NULL AND w.wk + 7 <= (SELECT MAX(wk) FROM wku)
+        |  GROUP BY 1
+        |)
+        |SELECT coalesce(st.wk, ch.wk) AS wk,
+        |  coalesce(n_new, 0) AS n_new,
+        |  coalesce(n_retained, 0) AS n_retained,
+        |  coalesce(n_resurrected, 0) AS n_resurrected,
+        |  coalesce(n_churned, 0) AS n_churned
+        |FROM st FULL JOIN ch ON ch.wk = st.wk
+        |ORDER BY 1""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

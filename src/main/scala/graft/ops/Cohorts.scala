@@ -164,6 +164,58 @@ object Cohorts {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Weekly growth accounting — the canonical active-user ledger
+    * (new / retained / resurrected / churned): every weekly active
+    * user is NEW (first-ever week), RETAINED (also active the prior
+    * week), or RESURRECTED (returning after a gap); CHURNED counts
+    * users active the prior week who went silent this week, so
+    * actives(w) − actives(w−1) = new + resurrected − churned holds
+    * row by row. Shapes: one distinct on (user, week), one first-week
+    * aggregation, one self-join on (user, week−7d) — all user-keyed
+    * shuffles, output bounded by the number of weeks. Churn needs a
+    * NEXT week to be observable, so the last active week carries
+    * churn only when a later week exists in the data. */
+  def growthAccounting(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val weeks = events.select(col(userCol).as("u"),
+      date_trunc("week", col(tsCol)).cast("date").as("wk")).distinct()
+    val firsts = weeks.groupBy(col("u")).agg(min(col("wk")).as("first_wk"))
+    val prev = weeks.select(col("u"), date_add(col("wk"), 7).as("wk"),
+      lit(1).as("__was_prev"))
+    val status = weeks
+      .join(firsts, "u")
+      .join(prev, Seq("u", "wk"), "left")
+      .select(col("wk"),
+        when(col("wk") === col("first_wk"), "new")
+          .when(col("__was_prev").isNotNull, "retained")
+          .otherwise("resurrected").as("st"))
+      .groupBy(col("wk"))
+      .agg(sum(when(col("st") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("st") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("st") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val maxWk = weeks.agg(max(col("wk")).as("__max_wk"))
+    val churned = weeks
+      .join(weeks.select(col("u"), col("wk")).withColumn("__next", lit(1))
+          .select(col("u"), date_add(col("wk"), -7).as("wk"), col("__next")),
+        Seq("u", "wk"), "left")
+      .where(col("__next").isNull)
+      .select(date_add(col("wk"), 7).as("wk"))
+      .join(broadcast(maxWk), lit(true))
+      .where(col("wk") <= col("__max_wk"))
+      .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+    // FULL outer: a week can have churn and zero actives (everyone
+    // left) — dropping it would break the ledger identity
+    // actives(w) − actives(w−1) = new + resurrected − churned
+    status.join(churned, Seq("wk"), "full_outer")
+      .select(col("wk"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** RFM segmentation (Hughes 1994) — the classical customer-value
     * grid over recency / frequency / monetary, each quintile-scored
     * by [[Binning.quantileBins]]' exact interpolated thresholds (no

@@ -75,4 +75,33 @@ object Funnel {
           .over(w))
       .where(col(typeCol) === convType)
   }
+
+  /** Top session-opening event paths — "how do sessions start":
+    * sessionize ([[EventWindows.sessionize]] semantics), take each
+    * session's first `pathLen` events in (ts, tie) order, render
+    * them as a `a>b>c` path, and count sessions per path. The
+    * per-session collect is bounded by session length; the path
+    * count frame is alphabet-bounded (|types|^pathLen), so the final
+    * top-`topN` ordering is metadata-scale, never a data sort.
+    * Output: path, n_sessions, rank (count desc, path asc). */
+  def eventPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, gapSeconds: Long,
+      pathLen: Int = 3, topN: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val sessions = EventWindows.sessionize(events, userCol, tsCol,
+      gapSeconds, tieCol)
+    val paths = sessions
+      .groupBy(col(userCol), col("session_id"))
+      .agg(array_join(
+        transform(
+          slice(array_sort(collect_list(
+            struct(col(tsCol), col(tieCol), col(typeCol)))), 1, pathLen),
+          s => s.getField(typeCol)), ">").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("n_sessions").desc, col("path"))).cast("long"))
+  }
 }

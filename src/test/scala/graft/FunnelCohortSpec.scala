@@ -183,6 +183,41 @@ class FunnelCohortSpec extends SparkSpec {
     assert(out == Map(1L -> ((4L, false)), 2L -> ((6L, true))))
   }
 
+  test("eventPaths: first-3 path per session, gap splits sessions") {
+    import spark.implicits._
+    // user 1: one session a,b,c,d -> path a>b>c; then after a 2h gap
+    // a second session b,a -> path b>a; user 2: session a,b,c
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "a"), (1L, "2024-01-01 10:01:00", 2L, "b"),
+      (1L, "2024-01-01 10:02:00", 3L, "c"), (1L, "2024-01-01 10:03:00", 4L, "d"),
+      (1L, "2024-01-01 13:00:00", 5L, "b"), (1L, "2024-01-01 13:01:00", 6L, "a"),
+      (2L, "2024-01-01 09:00:00", 7L, "a"), (2L, "2024-01-01 09:05:00", 8L, "b"),
+      (2L, "2024-01-01 09:06:00", 9L, "c"))
+      .toDF("u", "s", "eid", "et").withColumn("ts", col("s").cast("timestamp"))
+    val out = Funnel.eventPaths(ev, "u", "ts", "et", "eid", 1800)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a>b>c", 2L, 1L), ("b>a", 1L, 2L)))
+  }
+
+  test("growthAccounting: the ledger identity holds, gap weeks carry churn") {
+    import spark.implicits._
+    // A active w1,w2,w4; B active w2 only. Weeks (Mondays): 1/1, 1/8,
+    // 1/15 (nobody), 1/22.
+    val ev = Seq(
+      ("2024-01-01", 1L), ("2024-01-08", 1L), ("2024-01-22", 1L),
+      ("2024-01-09", 2L))
+      .toDF("d", "u").withColumn("ts", col("d").cast("timestamp"))
+    val out = Cohorts.growthAccounting(ev, "u", "ts")
+      .orderBy("wk").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 1L, 0L, 0L, 0L),  // A new
+      ("2024-01-08", 1L, 1L, 0L, 0L),  // B new, A retained
+      ("2024-01-15", 0L, 0L, 0L, 2L),  // both silent -> churn-only week
+      ("2024-01-22", 0L, 0L, 1L, 0L))) // A resurrected
+  }
+
   test("rfm: the best customer lands in 555, the worst in 111") {
     import spark.implicits._
     // 10 users; user u has u events on day u with value u*10 each:
