@@ -3369,7 +3369,50 @@ object SparkEntry {
     "q254_growth_accounting" -> ((s, dir) =>
       graft.ops.Cohorts.growthAccounting(t(s, dir, "events"),
           "user_id", "ts")
-        .orderBy("wk"))
+        .orderBy("wk")),
+
+    // Cohort LTV curve: cumulative revenue per user by (first-week
+    // cohort, offset) — integer 1e-4-unit sums keep the running
+    // curve bit-stable.
+    "q255_cohort_ltv" -> ((s, dir) =>
+      graft.ops.Cohorts.cohortLtv(t(s, dir, "events"), "user_id", "ts",
+          "value")
+        .orderBy("cohort_week", "week_offset")),
+
+    // Daily p50/p90/p99 value percentiles per event type — the
+    // operations-dashboard trend over exact interpolated quantiles.
+    "q256_daily_percentiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          round(element_at(percentile(col("value"),
+            array(lit(0.5), lit(0.9), lit(0.99))), 1), 6).as("p50"),
+          round(element_at(percentile(col("value"),
+            array(lit(0.5), lit(0.9), lit(0.99))), 2), 6).as("p90"),
+          round(element_at(percentile(col("value"),
+            array(lit(0.5), lit(0.9), lit(0.99))), 3), 6).as("p99"))
+        .orderBy("event_type", "d")),
+
+    // Week-over-week top movers: weekly revenue per type in integer
+    // 1e-4 units, lag delta and percent change, ranked by |pct|.
+    "q257_top_movers" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("wk"))
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .agg(sum(round(col("value") * 1e4).cast("long")).as("__rm"))
+        .withColumn("__prev", lag(col("__rm"), 1).over(w))
+        .where(col("__prev").isNotNull && col("__prev") > 0)
+        .select(col("event_type"), col("wk"),
+          round(col("__rm").cast("double") / 1e4, 4).as("revenue"),
+          round((col("__rm") - col("__prev")).cast("double") / 1e4, 4)
+            .as("delta"),
+          round((col("__rm") - col("__prev")).cast("double")
+            / col("__prev"), 6).as("pct_change"))
+        .orderBy(abs(col("pct_change")).desc, col("event_type"), col("wk"))
+        .limit(10)
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -8686,7 +8729,61 @@ ORDER BY 1, 2"""
         |  coalesce(n_resurrected, 0) AS n_resurrected,
         |  coalesce(n_churned, 0) AS n_churned
         |FROM st FULL JOIN ch ON ch.wk = st.wk
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q255_cohort_ltv" ->
+      """WITH uw AS (
+        |  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE)
+        |      AS wk, ROUND(SUM(value), 4) AS rev
+        |  FROM events GROUP BY 1, 2
+        |), fw AS (
+        |  SELECT u, MIN(wk) AS cohort_week FROM uw GROUP BY 1
+        |), sz AS (
+        |  SELECT cohort_week, CAST(COUNT(1) AS BIGINT) AS n_users
+        |  FROM fw GROUP BY 1
+        |), po AS (
+        |  SELECT cohort_week,
+        |    CAST(date_diff('day', cohort_week, wk) / 7 AS BIGINT)
+        |      AS week_offset,
+        |    SUM(CAST(ROUND(rev * 1e4, 0) AS BIGINT)) AS rm
+        |  FROM uw JOIN fw ON fw.u = uw.u GROUP BY 1, 2
+        |), cm AS (
+        |  SELECT cohort_week, week_offset,
+        |    SUM(rm) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM po
+        |)
+        |SELECT cm.cohort_week, week_offset, n_users,
+        |  ROUND(CAST(cum AS DOUBLE) / n_users / 1e4, 6)
+        |    AS cum_rev_per_user
+        |FROM cm JOIN sz ON sz.cohort_week = cm.cohort_week
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q256_daily_percentiles" ->
+      """SELECT event_type, CAST(ts AS DATE) AS d, COUNT(1) AS n,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q257_top_movers" ->
+      """WITH wr AS (
+        |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    SUM(CAST(ROUND(value * 1e4, 0) AS BIGINT)) AS rm
+        |  FROM events GROUP BY 1, 2
+        |), lg AS (
+        |  SELECT event_type, wk, rm,
+        |    LAG(rm) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+        |  FROM wr
+        |)
+        |SELECT event_type, wk,
+        |  ROUND(CAST(rm AS DOUBLE) / 1e4, 4) AS revenue,
+        |  ROUND(CAST(rm - prev AS DOUBLE) / 1e4, 4) AS delta,
+        |  ROUND(CAST(rm - prev AS DOUBLE) / prev, 6) AS pct_change
+        |FROM lg WHERE prev IS NOT NULL AND prev > 0
+        |ORDER BY abs(ROUND(CAST(rm - prev AS DOUBLE) / prev, 6)) DESC,
+        |  event_type, wk
+        |LIMIT 10""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -164,6 +164,39 @@ object Cohorts {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort LTV curve — cumulative revenue per user by (first-week
+    * cohort, week offset): the payback-period readout behind every
+    * acquisition decision. User-week revenue is rounded then summed
+    * in integer 1e-4 units (exact, order-independent) so the
+    * cumulative curve is bit-stable cross-engine; the cumulative
+    * window runs per cohort over the bounded offset frame. Output:
+    * (cohort_week, week_offset, n_users = cohort size,
+    * cum_rev_per_user rounded at 6). */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uw = events.groupBy(col(userCol).as("u"),
+        date_trunc("week", col(tsCol)).cast("date").as("wk"))
+      .agg(round(sum(col(valueCol)), 4).as("__rev"))
+    val firsts = uw.groupBy(col("u")).agg(min(col("wk")).as("cohort_week"))
+    val sizes = firsts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val perOffset = uw.join(firsts, "u")
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(sum(round(col("__rev") * 1e4).cast("long")).as("__rm"))
+    val wCum = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perOffset
+      .withColumn("__cum", sum(col("__rm")).over(wCum))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        round(col("__cum").cast("double") / col("n_users") / 1e4, 6)
+          .as("cum_rev_per_user"))
+  }
+
   /** Weekly growth accounting — the canonical active-user ledger
     * (new / retained / resurrected / churned): every weekly active
     * user is NEW (first-ever week), RETAINED (also active the prior

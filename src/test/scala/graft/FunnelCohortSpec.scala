@@ -218,6 +218,21 @@ class FunnelCohortSpec extends SparkSpec {
       ("2024-01-22", 0L, 0L, 1L, 0L))) // A resurrected
   }
 
+  test("cohortLtv: cumulative per-user revenue divides by COHORT size") {
+    import spark.implicits._
+    // cohort 2024-01-01: A (10 in w0, 5 in w1) + B (2 in w0, silent
+    // after) -> offset 0: 12/2 = 6.0; offset 1: 17/2 = 8.5 (B still
+    // counts in the denominator — that IS the LTV curve)
+    val ev = Seq(
+      (1L, "2024-01-02", 10.0), (1L, "2024-01-09", 5.0),
+      (2L, "2024-01-03", 2.0))
+      .toDF("u", "d", "v").withColumn("ts", col("d").cast("timestamp"))
+    val out = Cohorts.cohortLtv(ev, "u", "ts", "v")
+      .orderBy("week_offset").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 2L, 6.0), (1L, 2L, 8.5)))
+  }
+
   test("rfm: the best customer lands in 555, the worst in 111") {
     import spark.implicits._
     // 10 users; user u has u events on day u with value u*10 each:
