@@ -131,7 +131,7 @@ object Suffix {
         // the full corpus is scanned, never shuffled)
         val docsNeeded = txt.join(broadcast(tied.select("id").distinct()),
           Seq("id"), "left_semi")
-        val paired = tied.join(docsNeeded, Seq("id"))
+        val paired = tied.hint("merge").join(docsNeeded, Seq("id"))
           .select(col("id"), col("pos"), col("r"),
             expr("substring(t, pos)").as("__suf"))
         val wGrp = Window.partitionBy(col("r")).orderBy(col("__suf"))
@@ -139,7 +139,7 @@ object Suffix {
           .withColumn("nr", col("r") + rank().over(wGrp).cast("long") - 1L)
           .select("id", "pos", "nr"))
         val next = Checkpoints.truncate(
-          s.join(refined, Seq("id", "pos"), "left")
+          s.hint("merge").join(refined, Seq("id", "pos"), "left")
             .select(col("id"), col("pos"),
               coalesce(col("nr"), col("r")).as("r")))
         Checkpoints.free(s); Checkpoints.free(tied); Checkpoints.free(refined)
@@ -151,7 +151,8 @@ object Suffix {
         // looked up in the FULL frame, but only for active positions
         val partner = fresh(s).select(col("id"),
           (col("pos") - h).as("pos"), col("r").as("r2"))
-        val paired = tied.join(partner, Seq("id", "pos"), "left")
+        val paired = tied.hint("merge")
+          .join(partner, Seq("id", "pos"), "left")
           .withColumn("r2", coalesce(col("r2"), lit(0L)))
         // in-band refinement: groups (sharing r) are small — the
         // duplicates of one h-prefix — so the partitioned window is
@@ -170,7 +171,8 @@ object Suffix {
           active = 0
         } else {
           val next = Checkpoints.truncate(
-            s.join(refined.select(col("id"), col("pos"), col("nr")),
+            s.hint("merge")
+              .join(refined.select(col("id"), col("pos"), col("nr")),
                 Seq("id", "pos"), "left")
               .select(col("id"), col("pos"),
                 coalesce(col("nr"), col("r")).as("r")))
@@ -198,7 +200,7 @@ object Suffix {
       .select("__b", "__off")
     val denseMap = loc.join(broadcast(offs), "__b")
       .select(col("r"), (col("__off") + col("__rn")).as("rank"))
-    s.join(denseMap, "r").select("id", "pos", "rank")
+    s.hint("merge").join(denseMap, "r").select("id", "pos", "rank")
   }
 
   /** Longest repeated substring(s): the maximal LCP over rank-adjacent
