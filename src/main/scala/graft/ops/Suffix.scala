@@ -92,12 +92,15 @@ object Suffix {
     // count from the same window spec — one sort pass), broadcast
     // bucket offsets. rank() keeps equal prefixes tied and yields
     // the head rank: 1 + count of strictly smaller.
+    // read by both the window branch and the offsets branch — NOT
+    // persisted: recomputing the explode+substring is linear and
+    // memory-free, while unrolling a corpus-positions cache block is
+    // exactly what dies first on a bounded executor heap at 100×
     val base = txt
       .withColumn("pos", explode(sequence(lit(1), length(col("t")))))
       .select(col("id"), col("pos"),
         expr(s"substring(t, pos, $k0)").as("c"))
       .withColumn("__b", substring(col("c"), 1, 2))
-      .persist() // read by both the window branch and the offsets
     val wSeed = Window.partitionBy(col("__b")).orderBy(col("c"))
     val offs0 = base.groupBy("__b").agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(
@@ -111,7 +114,6 @@ object Suffix {
       .join(broadcast(offs0), "__b")
       .select(col("id"), col("pos"), (col("__off") + col("__rk")).as("r"),
         col("__g")))
-    base.unpersist(blocking = false)
     var s = seeded.select("id", "pos", "r")
     // active set: members of groups still tied after the seed round
     var tied = Checkpoints.truncate(
