@@ -48,7 +48,8 @@ class PlanQualitySpec extends SparkSpec {
     "q210_cusum",           // 1-row broadcast k/h moment attach
     "q224_chi2",            // alphabet-sized marginal cross product (+ 1-row N)
     "q240_brier",           // 1-row broadcast base-rate/total attach
-    "q249_rfm")             // three 1-row broadcast quantile-cut array attaches
+    "q249_rfm",             // three 1-row broadcast quantile-cut array attaches
+    "q254_growth_accounting") // 1-row broadcast max-week attach (churn cap)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
@@ -142,7 +143,8 @@ class PlanQualitySpec extends SparkSpec {
     "q228_heaps_fit",       // block offsets over the 256-docs-per-row frame
     "q239_km_greenwood",    // same DISTINCT-duration frame as q219
     "q208_suffix_ranks",    // dense-pass bucket offsets over the <=256-row frame
-    "q248_heavy_hitters")   // final rank over the LIMIT-k candidate frame
+    "q248_heavy_hitters",   // final rank over the LIMIT-k candidate frame
+    "q253_event_paths")     // final rank over the LIMIT-k path frame
 
   test("order-without-partition windows appear only over bounded-by-design frames") {
     // a Window line prints [funcs], [partition], [order]; the
