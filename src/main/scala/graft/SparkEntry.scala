@@ -3412,6 +3412,45 @@ object SparkEntry {
             / col("__prev"), 6).as("pct_change"))
         .orderBy(abs(col("pct_change")).desc, col("event_type"), col("wk"))
         .limit(10)
+    }),
+
+    // Retention / VACUUM for the time-travel layout (Delta VACUUM
+    // semantics): version-aware compaction lands NEW files as a NEW
+    // version (history stays readable), vacuum drops pre-horizon
+    // manifests and physically reclaims files no retained snapshot
+    // references, and a pre-horizon as-of read REFUSES with a pointed
+    // error — gated here as a marker row — instead of silently
+    // serving files compaction superseded.
+    "q258_retention" -> ((s, dir) => {
+      val path = graft.etl.Scratch.dir("ret258")
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      graft.etl.Layout.writeZoneMapped(
+        ev.where(col("user_id") % 3 === 0), path, "user_id", 8) // v1
+      graft.etl.Layout.appendZoneMapped(
+        ev.where(col("user_id") % 3 === 1), path, "user_id", 8) // v2
+      graft.etl.Layout.appendZoneMapped(
+        ev.where(col("user_id") % 3 === 2), path, "user_id", 8) // v3
+      graft.etl.Layout.compactZoneMapped(s, path, "user_id", 8) // v4
+      // keep only the compacted snapshot: pre-compaction manifests are
+      // dropped and their superseded data files physically reclaimed
+      val reclaimed = graft.etl.Layout.vacuumZoneMapped(s, path, keepLast = 1)
+      val refused =
+        try { graft.etl.Layout.readZoneMappedAsOf(s, path, 2L); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("retention horizon") }
+      val marker = s.range(1).select(lit(0L).as("version"),
+        lit("__prehorizon_refused__").as("event_type"),
+        lit(if (refused && reclaimed > 0) 1L else 0L).as("n"),
+        lit(0.0).as("sum_value"))
+      graft.etl.Layout.readZoneMappedAsOf(s, path, 4L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .withColumn("version", lit(4L))
+        .select("version", "event_type", "n", "sum_value")
+        .unionByName(marker)
+        .orderBy("version", "event_type")
     })
   )
 
@@ -8783,7 +8822,20 @@ ORDER BY 1, 2"""
         |FROM lg WHERE prev IS NOT NULL AND prev > 0
         |ORDER BY abs(ROUND(CAST(rm - prev AS DOUBLE) / prev, 6)) DESC,
         |  event_type, wk
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    // The retained (compacted) snapshot must equal the full table;
+    // the marker row asserts the pre-horizon read REFUSED and files
+    // were physically reclaimed (n = 1 iff both held)
+    "q258_retention" ->
+      """SELECT CAST(0 AS BIGINT) AS version,
+        |  '__prehorizon_refused__' AS event_type,
+        |  CAST(1 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sum_value
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT) AS version, event_type,
+        |  COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

@@ -99,18 +99,40 @@ object Layout {
   }
 
   /** TIME-TRAVEL read: the dataset exactly as of manifest `version`.
-    * The layout is append-only (appends land NEW files and commit a
-    * new manifest version; old files are never rewritten), so the
-    * version's file list IS the snapshot — reading those files
-    * reproduces the table as committed then, regardless of what was
-    * appended since. Metadata-scale: one small manifest read, then a
-    * plain parquet scan of the listed files (all pushdowns apply).
-    * [[compact]] rewrites files and therefore invalidates older
-    * snapshots — the VACUUM trade every table format makes. */
+    * The layout is append-only (appends — and [[compactZoneMapped]] —
+    * land NEW files and commit a new manifest version; committed
+    * files are never rewritten), so the version's file list IS the
+    * snapshot — reading those files reproduces the table as
+    * committed then, regardless of what was appended since.
+    * Metadata-scale: one small manifest read, then a plain parquet
+    * scan of the listed files (all pushdowns apply). Versions
+    * dropped by [[vacuumZoneMapped]] refuse LOUDLY (never a silent
+    * wrong answer): a missing manifest or a manifest whose files
+    * were physically removed both raise a pointed error naming the
+    * retention horizon. */
   def readZoneMappedAsOf(spark: org.apache.spark.sql.SparkSession,
       path: String, version: Long): DataFrame = {
-    val files = spark.read.parquet(s"$path/_zonemap_v/$version")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vDir = new org.apache.hadoop.fs.Path(s"$path/_zonemap_v/$version")
+    if (!fs.exists(vDir)) {
+      val retained = zoneMapVersions(spark, path)
+      throw new IllegalStateException(
+        s"time-travel read of $path as of version $version: that " +
+          s"version is past the retention horizon (vacuumed); retained " +
+          s"versions: ${if (retained.isEmpty) "none" else retained.mkString(", ")}")
+    }
+    val files = spark.read.parquet(vDir.toString)
       .select("file").collect().map(_.getString(0))
+    val missing = files.filterNot(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(new java.net.URI(f))))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"time-travel read of $path as of version $version: " +
+          s"${missing.length} of ${files.length} snapshot files were " +
+          "physically removed (vacuumed or externally deleted) — run " +
+          "against the current table or a retained version " +
+          s"(${zoneMapVersions(spark, path).mkString(", ")})")
     spark.read.parquet(files.toIndexedSeq: _*)
   }
 
@@ -175,15 +197,26 @@ object Layout {
       .groupBy(input_file_name().as("file"))
       .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),
         count(lit(1)).as("n_rows"))
-    val manifest = spark.read.parquet(s"$path/_zonemap")
-    val merged = manifest.collect() ++ newStats.collect()
-    val mergedDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(merged.toIndexedSeq, 1),
-      manifest.schema)
-    mergedDf.write.mode("overwrite").parquet(s"$path/_zonemap")
-    // commit the snapshot: the next manifest version (time travel)
-    val next = zoneMapVersions(spark, path).lastOption.getOrElse(0L) + 1
-    mergedDf.write.mode("overwrite").parquet(s"$path/_zonemap_v/$next")
+    // A dataset written before versioning existed has a _zonemap but
+    // no _zonemap_v: backfill ITS manifest as version 1 first, so
+    // the post-append commit below never masquerades as the original
+    // snapshot (readZoneMappedAsOf(path, 1) must mean "as first
+    // written", not "after this append").
+    val versions = zoneMapVersions(spark, path)
+    if (versions.isEmpty)
+      spark.read.parquet(s"$path/_zonemap").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_zonemap_v/1")
+    val next = zoneMapVersions(spark, path).last + 1
+    // Commit the snapshot manifest first (a NEW path — a distributed
+    // union write, never a driver-side collect: at millions of files
+    // the manifest is a small table, not driver memory), then republish
+    // the current-table manifest by reading the committed version back
+    // (reading the OLD _zonemap while overwriting it would race).
+    spark.read.parquet(s"$path/_zonemap").unionByName(newStats)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zonemap_v/$next")
+    spark.read.parquet(s"$path/_zonemap_v/$next").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zonemap")
   }
 
   /** Write `df` with a FILE-MEMBERSHIP sketch on `keyCol` — the
@@ -283,5 +316,79 @@ object Layout {
     }
     fs.delete(aside, true)
     nFiles
+  }
+
+  /** Small-file compaction for a ZONE-MAPPED dataset, version-aware
+    * (the Delta OPTIMIZE model): the current snapshot's rows are
+    * rewritten re-clustered as NEW files committed as a NEW manifest
+    * version — previously committed files are NOT touched, so every
+    * retained time-travel version stays readable until
+    * [[vacuumZoneMapped]] reclaims it. Contrast [[compact]], which
+    * rewrites a plain directory in place and therefore cannot
+    * preserve history. Cost: one pruned scan + the range shuffle a
+    * clustered write always pays; superseded files are reclaimed by
+    * vacuum, not here. */
+  def compactZoneMapped(spark: org.apache.spark.sql.SparkSession,
+      path: String, clusterCol: String, numFiles: Int): Long = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles: Set[String] = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSet
+    val current = spark.read.parquet(s"$path/_zonemap")
+      .select("file").collect().map(_.getString(0))
+    val before = dataFiles
+    spark.read.parquet(current.toIndexedSeq: _*)
+      .repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("append").parquet(path)
+    val added = (dataFiles -- before).toSeq
+    val newManifest = spark.read.parquet(added: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+    if (zoneMapVersions(spark, path).isEmpty)
+      spark.read.parquet(s"$path/_zonemap").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_zonemap_v/1")
+    val next = zoneMapVersions(spark, path).last + 1
+    newManifest.coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zonemap_v/$next")
+    spark.read.parquet(s"$path/_zonemap_v/$next").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zonemap")
+    next
+  }
+
+  /** RETENTION (Delta VACUUM semantics): keep the newest `keepLast`
+    * manifest versions, drop every older version's manifest, and
+    * physically delete data files referenced ONLY by dropped
+    * versions. After vacuum, [[readZoneMappedAsOf]] on a dropped
+    * version fails with a pointed error naming the retained horizon
+    * — never a silent wrong answer. Metadata-scale: manifests are
+    * one row per file; the delete set is computed as (all committed
+    * files) minus (files referenced by any retained version).
+    * Returns the number of data files deleted. */
+  def vacuumZoneMapped(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepLast: Int): Int = {
+    require(keepLast >= 1, "vacuum must retain at least one version")
+    val versions = zoneMapVersions(spark, path)
+    if (versions.size <= keepLast) return 0
+    val (dropped, retained) = versions.splitAt(versions.size - keepLast)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesOf(vs: Seq[Long]): Set[String] =
+      if (vs.isEmpty) Set.empty
+      else spark.read.parquet(vs.map(v => s"$path/_zonemap_v/$v"): _*)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+    val keep = filesOf(retained)
+    val dead = filesOf(dropped) -- keep
+    var deleted = 0
+    dead.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      if (fs.delete(p, false)) deleted += 1
+    }
+    dropped.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_zonemap_v/$v"), true)
+    }
+    deleted
   }
 }

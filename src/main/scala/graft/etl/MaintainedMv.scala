@@ -27,7 +27,18 @@ import org.apache.spark.sql.functions._
   * aggregate (Mumick et al. 1997): per `keys`, `n = count(v)`,
   * `total = sum(v)`, `lo = min(v)`, `hi = max(v)`, `mean = avg(v)`
   * — exactly [[viewOf]]; column order matters because [[MvRewrite]]
-  * re-aliases the MV scan positionally. */
+  * re-aliases the MV scan positionally.
+  *
+  * Numeric contract for floating-point `valueCol`: `total`/`mean`
+  * come from MERGED PARTIALS whose reduction order follows delta
+  * arrival, so after a refresh the substituted answer can differ
+  * from a from-scratch base scan by float ulps (~1e-15 relative) —
+  * the same contract every distributed float SUM carries, but here
+  * the divergence is ACROSS refreshes rather than across runs.
+  * Callers needing bit-stable maintained sums should store the
+  * measure in integer micro-units or DECIMAL (the discipline
+  * `ops/TimeSeries.scala` uses), for which merge order is exact;
+  * min/max/count are exact for every type. */
 object MaintainedMv {
 
   /** The canonical maintainable aggregate over a parquet base

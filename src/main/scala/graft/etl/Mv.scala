@@ -4,33 +4,60 @@ import scala.collection.concurrent.TrieMap
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
-  Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
+  Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
 
 /** Materialized views with OPTIMIZER-INTEGRATED reuse: [[register]]
   * materializes an aggregate query to parquet and records its plan
-  * fingerprint; the [[MvRewrite]] Catalyst rule then rewrites ANY
-  * later query whose aggregate subtree is structurally identical to
-  * read the materialization instead of re-scanning the fact table —
-  * the caller keeps writing the query against the base table and the
-  * planner substitutes the precomputed result. This is the
-  * query-side complement of [[MaterializedAgg]] (which maintains
-  * partials incrementally but must be read explicitly).
+  * shape; the [[MvRewrite]] Catalyst rule then rewrites ANY later
+  * query whose aggregate subtree matches to read the materialization
+  * instead of re-scanning the fact table — the caller keeps writing
+  * the query against the base table and the planner substitutes the
+  * precomputed result. This is the query-side complement of
+  * [[MaterializedAgg]] (which maintains partials incrementally but
+  * must be read explicitly).
   *
-  * Matching is by a canonicalized-plan fingerprint: exprIds and
-  * aliases are normalized by Catalyst's canonicalization, and file
-  * relations are identified by their CONCRETE FILE SNAPSHOT — every
-  * (path, length, mtime) triple in the scan — plus the pruned
-  * schema. So the SAME aggregation over the SAME files matches
-  * regardless of how the DataFrame was rebuilt, while any change to
-  * grouping keys, aggregate expressions, filters, or the base
-  * table's files (INCLUDING files appended to the same directory, or
-  * rewritten in place) misses and falls back to the live scan — a
-  * stale materialization is never served.
+  * Matching has two tiers:
+  *
+  *   1. EXACT — a canonicalized-plan fingerprint, as before: exprIds
+  *      and aliases normalized by Catalyst's canonicalization, file
+  *      relations identified by their CONCRETE FILE SNAPSHOT (every
+  *      (path, length, mtime) triple in the scan) plus the pruned
+  *      schema. The same aggregation over the same files matches
+  *      regardless of how the DataFrame was rebuilt.
+  *   2. PROJECTED — a user's `SELECT n, g FROM <registered shape>`
+  *      (reordered or column-subset projection, which the optimizer
+  *      collapses INTO the aggregate and whose column pruning also
+  *      narrows the base scan) matches by a name-normalized shape:
+  *      identical filters over the same file snapshot, identical
+  *      grouping-key set, and every candidate output column present
+  *      among the view's materialized columns — then columns are
+  *      remapped positionally. This tier is guarded: it applies only
+  *      when the subtree's attribute names are unambiguous (a single
+  *      base relation, no two attributes sharing a name), because
+  *      name-normalized comparison cannot distinguish same-named
+  *      attributes from a self-join.
+  *
+  * Any change to grouping keys, aggregate expressions, pre-agg
+  * filters, or the base table's files (INCLUDING files appended to
+  * the same directory) misses both tiers and falls back to the live
+  * scan — a stale or wrong materialization is never served.
+  *
+  * Freshness contract: base files are snapshotted as
+  * (path, length, modification time). A base file REWRITTEN IN PLACE
+  * with identical byte length within the filesystem's mtime
+  * granularity (1 s on HDFS, coarser on some object stores) is
+  * indistinguishable from unchanged under that snapshot and would be
+  * served stale — same-size in-place rewrites inside one mtime tick
+  * are OUT OF CONTRACT (append/replace-with-new-files layouts, the
+  * normal warehouse discipline, are fully covered; plain FileStatus
+  * exposes no inode/etag to tighten this further without a per-file
+  * content read).
   *
   * Scale shape: the rewrite replaces a full fact-table scan +
   * shuffle with a scan of the (group-cardinality-sized) parquet
@@ -47,9 +74,18 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   * behave the same as local ones. */
 object Mv {
 
-  private case class Entry(path: String, baseRoots: Set[String])
+  /** Name-normalized shape for the PROJECTED tier: the child
+    * subtree's filters + file snapshot, the sorted grouping-key
+    * renders, and the positional output-column renders (top alias
+    * stripped — the parquet column POSITION, not its name, carries
+    * identity). None when the defining plan's names are ambiguous. */
+  private case class NameShape(childFp: String, grouping: Seq[String],
+    outCols: Seq[String])
 
-  /** (session UUID, fingerprint) -> materialization. */
+  private case class Entry(path: String, baseRoots: Set[String],
+    shape: Option[NameShape])
+
+  /** (session UUID, exact canonical fingerprint) -> materialization. */
   private val registry = TrieMap.empty[(String, String), Entry]
 
   /** Bypass flag so that computing the DEFINING query's fingerprint
@@ -80,7 +116,8 @@ object Mv {
           plan.nodeName + ")")
       df.write.mode("overwrite").parquet(path)
       registry.put((sessionKey(df.sparkSession), fingerprint(plan)),
-        Entry(path, rootPathsOf(plan)))
+        Entry(path, rootPathsOf(plan),
+          nameShapeOf(plan.asInstanceOf[Aggregate])))
     } finally disabled.set(false)
   }
 
@@ -102,7 +139,9 @@ object Mv {
         if (key._1 == sk && registry.get(key).exists(_.path == path))
           registry.remove(key)
       }
-      registry.put((sk, fingerprint(plan)), Entry(path, rootPathsOf(plan)))
+      registry.put((sk, fingerprint(plan)),
+        Entry(path, rootPathsOf(plan),
+          nameShapeOf(plan.asInstanceOf[Aggregate])))
     } finally disabled.set(false)
   }
 
@@ -127,30 +166,60 @@ object Mv {
       }
     }.flatten.toSet
 
-  def lookup(spark: SparkSession, fp: String): Option[String] =
+  /** Match a candidate (optimized, resolved) Aggregate: on hit,
+    * Some((materialization path, for each candidate output column
+    * its positional index into the materialized columns)). Tier 1 is
+    * the exact canonical fingerprint (identity index mapping); tier
+    * 2 the name-normalized projected shape. Backing-file existence
+    * is re-checked here, so a concurrent eviction cannot serve a
+    * dangling path. */
+  def matchAggregate(spark: SparkSession,
+      agg: Aggregate): Option[(String, Seq[Int])] =
     if (disabled.get) None
     else {
-      val key = (sessionKey(spark), fp)
-      registry.get(key).filter { e =>
+      val sk = sessionKey(spark)
+      val exactKey = (sk, fingerprint(agg))
+      val exact = registry.get(exactKey).filter { e =>
         val ok = existsHadoop(spark, e.path)
-        if (!ok) registry.remove(key)
+        if (!ok) registry.remove(exactKey)
         ok
-      }.map(_.path)
+      }.map(e => (e.path, agg.aggregateExpressions.indices.toSeq))
+      exact.orElse {
+        nameShapeOf(agg).flatMap { cand =>
+          registry.iterator.collectFirst {
+            case ((s, _), e) if s == sk && e.shape.exists(v =>
+                v.childFp == cand.childFp && v.grouping == cand.grouping &&
+                cand.outCols.forall(v.outCols.contains)) &&
+                existsHadoop(spark, e.path) =>
+              (e.path, cand.outCols.map(e.shape.get.outCols.indexOf))
+          }
+        }
+      }
     }
 
   def isEmpty: Boolean = registry.isEmpty
 
   def clear(): Unit = registry.clear()
 
-  /** Drop entries whose backing files are gone (swept scratch). */
-  def prune(): Unit =
-    SparkSession.getActiveSession.foreach { spark =>
-      registry.keys.foreach { key =>
-        registry.get(key).foreach { e =>
-          if (!existsHadoop(spark, e.path)) registry.remove(key)
-        }
+  /** Drop entries whose backing files are gone (swept scratch). Works
+    * with or without an active session: off-session sweeps resolve
+    * the filesystem from a default Hadoop Configuration, so dead
+    * roots never linger in the pre-screen set. */
+  def prune(): Unit = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    registry.keys.foreach { key =>
+      registry.get(key).foreach { e =>
+        val gone =
+          try {
+            val hp = new org.apache.hadoop.fs.Path(e.path)
+            !hp.getFileSystem(conf).exists(hp)
+          } catch { case NonFatal(_) => true }
+        if (gone) registry.remove(key)
       }
     }
+  }
 
   /** Existence through the path's OWN filesystem (local, HDFS, S3 —
     * `java.nio.file` would evict every non-local materialization and
@@ -169,19 +238,17 @@ object Mv {
     * normalized by canonicalization, so semantically identical plans
     * built independently fingerprint equal — but any file added,
     * removed, or rewritten under the same root path changes the
-    * snapshot and misses. Listing goes through the relation's own
-    * FileIndex (cached by Spark alongside the scan itself, so the
-    * fingerprint sees exactly the files the query would read). */
+    * snapshot and misses (see the freshness contract in the object
+    * scaladoc for the mtime-granularity caveat). Listing goes through
+    * the relation's own FileIndex (cached by Spark alongside the scan
+    * itself, so the fingerprint sees exactly the files the query
+    * would read). */
   def fingerprint(plan: LogicalPlan): String =
     plan.canonicalized.map {
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: HadoopFsRelation =>
-            val files = fs.location.listFiles(Nil, Nil)
-              .flatMap(_.files.map(f =>
-                s"${f.getPath}:${f.getLen}:${f.getModificationTime}"))
-              .sorted
-            s"scan[${files.mkString(",")}]" +
+            snapshotOf(fs) +
               lr.output.map(a => a.dataType.simpleString)
                 .mkString("[", ",", "]")
           case other => s"scan[${other.schema.simpleString}]"
@@ -191,17 +258,80 @@ object Mv {
           n.expressions.map(_.canonicalized.toString)
             .mkString("[", ",", "]")
     }.mkString("\n")
+
+  private def snapshotOf(fs: HadoopFsRelation): String = {
+    val files = fs.location.listFiles(Nil, Nil)
+      .flatMap(_.files.map(f =>
+        s"${f.getPath}:${f.getLen}:${f.getModificationTime}"))
+      .sorted
+    s"scan[${files.mkString(",")}]"
+  }
+
+  private def stripAlias(e: Expression): Expression = e match {
+    case a: Alias => a.child
+    case other => other
+  }
+
+  /** exprIds stripped, names kept: `sum(v#35)` and `sum(v#102)` both
+    * render `sum(v)`. Only safe when names are unambiguous — callers
+    * guard via [[nameShapeOf]]'s single-relation/distinct-name
+    * check. Raw (non-canonicalized) expressions on purpose:
+    * per-expression canonicalization reorders commutative operands
+    * by exprId-dependent hashes, which would make renders unstable
+    * across independently built frames. */
+  private def renderByName(e: Expression): String =
+    e.toString.replaceAll("#\\d+", "")
+
+  /** Name-normalized shape of an optimized Aggregate, or None when
+    * the plan is not shaped scan→(filters/projects)→agg over ONE
+    * file relation with globally distinct attribute names. The child
+    * render keeps filter conditions and COMPUTED projection columns
+    * but drops bare-attribute projection lists — pure column pruning
+    * does not change row content, and candidate queries that read
+    * fewer of the view's outputs prune the base scan differently. */
+  private def nameShapeOf(agg: Aggregate): Option[NameShape] = {
+    val relations = agg.child.collect { case lr: LogicalRelation => lr }
+    val attrs = agg.child.flatMap(_.output).distinct
+    val ambiguous =
+      attrs.groupBy(_.name).exists(_._2.map(_.exprId).distinct.size > 1)
+    if (relations.size != 1 || ambiguous) None
+    else {
+      var supported = true
+      val parts = agg.child.map {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => snapshotOf(fs)
+          case other => s"scan[${other.schema.simpleString}]"
+        }
+        case f: Filter => "Filter[" + renderByName(f.condition) + "]"
+        case p: Project =>
+          val computed = p.projectList.filterNot(
+            _.isInstanceOf[AttributeReference])
+          if (computed.isEmpty) "" // pure pruning — row-content neutral
+          else "Project" + computed.map(renderByName).sorted
+            .mkString("[", ",", "]")
+        case other => supported = false; other.nodeName
+      }.filter(_.nonEmpty)
+      if (!supported) None
+      else Some(NameShape(
+        parts.mkString("\n"),
+        agg.groupingExpressions.map(renderByName).sorted,
+        agg.aggregateExpressions.map(e => renderByName(stripAlias(e)))))
+    }
+  }
 }
 
 /** The substitution rule (injected via
   * `spark.experimental.extraOptimizations`, which runs AFTER the main
   * optimizer batches — so both the registered fingerprint and the
-  * probed subtree are in fully-optimized form). Output attributes are
-  * re-aliased positionally onto the original exprIds, keeping every
-  * downstream reference valid. The fingerprint+lookup runs ONCE per
-  * candidate aggregate (bound to a local, so a concurrent eviction
-  * between guard and rewrite cannot throw), and only for aggregates
-  * whose scanned root paths intersect a registered base table. */
+  * probed subtree are in fully-optimized form; in particular a
+  * user's reordered/subset projection over the view shape has
+  * already been collapsed into the Aggregate, which is why
+  * projected matching happens at the Aggregate node). Output
+  * attributes are re-aliased onto the original exprIds via the
+  * matched column indices, keeping every downstream reference valid.
+  * The match runs ONCE per candidate aggregate, and only for
+  * aggregates whose scanned root paths intersect a registered base
+  * table. */
 object MvRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val spark = SparkSession.active
@@ -210,12 +340,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     else plan.transformDown {
       case agg: Aggregate if agg.resolved &&
           Mv.rootPathsOf(agg).exists(roots) =>
-        Mv.lookup(spark, Mv.fingerprint(agg)) match {
-          case Some(path) =>
+        Mv.matchAggregate(spark, agg) match {
+          case Some((path, idx)) =>
             val scan = spark.read.parquet(path).queryExecution.analyzed
-            Project(agg.output.zip(scan.output).map { case (o, n) =>
-              Alias(n, o.name)(exprId = o.exprId)
-            }, scan)
+            if (agg.output.zip(idx).forall { case (o, i) =>
+                i >= 0 && i < scan.output.size &&
+                  scan.output(i).dataType == o.dataType })
+              Project(agg.output.zip(idx).map { case (o, i) =>
+                Alias(scan.output(i), o.name)(exprId = o.exprId)
+              }, scan)
+            else agg
           case None => agg
         }
     }

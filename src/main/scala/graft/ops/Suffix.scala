@@ -128,7 +128,11 @@ object Suffix {
     // one partitioned sort. At 100 TB the doubling loop below is the
     // guard: it runs only while the active set is genuinely huge.
     while (h < maxLen && active > 0) {
-      if (active * maxLen <= finishBudgetChars) {
+      // division, not multiplication: `active * maxLen` overflows Long
+      // at extreme corpus sizes (1e12 positions x 1e7 chars) and a
+      // negative product would wrongly take the one-shot finish path
+      // this budget exists to prevent (maxLen >= 1: length filter above)
+      if (active <= finishBudgetChars / maxLen) {
         // only the active docs' texts travel (broadcast-semi prune:
         // the full corpus is scanned, never shuffled)
         val docsNeeded = txt.join(broadcast(tied.select("id").distinct()),

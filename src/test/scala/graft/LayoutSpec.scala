@@ -151,6 +151,74 @@ class LayoutSpec extends SparkSpec {
     graft.etl.Scratch.remove(dir)
   }
 
+  test("compactZoneMapped preserves history; vacuum reclaims it and refuses loudly") {
+    val dir = graft.etl.Scratch.dir("vac")
+    val p1 = (1 to 3000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val p2 = (3001 to 6000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val p3 = (6001 to 9000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Layout.writeZoneMapped(p1, dir, "k", numFiles = 4) // v1
+    Layout.appendZoneMapped(p2, dir, "k", numFiles = 4) // v2
+    Layout.appendZoneMapped(p3, dir, "k", numFiles = 4) // v3
+    // version-aware compaction: new files, NEW version, old snapshots intact
+    val v4 = Layout.compactZoneMapped(spark, dir, "k", numFiles = 3)
+    assert(v4 == 4L)
+    assert(Layout.zoneMapVersions(spark, dir) == Seq(1L, 2L, 3L, 4L))
+    assert(spark.read.parquet(s"$dir/_zonemap").count() == 3) // re-clustered
+    assert(Layout.readZoneMappedAsOf(spark, dir, 4L).count() == 9000)
+    // pre-compaction snapshots STILL readable (files not rewritten)
+    assert(Layout.readZoneMappedAsOf(spark, dir, 1L).count() == 3000)
+    assert(Layout.readZoneMappedAsOf(spark, dir, 3L).count() == 9000)
+    // vacuum keep-2: versions 1 and 2 dropped — but v3 (retained)
+    // still references every pre-compaction file, so NOTHING is
+    // physically deleted yet (no retained snapshot may break)
+    assert(Layout.vacuumZoneMapped(spark, dir, keepLast = 2) == 0)
+    assert(Layout.zoneMapVersions(spark, dir) == Seq(3L, 4L))
+    // retained versions unharmed, byte-complete
+    assert(Layout.readZoneMappedAsOf(spark, dir, 3L)
+      .agg(sum("k")).head().getLong(0) == (1L to 9000L).sum)
+    assert(Layout.readZoneMappedAsOf(spark, dir, 4L).count() == 9000)
+    // pre-horizon read fails with a POINTED error, never a wrong answer
+    val e = intercept[IllegalStateException] {
+      Layout.readZoneMappedAsOf(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("retention horizon") &&
+      e.getMessage.contains("3, 4"), e.getMessage)
+    // vacuum keep-1: the last pre-compaction snapshot goes, and with
+    // it the superseded files are physically reclaimed
+    val deleted = Layout.vacuumZoneMapped(spark, dir, keepLast = 1)
+    assert(deleted > 0, "vacuum reclaimed nothing after dropping v3")
+    assert(Layout.zoneMapVersions(spark, dir) == Seq(4L))
+    assert(Layout.readZoneMappedAsOf(spark, dir, 4L)
+      .agg(sum("k")).head().getLong(0) == (1L to 9000L).sum)
+    intercept[IllegalStateException] {
+      Layout.readZoneMappedAsOf(spark, dir, 3L)
+    }
+    // vacuum below the floor is a no-op; keepLast must be >= 1
+    assert(Layout.vacuumZoneMapped(spark, dir, keepLast = 5) == 0)
+    intercept[IllegalArgumentException] {
+      Layout.vacuumZoneMapped(spark, dir, keepLast = 0)
+    }
+    graft.etl.Scratch.remove(dir)
+  }
+
+  test("appendZoneMapped backfills version 1 for a pre-versioning dataset") {
+    val dir = graft.etl.Scratch.dir("backfill")
+    val lo = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Layout.writeZoneMapped(lo, dir, "k", numFiles = 2)
+    // simulate a dataset written before versioning: no _zonemap_v
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_zonemap_v"), true)
+    assert(Layout.zoneMapVersions(spark, dir).isEmpty)
+    Layout.appendZoneMapped((2001 to 3000).map(i => (i.toLong, s"v$i"))
+      .toDF("k", "v"), dir, "k", numFiles = 2)
+    // version 1 is the ORIGINAL snapshot, version 2 the appended table
+    assert(Layout.zoneMapVersions(spark, dir) == Seq(1L, 2L))
+    assert(Layout.readZoneMappedAsOf(spark, dir, 1L).count() == 2000)
+    assert(Layout.readZoneMappedAsOf(spark, dir, 2L).count() == 3000)
+    graft.etl.Scratch.remove(dir)
+  }
+
   test("membership sketch: point probes open few files, never lose rows") {
     val dir = graft.etl.Scratch.dir("mm")
     // keys deliberately NOT range-clustered (hash-ish round robin),
