@@ -27,6 +27,17 @@ object Scratch {
   def dir(prefix: String): String =
     Files.createTempDirectory(root, prefix).toString
 
+  /** A directory EXEMPT from [[sweep]] (still removed by the exit
+    * hook): for warm artifacts deliberately carried across bench
+    * invocations in one JVM — streaming checkpoints/sinks/staged
+    * inputs that a later identical invocation RESUMES instead of
+    * rebuilding (see `graft.streaming.WarmRuns`). Bounded by design:
+    * one set per distinct (gate, input) pair, registered once. */
+  def retainedDir(prefix: String): String =
+    Files.createTempDirectory(root, RetainedPrefix + prefix).toString
+
+  private val RetainedPrefix = "retained-"
+
   /** Eagerly remove a directory tree (scratch or otherwise); safe on
     * already-removed paths. */
   def remove(path: String): Unit = deleteTree(java.nio.file.Paths.get(path))
@@ -39,7 +50,9 @@ object Scratch {
     * accumulate them. NOT safe while another thread's query is live. */
   def sweep(): Unit = {
     import scala.jdk.CollectionConverters._
-    try Files.list(root).iterator().asScala.toSeq.foreach(deleteTree)
+    try Files.list(root).iterator().asScala.toSeq
+      .filterNot(_.getFileName.toString.startsWith(RetainedPrefix))
+      .foreach(deleteTree)
     catch { case _: Throwable => () }
     Mv.prune() // registered views backed by swept scratch self-evict
   }
