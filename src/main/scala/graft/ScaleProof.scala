@@ -73,6 +73,27 @@ object ScaleProof {
 
     args.foreach { dir =>
       val sections = scala.collection.mutable.ArrayBuffer.empty[String]
+      // round 12: the analytics pack's events-frame ops — q253's path
+      // frame is alphabet-bounded (≤ |event types|³ distinct paths)
+      // and q255's cohort frame week×offset-bounded, so wall time
+      // must track event ROWS (the sessionize/cohort scan), never
+      // users² or paths×users. Runs whenever the dir carries an
+      // events table (tools/gen_scale_events.py builds 10×/100× dirs
+      // with shifted-user replicas: same alphabets, scaled rows).
+      if (new java.io.File(s"$dir/events.parquet").exists) {
+        Seq("q253_event_paths", "q255_cohort_ltv").filter(selected)
+          .foreach { name =>
+            val t = System.nanoTime()
+            val rows = SparkEntry.queries(name)(spark, dir).count()
+            val sec = (System.nanoTime() - t) / 1e9
+            sections += f""""$name":{"rows":$rows,"sec":$sec%.2f}"""
+            sweep(spark)
+          }
+      }
+      if (!new java.io.File(s"$dir/documents.parquet").exists) {
+        // events-only scale dir: no document sections to run
+        println(s"""{"dir":"$dir",""" + sections.mkString(",") + "}")
+      } else {
       val docs = graft.etl.Tables.table(spark, dir, "documents")
         .select("doc_id", "text")
       val nDocs = docs.count()
@@ -217,6 +238,7 @@ object ScaleProof {
 
       println(s"""{"dir":"$dir","docs":$nDocs,""" +
         sections.mkString(",") + "}")
+      }
     }
     spark.stop()
   }
