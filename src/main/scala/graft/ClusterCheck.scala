@@ -30,7 +30,11 @@ object ClusterCheck {
     // round 10 second wave: optimizer-substituted MV reads and the
     // zone-map append/prune path both write+re-read their own files
     // across executor JVMs
-    "q226_mv_rewrite", "q236_zonemap_append")
+    "q226_mv_rewrite", "q236_zonemap_append",
+    // round 12: version-aware compaction + vacuum — new files written
+    // by executor JVMs, manifests committed/dropped and files
+    // reclaimed driver-side, retained snapshot re-read across JVMs
+    "q258_retention")
 
   private val AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
