@@ -3451,6 +3451,34 @@ object SparkEntry {
         .select("version", "event_type", "n", "sum_value")
         .unionByName(marker)
         .orderBy("version", "event_type")
+    }),
+
+    // Incrementally-maintained JOIN materialization (delta rule
+    // ΔJ = ΔA⋈(B∪ΔB) ∪ A⋈ΔB over bucket-partitioned sides): create
+    // from partial snapshots, absorb one two-sided delta, and the
+    // maintained join must equal the from-scratch join — the oracle
+    // joins the full tables directly. Money summed in integer cents
+    // (exact, order-independent).
+    "q259_maintained_join" -> ((s, dir) => {
+      val path = graft.etl.Scratch.dir("mj259")
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      graft.etl.MaterializedJoin.create(
+        orders.where(col("o_orderkey") % 4 =!= 0),
+        li.where(col("l_linenumber") =!= 1),
+        Seq("o_orderkey"), Seq("l_orderkey"), path, nBuckets = 16)
+      graft.etl.MaterializedJoin.refresh(s, path,
+        orders.where(col("o_orderkey") % 4 === 0),
+        li.where(col("l_linenumber") === 1),
+        Seq("o_orderkey"), Seq("l_orderkey"), nBuckets = 16)
+      graft.etl.MaterializedJoin.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("double") / 100, 2).as("revenue"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -8835,7 +8863,16 @@ ORDER BY 1, 2"""
         |SELECT CAST(4 AS BIGINT) AS version, event_type,
         |  COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 2
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the maintained join must be indistinguishable from the
+    // from-scratch join of the full tables
+    "q259_maintained_join" ->
+      """SELECT o_orderpriority, COUNT(1) AS n,
+        |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+        |    AS DOUBLE) / 100, 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see
