@@ -3479,7 +3479,18 @@ object SparkEntry {
           round(sum(round(col("l_extendedprice") * 100).cast("long"))
             .cast("double") / 100, 2).as("revenue"))
         .orderBy("o_orderpriority")
-    })
+    }),
+
+    // The join leg under the streaming kill-and-resume harness:
+    // per-batch delta joins landed replay-idempotently under
+    // __batch= partitions; the merged batches must equal the
+    // one-shot join of all events against the derived per-user dim.
+    "q260_join_stream" -> ((s, dir) =>
+      graft.streaming.StreamAsBatch
+        .maintainedJoinRestarted(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          round(col("u_max"), 4).as("u_max"))
+        .orderBy("event_id"))
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -8872,7 +8883,17 @@ ORDER BY 1, 2"""
         |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
         |    AS DOUBLE) / 100, 2) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the stream-maintained join equals the one-shot join against
+    // the same derived dim (max skips NULLs in both engines)
+    "q260_join_stream" ->
+      """SELECT e.event_id, e.user_id, ROUND(d.u_max, 4) AS u_max
+        |FROM events e
+        |JOIN (SELECT user_id, MAX(value) AS u_max
+        |      FROM events GROUP BY 1) d
+        |  ON e.user_id = d.user_id
+        |ORDER BY e.event_id""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

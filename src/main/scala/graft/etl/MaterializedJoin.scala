@@ -115,4 +115,44 @@ object MaterializedJoin {
   /** The maintained join, as of the last refresh. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/J").drop("__bucket")
+
+  // ----------------------------------------------------------------
+  // Streaming maintenance: per-micro-batch delta joins, exactly-once.
+
+  /** Persist ONLY the standing (build) side — the setup for
+    * stream-maintained joins where deltas arrive on one side. */
+  def createSide(b: DataFrame, keysB: Seq[String], path: String,
+      nBuckets: Int = 64): Unit =
+    bucketed(b, keysB, nBuckets)
+      .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/B")
+
+  /** Join one micro-batch of the delta side against the standing
+    * side's TOUCHED bucket partitions only, landing the result under
+    * `__batch=<batchId>` via dynamic partition overwrite — the same
+    * exactly-once-by-idempotence contract as
+    * [[MaterializedAgg.appendBatchPartials]]: a crash-replayed batch
+    * replaces its own partition's half-written files instead of
+    * emitting duplicate join rows. Batches are disjoint in the
+    * source rows (the stream delivers each row once across batch
+    * ids), so the union of batch partitions IS the maintained
+    * join. */
+  def appendBatchDelta(batchA: DataFrame, batchId: Long, path: String,
+      keysA: Seq[String], keysB: Seq[String], nBuckets: Int = 64): Unit = {
+    val dA = Checkpoints.truncate(bucketed(batchA, keysA, nBuckets))
+    val touched = dA.select("__bucket").distinct()
+      .collect().map(_.getLong(0))
+    if (touched.nonEmpty)
+      joined(dA,
+          batchA.sparkSession.read.parquet(s"$path/B")
+            .where(col("__bucket").isin(touched: _*)), keysA, keysB)
+        .withColumn("__batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(s"$path/J")
+    Checkpoints.free(dA)
+  }
+
+  /** The stream-maintained join across all committed batches. */
+  def readMergedBatches(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/J").drop("__bucket", "__batch")
 }

@@ -254,6 +254,35 @@ object StreamAsBatch {
     graft.etl.MaterializedCdc.read(s, statePath, opCol, deleteOp)
   }
 
+  /** Stream-MAINTAINED JOIN across a kill-and-resume — the join leg
+    * ([[graft.etl.MaterializedJoin]]) under the streaming harness:
+    * the standing side is a per-user dimension derived once from the
+    * FULL input (deterministic, so both engines compute the same
+    * dim), each micro-batch of events joins it bucket-pruned and
+    * lands under its own `__batch=` partition (replay-idempotent),
+    * the query is killed mid-input and resumed from its checkpoint,
+    * and the merged batches must equal the one-shot join of
+    * everything — a replayed epoch would surface as duplicate join
+    * rows, a lost batch as missing ones. */
+  def maintainedJoinRestarted(spark: SparkSession,
+      eventsParquet: String): DataFrame = {
+    val (s, statePath) = maintainedRestarted(spark, eventsParquet,
+      s"maintJoin|$eventsParquet", "mjoin") { (batch, id, state) =>
+      if (!new java.io.File(s"$state/B").exists()) {
+        val dim = graft.etl.Tables.normalizeEventTime(
+            batch.sparkSession.read.parquet(eventsParquet))
+          .groupBy(col("user_id").as("u"))
+          .agg(max(col("value")).as("u_max"))
+        graft.etl.MaterializedJoin.createSide(dim, Seq("u"), state,
+          nBuckets = 8)
+      }
+      graft.etl.MaterializedJoin.appendBatchDelta(
+        batch.select(col("event_id"), col("user_id")), id, state,
+        Seq("user_id"), Seq("u"), nBuckets = 8)
+    }
+    graft.etl.MaterializedJoin.readMergedBatches(s, statePath)
+  }
+
   private case class WarmMaint(s: SparkSession, stage: String,
     ckpt: String, state: String)
 

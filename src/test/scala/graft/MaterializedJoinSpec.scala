@@ -39,6 +39,26 @@ class MaterializedJoinSpec extends SparkSpec {
     graft.etl.Scratch.remove(path)
   }
 
+  test("appendBatchDelta: a crash-replayed batch replaces, never duplicates") {
+    val path = graft.etl.Scratch.dir("mjbatch")
+    val b = (1L to 50L).map(k => (k, s"d$k")).toDF("bk", "pb")
+    MaterializedJoin.createSide(b, Seq("bk"), path, nBuckets = 4)
+    val batch1 = (1L to 30L).map(k => (k, k * 10)).toDF("k", "pa")
+    val batch2 = (31L to 50L).map(k => (k, k * 10)).toDF("k", "pa")
+    MaterializedJoin.appendBatchDelta(batch1, 0L, path, Seq("k"), Seq("bk"),
+      nBuckets = 4)
+    MaterializedJoin.appendBatchDelta(batch2, 1L, path, Seq("k"), Seq("bk"),
+      nBuckets = 4)
+    // the stream replays batch 1 after a simulated crash: same id,
+    // same rows — the partition is REPLACED, the join does not grow
+    MaterializedJoin.appendBatchDelta(batch1, 0L, path, Seq("k"), Seq("bk"),
+      nBuckets = 4)
+    val got = MaterializedJoin.readMergedBatches(spark, path)
+    assert(got.count() == 50)
+    assert(got.select("k").distinct().count() == 50)
+    graft.etl.Scratch.remove(path)
+  }
+
   test("one-sided delta (ΔA only) joins the full standing B exactly once") {
     val path = graft.etl.Scratch.dir("mjoin1")
     val a = (1L to 100L).map(k => (k, k * 2)).toDF("k", "pa")
