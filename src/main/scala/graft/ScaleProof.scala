@@ -81,7 +81,9 @@ object ScaleProof {
       // events table (tools/gen_scale_events.py builds 10×/100× dirs
       // with shifted-user replicas: same alphabets, scaled rows).
       if (new java.io.File(s"$dir/events.parquet").exists) {
-        Seq("q253_event_paths", "q255_cohort_ltv").filter(selected)
+        Seq("q253_event_paths", "q254_growth_accounting",
+            "q255_cohort_ltv", "q256_daily_percentiles",
+            "q257_top_movers").filter(selected)
           .foreach { name =>
             val t = System.nanoTime()
             val rows = SparkEntry.queries(name)(spark, dir).count()
