@@ -92,6 +92,36 @@ object ScaleProof {
             sweep(spark)
           }
       }
+      // round 12: maintained-join refresh cost vs delta size — create
+      // the state from 90% of events (the amortized base build), then
+      // time ONLY the 10%-delta refresh: the claim under test is that
+      // refresh reads the delta plus touched bucket partitions, never
+      // the standing base (at fixed bucket count every bucket is
+      // touched here, so the honest expectation is refresh ∝ corpus —
+      // what must NOT appear is refresh re-running the base build).
+      if (new java.io.File(s"$dir/events.parquet").exists &&
+          selected("mjoin_refresh")) {
+        import org.apache.spark.sql.functions.col
+        val ev = graft.etl.Tables.table(spark, dir, "events")
+          .select("event_id", "user_id", "value")
+        val dim = ev.groupBy(col("user_id").as("u"))
+          .agg(org.apache.spark.sql.functions.max(col("value")).as("u_max"))
+        val path = graft.etl.Scratch.dir("scale-mjoin")
+        val t0 = System.nanoTime()
+        graft.etl.MaterializedJoin.create(
+          ev.where(col("event_id") % 10 =!= 0), dim,
+          Seq("user_id"), Seq("u"), path, nBuckets = 16)
+        val createSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.etl.MaterializedJoin.refresh(spark, path,
+          ev.where(col("event_id") % 10 === 0),
+          dim.limit(0), Seq("user_id"), Seq("u"), nBuckets = 16)
+        val refreshSec = (System.nanoTime() - t1) / 1e9
+        val rows = graft.etl.MaterializedJoin.read(spark, path).count()
+        sections += f""""mjoin_create":{"sec":$createSec%.2f}"""
+        sections += f""""mjoin_refresh_10pct":{"rows":$rows,"sec":$refreshSec%.2f}"""
+        sweep(spark)
+      }
       if (!new java.io.File(s"$dir/documents.parquet").exists) {
         // events-only scale dir: no document sections to run
         println(s"""{"dir":"$dir",""" + sections.mkString(",") + "}")

@@ -78,7 +78,16 @@ object MaterializedJoin {
     * other side's touched bucket partitions (plus the sibling
     * delta); new join rows and the deltas themselves are APPENDED —
     * standing files are never opened outside the touched buckets and
-    * never rewritten at all. Either delta may be empty. */
+    * never rewritten at all. Either delta may be empty.
+    *
+    * Atomicity contract: the three appends (J, then A, then B) are
+    * separate jobs — a crash between them leaves J ahead of the
+    * sides, and REPLAYING the same refresh would then duplicate join
+    * rows. This is the batch form's driver-orchestrated contract
+    * (retry the whole refresh only from a state known good, e.g.
+    * after restoring the directories from a snapshot); the STREAMING
+    * form below is the crash-replay-safe one — per-batch dynamic
+    * overwrite makes a replayed epoch replace itself. */
   def refresh(spark: SparkSession, path: String,
       deltaA: DataFrame, deltaB: DataFrame, keysA: Seq[String],
       keysB: Seq[String], nBuckets: Int = 64): Unit = {
