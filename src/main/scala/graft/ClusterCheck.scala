@@ -34,7 +34,11 @@ object ClusterCheck {
     // round 12: version-aware compaction + vacuum — new files written
     // by executor JVMs, manifests committed/dropped and files
     // reclaimed driver-side, retained snapshot re-read across JVMs
-    "q258_retention")
+    "q258_retention",
+    // round 12: maintained join — bucket-partitioned side/join state
+    // written and re-read across executor JVMs, dynamic-overwrite
+    // refresh appends
+    "q259_maintained_join")
 
   private val AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
