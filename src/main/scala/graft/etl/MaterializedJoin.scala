@@ -62,12 +62,19 @@ object MaterializedJoin {
     * materialized join. */
   def create(a: DataFrame, b: DataFrame, keysA: Seq[String],
       keysB: Seq[String], path: String, nBuckets: Int = 64): Unit = {
+    // one file per bucket partition (repartition on the bucket before
+    // the partitioned write): without it every task writes a sliver
+    // into every bucket dir — tasks x buckets small files whose open
+    // cost dominates the bucket-pruned re-reads a refresh does
     val aB = bucketed(a, keysA, nBuckets)
+      .repartition(nBuckets, col("__bucket"))
     val bB = bucketed(b, keysB, nBuckets)
+      .repartition(nBuckets, col("__bucket"))
     aB.write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/A")
     bB.write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/B")
     joined(bucketedRead(a.sparkSession, s"$path/A"),
         bucketedRead(a.sparkSession, s"$path/B"), keysA, keysB)
+      .repartition(nBuckets, col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/J")
   }
 
@@ -112,12 +119,14 @@ object MaterializedJoin {
         bucketedRead(spark, s"$path/A")
           .where(col("__bucket").isin(touchedB: _*)), dB, keysA, keysB))
     val newJ = (term1.toSeq ++ term2.toSeq).reduceOption(_ unionByName _)
-    newJ.foreach(
-      _.write.mode("append").partitionBy("__bucket").parquet(s"$path/J"))
+    newJ.foreach(_.repartition(nBuckets, col("__bucket"))
+      .write.mode("append").partitionBy("__bucket").parquet(s"$path/J"))
     if (touchedA.nonEmpty)
-      dA.write.mode("append").partitionBy("__bucket").parquet(s"$path/A")
+      dA.repartition(nBuckets, col("__bucket"))
+        .write.mode("append").partitionBy("__bucket").parquet(s"$path/A")
     if (touchedB.nonEmpty)
-      dB.write.mode("append").partitionBy("__bucket").parquet(s"$path/B")
+      dB.repartition(nBuckets, col("__bucket"))
+        .write.mode("append").partitionBy("__bucket").parquet(s"$path/B")
     Checkpoints.free(dA); Checkpoints.free(dB)
   }
 
@@ -133,6 +142,7 @@ object MaterializedJoin {
   def createSide(b: DataFrame, keysB: Seq[String], path: String,
       nBuckets: Int = 64): Unit =
     bucketed(b, keysB, nBuckets)
+      .repartition(nBuckets, col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/B")
 
   /** Join one micro-batch of the delta side against the standing
@@ -155,6 +165,7 @@ object MaterializedJoin {
           batchA.sparkSession.read.parquet(s"$path/B")
             .where(col("__bucket").isin(touched: _*)), keysA, keysB)
         .withColumn("__batch", lit(batchId))
+        .repartition(math.min(nBuckets, 8), col("__bucket"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__batch").parquet(s"$path/J")
