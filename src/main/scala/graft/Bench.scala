@@ -7,7 +7,15 @@ import org.apache.spark.sql.SparkSession
   * time-to-fail, so the emitted JSON distinguishes failures from fast
   * queries. When `SPARK_GRAFT_BENCH_OUT` is set the same JSON line is
   * also written to that file, so the official record survives stdout
-  * parsing trouble. */
+  * parsing trouble.
+  *
+  * PROTOCOL FAIRNESS: streaming warm-resume (`WarmRuns`) is DISABLED
+  * for both comparable passes — every streaming gate's timed number is
+  * a cold end-to-end rebuild (stage, run, kill, resume), the same work
+  * the DuckDB comparator does in its timed pass. Restart-from-checkpoint
+  * cost (what a deployed stream actually pays per redeploy) is measured
+  * afterwards in a separate pass and reported as `"restart"`, clearly
+  * excluded from the vs-oracle `total`. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,6 +49,10 @@ object Bench {
       graft.etl.Checkpoints.sweep(spark)
       graft.etl.Scratch.sweep()
     }
+    // comparable passes run COLD: no streaming warm-resume — the
+    // oracle comparator re-executes everything in ITS timed pass, so
+    // ours must too (identical-procedure protocol, BASELINE.md)
+    graft.streaming.WarmRuns.enabled = false
     // untimed warm-up pass: JIT + codegen compilation + file-index
     // caches, so timed numbers reflect steady-state execution
     names.foreach { name =>
@@ -49,21 +61,42 @@ object Bench {
       sweep()
     }
     val results = names.map { name =>
+      val puts0 = graft.streaming.WarmRuns.putAttempts
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val warmCapable = graft.streaming.WarmRuns.putAttempts > puts0
       sweep() // outside the timed window; fresh-JVM-equivalent state
-      (name, sec, ok)
+      (name, sec, ok, warmCapable)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // separate restart-metric pass, EXCLUDED from the comparable total:
+    // for each streaming gate, one more cold run populates the warm
+    // registry, then the timed run measures pure restart-from-checkpoint
+    // (offset/commit-log reconciliation over an unchanged source)
+    graft.streaming.WarmRuns.enabled = true
+    val restart = results.collect { case (n, _, true, true) => n }
+      .map { name =>
+        val sec =
+          try {
+            SparkEntry.queries(name)(spark, sfDir).count()
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 }
+        sweep() // retained warm dirs survive (bounded: one set per gate)
+        (name, sec)
+      }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val rs = restart.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true, _) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"restart":$rs,"sf":"$sfDir"}"""
     println(json)
     // always persist the record to a file: the driver's stdout parser
     // has dropped the [info]-prefixed line before ("parsed": null)

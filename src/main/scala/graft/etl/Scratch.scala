@@ -32,9 +32,15 @@ object Scratch {
     * invocations in one JVM — streaming checkpoints/sinks/staged
     * inputs that a later identical invocation RESUMES instead of
     * rebuilding (see `graft.streaming.WarmRuns`). Bounded by design:
-    * one set per distinct (gate, input) pair, registered once. */
+    * one set per distinct (gate, input) pair, registered once.
+    * While warm reuse is disabled (Bench's cold comparable passes)
+    * there is nothing to retain, so this degrades to ordinary
+    * sweepable [[dir]] scratch — repeated cold rebuilds of the same
+    * gate leak nothing between queries. */
   def retainedDir(prefix: String): String =
-    Files.createTempDirectory(root, RetainedPrefix + prefix).toString
+    if (graft.streaming.WarmRuns.enabled)
+      Files.createTempDirectory(root, RetainedPrefix + prefix).toString
+    else dir(prefix)
 
   private val RetainedPrefix = "retained-"
 
