@@ -44,6 +44,19 @@ object Scratch {
 
   private val RetainedPrefix = "retained-"
 
+  /** A directory UNCONDITIONALLY exempt from [[sweep]] (still removed
+    * by the exit hook): for per-JVM PREBUILT state that read-path
+    * gates serve from ([[PrebuiltState]]) — persisted indexes and
+    * maintained-view state whose CREATION cost is measured by a
+    * paired lifecycle gate, not by the read gate. Unlike
+    * [[retainedDir]] this does not degrade when streaming warm reuse
+    * is off: prebuilt-state reuse is the documented contract of the
+    * read gates themselves (a view exists before you query it), not a
+    * bench-pass optimization. Bounded: one dir per distinct state
+    * key. */
+  def pinnedDir(prefix: String): String =
+    Files.createTempDirectory(root, RetainedPrefix + "pin-" + prefix).toString
+
   /** Eagerly remove a directory tree (scratch or otherwise); safe on
     * already-removed paths. */
   def remove(path: String): Unit = deleteTree(java.nio.file.Paths.get(path))

@@ -156,8 +156,6 @@ object Retrieval {
     // rides in on the broadcast
     val qw = qterms.join(dfA, "token").crossJoin(broadcast(stats))
       .withColumn("qw", log(col("__n").cast("double") / col("df")))
-    val qnorms = qw.where(col("qw") > 0).groupBy(col("query_id"))
-      .agg(sqrt(sum(col("qw") * col("qw"))).as("__qnorm"))
     // full-vocabulary doc norms: ||d|| over EVERY positive-idf term of
     // the doc (not just query terms — an honest cosine length), so the
     // posting frame joins df by token once; AQE picks a shuffled-hash
@@ -166,9 +164,119 @@ object Retrieval {
       .withColumn("w", col("tf") * log(col("__n").cast("double") / col("df")))
       .where(col("w") > 0).groupBy(col(idCol))
       .agg(sqrt(sum(col("w") * col("w"))).as("__dnorm"))
-    // ONE candidate aggregation computes both leg scores; the tf·idf
-    // dot collapses to Σ tf·qw² because the doc weight w = tf·ln(N/df)
-    // shares its log factor with qw
+    hybridCore(post, dnorm, qw, idCol, kPerLeg, k, c, k1, b)
+  }
+
+  /** Materialize the full hybrid-retrieval INDEX for a corpus under
+    * `dir` — the production layout [[hybridTopKFromIndex]] serves
+    * from: `postings/` (idCol, token, tf, dl) range-partitioned and
+    * sorted by token (file-level min/max pruning turns a query-term
+    * read into a handful of row groups), `df/` (token, df) laid out
+    * the same way, `norms/` (idCol, dnorm) and `stats/` (one row:
+    * n, avgdl). df, norms and stats are QUERY-INDEPENDENT — pricing
+    * them at build time is what lets a serve touch only query-term
+    * postings instead of re-aggregating the corpus per batch (at
+    * 100 TB the df/norm re-aggregation IS the serve cost). The df
+    * and norm frames derive from the WRITTEN postings, not the raw
+    * text, so the corpus is tokenized exactly once. */
+  def writeHybridIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nPartitions: Int = 0): Unit = {
+    val spark = docs.sparkSession
+    val np = if (nPartitions > 0) nPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Bm25.postings(docs, idCol, textCol)
+      .repartitionByRange(np, col("token")).sortWithinPartitions("token")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    val post = spark.read.parquet(s"$dir/postings")
+    post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .repartitionByRange(np, col("token")).sortWithinPartitions("token")
+      .write.mode("overwrite").parquet(s"$dir/df")
+    post.groupBy(col(idCol)).agg(max(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("n"), avg(col("__dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val dfA = spark.read.parquet(s"$dir/df")
+    val stats = spark.read.parquet(s"$dir/stats")
+    post.join(dfA, "token").crossJoin(broadcast(stats))
+      .withColumn("w", col("tf") * log(col("n").cast("double") / col("df")))
+      .where(col("w") > 0).groupBy(col(idCol))
+      .agg(sqrt(sum(col("w") * col("w"))).as("dnorm"))
+      .coalesce(np)
+      .write.mode("overwrite").parquet(s"$dir/norms")
+  }
+
+  /** [[hybridTopKFromPostings]] served from a [[writeHybridIndex]]
+    * directory — the steady-state read path: df, doc norms and corpus
+    * stats come off the index (no corpus-side aggregation at all),
+    * and both the postings and df reads carry a pushed-down
+    * `token IN (query vocabulary)` filter against token-sorted files,
+    * so the only corpus-scale data touched is the query terms' own
+    * posting lists. The query vocabulary collects driver-side to
+    * become that literal filter — bounded by the same
+    * queries-are-broadcast contract every ranker here already has
+    * (query-set-sized metadata, never corpus data). Scores are
+    * identical to the inline path: same formulas over the same
+    * persisted values. */
+  def hybridTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      kPerLeg: Int = 20, k: Int = 10, c: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(kPerLeg > 0 && k > 0 && c >= 0,
+      "kPerLeg and k must be positive, c non-negative")
+    val qterms = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(tokens(col(qtextCol)))).as("token"))
+    // query-set-sized metadata resolves DRIVER-SIDE (the queries are
+    // bounded and broadcast by contract — these collects move query
+    // vocabulary, never corpus data): the term list becomes a
+    // pushed-down IN filter on the token-sorted postings, and df +
+    // corpus stats fold into a LOCAL query-term relation, so the whole
+    // serve is ONE distributed pass over query-term postings instead
+    // of a chain of broadcast-subquery jobs over the index
+    val qtermRows = qterms.collect()
+    val qtoks = qtermRows.map(_.getString(1)).distinct.toSeq
+    val statsRow = spark.read.parquet(s"$dir/stats").head()
+    val (n, avgdl) = (statsRow.getAs[Long]("n"), statsRow.getAs[Double]("avgdl"))
+    val dfByTok = spark.read.parquet(s"$dir/df")
+      .where(col("token").isin(qtoks: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qwRows = qtermRows.flatMap { r =>
+      dfByTok.get(r.getString(1))
+        .map(df => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ df))
+    }
+    val qwSchema = org.apache.spark.sql.types.StructType(
+      qterms.schema.fields :+ org.apache.spark.sql.types
+        .StructField("df", org.apache.spark.sql.types.LongType))
+    import scala.jdk.CollectionConverters._
+    // qw itself is still a Spark expression over the local relation —
+    // identical arithmetic (and identical round-6 parity) to the
+    // inline path, just evaluated over driver-resolved inputs
+    val qw = spark.createDataFrame(qwRows.toSeq.asJava, qwSchema)
+      .withColumn("__n", lit(n)).withColumn("__avgdl", lit(avgdl))
+      .withColumn("qw", log(col("__n").cast("double") / col("df")))
+    val post = spark.read.parquet(s"$dir/postings")
+      .where(col("token").isin(qtoks: _*))
+    val dnorm = spark.read.parquet(s"$dir/norms")
+      .select(col(idCol), col("dnorm").as("__dnorm"))
+    hybridCore(post, dnorm, qw, idCol, kPerLeg, k, c, k1, b)
+  }
+
+  /** Shared scoring/fusion tail of the hybrid ranker. `post` is the
+    * candidate posting frame (already query-term-filtered on the
+    * index path), `dnorm` the (idCol, __dnorm) doc-norm frame, `qw`
+    * the tiny query-term frame carrying (query_id, token, qw, df,
+    * __n, __avgdl). ONE candidate aggregation computes both leg
+    * scores; the tf·idf dot collapses to Σ tf·qw² because the doc
+    * weight w = tf·ln(N/df) shares its log factor with qw. The scored
+    * legs union into ONE rank-window shuffle (partitioned by leg ×
+    * query), and RRF fusion is a sum over leg ranks — equivalent to
+    * the full-outer [[rrfFuse]] with one exchange instead of two
+    * windows plus a full-outer join. Everything here is bounded by
+    * |queries| × candidate docs. */
+  private def hybridCore(post: DataFrame, dnorm: DataFrame, qw: DataFrame,
+      idCol: String, kPerLeg: Int, k: Int, c: Int,
+      k1: Double, b: Double): DataFrame = {
+    val qnorms = qw.where(col("qw") > 0).groupBy(col("query_id"))
+      .agg(sqrt(sum(col("qw") * col("qw"))).as("__qnorm"))
     val cand = post
       .join(broadcast(qw.select(col("query_id"), col("token"), col("qw"),
         col("df"), col("__n"), col("__avgdl"))), "token")

@@ -55,6 +55,28 @@ class RetrievalSpec extends SparkSpec {
     assert(inline.nonEmpty)
   }
 
+  test("hybridTopKFromIndex (full persisted index) equals inline") {
+    val docs = corpus.toDF("doc_id", "text")
+    val qs = Seq((1L, "apple banana"), (2L, "durian")).toDF("qid", "qtext")
+    val inline = graft.ops.Retrieval.hybridTopK(docs, "doc_id", "text",
+      qs, "qid", "qtext", kPerLeg = 4, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val idx = java.nio.file.Files.createTempDirectory("hybidx").toString
+    graft.ops.Retrieval.writeHybridIndex(docs, "doc_id", "text", idx)
+    val served = graft.ops.Retrieval.hybridTopKFromIndex(
+      spark, idx, "doc_id", qs, "qid", "qtext", kPerLeg = 4, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(inline.sortBy(r => (r._1, r._4)).toSeq
+      == served.sortBy(r => (r._1, r._4)).toSeq)
+    // a query with an out-of-vocabulary term still ranks on its known
+    // terms (the pushed-down IN filter must not error on zero hits)
+    val oov = Seq((9L, "banana zzz_unseen")).toDF("qid", "qtext")
+    val got = graft.ops.Retrieval.hybridTopKFromIndex(
+      spark, idx, "doc_id", oov, "qid", "qtext", kPerLeg = 4, k = 3)
+    assert(got.count() > 0)
+  }
+
   test("phraseSearch counts consecutive matches, overlaps included") {
     val docs = Seq(
       (1L, "a b a b a"),            // "a b a" at pos 1 and 3 (overlap)
