@@ -3492,7 +3492,224 @@ object SparkEntry {
         .maintainedJoinRestarted(s, s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"),
           round(col("u_max"), 4).as("u_max"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // CDC→JOIN composition (batch): a changelog with UPDATES and
+    // DELETES (event_type 'error' = tombstone) maintains the
+    // latest-per-key CDC state, whose emitted upserts (refreshEmit)
+    // rewrite the composed join's touched buckets as expire+insert
+    // (MaterializedJoin.applyUpserts) against the standing per-user
+    // dim. Oracle = from-scratch latest-per-key ⋈ dim over ALL
+    // events — a lost delete leaves a stale joined row, a replayed
+    // upsert cannot duplicate (bucket rewrite, not append).
+    "q261_cdc_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      val dim = ev.groupBy(col("user_id").as("u"))
+        .agg(max(col("value")).as("u_max"))
+      val cdcPath = graft.etl.Scratch.dir("cdcj-state")
+      val jPath = graft.etl.Scratch.dir("cdcj-join")
+      graft.etl.MaterializedCdc.create(ev.where(col("ts") < cut),
+        "user_id", Seq("ts", "event_id"), "event_type", Seq("value"),
+        cdcPath, nBuckets = 16)
+      graft.etl.MaterializedJoin.createFromCdc(
+        graft.etl.MaterializedCdc.read(s, cdcPath, "event_type", "error"),
+        dim, Seq("user_id"), Seq("u"), jPath, nBuckets = 16)
+      val ups = graft.etl.MaterializedCdc.refreshEmit(s, cdcPath,
+        ev.where(col("ts") >= cut), "user_id", Seq("ts", "event_id"),
+        "event_type", Seq("value"), nBuckets = 16)
+      graft.etl.MaterializedJoin.applyUpserts(s, jPath, ups,
+        Seq("user_id"), Seq("u"), "event_type", "error", nBuckets = 16)
+      graft.etl.Checkpoints.free(ups)
+      graft.etl.MaterializedJoin.read(s, jPath)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          round(col("u_max"), 4).as("u_max"))
+        .orderBy("user_id")
+    }),
+
+    // The same CDC→join composition maintained by a REAL restarted
+    // stream (kill-and-resume mid-input): both steps are fixpoints,
+    // so the replayed epoch converges. Same one-shot oracle.
+    "q262_cdc_join_stream" -> ((s, dir) =>
+      graft.streaming.StreamAsBatch
+        .cdcJoinRestarted(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          round(col("u_max"), 4).as("u_max"))
+        .orderBy("user_id")),
+
+    // ---------------------------------------------------------------
+    // STEADY-STATE gates for the maintained-view families (round-13
+    // brief item 4): each lifecycle twin (q178/q179/q182/q216/q226/
+    // q251/q259) prices state CREATION inside its gate; these price
+    // what a user pays PER QUERY against standing state — the state
+    // builds once per JVM (PrebuiltState, the same shape as the twin)
+    // and the gate body is the read (or, for CDC, the fixpoint
+    // refresh). Oracles are the twins': the steady-state path must
+    // serve exactly what a from-scratch computation would.
+
+    // MaterializedAgg read: merge the bucket partials (q178's state).
+    "q263_magg_read" -> ((s, dir) => {
+      val path = graft.etl.PrebuiltState.getOrCreate(
+          s"maggRead|$dir", "magg-read") { d =>
+        val orders = t(s, dir, "orders")
+        graft.etl.MaterializedAgg.create(
+          orders.where(year(col("o_orderdate")) < 1997),
+          Seq("o_custkey"), "o_totalprice", d, nBuckets = 16)
+        graft.etl.MaterializedAgg.refresh(s, d,
+          orders.where(year(col("o_orderdate")) >= 1997),
+          Seq("o_custkey"), "o_totalprice", nBuckets = 16)
+      }
+      graft.etl.MaterializedAgg.read(s, path, Seq("o_custkey"))
+        .select(col("o_custkey"), col("n"),
+          round(col("total"), 4).as("total"),
+          round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"),
+          (round(col("total"), 4) / col("n")).as("mean"))
+        .orderBy("o_custkey")
+    }),
+
+    // MaterializedQuantiles read (q182's incremental state).
+    "q264_mquant_read" -> ((s, dir) => {
+      val keys = Seq("o_orderpriority")
+      val probs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+      val path = graft.etl.PrebuiltState.getOrCreate(
+          s"mquantRead|$dir", "mquant-read") { d =>
+        val orders = t(s, dir, "orders")
+        graft.etl.MaterializedQuantiles.create(
+          orders.where(year(col("o_orderdate")) < 1997),
+          keys, "o_orderkey", "o_totalprice", d, k = 256, nBuckets = 8)
+        graft.etl.MaterializedQuantiles.refresh(s, d,
+          orders.where(year(col("o_orderdate")) >= 1997),
+          keys, "o_orderkey", "o_totalprice", k = 256, nBuckets = 8)
+      }
+      graft.etl.MaterializedQuantiles.read(s, path, keys, probs)
+        .select(col("o_orderpriority"), col("n_sample"),
+          col("p50"), col("p90"), col("p99"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // MaterializedCdc read (q216's state).
+    "q265_cdc_read" -> ((s, dir) => {
+      val path = graft.etl.PrebuiltState.getOrCreate(
+          s"cdcRead|$dir", "cdc-read") { d =>
+        val ev = t(s, dir, "events")
+        val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+        graft.etl.MaterializedCdc.create(ev.where(col("ts") < cut),
+          "user_id", Seq("ts", "event_id"), "event_type", Seq("value"),
+          d, nBuckets = 16)
+        graft.etl.MaterializedCdc.refresh(s, d,
+          ev.where(col("ts") >= cut), "user_id", Seq("ts", "event_id"),
+          "event_type", Seq("value"), nBuckets = 16)
+      }
+      graft.etl.MaterializedCdc.read(s, path, "event_type", "error")
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy("user_id")
+    }),
+
+    // MaterializedJoin read (q259's state, same final aggregation).
+    "q266_mjoin_read" -> ((s, dir) => {
+      val path = graft.etl.PrebuiltState.getOrCreate(
+          s"mjoinRead|$dir", "mjoin-read") { d =>
+        val orders = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority")
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        graft.etl.MaterializedJoin.create(
+          orders.where(col("o_orderkey") % 4 =!= 0),
+          li.where(col("l_linenumber") =!= 1),
+          Seq("o_orderkey"), Seq("l_orderkey"), d, nBuckets = 16)
+        graft.etl.MaterializedJoin.refresh(s, d,
+          orders.where(col("o_orderkey") % 4 === 0),
+          li.where(col("l_linenumber") === 1),
+          Seq("o_orderkey"), Seq("l_orderkey"), nBuckets = 16)
+      }
+      graft.etl.MaterializedJoin.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("double") / 100, 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // MaterializedCdc steady-state REFRESH: the delta re-applies on
+    // every invocation — latest-per-key is a fixpoint, so the gate is
+    // idempotent and measures the true per-refresh cost (delta merge
+    // + touched-bucket rewrite), never the base build.
+    "q267_cdc_refresh" -> ((s, dir) => {
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      val path = graft.etl.PrebuiltState.getOrCreate(
+          s"cdcRefresh|$dir", "cdc-refresh") { d =>
+        graft.etl.MaterializedCdc.create(
+          t(s, dir, "events").where(col("ts") < cut),
+          "user_id", Seq("ts", "event_id"), "event_type", Seq("value"),
+          d, nBuckets = 16)
+      }
+      graft.etl.MaterializedCdc.refresh(s, path,
+        t(s, dir, "events").where(col("ts") >= cut),
+        "user_id", Seq("ts", "event_id"), "event_type", Seq("value"),
+        nBuckets = 16)
+      graft.etl.MaterializedCdc.read(s, path, "event_type", "error")
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy("user_id")
+    }),
+
+    // MaterializedDistinct read (q179's incremental state) plus the
+    // 5%-accuracy claim vs the exact scan (the estimate itself is not
+    // SQL-portable; the boolean contract is).
+    "q268_mdist_read" -> ((s, dir) => {
+      val keys = Seq("event_type")
+      val path = graft.etl.PrebuiltState.getOrCreate(
+          s"mdistRead|$dir", "mdist-read") { d =>
+        val ev = t(s, dir, "events")
+        graft.etl.MaterializedDistinct.create(
+          ev.where(col("user_id") % 3 =!= 0), keys, "user_id", d,
+          nBuckets = 8, lgK = 14)
+        graft.etl.MaterializedDistinct.refresh(s, d,
+          ev.where(col("user_id") % 3 === 0), keys, "user_id",
+          nBuckets = 8, lgK = 14)
+      }
+      val exact = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      graft.etl.MaterializedDistinct.read(s, path, keys)
+        .join(exact, keys)
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_distinct_est") - col("n_exact"))
+            <= col("n_exact") * 0.05).as("est_within_5pct"))
+        .orderBy("event_type")
+    }),
+
+    // Zone-mapped layout read at the latest committed version (q251's
+    // two-commit state): manifest-pruned scan, no build inside.
+    "q269_layout_read" -> ((s, dir) => {
+      val path = graft.etl.PrebuiltState.getOrCreate(
+          s"layoutRead|$dir", "layout-read") { d =>
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        graft.etl.Layout.writeZoneMapped(
+          ev.where(col("user_id") % 2 === 0), d, "user_id", 8)
+        graft.etl.Layout.appendZoneMapped(
+          ev.where(col("user_id") % 2 =!= 0), d, "user_id", 8)
+      }
+      graft.etl.Layout.readZoneMappedAsOf(s, path, 2L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // MV rewrite HIT over a standing materialization (q226's view,
+    // registered once per JVM): the aggregate plan must be served
+    // from the materialization by the rewrite rule.
+    "q270_mv_read" -> ((s, dir) => {
+      def agg = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"),
+          count(lit(1)).as("n"))
+      graft.etl.PrebuiltState.getOrCreate(s"mvRead|$dir", "mv-read") {
+        d => graft.etl.Mv.register(agg, d)
+      }
+      agg.orderBy("l_returnflag", "l_linestatus")
+    })
   )
 
   /** Shared DuckDB CTE chain computing the gate-shape (8-perm, 4x2
@@ -8895,7 +9112,117 @@ ORDER BY 1, 2"""
         |JOIN (SELECT user_id, MAX(value) AS u_max
         |      FROM events GROUP BY 1) d
         |  ON e.user_id = d.user_id
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    // the CDC-composed maintained join must equal the from-scratch
+    // latest-per-key (tombstones excluded) ⋈ dim over ALL events
+    "q261_cdc_join" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, MAX(value) AS u_max FROM events GROUP BY 1
+        |)
+        |SELECT r.user_id, r.ts, r.event_id, r.value,
+        |  ROUND(d.u_max, 4) AS u_max
+        |FROM r JOIN d ON r.user_id = d.user_id
+        |WHERE r.rn = 1 AND r.event_type <> 'error'
+        |ORDER BY r.user_id""".stripMargin,
+
+    "q262_cdc_join_stream" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, MAX(value) AS u_max FROM events GROUP BY 1
+        |)
+        |SELECT r.user_id, r.ts, r.event_id, r.value,
+        |  ROUND(d.u_max, 4) AS u_max
+        |FROM r JOIN d ON r.user_id = d.user_id
+        |WHERE r.rn = 1 AND r.event_type <> 'error'
+        |ORDER BY r.user_id""".stripMargin,
+
+    // steady-state reads: the twins' oracles verbatim — standing
+    // state must serve exactly the from-scratch result
+    "q263_magg_read" ->
+      """SELECT o_custkey, COUNT(o_totalprice) AS n,
+        |  ROUND(SUM(o_totalprice), 4) AS total,
+        |  ROUND(MIN(o_totalprice), 4) AS lo,
+        |  ROUND(MAX(o_totalprice), 4) AS hi,
+        |  ROUND(SUM(o_totalprice), 4) / COUNT(o_totalprice) AS mean
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q264_mquant_read" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority AS key, o_orderkey AS rid,
+        |    o_totalprice AS v,
+        |    CAST(('0x'||substr(md5('mq:'||CAST(o_orderkey AS VARCHAR)),1,12))
+        |      AS BIGINT) AS h
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |), rk AS (
+        |  SELECT key, v,
+        |    row_number() OVER (PARTITION BY key ORDER BY h, rid) AS r
+        |  FROM h
+        |), samp AS (
+        |  SELECT key, list(v ORDER BY v) AS vs, COUNT(1) AS n
+        |  FROM rk WHERE r <= 256 GROUP BY key
+        |)
+        |SELECT key AS o_orderpriority, n AS n_sample,
+        |  vs[CAST(floor((n-1)*0.5) AS BIGINT)+1] AS p50,
+        |  vs[CAST(floor((n-1)*0.9) AS BIGINT)+1] AS p90,
+        |  vs[CAST(floor((n-1)*0.99) AS BIGINT)+1] AS p99
+        |FROM samp ORDER BY o_orderpriority""".stripMargin,
+
+    "q265_cdc_read" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, ts, event_id, value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q266_mjoin_read" ->
+      """SELECT o_orderpriority, COUNT(1) AS n,
+        |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+        |    AS DOUBLE) / 100, 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q267_cdc_refresh" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, ts, event_id, value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q268_mdist_read" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_exact,
+        |  TRUE AS est_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q269_layout_read" ->
+      """SELECT event_type, COUNT(1) AS n,
+        |  ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q270_mv_read" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 4) AS sum_price,
+        |  COUNT(1) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

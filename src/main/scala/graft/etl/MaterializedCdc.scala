@@ -42,11 +42,15 @@ object MaterializedCdc {
     latest(log, keyCol, orderCols, opCol, payloadCols, nBuckets)
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
 
-  /** Absorb a delta log slice: cost bounded by the delta plus the
-    * state buckets it touches; the full key space is never read. */
-  def refresh(spark: SparkSession, path: String, delta: DataFrame,
-      keyCol: String, orderCols: Seq[String], opCol: String,
-      payloadCols: Seq[String], nBuckets: Int = 64): Unit = {
+  /** The shared merge-and-write of [[refresh]]/[[refreshEmit]]:
+    * returns the (deltaL, merged) checkpointed frames for the caller
+    * to consume and free. `merged` is checkpointed BEFORE the write
+    * because the dynamic overwrite reads the same partitions it
+    * replaces. */
+  private def mergeWrite(spark: SparkSession, path: String,
+      delta: DataFrame, keyCol: String, orderCols: Seq[String],
+      opCol: String, payloadCols: Seq[String],
+      nBuckets: Int): (DataFrame, DataFrame) = {
     val deltaL = Checkpoints.truncate(
       latest(delta, keyCol, orderCols, opCol, payloadCols, nBuckets))
     val touched = deltaL.select(col("__bucket")).distinct()
@@ -61,11 +65,43 @@ object MaterializedCdc {
         .select(col(keyCol) +: col("__bucket") +:
           ((orderCols :+ opCol) ++ payloadCols)
             .map(f => col(s"__last.$f").as(f)): _*))
-    Checkpoints.free(deltaL)
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket").parquet(path)
+    (deltaL, merged)
+  }
+
+  /** Absorb a delta log slice: cost bounded by the delta plus the
+    * state buckets it touches; the full key space is never read. */
+  def refresh(spark: SparkSession, path: String, delta: DataFrame,
+      keyCol: String, orderCols: Seq[String], opCol: String,
+      payloadCols: Seq[String], nBuckets: Int = 64): Unit = {
+    val (deltaL, merged) = mergeWrite(spark, path, delta, keyCol,
+      orderCols, opCol, payloadCols, nBuckets)
+    Checkpoints.free(deltaL); Checkpoints.free(merged)
+  }
+
+  /** [[refresh]] that also EMITS the post-merge LATEST row of every
+    * key the delta touched (tombstones included) — the upsert stream
+    * a downstream consumer applies as expire+insert pairs
+    * ([[MaterializedJoin.applyUpserts]]: the CDC→join composition
+    * that gives the maintained join update/delete semantics). The
+    * emission is computed from the same merged frame the state write
+    * lands, so it cannot diverge from state; it is eagerly
+    * materialized (checkpointed) BEFORE this returns, so a replayed
+    * caller re-derives identical emissions from the already-merged
+    * (idempotent) state. Caller frees the returned frame when done. */
+  def refreshEmit(spark: SparkSession, path: String, delta: DataFrame,
+      keyCol: String, orderCols: Seq[String], opCol: String,
+      payloadCols: Seq[String], nBuckets: Int = 64): DataFrame = {
+    val (deltaL, merged) = mergeWrite(spark, path, delta, keyCol,
+      orderCols, opCol, payloadCols, nBuckets)
+    val emitted = Checkpoints.truncate(
+      merged.join(deltaL.select(col(keyCol)).distinct(), Seq(keyCol),
+        "semi"))
+    Checkpoints.free(deltaL)
     Checkpoints.free(merged)
+    emitted
   }
 
   /** The live table: tombstoned keys suppressed, bucket dropped. */

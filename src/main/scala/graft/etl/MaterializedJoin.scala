@@ -23,18 +23,34 @@ import org.apache.spark.sql.functions._
   * bucket). A refresh therefore (a) reads only the standing-side
   * bucket partitions the delta touches — a daily delta touching 1%
   * of key space reads ~1% of a 10⁹-row side; (b) joins
-  * delta-vs-touched-buckets, never base-vs-base; and (c) APPENDS the
-  * new join rows — under the insert-only contract the materialized
-  * join is append-only, so no existing file is ever rewritten (the
-  * same property the zone-map layout exploits for time travel).
+  * delta-vs-touched-buckets, never base-vs-base; and (c) lands the
+  * new join rows under a fresh `__epoch=` partition — under the
+  * insert-only contract the materialized join is append-only, so no
+  * committed file is ever rewritten (the same property the zone-map
+  * layout exploits for time travel).
   *
-  * CONTRACT: inserts only. Updates/deletes need per-key latest
-  * semantics — that is [[MaterializedCdc]]'s job, composed upstream
-  * (maintain the CDC state, feed its emitted upserts here as
-  * expire+insert pairs). Payload column names of the two sides must
-  * be disjoint (the join output carries both); key columns may be
-  * named differently per side but must be type-identical (xxhash64
-  * is type-sensitive — a BIGINT⋈INT key pair would bucket apart). */
+  * Refresh atomicity: every refresh writes its J/A/B additions under
+  * its own `__epoch=<e>` partitions and THEN writes a commit marker
+  * (`_commits/<e>`, written last) — the `_zonemap_v` pattern. Reads
+  * see only committed epochs, so a crash mid-refresh leaves a TORN
+  * epoch that is invisible; replaying the refresh reuses the same
+  * epoch number and `mode(overwrite)` replaces the torn dirs before
+  * the marker commits. No fence file, no duplicate join rows.
+  *
+  * UPDATES/DELETES: the insert-only delta rule cannot expire rows,
+  * so per-key latest semantics compose with [[MaterializedCdc]]
+  * upstream — maintain the CDC state there, feed each refresh's
+  * emitted upserts ([[MaterializedCdc.refreshEmit]], tombstones
+  * included) into [[applyUpserts]], which REWRITES the touched
+  * bucket partitions of J as expire+insert (a fixpoint — replaying
+  * the same upsert batch converges, which is what makes the
+  * streaming composition crash-safe). Initialize that mode with
+  * [[createFromCdc]]; do not mix the two layouts on one path.
+  *
+  * Payload column names of the two sides must be disjoint (the join
+  * output carries both); key columns may be named differently per
+  * side but must be type-identical (xxhash64 is type-sensitive — a
+  * BIGINT⋈INT key pair would bucket apart). */
 object MaterializedJoin {
 
   private def bucketed(df: DataFrame, keys: Seq[String],
@@ -57,47 +73,80 @@ object MaterializedJoin {
       .select(a.col("*") +: bPayload.map(b(_)): _*)
   }
 
+  // ----------------------------------------------------------------
+  // Epoch commit log (insert-only batch path)
+
+  private def commitsPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_commits")
+
+  private def fs(spark: SparkSession, path: String) =
+    commitsPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed epoch, -1 if none (also the marker that a
+    * path uses the epoch layout at all). */
+  private def maxCommitted(spark: SparkSession, path: String): Int = {
+    val p = commitsPath(path)
+    val f = fs(spark, path)
+    if (!f.exists(p)) -1
+    else f.listStatus(p).map(_.getPath.getName.toInt).foldLeft(-1)(math.max)
+  }
+
+  private def commit(spark: SparkSession, path: String, e: Int): Unit =
+    fs(spark, path)
+      .create(new org.apache.hadoop.fs.Path(commitsPath(path), e.toString),
+        true)
+      .close()
+
+  /** Committed view of one epoch-partitioned side/join dir. */
+  private def committedRead(spark: SparkSession, p: String,
+      maxEpoch: Int): DataFrame =
+    spark.read.parquet(p).where(col("__epoch") <= maxEpoch).drop("__epoch")
+
   /** Initialize the state at `path` from the two sides' current
     * content: persists bucketed copies of A and B plus the
-    * materialized join. */
+    * materialized join, all under `__epoch=0`, committed last. */
   def create(a: DataFrame, b: DataFrame, keysA: Seq[String],
       keysB: Seq[String], path: String, nBuckets: Int = 64): Unit = {
+    val spark = a.sparkSession
     // one file per bucket partition (repartition on the bucket before
     // the partitioned write): without it every task writes a sliver
     // into every bucket dir — tasks x buckets small files whose open
     // cost dominates the bucket-pruned re-reads a refresh does
-    val aB = bucketed(a, keysA, nBuckets)
+    bucketed(a, keysA, nBuckets)
       .repartition(nBuckets, col("__bucket"))
-    val bB = bucketed(b, keysB, nBuckets)
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$path/A/__epoch=0")
+    bucketed(b, keysB, nBuckets)
       .repartition(nBuckets, col("__bucket"))
-    aB.write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/A")
-    bB.write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/B")
-    joined(bucketedRead(a.sparkSession, s"$path/A"),
-        bucketedRead(a.sparkSession, s"$path/B"), keysA, keysB)
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$path/B/__epoch=0")
+    joined(spark.read.parquet(s"$path/A/__epoch=0"),
+        spark.read.parquet(s"$path/B/__epoch=0"), keysA, keysB)
       .repartition(nBuckets, col("__bucket"))
-      .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/J")
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$path/J/__epoch=0")
+    commit(spark, path, 0)
   }
 
-  private def bucketedRead(spark: SparkSession, p: String): DataFrame =
-    spark.read.parquet(p)
-
-  /** Absorb side deltas. Cost: each delta is joined against ONLY the
-    * other side's touched bucket partitions (plus the sibling
-    * delta); new join rows and the deltas themselves are APPENDED —
-    * standing files are never opened outside the touched buckets and
-    * never rewritten at all. Either delta may be empty.
+  /** Absorb side deltas (INSERT-only contract). Cost: each delta is
+    * joined against ONLY the other side's touched bucket partitions
+    * (plus the sibling delta); new join rows and the deltas
+    * themselves land under this refresh's `__epoch` partitions —
+    * committed files are never opened outside the touched buckets
+    * and never rewritten at all. Either delta may be empty.
     *
-    * Atomicity contract: the three appends (J, then A, then B) are
-    * separate jobs — a crash between them leaves J ahead of the
-    * sides, and REPLAYING the same refresh would then duplicate join
-    * rows. This is the batch form's driver-orchestrated contract
-    * (retry the whole refresh only from a state known good, e.g.
-    * after restoring the directories from a snapshot); the STREAMING
-    * form below is the crash-replay-safe one — per-batch dynamic
-    * overwrite makes a replayed epoch replace itself. */
+    * Crash safety: the commit marker is written LAST; a torn refresh
+    * (some epoch dirs written, no marker) is invisible to [[read]]
+    * and to later refreshes, and REPLAYING the refresh overwrites
+    * the torn epoch dirs before committing — the caller retries the
+    * whole refresh, never reconciles partial state by hand. */
   def refresh(spark: SparkSession, path: String,
       deltaA: DataFrame, deltaB: DataFrame, keysA: Seq[String],
       keysB: Seq[String], nBuckets: Int = 64): Unit = {
+    val committed = maxCommitted(spark, path)
+    require(committed >= 0,
+      s"no committed state at $path — create() first")
+    val e = committed + 1 // a torn previous attempt reused: overwritten
     val dA = Checkpoints.truncate(bucketed(deltaA, keysA, nBuckets))
     val dB = Checkpoints.truncate(bucketed(deltaB, keysB, nBuckets))
     val touchedA = dA.select("__bucket").distinct()
@@ -109,30 +158,118 @@ object MaterializedJoin {
     val term1 =
       if (touchedA.isEmpty) None
       else Some(joined(dA,
-        bucketedRead(spark, s"$path/B")
+        committedRead(spark, s"$path/B", committed)
           .where(col("__bucket").isin(touchedA: _*))
           .unionByName(dB), keysA, keysB))
     // A_old (restricted to ΔB's buckets) ⋈ ΔB
     val term2 =
       if (touchedB.isEmpty) None
       else Some(joined(
-        bucketedRead(spark, s"$path/A")
+        committedRead(spark, s"$path/A", committed)
           .where(col("__bucket").isin(touchedB: _*)), dB, keysA, keysB))
     val newJ = (term1.toSeq ++ term2.toSeq).reduceOption(_ unionByName _)
     newJ.foreach(_.repartition(nBuckets, col("__bucket"))
-      .write.mode("append").partitionBy("__bucket").parquet(s"$path/J"))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$path/J/__epoch=$e"))
     if (touchedA.nonEmpty)
       dA.repartition(nBuckets, col("__bucket"))
-        .write.mode("append").partitionBy("__bucket").parquet(s"$path/A")
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"$path/A/__epoch=$e")
     if (touchedB.nonEmpty)
       dB.repartition(nBuckets, col("__bucket"))
-        .write.mode("append").partitionBy("__bucket").parquet(s"$path/B")
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"$path/B/__epoch=$e")
+    commit(spark, path, e) // written last: the refresh IS this marker
     Checkpoints.free(dA); Checkpoints.free(dB)
   }
 
-  /** The maintained join, as of the last refresh. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/J").drop("__bucket")
+  /** The maintained join, as of the last COMMITTED refresh (torn
+    * epochs invisible). Reads the CDC-composed layout transparently
+    * (no commit log there: its rewrites are fixpoint-idempotent). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val committed = maxCommitted(spark, path)
+    if (committed < 0) readComposedJ(spark, path).drop("__bucket")
+    else committedRead(spark, s"$path/J", committed).drop("__bucket")
+  }
+
+  /** The composed-layout J, falling back to the `_schema` sidecar
+    * when every bucket has been expired (an empty partitioned dir
+    * cannot be schema-inferred). */
+  private def readComposedJ(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(s"$path/J")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        if (fs(spark, path)
+            .exists(new org.apache.hadoop.fs.Path(s"$path/_schema")))
+          spark.read.parquet(s"$path/_schema")
+        else throw e
+    }
+
+  // ----------------------------------------------------------------
+  // CDC composition: updates + deletes via per-key latest semantics.
+
+  /** Initialize the CDC-COMPOSED state: `live` is the current
+    * latest-per-key table ([[MaterializedCdc.read]] — tombstones
+    * already suppressed), `b` the standing dimension. Persists a
+    * bucketed B plus the materialized live ⋈ B; A's state lives in
+    * the upstream CDC table, not here. */
+  def createFromCdc(live: DataFrame, b: DataFrame, keysA: Seq[String],
+      keysB: Seq[String], path: String, nBuckets: Int = 64): Unit = {
+    val spark = live.sparkSession
+    createSide(b, keysB, path, nBuckets)
+    val j = joined(bucketed(live, keysA, nBuckets),
+      spark.read.parquet(s"$path/B"), keysA, keysB)
+    // schema sidecar: lets read()/applyUpserts survive the state
+    // where every bucket has been expired by deletes
+    j.limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_schema")
+    j.repartition(math.min(nBuckets, 8), col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/J")
+  }
+
+  /** Apply one CDC emission batch ([[MaterializedCdc.refreshEmit]]:
+    * each touched key's new LATEST row, tombstones included) to the
+    * composed join as expire+insert: the touched J bucket partitions
+    * are REWRITTEN as (standing rows of unchanged keys) ∪ (new
+    * non-tombstone rows ⋈ B) via dynamic partition overwrite.
+    * Replay-safe by FIXPOINT, not by fencing: re-applying the same
+    * batch expires the rows it inserted and re-inserts them
+    * identically. A touched bucket whose keys were ALL deleted gets
+    * no rows in the overwrite output — its stale partition dir is
+    * removed explicitly afterwards (same-batch replay converges on
+    * that cleanup too). */
+  def applyUpserts(spark: SparkSession, path: String, upserts: DataFrame,
+      keysA: Seq[String], keysB: Seq[String], opCol: String,
+      deleteOp: String, nBuckets: Int = 64): Unit = {
+    val u = Checkpoints.truncate(bucketed(upserts, keysA, nBuckets))
+    val touched = u.select("__bucket").distinct()
+      .collect().map(_.getLong(0)) // bounded: at most nBuckets values
+    if (touched.nonEmpty) {
+      val keep = readComposedJ(spark, path)
+        .where(col("__bucket").isin(touched: _*))
+        .join(u.select(keysA.map(col): _*).distinct(), keysA, "left_anti")
+      val ins = joined(u.where(col(opCol) =!= deleteOp),
+        spark.read.parquet(s"$path/B")
+          .where(col("__bucket").isin(touched: _*)), keysA, keysB)
+      val out = Checkpoints.truncate(
+        keep.unionByName(ins)
+          .repartition(math.min(nBuckets, 8), col("__bucket")))
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket").parquet(s"$path/J")
+      // dynamic overwrite only replaces partitions PRESENT in the
+      // output; a fully-expired bucket must be cleared by hand
+      val written = out.select("__bucket").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val f = fs(spark, path)
+      touched.filterNot(written).foreach { bkt =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$path/J/__bucket=$bkt"),
+          true)
+      }
+      Checkpoints.free(out)
+    }
+    Checkpoints.free(u)
+  }
 
   // ----------------------------------------------------------------
   // Streaming maintenance: per-micro-batch delta joins, exactly-once.

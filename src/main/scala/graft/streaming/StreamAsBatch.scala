@@ -284,6 +284,55 @@ object StreamAsBatch {
     graft.etl.MaterializedJoin.readMergedBatches(s, statePath)
   }
 
+  /** The CDC→JOIN COMPOSITION across a kill-and-resume — updates AND
+    * deletes flowing through to a materialized join: each micro-batch
+    * of the changelog merges into the latest-per-key CDC state
+    * ([[graft.etl.MaterializedCdc]]), whose emitted upserts
+    * (refreshEmit — new latest rows for touched keys, tombstones
+    * included) rewrite the composed join's touched buckets as
+    * expire+insert pairs ([[graft.etl.MaterializedJoin.applyUpserts]]).
+    * Both steps are FIXPOINTS (latest-per-key merge; expire+identical
+    * re-insert), so a crash-replayed batch converges — including the
+    * first batch, guarded on the join state (the LAST artifact its
+    * create writes): a torn create re-runs whole. The standing side is
+    * a per-user dimension derived once from the FULL input
+    * (deterministic, so both engines compute the same dim). The
+    * result must equal the one-shot latest-per-key ⋈ dim over
+    * everything — a lost delete would leave a stale joined row, a
+    * replayed epoch cannot duplicate (rewrite, not append). */
+  def cdcJoinRestarted(spark: SparkSession,
+      eventsParquet: String): DataFrame = {
+    val keyCol = "user_id"
+    val orderCols = Seq("ts", "event_id")
+    val (s, statePath) = maintainedRestarted(spark, eventsParquet,
+      s"cdcJoin|$eventsParquet", "cdcjn") { (batch, _, state) =>
+      val sp = batch.sparkSession
+      val cdc = s"$state/cdc"
+      val jn = s"$state/jn"
+      // _SUCCESS = the create's J write committed; a torn create
+      // re-runs whole (its CDC re-create and dim re-derive are
+      // deterministic overwrites)
+      if (!new java.io.File(s"$jn/J/_SUCCESS").exists()) {
+        graft.etl.MaterializedCdc.create(batch, keyCol, orderCols,
+          "event_type", Seq("value"), cdc, nBuckets = 8)
+        val dim = graft.etl.Tables.normalizeEventTime(
+            sp.read.parquet(eventsParquet))
+          .groupBy(col("user_id").as("u"))
+          .agg(max(col("value")).as("u_max"))
+        graft.etl.MaterializedJoin.createFromCdc(
+          graft.etl.MaterializedCdc.read(sp, cdc, "event_type", "error"),
+          dim, Seq(keyCol), Seq("u"), jn, nBuckets = 8)
+      } else {
+        val ups = graft.etl.MaterializedCdc.refreshEmit(sp, cdc, batch,
+          keyCol, orderCols, "event_type", Seq("value"), nBuckets = 8)
+        graft.etl.MaterializedJoin.applyUpserts(sp, jn, ups,
+          Seq(keyCol), Seq("u"), "event_type", "error", nBuckets = 8)
+        graft.etl.Checkpoints.free(ups)
+      }
+    }
+    graft.etl.MaterializedJoin.read(s, s"$statePath/jn")
+  }
+
   private case class WarmMaint(s: SparkSession, stage: String,
     ckpt: String, state: String)
 

@@ -76,4 +76,96 @@ class MaterializedJoinSpec extends SparkSpec {
       a.join(b, $"k" === $"bk").count())
     graft.etl.Scratch.remove(path)
   }
+
+  test("torn refresh (uncommitted epoch) is invisible and replay overwrites it") {
+    val path = graft.etl.Scratch.dir("mjtorn")
+    val a = (1L to 80L).map(k => (k, s"a$k")).toDF("k", "pa")
+    val b = (1L to 80L).map(k => (k, k * 1.5)).toDF("bk", "pb")
+    MaterializedJoin.create(a.where($"k" <= 40), b, Seq("k"), Seq("bk"),
+      path, nBuckets = 4)
+    val committed = MaterializedJoin.read(spark, path).count()
+    // simulate a crash mid-refresh: epoch-1 J dir written (with junk
+    // rows that would corrupt the join), NO commit marker
+    spark.read.parquet(s"$path/J/__epoch=0")
+      .withColumn("pa", lit("TORN"))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$path/J/__epoch=1")
+    val seen = MaterializedJoin.read(spark, path)
+    assert(seen.count() == committed, "torn epoch leaked into read")
+    assert(seen.where($"pa" === "TORN").count() == 0)
+    // the replayed refresh reuses epoch 1, replacing the torn dirs
+    MaterializedJoin.refresh(spark, path, a.where($"k" > 40),
+      b.limit(0), Seq("k"), Seq("bk"), nBuckets = 4)
+    val got = MaterializedJoin.read(spark, path)
+    assert(got.count() == a.join(b, $"k" === $"bk").count())
+    assert(got.where($"pa" === "TORN").count() == 0,
+      "replay failed to overwrite the torn epoch")
+    graft.etl.Scratch.remove(path)
+  }
+
+  test("CDC composition: updates+deletes flow to the join; replay is a fixpoint") {
+    import graft.etl.{MaterializedCdc, MaterializedJoin}
+    val cdc = graft.etl.Scratch.dir("cdcstate")
+    val jn = graft.etl.Scratch.dir("cdcjoin")
+    // changelog: key, seq (order), op, payload — with nBuckets=2 and
+    // keys 1..12 both buckets carry several keys
+    def log(rows: Seq[(Long, Long, String, Double)]) =
+      rows.toDF("k", "seq", "op", "v")
+    val slice1 = log((1L to 12L).map(k => (k, 1L, "upsert", k * 1.0)))
+    val dim = (1L to 12L).map(k => (k, s"dim$k")).toDF("dk", "dpay")
+    MaterializedCdc.create(slice1, "k", Seq("seq"), "op", Seq("v"),
+      cdc, nBuckets = 2)
+    MaterializedJoin.createFromCdc(
+      MaterializedCdc.read(spark, cdc, "op", "delete"),
+      dim, Seq("k"), Seq("dk"), jn, nBuckets = 2)
+    // slice 2: update keys 1-4, delete keys 5-8, insert nothing new
+    val slice2 = log(
+      (1L to 4L).map(k => (k, 2L, "upsert", k * 100.0)) ++
+      (5L to 8L).map(k => (k, 2L, "delete", 0.0)))
+    val ups = MaterializedCdc.refreshEmit(spark, cdc, slice2,
+      "k", Seq("seq"), "op", Seq("v"), nBuckets = 2)
+    MaterializedJoin.applyUpserts(spark, jn, ups, Seq("k"), Seq("dk"),
+      "op", "delete", nBuckets = 2)
+    def snapshot() = MaterializedJoin.read(spark, jn)
+      .select("k", "v", "dpay").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sorted.toSeq
+    val got = snapshot()
+    val want = ((1L to 4L).map(k => (k, k * 100.0, s"dim$k")) ++
+      (9L to 12L).map(k => (k, k * 1.0, s"dim$k"))).sorted.toSeq
+    assert(got == want, s"composed join diverged: $got")
+    // crash-replay the SAME upsert batch: fixpoint, not duplication
+    MaterializedJoin.applyUpserts(spark, jn, ups, Seq("k"), Seq("dk"),
+      "op", "delete", nBuckets = 2)
+    assert(snapshot() == want, "replayed upsert batch changed the join")
+    graft.etl.Checkpoints.free(ups)
+    graft.etl.Scratch.remove(cdc); graft.etl.Scratch.remove(jn)
+  }
+
+  test("applyUpserts clears a bucket whose keys were ALL deleted") {
+    import graft.etl.{MaterializedCdc, MaterializedJoin}
+    val cdc = graft.etl.Scratch.dir("cdcstate2")
+    val jn = graft.etl.Scratch.dir("cdcjoin2")
+    // single bucket (nBuckets=1): deleting every key empties it — the
+    // dynamic-overwrite edge where no partition appears in the output
+    val slice1 = Seq((1L, 1L, "upsert", 1.0), (2L, 1L, "upsert", 2.0))
+      .toDF("k", "seq", "op", "v")
+    val dim = Seq((1L, "d1"), (2L, "d2")).toDF("dk", "dpay")
+    MaterializedCdc.create(slice1, "k", Seq("seq"), "op", Seq("v"),
+      cdc, nBuckets = 1)
+    MaterializedJoin.createFromCdc(
+      MaterializedCdc.read(spark, cdc, "op", "delete"),
+      dim, Seq("k"), Seq("dk"), jn, nBuckets = 1)
+    assert(MaterializedJoin.read(spark, jn).count() == 2)
+    val ups = MaterializedCdc.refreshEmit(spark, cdc,
+      Seq((1L, 2L, "delete", 0.0), (2L, 2L, "delete", 0.0))
+        .toDF("k", "seq", "op", "v"),
+      "k", Seq("seq"), "op", Seq("v"), nBuckets = 1)
+    MaterializedJoin.applyUpserts(spark, jn, ups, Seq("k"), Seq("dk"),
+      "op", "delete", nBuckets = 1)
+    assert(MaterializedJoin.read(spark, jn).count() == 0,
+      "stale rows survived in a fully-expired bucket")
+    graft.etl.Checkpoints.free(ups)
+    graft.etl.Scratch.remove(cdc); graft.etl.Scratch.remove(jn)
+  }
 }
