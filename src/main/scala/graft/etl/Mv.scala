@@ -185,14 +185,19 @@ object Mv {
         ok
       }.map(e => (e.path, agg.aggregateExpressions.indices.toSeq))
       exact.orElse {
+        // linear scan over the (driver-metadata-sized) registry;
+        // entries whose backing path is gone are EVICTED here, not
+        // just skipped, so dead entries are never rescanned
         nameShapeOf(agg).flatMap { cand =>
-          registry.iterator.collectFirst {
-            case ((s, _), e) if s == sk && e.shape.exists(v =>
+          registry.iterator.flatMap { case (key @ (s, _), e) =>
+            if (s != sk || !e.shape.exists(v =>
                 v.childFp == cand.childFp && v.grouping == cand.grouping &&
-                cand.outCols.forall(v.outCols.contains)) &&
-                existsHadoop(spark, e.path) =>
-              (e.path, cand.outCols.map(e.shape.get.outCols.indexOf))
-          }
+                cand.outCols.forall(v.outCols.contains))) None
+            else if (!existsHadoop(spark, e.path)) {
+              registry.remove(key); None
+            } else
+              Some((e.path, cand.outCols.map(e.shape.get.outCols.indexOf)))
+          }.nextOption()
         }
       }
     }
@@ -272,15 +277,29 @@ object Mv {
     case other => other
   }
 
-  /** exprIds stripped, names kept: `sum(v#35)` and `sum(v#102)` both
-    * render `sum(v)`. Only safe when names are unambiguous — callers
-    * guard via [[nameShapeOf]]'s single-relation/distinct-name
-    * check. Raw (non-canonicalized) expressions on purpose:
-    * per-expression canonicalization reorders commutative operands
-    * by exprId-dependent hashes, which would make renders unstable
-    * across independently built frames. */
+  /** exprIds stripped STRUCTURALLY, names kept: `sum(v#35)` and
+    * `sum(v#102)` both render `sum(v#0)`. Every AttributeReference is
+    * rewritten to exprId 0 / no qualifier BEFORE rendering — a regex
+    * over the toString would also mangle `#\d+` inside string
+    * LITERALS, making filters that differ only in literals (`'a#1'`
+    * vs `'a#999'`) render identical and serving a materialization
+    * built under a different filter. Only safe when names are
+    * unambiguous — callers guard via [[nameShapeOf]]'s
+    * single-relation/distinct-name check. Raw (non-canonicalized)
+    * expressions on purpose: per-expression canonicalization reorders
+    * commutative operands by exprId-dependent hashes, which would
+    * make renders unstable across independently built frames. */
   private def renderByName(e: Expression): String =
-    e.toString.replaceAll("#\\d+", "")
+    e.transform {
+      case a: AttributeReference =>
+        AttributeReference(a.name, a.dataType, a.nullable, a.metadata)(
+          exprId = org.apache.spark.sql.catalyst.expressions.ExprId(0),
+          qualifier = Nil)
+      case al: Alias => // inner aliases print "AS name#id" — same strip
+        Alias(al.child, al.name)(
+          exprId = org.apache.spark.sql.catalyst.expressions.ExprId(0),
+          qualifier = Nil, explicitMetadata = al.explicitMetadata)
+    }.toString
 
   /** Name-normalized shape of an optimized Aggregate, or None when
     * the plan is not shaped scan→(filters/projects)→agg over ONE

@@ -102,7 +102,14 @@ object Suffix {
         expr(s"substring(t, pos, $k0)").as("c"))
       .withColumn("__b", substring(col("c"), 1, 2))
     val wSeed = Window.partitionBy(col("__b")).orderBy(col("c"))
-    val offs0 = base.groupBy("__b").agg(count(lit(1)).as("__c"))
+    // offsets need only the 2-char bucket of each position — a
+    // dedicated slim explode, NOT a reuse of `base`: recomputing the
+    // k0-char prefix for a count costs a second corpus-width string
+    // materialization (measured ~25% of the whole seed at sf0.1)
+    val offs0 = txt
+      .withColumn("pos", explode(sequence(lit(1), length(col("t")))))
+      .select(expr("substring(t, pos, 2)").as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(
         Window.orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -193,20 +200,23 @@ object Suffix {
         }
       }
     }
-    // dense compression of the surviving head ranks, two-phase
-    val distinctR = s.select("r").distinct()
-      .withColumn("__b", (col("r") * 256L / (n + 1L)).cast("long"))
+    // dense compression of the surviving head ranks, two-phase and
+    // FUSED onto the rank frame itself: dense_rank within the
+    // (monotone-in-r) bucket + broadcast per-bucket distinct-count
+    // offsets — one window sort of the frame, no distinct
+    // intermediate and no join-back (the former distinct + merge
+    // join paid a second corpus-frame sort for nothing)
+    val s2 = s.withColumn("__b", (col("r") * 256L / (n + 1L)).cast("long"))
     val wLoc = Window.partitionBy(col("__b")).orderBy(col("r"))
-    val loc = distinctR
-      .withColumn("__rn", row_number().over(wLoc).cast("long"))
-    val offs = loc.groupBy("__b").agg(count(lit(1)).as("__c"))
+    val offs = s2.groupBy("__b")
+      .agg(countDistinct(col("r")).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(
         Window.orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__b", "__off")
-    val denseMap = loc.join(broadcast(offs), "__b")
-      .select(col("r"), (col("__off") + col("__rn")).as("rank"))
-    s.hint("merge").join(denseMap, "r").select("id", "pos", "rank")
+    s2.withColumn("__dr", dense_rank().over(wLoc).cast("long"))
+      .join(broadcast(offs), "__b")
+      .select(col("id"), col("pos"), (col("__off") + col("__dr")).as("rank"))
   }
 
   /** Longest repeated substring(s): the maximal LCP over rank-adjacent

@@ -191,6 +191,147 @@ class MvSpec extends SparkSpec {
     Mv.clear()
   }
 
+  test("filters differing only in string LITERALS containing #digits do not match") {
+    // regression for the renderByName regex bug: a toString-level
+    // #\d+ strip made `g = 'g#1'` and `g = 'g#999'` render identical,
+    // so the projected tier could serve a materialization built under
+    // a DIFFERENT filter — the exact silent wrong answer the
+    // freshness contract forbids
+    GraftExtensions.register(spark)
+    Mv.clear()
+    val dir = graft.etl.Scratch.dir("mvlit")
+    (1 to 1000).map(i => (s"g#${i % 5}", i.toLong, i * 0.5))
+      .toDF("g", "k", "v").write.mode("overwrite").parquet(dir)
+    def aggFor(lit0: String) = spark.read.parquet(dir)
+      .where(col("g") === lit0)
+      .groupBy("g").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val mvPath = graft.etl.Scratch.dir("mv")
+    Mv.register(aggFor("g#1"), mvPath)
+    // same shape, different literal: must MISS (and compute correctly)
+    val q = aggFor("g#2").select("n", "g")
+    assert(q.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      s"literal-differing filter matched the view:\n" +
+        q.queryExecution.optimizedPlan)
+    val rows = q.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 200L)
+    // the view's own literal still hits through the projected tier
+    val hit = aggFor("g#1").select("n", "g")
+    assert(!hit.queryExecution.optimizedPlan.toString.contains("Aggregate"))
+    assert(hit.collect().head.getLong(0) == 200L)
+    Mv.clear()
+  }
+
+  test("self-join of the base table never takes the projected tier") {
+    // both join sides match the view's relation; name-normalized
+    // comparison cannot tell them apart, so the ambiguity guard must
+    // refuse (relations.size != 1) and the result must stay correct
+    GraftExtensions.register(spark)
+    Mv.clear()
+    val dir = factDir()
+    val mvPath = graft.etl.Scratch.dir("mv")
+    Mv.register(aggOf(dir), mvPath)
+    val l = spark.read.parquet(dir)
+    val r = spark.read.parquet(dir)
+      .select(col("g").as("g2"), col("v").as("v2"))
+    val q = l.join(r, col("g") === col("g2"))
+      .groupBy("g").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      s"self-join matched the single-relation view:\n" +
+        q.queryExecution.optimizedPlan)
+    // n per group = rows^2 / groups... each group g has ~714 rows; the
+    // join blows counts up to rows_g^2, never the view's rows_g
+    val n = q.where(col("g") === "g0").head().getLong(2)
+    val rowsG0 = (1 to 5000).count(_ % 7 == 0).toLong
+    assert(n == rowsG0 * rowsG0, s"self-join result wrong: $n")
+    Mv.clear()
+  }
+
+  test("project-over-project nesting: computed columns match only when identical") {
+    GraftExtensions.register(spark)
+    Mv.clear()
+    val dir = factDir()
+    val mvPath = graft.etl.Scratch.dir("mv")
+    // view: computed projection (v*2 as w) under the aggregate
+    def viewAgg = spark.read.parquet(dir)
+      .select(col("g"), (col("v") * 2).as("w"))
+      .groupBy("g").agg(sum("w").as("sw"), count(lit(1)).as("n"))
+    Mv.register(viewAgg, mvPath)
+    // nested projects that COLLAPSE to the same computed column: hit
+    // (the candidate must READ sw — a count-only subset lets column
+    // pruning drop the computed column and the shapes legitimately
+    // differ, a conservative miss)
+    val same = spark.read.parquet(dir)
+      .select(col("g"), col("v"))
+      .select(col("g"), (col("v") * 2).as("w"))
+      .groupBy("g").agg(sum("w").as("sw"), count(lit(1)).as("n"))
+      .select("sw", "g")
+    assert(!same.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      s"collapsed-identical projection missed:\n" +
+        same.queryExecution.optimizedPlan)
+    assert(math.abs(same.collect().map(_.getDouble(0)).sum -
+      (1 to 5000).map(_ * 1.0).sum) < 1e-6)
+    // a DIFFERENT computed column (v*3) must miss even though the
+    // aggregate list renders the same shape over 'w'
+    val diff = spark.read.parquet(dir)
+      .select(col("g"), (col("v") * 3).as("w"))
+      .groupBy("g").agg(sum("w").as("sw"), count(lit(1)).as("n"))
+      .select("sw", "g")
+    assert(diff.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      s"different computed projection matched:\n" +
+        diff.queryExecution.optimizedPlan)
+    val swDiff = spark.read.parquet(dir)
+      .select(col("g"), (col("v") * 3).as("w"))
+      .groupBy("g").agg(sum("w").as("sw")).agg(sum("sw")).head().getDouble(0)
+    assert(math.abs(swDiff - (1 to 5000).map(_ * 1.5).sum) < 1e-6)
+    Mv.clear()
+  }
+
+  test("aggregate aliased to a grouping column's name remaps by expression, not name") {
+    // `sum(v) as g` with grouping col g ALSO in the output: positional
+    // remap must bind each output to its own expression's column —
+    // a name-keyed remap would serve the grouping column twice
+    GraftExtensions.register(spark)
+    Mv.clear()
+    val dir = factDir()
+    val mvPath = graft.etl.Scratch.dir("mv")
+    Mv.register(aggOf(dir), mvPath)
+    // candidate: the view shape reordered, with sv renamed to shadow
+    // nothing — then the tricky one: output ONLY sum(v), aliased "g"
+    val q = spark.read.parquet(dir).groupBy("g")
+      .agg(sum("v").as("g2"))
+      .select(col("g2").as("g"))
+    val rewritten =
+      !q.queryExecution.optimizedPlan.toString.contains("Aggregate")
+    // whether served from the view (sum(v) IS among its outputs) or
+    // recomputed, the VALUES must be the sums, not the group names
+    val got = q.collect().map(_.getDouble(0)).sorted
+    val want = (1 to 5000).groupBy(i => s"g${i % 7}")
+      .map(_._2.map(_ * 0.5).sum).toArray.sorted
+    assert(got.length == want.length &&
+      got.zip(want).forall { case (a, b) => math.abs(a - b) < 1e-6 },
+      s"aliased-to-grouping-name output wrong (rewritten=$rewritten): " +
+        got.mkString(","))
+    Mv.clear()
+  }
+
+  test("duplicate output expressions remap each occurrence correctly") {
+    GraftExtensions.register(spark)
+    Mv.clear()
+    val dir = factDir()
+    val mvPath = graft.etl.Scratch.dir("mv")
+    Mv.register(aggOf(dir), mvPath)
+    // SELECT n AS a, n AS b, g: both aliases point at the same view
+    // column; the remap must serve both (same index twice is correct)
+    val q = aggOf(dir).select(col("n").as("a"), col("n").as("b"), col("g"))
+    val rows = q.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2))).sortBy(_._3)
+    val want = (1 to 5000).groupBy(i => s"g${i % 7}").toSeq
+      .map { case (g, xs) => (xs.size.toLong, xs.size.toLong, g) }
+      .sortBy(_._3)
+    assert(rows.toSeq == want, s"duplicate-output remap wrong: ${rows.toSeq}")
+    Mv.clear()
+  }
+
   test("re-registering the same shape repoints to the new materialization") {
     GraftExtensions.register(spark)
     Mv.clear()
