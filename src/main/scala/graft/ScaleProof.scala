@@ -81,9 +81,14 @@ object ScaleProof {
       // events table (tools/gen_scale_events.py builds 10×/100× dirs
       // with shifted-user replicas: same alphabets, scaled rows).
       if (new java.io.File(s"$dir/events.parquet").exists) {
+        // q88/q23 joined in round 13 for the SKEWED corpus protocol
+        // (gen_scale_events_skew.py: one whale user owns ~10% of
+        // events) — the per-user window family must survive a single
+        // giant partition, not just uniform replicas
         Seq("q253_event_paths", "q254_growth_accounting",
             "q255_cohort_ltv", "q256_daily_percentiles",
-            "q257_top_movers").filter(selected)
+            "q257_top_movers", "q88_funnel", "q23_sessionize")
+          .filter(selected)
           .foreach { name =>
             val t = System.nanoTime()
             val rows = SparkEntry.queries(name)(spark, dir).count()
