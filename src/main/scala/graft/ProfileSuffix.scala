@@ -40,13 +40,16 @@ object ProfileSuffix {
         .select(col("doc_id").as("id"), col("text").as("t"))
       val k0 = 32L
       val base = txt
-        .withColumn("pos", explode(sequence(lit(1), length(col("t")))))
-        .select(col("id"), col("pos"),
-          expr(s"substring(t, pos, $k0)").as("c"))
+        .select(col("id"), posexplode(
+          graft.expressions.SuffixPrefixes(col("t"), k0.toInt)))
+        .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("c"))
         .withColumn("__b", substring(col("c"), 1, 2))
-      time("  base explode count") { base.count() }
+      time("  base explode+prefix") { base.agg(max(length(col("c")))).head() }
       val wSeed = Window.partitionBy(col("__b")).orderBy(col("c"))
-      val offs0 = base.groupBy("__b").agg(count(lit(1)).as("__c"))
+      val offs0 = txt
+        .select(explode(
+          graft.expressions.SuffixPrefixes(col("t"), 2)).as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as("__c"))
         .withColumn("__off", coalesce(sum(col("__c")).over(
           Window.orderBy(col("__b"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -93,22 +93,27 @@ object Suffix {
     // bucket offsets. rank() keeps equal prefixes tied and yields
     // the head rank: 1 + count of strictly smaller.
     // read by both the window branch and the offsets branch — NOT
-    // persisted: recomputing the explode+substring is linear and
+    // persisted: recomputing the prefix explode is linear and
     // memory-free, while unrolling a corpus-positions cache block is
-    // exactly what dies first on a bounded executor heap at 100×
+    // exactly what dies first on a bounded executor heap at 100×.
+    // [[graft.expressions.SuffixPrefixes]] materializes every
+    // position's k0-prefix in ONE byte walk per document — the
+    // composed explode(sequence)+substring(t, pos, k0) form re-walked
+    // the string from byte zero per row to locate char offset `pos`
+    // (O(L²) char steps/doc; ~2 s of the sf0.1 seed, paid twice).
     val base = txt
-      .withColumn("pos", explode(sequence(lit(1), length(col("t")))))
-      .select(col("id"), col("pos"),
-        expr(s"substring(t, pos, $k0)").as("c"))
+      .select(col("id"), posexplode(
+        graft.expressions.SuffixPrefixes(col("t"), k0.toInt)))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("c"))
       .withColumn("__b", substring(col("c"), 1, 2))
     val wSeed = Window.partitionBy(col("__b")).orderBy(col("c"))
     // offsets need only the 2-char bucket of each position — a
-    // dedicated slim explode, NOT a reuse of `base`: recomputing the
-    // k0-char prefix for a count costs a second corpus-width string
-    // materialization (measured ~25% of the whole seed at sf0.1)
+    // dedicated slim explode of 2-char prefixes, NOT a reuse of
+    // `base`: recomputing the k0-char prefix for a count is a k0/2×
+    // wider materialization than the count needs
     val offs0 = txt
-      .withColumn("pos", explode(sequence(lit(1), length(col("t")))))
-      .select(expr("substring(t, pos, 2)").as("__b"))
+      .select(explode(
+        graft.expressions.SuffixPrefixes(col("t"), 2)).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(
         Window.orderBy(col("__b"))
