@@ -111,15 +111,18 @@ object MaterializedJoin {
     // one file per bucket partition (repartition on the bucket before
     // the partitioned write): without it every task writes a sliver
     // into every bucket dir — tasks x buckets small files whose open
-    // cost dominates the bucket-pruned re-reads a refresh does
-    bucketed(a, keysA, nBuckets)
-      .repartition(nBuckets, col("__bucket"))
-      .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(s"$path/A/__epoch=0")
-    bucketed(b, keysB, nBuckets)
-      .repartition(nBuckets, col("__bucket"))
-      .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(s"$path/B/__epoch=0")
+    // cost dominates the bucket-pruned re-reads a refresh does.
+    // The two side landings are independent — overlapped ([[Par]]);
+    // J depends on both and stays after the barrier.
+    Par.run(
+      () => bucketed(a, keysA, nBuckets)
+        .repartition(nBuckets, col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"$path/A/__epoch=0"),
+      () => bucketed(b, keysB, nBuckets)
+        .repartition(nBuckets, col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"$path/B/__epoch=0"))
     joined(spark.read.parquet(s"$path/A/__epoch=0"),
         spark.read.parquet(s"$path/B/__epoch=0"), keysA, keysB)
       .repartition(nBuckets, col("__bucket"))
@@ -147,12 +150,23 @@ object MaterializedJoin {
     require(committed >= 0,
       s"no committed state at $path — create() first")
     val e = committed + 1 // a torn previous attempt reused: overwritten
-    val dA = Checkpoints.truncate(bucketed(deltaA, keysA, nBuckets))
-    val dB = Checkpoints.truncate(bucketed(deltaB, keysB, nBuckets))
-    val touchedA = dA.select("__bucket").distinct()
-      .collect().map(_.getLong(0)) // bounded: at most nBuckets values
-    val touchedB = dB.select("__bucket").distinct()
-      .collect().map(_.getLong(0))
+    // the two delta materializations (and their bounded bucket-id
+    // collects) are independent — overlapped ([[Par]])
+    var dA: DataFrame = null
+    var dB: DataFrame = null
+    var touchedA: Array[Long] = null
+    var touchedB: Array[Long] = null
+    Par.run(
+      () => {
+        dA = Checkpoints.truncate(bucketed(deltaA, keysA, nBuckets))
+        touchedA = dA.select("__bucket").distinct()
+          .collect().map(_.getLong(0)) // bounded: at most nBuckets values
+      },
+      () => {
+        dB = Checkpoints.truncate(bucketed(deltaB, keysB, nBuckets))
+        touchedB = dB.select("__bucket").distinct()
+          .collect().map(_.getLong(0))
+      })
     // ΔA ⋈ (B_old restricted to ΔA's buckets ∪ ΔB) — the only term
     // that sees ΔB alongside standing B, so ΔA⋈ΔB emits exactly once
     val term1 =
@@ -168,17 +182,21 @@ object MaterializedJoin {
         committedRead(spark, s"$path/A", committed)
           .where(col("__bucket").isin(touchedB: _*)), dB, keysA, keysB))
     val newJ = (term1.toSeq ++ term2.toSeq).reduceOption(_ unionByName _)
-    newJ.foreach(_.repartition(nBuckets, col("__bucket"))
-      .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(s"$path/J/__epoch=$e"))
-    if (touchedA.nonEmpty)
-      dA.repartition(nBuckets, col("__bucket"))
+    // the three per-epoch landings are independent of one another
+    // (J reads only COMMITTED state plus the truncated deltas) —
+    // overlapped; only the marker must happen-after all of them
+    Par.run(
+      () => newJ.foreach(_.repartition(nBuckets, col("__bucket"))
         .write.mode("overwrite").partitionBy("__bucket")
-        .parquet(s"$path/A/__epoch=$e")
-    if (touchedB.nonEmpty)
-      dB.repartition(nBuckets, col("__bucket"))
-        .write.mode("overwrite").partitionBy("__bucket")
-        .parquet(s"$path/B/__epoch=$e")
+        .parquet(s"$path/J/__epoch=$e")),
+      () => if (touchedA.nonEmpty)
+        dA.repartition(nBuckets, col("__bucket"))
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(s"$path/A/__epoch=$e"),
+      () => if (touchedB.nonEmpty)
+        dB.repartition(nBuckets, col("__bucket"))
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(s"$path/B/__epoch=$e"))
     commit(spark, path, e) // written last: the refresh IS this marker
     Checkpoints.free(dA); Checkpoints.free(dB)
   }
@@ -215,16 +233,20 @@ object MaterializedJoin {
     * the upstream CDC table, not here. */
   def createFromCdc(live: DataFrame, b: DataFrame, keysA: Seq[String],
       keysB: Seq[String], path: String, nBuckets: Int = 64): Unit = {
-    val spark = live.sparkSession
-    createSide(b, keysB, path, nBuckets)
-    val j = joined(bucketed(live, keysA, nBuckets),
-      spark.read.parquet(s"$path/B"), keysA, keysB)
-    // schema sidecar: lets read()/applyUpserts survive the state
-    // where every bucket has been expired by deletes
-    j.limit(0).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_schema")
-    j.repartition(math.min(nBuckets, 8), col("__bucket"))
-      .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/J")
+    // J joins the in-memory bucketed B (same rows as the persisted
+    // copy — deterministic bucketing), so the B landing, the schema
+    // sidecar, and the J landing are mutually independent ([[Par]])
+    val bb = bucketed(b, keysB, nBuckets)
+    val j = joined(bucketed(live, keysA, nBuckets), bb, keysA, keysB)
+    Par.run(
+      () => createSide(b, keysB, path, nBuckets),
+      // schema sidecar: lets read()/applyUpserts survive the state
+      // where every bucket has been expired by deletes
+      () => j.limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_schema"),
+      () => j.repartition(math.min(nBuckets, 8), col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"$path/J"))
   }
 
   /** Apply one CDC emission batch ([[MaterializedCdc.refreshEmit]]:

@@ -362,7 +362,7 @@ object StreamAsBatch {
         (w.s, w.state)
       case None =>
         val s = spark.newSession()
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val stage = graft.etl.Scratch.retainedDir(s"$prefix-stage")
         val ckpt = graft.etl.Scratch.retainedDir(s"$prefix-ckpt")
@@ -415,7 +415,7 @@ object StreamAsBatch {
         w.s.read.parquet(w.sink)
       case None =>
         val s = spark.newSession()
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val stage = graft.etl.Scratch.retainedDir("stage")
         val ckpt = graft.etl.Scratch.retainedDir("ckpt")
@@ -440,7 +440,7 @@ object StreamAsBatch {
   /** Append-mode harness over the real parquet file sink (its
     * `_spark_metadata` commit log gives exactly-once reads of the
     * sink), run in a throwaway `spark.newSession()` so the bounded
-    * state-partition override — 8 state partitions instead of the
+    * state-partition override — 4 state partitions instead of the
     * shuffle default, because state-store open/commit cost is
     * per-partition per-batch and the result is partition-count
     * independent — never leaks into a query planned concurrently on
@@ -464,7 +464,7 @@ object StreamAsBatch {
         w.s.read.parquet(w.sink)
       case None =>
         val s = spark.newSession()
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         val ckpt = graft.etl.Scratch.retainedDir(s"$prefix-ckpt")
         val sink = graft.etl.Scratch.retainedDir(s"$prefix-sink")
         runOnce(s, ckpt, sink)
@@ -494,7 +494,7 @@ object StreamAsBatch {
         w.s.read.parquet(w.sink)
       case None =>
         val s = spark.newSession()
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         val ckpt = graft.etl.Scratch.retainedDir(s"$prefix-ckpt")
         val sink = graft.etl.Scratch.retainedDir(s"$prefix-sink")
         runOnce(s, ckpt, sink)
