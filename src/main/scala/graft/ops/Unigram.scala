@@ -18,11 +18,18 @@ import graft.functions.TextFunctions
   *    runs on the DISTINCT-WORD frame (Heaps-law scale, not corpus
   *    scale) weighted by word counts — the property that keeps
   *    training viable at 100 TB;
-  *  - segmentation is a distributed DP over (word, position) frames —
-  *    `maxWordLen` rounds of bounded joins, NEVER a per-row recursive
-  *    UDF — with [[Checkpoints]] lineage truncation like every other
-  *    iterative op (PageRank, BFS, BPE);
-  *  - the piece vocabulary broadcasts (top-V by contract).
+  *  - segmentation is a ROW-LOCAL codegen-stage DP
+  *    ([[graft.expressions.UnigramSegment]]): the vocabulary is
+  *    bounded by contract (top-V + alphabet — model parameters), so
+  *    it ships with the task like any broadcast, and each word's
+  *    lattice is O(len × maxPieceLen) local lookups with no
+  *    cross-row dependency. The former formulation — one bounded
+  *    join per position, `maxWordLen` Spark jobs — computed the
+  *    identical recurrence but paid pure fixed scheduling cost per
+  *    round at ANY corpus size (the iterated frame was already
+  *    distinct-words, not corpus-scale);
+  *  - the piece vocabulary collect is the SAME bounded set (one
+  *    driver copy of the model, exactly like a tokenizer file).
   *
   * Ties between equal-cost segmentations break deterministically
   * toward the LONGEST LAST piece, recursively (backward recovery picks
@@ -60,11 +67,6 @@ object Unigram {
     rescore(kept)
   }
 
-  /** Fresh output exprIds — the self-join disambiguation every reuse
-    * of a shared-lineage frame needs (same trick as
-    * [[AsOf.joinAsOfNative]]'s right-side dedup). */
-  private def fresh(df: DataFrame): DataFrame =
-    df.select(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
 
   /** (piece, cnt) → (piece, cnt, score) with score = −ln(cnt/Σcnt). */
   private def rescore(counts: DataFrame): DataFrame = {
@@ -74,114 +76,42 @@ object Unigram {
       .drop("__tot")
   }
 
-  /** The segmentation lattice: one row per (word, s, e, piece, w) span
-    * whose substring is in the vocabulary. s/e are 0-based cut
-    * points (piece = chars (s, e]). */
-  private def lattice(words: DataFrame, vocab: DataFrame,
-      maxPieceLen: Int): DataFrame =
-    words
-      .withColumn("i", explode(sequence(lit(1), length(col("word")))))
-      .withColumn("l", explode(sequence(lit(1),
-        least(lit(maxPieceLen), length(col("word")) - col("i") + 1))))
-      .select(col("word"), (col("i") - 1).as("s"), (col("i") - 1 + col("l")).as("e"),
-        expr("substring(word, i, l)").as("piece"))
-      .join(broadcast(vocab.select(col("piece"), col("score").as("w"))),
-        "piece")
+  /** The bounded vocabulary as driver-side model parameters —
+    * `seedVocab`'s top-V + alphabet contract is what makes this a
+    * metadata collect (a tokenizer model file, not data). */
+  private def collectVocab(vocab: DataFrame): (Seq[String], Seq[Double]) = {
+    val rows = vocab.select(col("piece"), col("score")).collect()
+    (rows.map(_.getString(0)).toSeq, rows.map(_.getDouble(1)).toSeq)
+  }
 
-  /** Full DP table (word, pos, cost): minimum cost to segment the
-    * first `pos` chars. `maxWordLen` rounds of bounded joins over the
-    * distinct-word frame. Unreachable positions are absent (cannot
-    * happen when vocab kept all single chars). */
-  def dpTable(words: DataFrame, vocab: DataFrame, maxPieceLen: Int,
-      maxWordLen: Int): DataFrame = {
-    val edges = Checkpoints.truncate(lattice(words, vocab, maxPieceLen))
-    var d = words.select(col("word"), lit(0).as("pos"), lit(0.0).as("cost"))
-    var lastCkpt: DataFrame = null
-    var p = 1
-    while (p <= maxWordLen) {
-      val np = edges.where(col("e") === p)
-        .join(fresh(d).select(col("word"), col("pos").as("s"),
-          col("cost").as("__pc")), Seq("word", "s"))
-        .groupBy("word")
-        .agg(min(col("__pc") + col("w")).as("cost"))
-        .withColumn("pos", lit(p))
-        .select("word", "pos", "cost")
-      val grown = d.unionByName(np)
-      // truncate every few rounds; the superseded checkpoint's blocks
-      // are dead the moment the new one is materialized
-      if (p % 4 == 0 || p == maxWordLen) {
-        d = Checkpoints.truncate(grown)
-        if (lastCkpt != null) Checkpoints.free(lastCkpt)
-        lastCkpt = d
-      } else d = grown
-      p += 1
-    }
-    Checkpoints.free(edges)
-    d
+  /** Word + its minimum-cost segmentation struct (NULL = uncoverable
+    * word, dropped — mirroring the absent-row semantics of the old
+    * positional DP). */
+  private def segmented(words: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val (ps, ws) = collectVocab(vocab)
+    words.where(length(col("word")) <= maxWordLen)
+      .withColumn("__seg", graft.expressions.UnigramSegment(
+        col("word"), ps, ws, maxPieceLen))
+      .where(col("__seg").isNotNull)
   }
 
   /** Per-word minimal segmentation cost: (word, cost). */
   def segmentCosts(words: DataFrame, vocab: DataFrame, maxPieceLen: Int,
       maxWordLen: Int): DataFrame =
-    dpTable(words, vocab, maxPieceLen, maxWordLen)
-      .join(fresh(words)
-        .select(col("word"), length(col("word")).as("__len")), "word")
-      .where(col("pos") === col("__len"))
-      .select("word", "cost")
+    segmented(words, vocab, maxPieceLen, maxWordLen)
+      .select(col("word"), col("__seg.cost").as("cost"))
 
-  /** Viterbi segmentation by backward recovery over the DP table:
-    * (word, pieces array<string>, cost). At each step pick, among
-    * spans (s, pos] with d(s) + w(piece) exactly equal to d(pos), the
-    * SMALLEST s — the longest-last-piece deterministic tie-break. */
+  /** Viterbi segmentation: (word, pieces array<string>, cost). Among
+    * equal-cost segmentations the recovery picks, at each cut from
+    * the end, the span with the SMALLEST split point whose prefix
+    * cost is exactly optimal — the longest-last-piece deterministic
+    * tie-break ([[graft.expressions.UnigramSegment]]). */
   def viterbiSegments(words: DataFrame, vocab: DataFrame, maxPieceLen: Int,
-      maxWordLen: Int): DataFrame = {
-    val d = dpTable(words, vocab, maxPieceLen, maxWordLen)
-    val edges = Checkpoints.truncate(
-      lattice(words, vocab, maxPieceLen)
-        .join(fresh(d).select(col("word"), col("pos").as("s"),
-          col("cost").as("__sc")), Seq("word", "s")))
-    val start = fresh(d)
-      .join(fresh(words).select(col("word"),
-        length(col("word")).as("__len")), "word")
-      .where(col("pos") === col("__len"))
-      .select(col("word"), col("pos"), col("cost"),
-        array().cast("array<string>").as("pieces"))
-    var cur = Checkpoints.truncate(start)
-    var done = cur.where(col("pos") > 0).limit(1).isEmpty
-    var rounds = 0
-    while (!done && rounds < maxWordLen) {
-      val open = cur.where(col("pos") > 0)
-      val closed = cur.where(col("pos") === 0)
-      // candidate spans whose prefix cost is EXACTLY optimal for the
-      // current cut; smallest s wins (longest last piece)
-      val stepped = open
-        .join(edges.withColumnRenamed("e", "pos"), Seq("word", "pos"))
-        .where(col("__sc") + col("w") === col("cost"))
-        .groupBy(col("word"), col("pos"), col("cost"), col("pieces"))
-        .agg(min_by(struct(col("s"), col("piece"), col("__sc")),
-          col("s")).as("__pick"))
-        .select(col("word"), col("__pick.s").as("pos"),
-          col("__pick.__sc").as("cost"),
-          concat(array(col("__pick.piece")), col("pieces")).as("pieces"))
-      val next = Checkpoints.truncate(closed.unionByName(stepped))
-      Checkpoints.free(cur)
-      cur = next
-      rounds += 1
-      done = cur.where(col("pos") > 0).limit(1).isEmpty
-    }
-    val out = cur.where(col("pos") === 0)
-      .join(dpFinal(d, words), "word")
-      .select(col("word"), col("pieces"), col("fcost").as("cost"))
-    Checkpoints.free(edges)
-    out
-  }
-
-  private def dpFinal(d: DataFrame, words: DataFrame): DataFrame =
-    fresh(d)
-      .join(fresh(words)
-        .select(col("word"), length(col("word")).as("__len")), "word")
-      .where(col("pos") === col("__len"))
-      .select(col("word"), col("cost").as("fcost"))
+      maxWordLen: Int): DataFrame =
+    segmented(words, vocab, maxPieceLen, maxWordLen)
+      .select(col("word"), col("__seg.pieces").as("pieces"),
+        col("__seg.cost").as("cost"))
 
   /** One hard-EM step: re-count pieces over every word's Viterbi
     * segmentation (weighted by word count) and re-score. Pieces that

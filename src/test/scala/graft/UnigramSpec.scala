@@ -36,6 +36,22 @@ class UnigramSpec extends SparkSpec {
     assert(segs.getDouble(2) == 2.0)
   }
 
+  test("multibyte words segment on code points, not bytes") {
+    // ü is 2 UTF-8 bytes, 日 is 3: a byte-indexed DP would misalign
+    val words = Seq(("üba", 1L), ("日本", 1L)).toDF("word", "wcnt")
+    val vocab = vocabOf("ü" -> 1.0, "b" -> 1.0, "a" -> 1.0, "ba" -> 1.5,
+      "日" -> 2.0, "本" -> 2.0, "日本" -> 3.0)
+    val byWord = Unigram.viterbiSegments(words, vocab, 2, 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[String](1).toList, r.getDouble(2)))).toMap
+    assert(byWord("üba") == ((List("ü", "ba"), 2.5)))
+    assert(byWord("日本") == ((List("日本"), 3.0)))
+    // uncoverable word (char not in vocab) drops, as before
+    val none = Unigram.segmentCosts(
+      Seq(("qz", 1L)).toDF("word", "wcnt"), vocab, 2, 8).count()
+    assert(none == 0L)
+  }
+
   test("seed vocabulary keeps top multi-char pieces plus ALL chars") {
     val docs = Seq("abc abc ab", "zq").toDF("text")
     val words = Unigram.wordCounts(docs, "text", 24)
