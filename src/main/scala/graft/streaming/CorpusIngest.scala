@@ -169,18 +169,26 @@ object CorpusIngest {
     survivors.cache()
     try {
       val admitted = survivors.count()
-      // index first (its replay guard is the marker; the corpus guard
-      // below is overwrite-idempotent either way)
-      if (!fs.exists(myMarker)) {
-        if (committedIndex)
-          Dedup.appendToLshIndex(survivors, idCol, textCol, indexPath,
-            cfg.shingleSize)
-        else
-          Dedup.buildLshIndex(survivors, idCol, textCol, indexPath,
-            cfg.shingleSize)
-        fs.createNewFile(myMarker)
-      }
-      survivors.write.mode("overwrite").parquet(corpusDir)
+      // the index mutation (guarded by its marker, written after the
+      // append commits) and the corpus landing (overwrite-idempotent)
+      // both consume the cached survivors and are independent of each
+      // other — overlapped ([[graft.etl.Par]]). Replay stays safe in
+      // every interleaving: marker-without-corpus replays as a
+      // skipped index mutation + corpus overwrite, corpus-without-
+      // marker replays as an index append over the same survivor set
+      // (the hash-guard recompute excludes this batch's partition).
+      graft.etl.Par.run(
+        () => if (!fs.exists(myMarker)) {
+          if (committedIndex)
+            Dedup.appendToLshIndex(survivors, idCol, textCol, indexPath,
+              cfg.shingleSize)
+          else
+            Dedup.buildLshIndex(survivors, idCol, textCol, indexPath,
+              cfg.shingleSize)
+          fs.createNewFile(myMarker)
+          ()
+        },
+        () => survivors.write.mode("overwrite").parquet(corpusDir))
       admitted
     } finally survivors.unpersist()
   }
