@@ -38,7 +38,13 @@ object ClusterCheck {
     // round 12: maintained join — bucket-partitioned side/join state
     // written and re-read across executor JVMs, dynamic-overwrite
     // refresh appends
-    "q259_maintained_join")
+    "q259_maintained_join",
+    // round 13: the reworked expression-backed ops — SuffixPrefixes
+    // (generator-shaped array expression) and UnigramSegment (vocab
+    // Seqs + transient lazy map inside the expression) must SERIALIZE
+    // into executor task binaries, which single-JVM local[*] runs
+    // never prove
+    "q208_suffix_ranks", "q203_unigram_cost")
 
   private val AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
