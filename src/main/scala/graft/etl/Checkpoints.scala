@@ -47,9 +47,14 @@ object Checkpoints {
   def truncate(df: DataFrame): DataFrame = mode(df.sparkSession) match {
     case "reliable" =>
       val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(
-          df.sparkSession.conf.get(DirKey, Scratch.dir("reliable-ckpt")))
+      // Synchronized: concurrent first-truncates (e.g. two Par threads in
+      // MaterializedJoin.refresh) must not race the check-then-set and
+      // split checkpoint files across two directories.
+      Checkpoints.synchronized {
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(
+            df.sparkSession.conf.get(DirKey, Scratch.dir("reliable-ckpt")))
+      }
       df.checkpoint(eager = true)
     case "local" => df.localCheckpoint(eager = true)
     case other => throw new IllegalArgumentException(

@@ -14,9 +14,11 @@ package graft.etl
   * Semantics: runs every thunk to completion (no early abort — each
   * action is an idempotent overwrite whose partial output a torn-
   * epoch fence or replay already handles), then rethrows the FIRST
-  * failure. Caller must pass only actions with no ordering
-  * dependency between them; anything that must happen-after (commit
-  * markers!) stays outside the call. */
+  * failure with every other thread's failure attached as suppressed
+  * (concurrent failures usually share a root cause; losing the other
+  * stack traces hides it). Caller must pass only actions with no
+  * ordering dependency between them; anything that must happen-after
+  * (commit markers!) stays outside the call. */
 object Par {
 
   def run(actions: (() => Unit)*): Unit = {
@@ -32,9 +34,11 @@ object Par {
       t
     }
     threads.foreach(_.join())
-    actions.indices.foreach { i =>
-      val e = errs.get(i)
-      if (e != null) throw e
+    val failures = actions.indices.flatMap(i => Option(errs.get(i)))
+    if (failures.nonEmpty) {
+      val first = failures.head
+      failures.tail.foreach(first.addSuppressed)
+      throw first
     }
   }
 }

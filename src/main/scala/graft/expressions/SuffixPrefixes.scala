@@ -26,7 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * (code points via UTF-8 start-byte boundaries, shorter tail
   * prefixes for the last k−1 positions — a proper prefix that sorts
   * before its extensions, which is what the seed rank relies on).
-  * NULL input stays NULL; an empty string yields an empty array.
+  * NULL input stays NULL; an empty string yields an EMPTY array — a
+  * deliberate divergence from the composed form, whose
+  * `sequence(1, length(t))` evaluates to `[1, 0]` (Spark sequences
+  * step backwards when stop < start) and so emits two spurious
+  * empty-prefix rows per empty document. DuckDB's
+  * `range(1, len+1)` is empty for an empty doc, and the q208 oracle
+  * additionally filters `len(text) >= 1`, so the empty-array
+  * semantics here are the ones that agree with the oracle.
   * Pair with `posexplode` (codegen-supported) — the generator side
   * stays whole-stage compiled, unlike a custom Generator. */
 case class SuffixPrefixes(child: Expression, k: Int)

@@ -125,7 +125,10 @@ case class UnigramSegment(child: Expression, pieces: Seq[String],
         }
         s += 1
       }
-      assert(stepped, "finite dp cell with no optimal incoming span")
+      // unconditional throw, not assert: with -da (the JVM default) a
+      // broken invariant here would spin the task forever, not fail it
+      if (!stepped) throw new IllegalStateException(
+        "finite dp cell with no optimal incoming span")
     }
     InternalRow(dp(numChars),
       new GenericArrayData(out.toArray(new Array[AnyRef](out.size()))))
