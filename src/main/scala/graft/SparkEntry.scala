@@ -3509,18 +3509,31 @@ object SparkEntry {
         .agg(max(col("value")).as("u_max"))
       val cdcPath = graft.etl.Scratch.dir("cdcj-state")
       val jPath = graft.etl.Scratch.dir("cdcj-join")
-      graft.etl.MaterializedCdc.create(ev.where(col("ts") < cut),
+      // both lifecycle steps overlap their two independent landings:
+      // create lands the CDC state and the composed join from ONE
+      // checkpointed first slice; refresh rewrites the CDC buckets and
+      // the join's touched buckets from ONE checkpointed merge (both
+      // fixpoints — the [[StreamAsBatch.cdcJoinRestarted]] contract)
+      val st = graft.etl.MaterializedCdc.createForCompose(
+        ev.where(col("ts") < cut),
         "user_id", Seq("ts", "event_id"), "event_type", Seq("value"),
-        cdcPath, nBuckets = 16)
-      graft.etl.MaterializedJoin.createFromCdc(
-        graft.etl.MaterializedCdc.read(s, cdcPath, "event_type", "error"),
-        dim, Seq("user_id"), Seq("u"), jPath, nBuckets = 16)
-      val ups = graft.etl.MaterializedCdc.refreshEmit(s, cdcPath,
-        ev.where(col("ts") >= cut), "user_id", Seq("ts", "event_id"),
-        "event_type", Seq("value"), nBuckets = 16)
-      graft.etl.MaterializedJoin.applyUpserts(s, jPath, ups,
-        Seq("user_id"), Seq("u"), "event_type", "error", nBuckets = 16)
-      graft.etl.Checkpoints.free(ups)
+        nBuckets = 16)
+      graft.etl.Par.run(
+        () => graft.etl.MaterializedCdc.writeCreated(st, cdcPath),
+        () => graft.etl.MaterializedJoin.createFromCdc(
+          graft.etl.MaterializedCdc.live(st, "event_type", "error"),
+          dim, Seq("user_id"), Seq("u"), jPath, nBuckets = 16))
+      graft.etl.Checkpoints.free(st)
+      val (merged, touched) = graft.etl.MaterializedCdc.mergeForCompose(
+        s, cdcPath, ev.where(col("ts") >= cut), "user_id",
+        Seq("ts", "event_id"), "event_type", Seq("value"), nBuckets = 16)
+      graft.etl.Par.run(
+        () => graft.etl.MaterializedCdc.writeMerged(merged, cdcPath),
+        () => graft.etl.MaterializedJoin.applyUpserts(s, jPath,
+          graft.etl.MaterializedCdc.emission(merged),
+          Seq("user_id"), Seq("u"), "event_type", "error", nBuckets = 16,
+          knownTouched = Some(touched)))
+      graft.etl.Checkpoints.free(merged)
       graft.etl.MaterializedJoin.read(s, jPath)
         .select(col("user_id"), col("ts"), col("event_id"), col("value"),
           round(col("u_max"), 4).as("u_max"))

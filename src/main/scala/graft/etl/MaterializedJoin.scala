@@ -262,10 +262,25 @@ object MaterializedJoin {
     * that cleanup too). */
   def applyUpserts(spark: SparkSession, path: String, upserts: DataFrame,
       keysA: Seq[String], keysB: Seq[String], opCol: String,
-      deleteOp: String, nBuckets: Int = 64): Unit = {
-    val u = Checkpoints.truncate(bucketed(upserts, keysA, nBuckets))
-    val touched = u.select("__bucket").distinct()
-      .collect().map(_.getLong(0)) // bounded: at most nBuckets values
+      deleteOp: String, nBuckets: Int = 64,
+      knownTouched: Option[Array[Long]] = None): Unit = {
+    // skip the defensive re-materialization when the emission is
+    // already checkpointed blocks ([[MaterializedCdc.refreshEmit]]'s
+    // contract) — re-projecting those blocks three times is cheaper
+    // than a fourth eager job in a foreachBatch body; an arbitrary
+    // lazy plan still gets truncated (it is consumed three times)
+    val preMat = upserts.queryExecution.analyzed.collectLeaves()
+      .forall(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    val u =
+      if (preMat) bucketed(upserts, keysA, nBuckets)
+      else Checkpoints.truncate(bucketed(upserts, keysA, nBuckets))
+    // knownTouched: the upstream CDC merge already derived the touched
+    // buckets — valid ONLY when its keyCol/nBuckets equal keysA/
+    // nBuckets here (the composition contract both call sites share);
+    // passing it saves one serialized probe job per micro-batch
+    val touched = knownTouched.getOrElse(
+      u.select("__bucket").distinct()
+        .collect().map(_.getLong(0))) // bounded: at most nBuckets values
     if (touched.nonEmpty) {
       val keep = readComposedJ(spark, path)
         .where(col("__bucket").isin(touched: _*))
@@ -290,7 +305,9 @@ object MaterializedJoin {
       }
       Checkpoints.free(out)
     }
-    Checkpoints.free(u)
+    // never free a pre-materialized caller frame — its lifetime (and
+    // the free) belongs to the caller
+    if (!preMat) Checkpoints.free(u)
   }
 
   // ----------------------------------------------------------------

@@ -583,6 +583,10 @@ object Dedup {
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .distinct())
+    smallComponents(edges) match {
+      case Some(labels) => Checkpoints.free(edges); return labels
+      case None => ()
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var prevCkpt: Option[DataFrame] = None
@@ -623,6 +627,65 @@ object Dedup {
           "Raise maxIter or switch to large-star/small-star contraction.")
     }
     labels
+  }
+
+  /** Edge-count ceiling for the driver union-find fast path of the
+    * connected-components entry points: 2^20 symmetric edge rows ≈
+    * 16–32 MB of boxed ids on the driver — the same order as a
+    * broadcast-join build side, and checked at RUNTIME against the
+    * materialized edge frame exactly the way AQE sizes a broadcast.
+    * Near-dup edge sets at any healthy dedup threshold are tiny
+    * relative to the corpus (55 pairs on the sf0.1 gate corpus); the
+    * distributed loops remain the path for everything bigger. */
+  private val SmallGraphEdgeBound = 1 << 20
+
+  /** Bounded small-graph fast path shared by [[nearDupComponents]] and
+    * [[connectedComponentsStar]]: when the (already-checkpointed) edge
+    * frame is under [[SmallGraphEdgeBound]] rows, compute components
+    * with a driver-side union-find (min-id representative — attaching
+    * the larger root under the smaller keeps every root the set
+    * minimum, the exact fixpoint both distributed loops converge to)
+    * instead of paying one Spark job PER ITERATION on a graph that
+    * fits in a broadcast. Counting and collecting read the checkpoint
+    * blocks, not the upstream LSH pipeline. Returns None above the
+    * bound — the scale path is untouched. */
+  private def smallComponents(edges: DataFrame): Option[DataFrame] = {
+    // session override (set 0 to force the distributed loops — spec
+    // and cluster-gate coverage of the scale path on small fixtures)
+    val bound = edges.sparkSession.conf
+      .get("spark.graft.cc.smallBound", SmallGraphEdgeBound.toString).toLong
+    if (edges.count() > bound) return None
+    val rows = edges.collect() // bounded: ≤ SmallGraphEdgeBound rows
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) {
+        val nx = parent.get(c); parent.put(c, r); c = nx
+      }
+      r
+    }
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    rows.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (cmp(ra, rb) <= 0) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val idType = edges.schema.head.dataType
+    val out: java.util.List[org.apache.spark.sql.Row] =
+      parent.keySet().asScala.toSeq
+        .map(id => org.apache.spark.sql.Row(id, find(id))).asJava
+    Some(edges.sparkSession.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("component", idType)))))
   }
 
   /** Keep one representative (min id) per transitive near-dup cluster:
@@ -737,6 +800,10 @@ object Dedup {
     var edges = Checkpoints.truncate(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .where(col("src") =!= col("dst")).distinct())
+    smallComponents(edges) match {
+      case Some(labels) => Checkpoints.free(edges); return labels
+      case None => ()
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {

@@ -28,6 +28,36 @@ import graft.etl.Checkpoints
   */
 object Graph {
 
+  /** Node/edge ceiling for the driver fast paths below — the same
+    * runtime size-switch [[Dedup]] uses for connected components (and
+    * AQE uses for broadcasts): 2^20 rows ≈ tens of MB boxed on the
+    * driver. The trade graph these operators serve is |nations|²-
+    * bounded AT EVERY CORPUS SCALE — the 100 TB cost is DERIVING the
+    * edge list (the fact-table joins, which stay distributed and are
+    * materialized exactly once); iterating a ≤broadcast-sized graph
+    * through per-round Spark jobs is pure scheduling latency. Graphs
+    * above the bound take the distributed frontier loops unchanged. */
+  private val SmallGraphBound = 1 << 20
+
+  /** Triangle counting's fast path is wedge-quadratic in the worst
+    * case, so its ceiling is lower (2^16 edges → ≤ ~16M wedge checks
+    * even on degenerate graphs). */
+  private val SmallTriangleBound = 1 << 16
+
+  /** Session override for the fast-path ceilings (`spark.graft.graph
+    * .smallBound`) — set 0 to force the distributed loops (spec and
+    * cluster-gate coverage of the scale path on small fixtures). */
+  private def bound(df: DataFrame, default: Int): Long =
+    df.sparkSession.conf
+      .get("spark.graft.graph.smallBound", default.toString).toLong
+
+  private def round9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def num(x: Any): Double = x.asInstanceOf[Number].doubleValue()
+  private def lng(x: Any): Long = x.asInstanceOf[Number].longValue()
+
   /** Weighted PageRank. `nodes`: one column `node`; `edges`:
     * `src, dst, w` (w > 0). Returns `(node, pr)` after `iters`
     * iterations of  pr'(v) = (1-d)/N + d * Σ_{u→v} pr(u) * w_uv / W_u.
@@ -36,10 +66,51 @@ object Graph {
       iters: Int = 5, damping: Double = 0.85,
       checkpointEvery: Int = 2): DataFrame = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
+    // materialize the derived edge list ONCE (the distributed, scale-
+    // bearing step); the iteration then runs on the driver when the
+    // graph is broadcast-sized, distributed otherwise
+    val eMat = Checkpoints.truncate(
+      edges.select(col("src"), col("dst"), col("w").cast("double").as("w")))
+    if (eMat.count() <= bound(eMat, SmallGraphBound)) {
+      val nodeArr = nodes.collect().map(_.get(0)) // bounded: the node set
+      if (nodeArr.length <= bound(eMat, SmallGraphBound)) {
+        val eArr = eMat.collect()
+          .map(r => (r.get(0), r.get(1), num(r.get(2))))
+        Checkpoints.free(eMat)
+        val nD = nodeArr.length.toDouble
+        val ow = new java.util.HashMap[Any, Double]()
+        eArr.foreach { case (s, _, w) => ow.merge(s, w, _ + _) }
+        var pr = new java.util.HashMap[Any, Double]()
+        nodeArr.foreach(v => pr.put(v, 1.0 / nD))
+        for (_ <- 1 to iters) {
+          val contrib = new java.util.HashMap[Any, Double]()
+          eArr.foreach { case (s, d, w) =>
+            if (pr.containsKey(s))
+              contrib.merge(d, pr.get(s) * w / ow.get(s), _ + _)
+          }
+          val next = new java.util.HashMap[Any, Double]()
+          nodeArr.foreach { v =>
+            next.put(v, round9((1.0 - damping) / nD +
+              damping * contrib.getOrDefault(v, 0.0)))
+          }
+          pr = next
+        }
+        import scala.jdk.CollectionConverters._
+        val spark = nodes.sparkSession
+        return spark.createDataFrame(
+          nodeArr.toSeq.map(v =>
+            org.apache.spark.sql.Row(v, pr.get(v))).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              nodes.schema.head.dataType),
+            org.apache.spark.sql.types.StructField("pr",
+              org.apache.spark.sql.types.DoubleType))))
+      }
+    }
     // N as a broadcast 1-row aggregate, not a driver-side count()
     val n = nodes.agg(count(lit(1)).cast("double").as("__n"))
-    val outw = edges.groupBy("src").agg(sum(col("w").cast("double")).as("ow"))
-    val e = edges.join(outw, "src")
+    val outw = eMat.groupBy("src").agg(sum(col("w").cast("double")).as("ow"))
+    val e = eMat.join(outw, "src")
       .select(col("src"), col("dst"), col("w").cast("double").as("w"), col("ow"))
       .cache()
     var ranks = nodes.join(broadcast(n), lit(true))
@@ -67,6 +138,7 @@ object Graph {
       }
     }
     e.unpersist(false) // final ranks are materialized; edges are dead
+    Checkpoints.free(eMat)
     ranks
   }
 
@@ -105,10 +177,50 @@ object Graph {
     * aggregation; per-node counts are orientation-independent (each
     * triangle credits all three corners). */
   def triangles(edges: DataFrame): DataFrame = {
-    val und = edges.where(col("src") =!= col("dst"))
+    val und0 = edges.where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+    // broadcast-sized graphs: exact node-iterator on the driver (the
+    // distributed path costs six tiny joins on a ≤|nations|² frame);
+    // the wedge-quadratic worst case bounds the ceiling lower than
+    // the linear operators'
+    val undMat = Checkpoints.truncate(und0)
+    if (undMat.count() <= bound(undMat, SmallTriangleBound)) {
+      val es = undMat.collect().map(r => (lng(r.get(0)), lng(r.get(1))))
+      Checkpoints.free(undMat)
+      val nbrs = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+      es.foreach { case (a, b) =>
+        nbrs.computeIfAbsent(a, _ => new java.util.HashSet()).add(b)
+        nbrs.computeIfAbsent(b, _ => new java.util.HashSet()).add(a)
+      }
+      val counts = new java.util.HashMap[Long, Long]()
+      es.foreach { case (a, b) =>
+        // count common neighbors ABOVE max(a,b)... no — credit every
+        // corner: iterate the smaller adjacency set, require c > b to
+        // count each triangle once per closing edge orientation a<b<c
+        val (small, other) =
+          if (nbrs.get(a).size() <= nbrs.get(b).size()) (nbrs.get(a), b)
+          else (nbrs.get(b), a)
+        small.forEach { c =>
+          if (c > b && nbrs.get(other).contains(c)) {
+            counts.merge(a, 1L, _ + _)
+            counts.merge(b, 1L, _ + _)
+            counts.merge(c, 1L, _ + _)
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      return edges.sparkSession.createDataFrame(
+        counts.entrySet().asScala.toSeq.map(e =>
+          org.apache.spark.sql.Row(e.getKey, e.getValue)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_triangles",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val und = undMat
     val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val lower = col("da") < col("db") || (col("da") === col("db")
@@ -137,13 +249,49 @@ object Graph {
   def bfsLevels(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
     import edges.sparkSession.implicits._
     require(maxHops >= 0, "maxHops must be non-negative")
+    // materialize the derived edge list once; broadcast-sized graphs
+    // run the BFS on the driver (every frontier round was previously
+    // re-executing the full derivation lineage through this join)
+    val eMat = Checkpoints.truncate(edges.select(col("src"), col("dst")))
+    if (eMat.count() <= bound(eMat, SmallGraphBound)) {
+      val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+      eMat.collect().foreach { r =>
+        adj.computeIfAbsent(lng(r.get(0)), _ => new java.util.ArrayList())
+          .add(lng(r.get(1)))
+      }
+      Checkpoints.free(eMat)
+      val lvl = new java.util.HashMap[Long, Long]()
+      lvl.put(source, 0L)
+      var frontier = Seq(source)
+      var hop = 1L
+      while (frontier.nonEmpty && hop <= maxHops) {
+        frontier = frontier.flatMap { u =>
+          Option(adj.get(u)).toSeq.flatMap { ns =>
+            import scala.jdk.CollectionConverters._
+            ns.asScala.filterNot(lvl.containsKey(_)).map { v =>
+              lvl.put(v, hop); v
+            }
+          }
+        }.distinct
+        hop += 1
+      }
+      import scala.jdk.CollectionConverters._
+      return edges.sparkSession.createDataFrame(
+        lvl.entrySet().asScala.toSeq.map(e =>
+          org.apache.spark.sql.Row(e.getKey, e.getValue)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lvl",
+            org.apache.spark.sql.types.LongType))))
+    }
     var levels = Checkpoints.truncate(Seq((source, 0L)).toDF("node", "lvl"))
     var frontier = levels
     var hop = 1L
     var done = maxHops == 0
     while (!done) {
       val next = Checkpoints.truncate(frontier
-        .join(edges, frontier("node") === edges("src"))
+        .join(eMat, frontier("node") === eMat("src"))
         .select(col("dst").as("node")).distinct()
         .join(levels, Seq("node"), "left_anti")
         .withColumn("lvl", lit(hop)))
@@ -161,6 +309,7 @@ object Graph {
       }
     }
     if (frontier ne levels) Checkpoints.free(frontier)
+    Checkpoints.free(eMat)
     levels
   }
 
@@ -189,15 +338,64 @@ object Graph {
       maxRounds: Int): DataFrame = {
     import edges.sparkSession.implicits._
     require(maxRounds >= 0, "maxRounds must be non-negative")
+    // materialize the derived edge list once; broadcast-sized graphs
+    // run the frontier Bellman-Ford on the driver — per-path add
+    // order and min are identical to the distributed loop, so the
+    // result is bit-equal (no rounding involved)
+    val eMat = Checkpoints.truncate(
+      edges.select(col("src"), col("dst"), col("w").cast("double").as("w")))
+    if (eMat.count() <= bound(eMat, SmallGraphBound)) {
+      val adj = new java.util.HashMap[Long, java.util.ArrayList[(Long, Double)]]()
+      eMat.collect().foreach { r =>
+        adj.computeIfAbsent(lng(r.get(0)), _ => new java.util.ArrayList())
+          .add((lng(r.get(1)), num(r.get(2))))
+      }
+      Checkpoints.free(eMat)
+      val dist = new java.util.HashMap[Long, Double]()
+      dist.put(source, 0.0)
+      var frontier: Seq[Long] = Seq(source)
+      var round = 0
+      while (frontier.nonEmpty && round < maxRounds) {
+        val improved = scala.collection.mutable.LinkedHashSet.empty[Long]
+        // snapshot the frontier's start-of-round distances: relaxing
+        // from a value improved THIS round would sneak (h+1)-hop paths
+        // into round h and break the hop-bound semantics the oracle
+        // enumerates
+        val duSnap = frontier.map(u => u -> dist.get(u)).toMap
+        frontier.foreach { u =>
+          val du = duSnap(u)
+          Option(adj.get(u)).foreach { ns =>
+            import scala.jdk.CollectionConverters._
+            ns.asScala.foreach { case (v, w) =>
+              val c = du + w
+              if (!dist.containsKey(v) || c < dist.get(v)) {
+                dist.put(v, c); improved.add(v)
+              }
+            }
+          }
+        }
+        frontier = improved.toSeq
+        round += 1
+      }
+      import scala.jdk.CollectionConverters._
+      return edges.sparkSession.createDataFrame(
+        dist.entrySet().asScala.toSeq.map(e =>
+          org.apache.spark.sql.Row(e.getKey, e.getValue)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("d",
+            org.apache.spark.sql.types.DoubleType))))
+    }
     var dist = Checkpoints.truncate(Seq((source, 0.0)).toDF("node", "d"))
     var frontier = dist
     var round = 0
     var done = maxRounds == 0
     while (!done) {
       val cand = frontier
-        .join(edges, frontier("node") === edges("src"))
+        .join(eMat, frontier("node") === eMat("src"))
         .select(col("dst").as("node"),
-          (frontier("d") + edges("w").cast("double")).as("c"))
+          (frontier("d") + eMat("w")).as("c"))
         .groupBy("node").agg(min(col("c")).as("c"))
       val improved = Checkpoints.truncate(
         cand.join(dist.select(col("node"), col("d").as("__old")),
@@ -218,6 +416,7 @@ object Graph {
       }
     }
     if (frontier ne dist) Checkpoints.free(frontier)
+    Checkpoints.free(eMat)
     dist
   }
 }
