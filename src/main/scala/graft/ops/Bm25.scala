@@ -32,16 +32,43 @@ import graft.functions.TextFunctions.tokens
 object Bm25 {
 
   /** The (id, token, tf, dl) posting frame of a corpus: term frequency
-    * per (doc, token) plus the document length (total tokens), carried
-    * from the token array at explode time — so dl costs no extra
-    * shuffle or pass (the standard index layout: doc length lives in
-    * the postings). */
+    * per (doc, token) plus the document length (total tokens).
+    *
+    * Term frequency is a PER-DOCUMENT statistic, so it is computed
+    * ROW-LOCALLY by the single-eval
+    * [[graft.expressions.PostingEntries]] expression (one pass over
+    * the text per document) and exploded, with NO shuffle at all —
+    * the former `explode → groupBy(id, token)` shuffled |corpus
+    * tokens| rows to aggregate a quantity each row already had
+    * locally; at the 500k-doc decade that exchange was half the
+    * inline-hybrid cost. dl = Σ tf rides along as a row-local
+    * aggregate of the same entries. Empty documents contribute one
+    * empty-string token, exactly as `split(trim(text), '\\s+')`
+    * tokenizes them (the oracle-shared contract). */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
-      .select(col(idCol), explode(col("__t")).as("token"),
-        size(col("__t")).cast("long").as("__dl"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
+    postingsFromEntries(postingEntries(docs, idCol, textCol), idCol)
+
+  /** The COMPACT per-document posting entries (idCol, __es:
+    * array<struct<token,tf>>) — one row per document. A consumer that
+    * references the posting frame several times (the inline hybrid
+    * ranker) materializes THIS frame (|docs| rows) instead of the
+    * exploded one (|corpus tokens| rows): re-exploding in-memory
+    * arrays per consumer is cheap; checkpointing the exploded frame
+    * was measured at 2–3× the entire tokenization cost. */
+  def postingEntries(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.expressions.PostingEntries(col(textCol)).as("__es"))
+
+  /** Explode a [[postingEntries]] frame to the standard
+    * (id, token, tf, dl) posting layout. */
+  def postingsFromEntries(entries: DataFrame, idCol: String): DataFrame =
+    entries.select(col(idCol),
+        aggregate(col("__es"), lit(0L), (a, e) => a + e.getField("tf"))
+          .as("dl"),
+        explode(col("__es")).as("__e"))
+      .select(col(idCol), col("__e.token").as("token"),
+        col("__e.tf").as("tf"), col("dl"))
 
   /** Top-k BM25 hits per query. `queries` is a (qidCol, qtextCol)
     * frame, expected bounded (it is broadcast). Output:

@@ -115,8 +115,17 @@ object Retrieval {
   def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       kPerLeg: Int = 20, k: Int = 10, c: Int = 60): DataFrame =
-    hybridTopKFromPostings(Bm25.postings(docs, idCol, textCol), idCol,
-      queries, qidCol, qtextCol, kPerLeg, k, c)
+    // compute the posting frame ONCE for the four downstream consumers
+    // (stats/df/norm/candidates) by ending it in an explicit exchange:
+    // Catalyst's ReuseExchange dedups the identical subplans, so the
+    // tokenize+explode pipeline runs once and every consumer reads the
+    // shuffle files — the exchange IS the materialization, with no
+    // driver-side checkpoint serialization. Partitioned on the doc id:
+    // the norm aggregation and the candidate partial-agg are then
+    // already co-partitioned; only df re-keys by token.
+    hybridTopKFromPostings(
+      Bm25.postings(docs, idCol, textCol).repartition(col(idCol)),
+      idCol, queries, qidCol, qtextCol, kPerLeg, k, c)
 
   /** [[hybridTopK]] over a (typically PERSISTED) posting frame — at
     * scale, write [[Bm25.postings]] to parquet once and query batches
@@ -157,10 +166,17 @@ object Retrieval {
     val qw = qterms.join(dfA, "token").crossJoin(broadcast(stats))
       .withColumn("qw", log(col("__n").cast("double") / col("df")))
     // full-vocabulary doc norms: ||d|| over EVERY positive-idf term of
-    // the doc (not just query terms — an honest cosine length), so the
-    // posting frame joins df by token once; AQE picks a shuffled-hash
-    // join here (both sides already token-keyed aggregates)
-    val dnorm = post.join(dfA, "token").crossJoin(broadcast(stats))
+    // the doc (not just query terms — an honest cosine length), but
+    // computed ONLY for documents that share a query term (the only
+    // ids the tf·idf leg can rank): the semi-join prunes the norm
+    // aggregation from corpus-wide to candidate-wide, which at scale
+    // is the difference between "sort every posting" and "sort the
+    // touched docs' postings"
+    val touched = post
+      .join(broadcast(qterms.select(col("token")).distinct()), "token")
+      .select(col(idCol)).distinct()
+    val dnorm = post.join(touched, Seq(idCol), "left_semi")
+      .join(dfA, "token").crossJoin(broadcast(stats))
       .withColumn("w", col("tf") * log(col("__n").cast("double") / col("df")))
       .where(col("w") > 0).groupBy(col(idCol))
       .agg(sqrt(sum(col("w") * col("w"))).as("__dnorm"))
@@ -290,24 +306,32 @@ object Retrieval {
       .agg(round(sum(col("__bmw")), 6).as("__bm"),
         sum(when(col("qw") > 0, col("tf") * col("qw") * col("qw"))
           .otherwise(lit(0.0))).as("__dot"))
-    val bmLeg = cand
-      .select(col("query_id"), col(idCol), col("__bm").as("score"))
-      .withColumn("__leg", lit(0))
+    // BOTH legs from ONE pass over the candidate aggregate (a lazy
+    // `cand` referenced by two union branches executes its joins and
+    // aggregation twice): left-join the norm frames — a doc with no
+    // positive-idf term has __dot = 0 and possibly no dnorm row, and
+    // a query with no positive-idf term has no qnorm row; in either
+    // case the tf leg's score is NULL and the explode drops it, which
+    // is exactly the rows the old inner-join tf leg excluded — and
+    // melt into (leg, score) rows.
     // dot > 0 ⟺ the doc shares a positive-idf term with the query —
-    // exactly the docs the standalone tf·idf leg would rank; such
-    // docs always carry a dnorm row, so the inner join drops nothing
-    val tfLeg = cand.where(col("__dot") > 0)
-      .join(dnorm, idCol)
-      .join(broadcast(qnorms), "query_id")
-      .select(col("query_id"), col(idCol),
-        round(col("__dot") / (col("__dnorm") * col("__qnorm")), 6)
-          .as("score"))
-      .withColumn("__leg", lit(1))
+    // exactly the docs the standalone tf·idf leg would rank.
     val wLeg = Window.partitionBy(col("__leg"), col("query_id"))
       .orderBy(col("score").desc, col(idCol))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf").desc, col(idCol))
-    bmLeg.unionByName(tfLeg)
+    cand
+      .join(dnorm, Seq(idCol), "left")
+      .join(broadcast(qnorms), Seq("query_id"), "left")
+      .select(col("query_id"), col(idCol), explode(array(
+        struct(lit(0).as("__leg"), col("__bm").as("score")),
+        struct(lit(1).as("__leg"),
+          when(col("__dot") > 0,
+            round(col("__dot") / (col("__dnorm") * col("__qnorm")), 6))
+            .as("score")))).as("__ls"))
+      .select(col("query_id"), col(idCol),
+        col("__ls.__leg").as("__leg"), col("__ls.score").as("score"))
+      .where(col("score").isNotNull)
       .withColumn("rank", row_number().over(wLeg))
       .where(col("rank") <= kPerLeg)
       .groupBy(col("query_id"), col(idCol))
