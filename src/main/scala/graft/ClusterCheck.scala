@@ -44,7 +44,12 @@ object ClusterCheck {
     // Seqs + transient lazy map inside the expression) must SERIALIZE
     // into executor task binaries, which single-JVM local[*] runs
     // never prove
-    "q208_suffix_ranks", "q203_unigram_cost")
+    "q208_suffix_ranks", "q203_unigram_cost",
+    // round 14: the Par-overlapped CDC→join composition — concurrent
+    // job submission from daemon driver threads against REAL executor
+    // RPC (local[*] never proves thread-safe submission), plus the
+    // overlapped create/refresh landings re-read across JVMs
+    "q261_cdc_join")
 
   private val AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -59,6 +64,11 @@ object ClusterCheck {
   private def run(spark: SparkSession, dir: String,
       name: String): Seq[String] = {
     GraftExtensions.register(spark)
+    // force the DISTRIBUTED loops: the bounded driver fast paths
+    // (Graph / Dedup components) would otherwise shortcut the very
+    // cross-JVM iteration shapes this gate exists to prove
+    spark.conf.set("spark.graft.graph.smallBound", "0")
+    spark.conf.set("spark.graft.cc.smallBound", "0")
     val rows = SparkEntry.queries(name)(spark, dir)
       .collect().map(_.toString).toSeq
     graft.etl.Checkpoints.sweep(spark)
