@@ -114,18 +114,52 @@ object Retrieval {
     * one materialized posting frame serves both legs). */
   def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      kPerLeg: Int = 20, k: Int = 10, c: Int = 60): DataFrame =
-    // compute the posting frame ONCE for the four downstream consumers
-    // (stats/df/norm/candidates) by ending it in an explicit exchange:
-    // Catalyst's ReuseExchange dedups the identical subplans, so the
-    // tokenize+explode pipeline runs once and every consumer reads the
-    // shuffle files — the exchange IS the materialization, with no
-    // driver-side checkpoint serialization. Partitioned on the doc id:
-    // the norm aggregation and the candidate partial-agg are then
-    // already co-partitioned; only df re-keys by token.
-    hybridTopKFromPostings(
-      Bm25.postings(docs, idCol, textCol).repartition(col(idCol)),
-      idCol, queries, qidCol, qtextCol, kPerLeg, k, c)
+      kPerLeg: Int = 20, k: Int = 10, c: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(kPerLeg > 0 && k > 0 && c >= 0,
+      "kPerLeg and k must be positive, c non-negative")
+    val spark = docs.sparkSession
+    // ONE materialization, and a COMPACT one: the per-doc entries frame
+    // (one row per document) ends in an explicit exchange that
+    // ReuseExchange dedups across every consumer — materializing the
+    // EXPLODED posting frame instead (checkpoint, cache, or exchange)
+    // was measured at 20–45 s of pure |corpus tokens|-row serialization
+    // at the 500k-doc decade, dominating the whole query
+    val entries = Bm25.postingEntries(docs, idCol, textCol)
+      .repartition(col(idCol))
+    // query vocabulary resolves DRIVER-SIDE (bounded and broadcast by
+    // contract — the same move as [[hybridTopKFromIndex]]): the term
+    // list becomes a NARROW `exists` prune over the compact entries,
+    // so only documents sharing a query term are ever exploded for
+    // norms and candidates
+    val qterms = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(tokens(col(qtextCol)))).as("token"))
+    val qtoks: Seq[String] =
+      qterms.select(col("token")).distinct().collect()
+        .map(_.getString(0)).toSeq
+    // one-row corpus stats — straight off the compact frame, no explode
+    val stats = entries
+      .select(aggregate(col("__es"), lit(0L),
+        (a, e) => a + e.getField("tf")).as("__dl"))
+      .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    // global df: the ONE remaining full-corpus explode (df is a
+    // corpus-wide statistic; an honest norm needs every token's df)
+    val dfA = Bm25.postingsFromEntries(entries, idCol)
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val qw = qterms.join(dfA, "token").crossJoin(broadcast(stats))
+      .withColumn("qw", log(col("__n").cast("double") / col("df")))
+    // docs sharing a query term: narrow array scan, then explode ONLY
+    // those docs' entries for the norm and candidate passes
+    val touchedEntries = entries.where(
+      exists(col("__es"), e => e.getField("token").isin(qtoks: _*)))
+    val postTouched = Bm25.postingsFromEntries(touchedEntries, idCol)
+    val dnorm = postTouched.join(dfA, "token").crossJoin(broadcast(stats))
+      .withColumn("w", col("tf") * log(col("__n").cast("double") / col("df")))
+      .where(col("w") > 0).groupBy(col(idCol))
+      .agg(sqrt(sum(col("w") * col("w"))).as("__dnorm"))
+    hybridCore(postTouched.where(col("token").isin(qtoks: _*)),
+      dnorm, qw, idCol, kPerLeg, k, c, k1, b)
+  }
 
   /** [[hybridTopK]] over a (typically PERSISTED) posting frame — at
     * scale, write [[Bm25.postings]] to parquet once and query batches
