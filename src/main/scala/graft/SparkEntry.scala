@@ -2138,9 +2138,14 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
         .unionByName(docs.where(col("doc_id") % 53 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
-      val delta = graft.ops.Snapshots.changedDocs(docs, next, "doc_id", "text")
       val idx = graft.etl.Scratch.dir("inc-lsh-idx")
-      Dedup.buildLshIndex(docs, "doc_id", "text", idx, n = 3)
+      // the index build and the snapshot-diff delta are independent —
+      // overlapped; the query needs both
+      var delta: org.apache.spark.sql.DataFrame = null
+      graft.etl.Par.run(
+        () => Dedup.buildLshIndex(docs, "doc_id", "text", idx, n = 3),
+        () => delta = graft.etl.Checkpoints.truncate(
+          graft.ops.Snapshots.changedDocs(docs, next, "doc_id", "text")))
       Dedup.lshQueryIndex(s, idx, delta, "doc_id", "text",
           threshold = 0.5, n = 3)
         .select(col("doc_b").as("left_id"), col("doc_a").as("right_id"),

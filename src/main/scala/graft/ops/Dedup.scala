@@ -480,11 +480,16 @@ object Dedup {
       path: String, n: Int = 3, nPerms: Int = 8, bands: Int = 4,
       rowsPerBand: Int = 2): Unit = {
     val sig = minhashSignatures(df, idCol, textCol, n, nPerms)
-    bandTable(sig, idCol, bands, rowsPerBand)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
-    shingleTable(df, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("s")).as("sk"), col("n"))
-      .write.mode("overwrite").parquet(s"$path/shingles")
+    // the two index legs derive independently from the corpus —
+    // overlapped ([[graft.etl.Par]]); build was already non-atomic
+    // (callers fence with their own markers), and both legs complete
+    // before return exactly as before
+    graft.etl.Par.run(
+      () => bandTable(sig, idCol, bands, rowsPerBand)
+        .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands"),
+      () => shingleTable(df, idCol, textCol, n)
+        .select(col(idCol), xxhash64(col("s")).as("sk"), col("n"))
+        .write.mode("overwrite").parquet(s"$path/shingles"))
   }
 
   /** ADMIT a new batch into a persisted LSH index without rebuilding:
