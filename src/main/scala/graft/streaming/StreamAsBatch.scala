@@ -33,7 +33,8 @@ object StreamAsBatch {
 
   def windowedEventCounts(spark: SparkSession, eventsParquet: String,
       windowDur: String): DataFrame =
-    runCompleteWarm(spark, s"q30|$eventsParquet|$windowDur", "winagg") { s =>
+    runCompleteWarm(spark, s"q30|$eventsParquet|$windowDur", "winagg",
+        noDataBatches = false) { s => // complete mode re-emits everything
       EventStream.readEvents(s, eventsParquet)
         .groupBy(window(col("ts"), windowDur), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
@@ -48,7 +49,8 @@ object StreamAsBatch {
     * the duplication is the second source. */
   def dedupedEvents(spark: SparkSession, eventsParquet: String,
       watermark: String = "30 minutes"): DataFrame =
-    runAppendWarm(spark, s"dedup|$eventsParquet|$watermark", "dedup") { s =>
+    runAppendWarm(spark, s"dedup|$eventsParquet|$watermark", "dedup",
+        noDataBatches = false) { s => // dedup emits on arrival
       val doubled = EventStream.readEvents(s, eventsParquet)
         .union(EventStream.readEvents(s, eventsParquet))
       EventStream.dedupStream(doubled, Seq("event_id"), watermark)
@@ -96,7 +98,8 @@ object StreamAsBatch {
   def enrichedEvents(spark: SparkSession, eventsParquet: String,
       dimRows: Seq[(String, String)]): DataFrame =
     runAppendWarm(spark,
-        s"enrich|$eventsParquet|${dimRows.mkString(";")}", "enrich") { s =>
+        s"enrich|$eventsParquet|${dimRows.mkString(";")}", "enrich",
+        noDataBatches = false) { s => // stateless per-batch join
       val dim = s.createDataFrame(dimRows).toDF("event_type", "category")
       EventStream.enrichWithDim(
           EventStream.readEvents(s, eventsParquet), dim, Seq("event_type"))
@@ -113,7 +116,8 @@ object StreamAsBatch {
   def joinedWithin(spark: SparkSession, eventsParquet: String,
       leftType: String, rightType: String, within: String): DataFrame =
     runAppendWarm(spark,
-        s"join|$eventsParquet|$leftType|$rightType|$within", "join") { s =>
+        s"join|$eventsParquet|$leftType|$rightType|$within", "join",
+        noDataBatches = false) { s => // inner join emits on match
       val ev = EventStream.readEvents(s, eventsParquet)
       val l = ev.where(col("event_type") === leftType)
         .select(col("user_id"), col("event_id").as("l_id"),
@@ -136,7 +140,8 @@ object StreamAsBatch {
   def dedupedEventsRestarted(spark: SparkSession, eventsParquet: String,
       watermark: String = "30 minutes"): DataFrame =
     restartedRun(spark, eventsParquet,
-        s"dedupRestart|$eventsParquet|$watermark") { (s, stage) =>
+        s"dedupRestart|$eventsParquet|$watermark",
+        noDataBatches = false) { (s, stage) => // dedup emits on arrival
       val doubled = EventStream.readEvents(s, stage)
         .union(EventStream.readEvents(s, stage))
       EventStream.dedupStream(doubled, Seq("event_id"), watermark)
@@ -465,7 +470,7 @@ object StreamAsBatch {
     * the resumed query process ONLY the new files against carried
     * state. */
   private def restartedRun(spark: SparkSession, eventsParquet: String,
-      warmKey: String)(
+      warmKey: String, noDataBatches: Boolean = true)(
       build: (SparkSession, String) => DataFrame): DataFrame = {
     def runOnce(s: SparkSession, stage: String, ckpt: String,
         sink: String): Unit = {
@@ -484,6 +489,13 @@ object StreamAsBatch {
         val s = spark.newSession()
         s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // gates whose OUTPUT does not depend on the watermark closing
+        // anything (dedup emits on arrival, inner join on match) skip
+        // the trailing no-data micro-batch - one state-commit cycle
+        // less per run; session gates keep it (their final sessions
+        // close on the watermark advance)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+          noDataBatches.toString)
         val stage = graft.etl.Scratch.retainedDir("stage")
         val ckpt = graft.etl.Scratch.retainedDir("ckpt")
         val sink = graft.etl.Scratch.retainedDir("restart-sink")
@@ -512,7 +524,8 @@ object StreamAsBatch {
     * scale would size the state-partition count to the key
     * cardinality. */
   private def runAppendWarm(spark: SparkSession, warmKey: String,
-      prefix: String)(build: SparkSession => DataFrame): DataFrame = {
+      prefix: String, noDataBatches: Boolean = true)(
+      build: SparkSession => DataFrame): DataFrame = {
     def runOnce(s: SparkSession, ckpt: String, sink: String): Unit = {
       val q = build(s).writeStream.outputMode("append")
         .format("parquet").option("path", sink)
@@ -527,6 +540,8 @@ object StreamAsBatch {
       case None =>
         val s = spark.newSession()
         s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+          noDataBatches.toString)
         val ckpt = graft.etl.Scratch.retainedDir(s"$prefix-ckpt")
         val sink = graft.etl.Scratch.retainedDir(s"$prefix-sink")
         runOnce(s, ckpt, sink)
@@ -540,7 +555,8 @@ object StreamAsBatch {
     * result dir each batch — idempotent by construction, and the
     * checkpoint makes it resumable where the memory sink is not). */
   private def runCompleteWarm(spark: SparkSession, warmKey: String,
-      prefix: String)(build: SparkSession => DataFrame): DataFrame = {
+      prefix: String, noDataBatches: Boolean = true)(
+      build: SparkSession => DataFrame): DataFrame = {
     def runOnce(s: SparkSession, ckpt: String, sink: String): Unit = {
       val q = build(s).writeStream.outputMode("complete")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -557,6 +573,8 @@ object StreamAsBatch {
       case None =>
         val s = spark.newSession()
         s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+          noDataBatches.toString)
         val ckpt = graft.etl.Scratch.retainedDir(s"$prefix-ckpt")
         val sink = graft.etl.Scratch.retainedDir(s"$prefix-sink")
         runOnce(s, ckpt, sink)
