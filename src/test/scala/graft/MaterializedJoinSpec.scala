@@ -142,6 +142,57 @@ class MaterializedJoinSpec extends SparkSpec {
     graft.etl.Scratch.remove(cdc); graft.etl.Scratch.remove(jn)
   }
 
+  test("overlapped CDC composition: torn overlap replays to the fixpoint") {
+    import graft.etl.{Checkpoints, MaterializedCdc, MaterializedJoin, Par}
+    val cdc = graft.etl.Scratch.dir("cdcstate3")
+    val jn = graft.etl.Scratch.dir("cdcjoin3")
+    def log(rows: Seq[(Long, Long, String, Double)]) =
+      rows.toDF("k", "seq", "op", "v")
+    val dim = (1L to 12L).map(k => (k, s"dim$k")).toDF("dk", "dpay")
+    // overlapped CREATE (the q261/q262 shape): one checkpointed first
+    // slice feeds both landings concurrently
+    val st = MaterializedCdc.createForCompose(
+      log((1L to 12L).map(k => (k, 1L, "upsert", k * 1.0))),
+      "k", Seq("seq"), "op", Seq("v"), nBuckets = 2)
+    Par.run(
+      () => MaterializedCdc.writeCreated(st, cdc),
+      () => MaterializedJoin.createFromCdc(
+        MaterializedCdc.live(st, "op", "delete"),
+        dim, Seq("k"), Seq("dk"), jn, nBuckets = 2))
+    Checkpoints.free(st)
+    val slice2 = log((1L to 4L).map(k => (k, 2L, "upsert", k * 100.0)) ++
+      (5L to 8L).map(k => (k, 2L, "delete", 0.0)))
+    def overlappedRefresh(): Unit = {
+      val (merged, touched) = MaterializedCdc.mergeForCompose(spark, cdc,
+        slice2, "k", Seq("seq"), "op", Seq("v"), nBuckets = 2)
+      Par.run(
+        () => MaterializedCdc.writeMerged(merged, cdc),
+        () => MaterializedJoin.applyUpserts(spark, jn,
+          MaterializedCdc.emission(merged), Seq("k"), Seq("dk"),
+          "op", "delete", nBuckets = 2, knownTouched = Some(touched)))
+      Checkpoints.free(merged)
+    }
+    // TORN overlap: the CDC leg lands, the join leg "crashes" before
+    // running — state advanced, join stale — then the whole step
+    // replays (the foreachBatch replay contract): must converge
+    val (mergedTorn, _) = MaterializedCdc.mergeForCompose(spark, cdc,
+      slice2, "k", Seq("seq"), "op", Seq("v"), nBuckets = 2)
+    MaterializedCdc.writeMerged(mergedTorn, cdc)
+    Checkpoints.free(mergedTorn)
+    overlappedRefresh() // the replay
+    def snapshot() = MaterializedJoin.read(spark, jn)
+      .select("k", "v", "dpay").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sorted.toSeq
+    val want = ((1L to 4L).map(k => (k, k * 100.0, s"dim$k")) ++
+      (9L to 12L).map(k => (k, k * 1.0, s"dim$k"))).sorted.toSeq
+    assert(snapshot() == want, s"torn-overlap replay diverged: ${snapshot()}")
+    // and replaying AGAIN over fully-landed state stays the fixpoint
+    overlappedRefresh()
+    assert(snapshot() == want, "second replay changed the join")
+    graft.etl.Scratch.remove(cdc); graft.etl.Scratch.remove(jn)
+  }
+
   test("applyUpserts clears a bucket whose keys were ALL deleted") {
     import graft.etl.{MaterializedCdc, MaterializedJoin}
     val cdc = graft.etl.Scratch.dir("cdcstate2")
