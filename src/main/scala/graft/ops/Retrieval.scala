@@ -119,12 +119,14 @@ object Retrieval {
     require(kPerLeg > 0 && k > 0 && c >= 0,
       "kPerLeg and k must be positive, c non-negative")
     val spark = docs.sparkSession
-    // ONE materialization, and a COMPACT one: the per-doc entries frame
-    // (one row per document) ends in an explicit exchange that
-    // ReuseExchange dedups across every consumer — materializing the
-    // EXPLODED posting frame instead (checkpoint, cache, or exchange)
-    // was measured at 20–45 s of pure |corpus tokens|-row serialization
-    // at the 500k-doc decade, dominating the whole query
+    // a COMPACT materialization: the per-doc entries frame (one row
+    // per document) ends in an explicit exchange that exchange reuse
+    // (static ReuseExchange where column pruning leaves identical
+    // copies, AQE stage reuse at runtime) shares across consumers —
+    // measured decisive at the 500k-doc decade (29 vs 48 s same-window
+    // without it), while materializing the EXPLODED posting frame any
+    // way at all (checkpoint, cache, exchange) cost 20–45 s of pure
+    // |corpus tokens|-row serialization
     val entries = Bm25.postingEntries(docs, idCol, textCol)
       .repartition(col(idCol))
     // query vocabulary resolves DRIVER-SIDE (bounded and broadcast by

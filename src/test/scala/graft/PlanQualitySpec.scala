@@ -261,6 +261,33 @@ class PlanQualitySpec extends SparkSpec {
       s"AQE did not split the skewed join:\n$plan")
   }
 
+  test("inline hybrid materializes the posting pipeline exactly once") {
+    // the q112 shape: the compact entries frame ends in an explicit
+    // exchange that every downstream consumer (stats/df/norms/
+    // candidates) REUSES — without it each consumer re-tokenizes the
+    // corpus (4+ full text scans at the 500k-doc decade)
+    // assert on the STATIC planner (AQE resolves its reuse at runtime
+    // behind opaque stage references): with adaptive off, ReuseExchange
+    // must collapse every consumer's copy of the entries exchange
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    GraftExtensions.register(s2)
+    val plan = SparkEntry.queries("q112_hybrid_rrf")(s2, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"posting-entries exchange is not shared across consumers:\n$plan")
+    // column pruning specializes some branches' copies (different
+    // output sets cannot share statically; AQE's runtime stage reuse
+    // still dedups equal ones), so the static bound is the consumer
+    // count, not 1 — the regression this guards is a plan with NO
+    // sharing at all plus one where the count explodes
+    val evalExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(doc_id")
+        && !l.contains("ReusedExchange")).size
+    assert(evalExchanges <= 5,
+      s"$evalExchanges live posting exchanges (expected <=5):\n$plan")
+  }
+
   test("IVF centroid assignment never shuffles the corpus") {
     // assignCells is a broadcast projection: between the embeddings
     // scan and the cell-assignment projection there must be NO Exchange
