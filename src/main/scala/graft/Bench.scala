@@ -105,5 +105,19 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
+    // COMPACT record, printed LAST: the driver tails only the final few
+    // KB of sbt output, so the full 270-entry line above gets truncated
+    // mid-string and parses as null (BENCH_r12–r14). This short line —
+    // total + the headline gates — always fits the tail window whole;
+    // the full per-query record is the `json` line above / `out` file.
+    val headline = Seq("q01_weekly_compound", "q05_filter_project",
+      "q13_dedup_exact", "q15_minhash_lsh", "q17_ann_cosine", "q74_bm25",
+      "q80_pagerank", "q112_hybrid_rrf", "q120_training_prep",
+      "q127_dup_spans", "q167_ingest_restart", "q205_exact_split")
+    val hq = results.collect {
+      case (k, v, _, _) if headline.contains(k) => s"\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val nErr = results.count(!_._3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,"n_queries":${results.length},"n_errors":$nErr,"sf":"$sfDir","full":"$out"}""")
   }
 }

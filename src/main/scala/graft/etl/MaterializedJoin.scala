@@ -259,7 +259,13 @@ object MaterializedJoin {
     * identically. A touched bucket whose keys were ALL deleted gets
     * no rows in the overwrite output — its stale partition dir is
     * removed explicitly afterwards (same-batch replay converges on
-    * that cleanup too). */
+    * that cleanup too).
+    *
+    * `upserts` is consumed THREE times (touched probe, rebuild,
+    * cleanup); unless its plan is a deterministic narrow
+    * Project/Filter over already-checkpointed blocks it is truncated
+    * to one snapshot first, so all three reads agree even for
+    * nondeterministic or expensive caller plans. */
   def applyUpserts(spark: SparkSession, path: String, upserts: DataFrame,
       keysA: Seq[String], keysB: Seq[String], opCol: String,
       deleteOp: String, nBuckets: Int = 64,
@@ -268,9 +274,25 @@ object MaterializedJoin {
     // already checkpointed blocks ([[MaterializedCdc.refreshEmit]]'s
     // contract) — re-projecting those blocks three times is cheaper
     // than a fourth eager job in a foreachBatch body; an arbitrary
-    // lazy plan still gets truncated (it is consumed three times)
-    val preMat = upserts.queryExecution.analyzed.collectLeaves()
-      .forall(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    // lazy plan still gets truncated (it is consumed three times).
+    // The skip demands MORE than LogicalRDD leaves: the plan is
+    // evaluated three times below (touched probe, keep/out rebuild,
+    // empty-bucket cleanup), so anything but a deterministic narrow
+    // Project/Filter over the checkpointed blocks (e.g. a sampled or
+    // rand-salted transform, or an aggregation worth running once)
+    // must be pinned to ONE snapshot by the truncate.
+    def narrowDet(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case pj: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          pj.projectList.forall(_.deterministic) && narrowDet(pj.child)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.deterministic && narrowDet(f.child)
+        case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+          narrowDet(a.child)
+        case _ => false
+      }
+    val preMat = narrowDet(upserts.queryExecution.analyzed)
     val u =
       if (preMat) bucketed(upserts, keysA, nBuckets)
       else Checkpoints.truncate(bucketed(upserts, keysA, nBuckets))

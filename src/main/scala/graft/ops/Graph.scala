@@ -58,6 +58,27 @@ object Graph {
   private def num(x: Any): Double = x.asInstanceOf[Number].doubleValue()
   private def lng(x: Any): Long = x.asInstanceOf[Number].longValue()
 
+  /** The long-keyed driver fast paths below are only taken when the id
+    * column IS integral — any other id type (string keys, decimals)
+    * goes straight to the type-generic distributed loop instead of
+    * ClassCastException-ing on `lng`. */
+  private def integralIds(df: DataFrame, cols: String*): Boolean = {
+    import org.apache.spark.sql.types._
+    cols.forall(c => df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+  }
+
+  /** Driver-side guard for collecting a node/edge frame: true iff the
+    * frame has at most `bnd` rows, established with a LIMIT-bounded
+    * count so a frame far above the ceiling never ships to the
+    * driver just to be rejected. */
+  private def underBound(df: DataFrame, bnd: Long): Boolean = {
+    val cap = math.min(bnd, Int.MaxValue - 1L).toInt
+    df.limit(cap + 1).count() <= bnd
+  }
+
   /** Weighted PageRank. `nodes`: one column `node`; `edges`:
     * `src, dst, w` (w > 0). Returns `(node, pr)` after `iters`
     * iterations of  pr'(v) = (1-d)/N + d * Σ_{u→v} pr(u) * w_uv / W_u.
@@ -72,8 +93,11 @@ object Graph {
     val eMat = Checkpoints.truncate(
       edges.select(col("src"), col("dst"), col("w").cast("double").as("w")))
     if (eMat.count() <= bound(eMat, SmallGraphBound)) {
-      val nodeArr = nodes.collect().map(_.get(0)) // bounded: the node set
-      if (nodeArr.length <= bound(eMat, SmallGraphBound)) {
+      // bound the NODE side before collecting it — an edge-sparse,
+      // vertex-heavy graph must be rejected by a limit-capped count,
+      // not after the whole node set has already shipped to the driver
+      if (underBound(nodes, bound(eMat, SmallGraphBound))) {
+        val nodeArr = nodes.collect().map(_.get(0)) // bounded: just proven
         val eArr = eMat.collect()
           .map(r => (r.get(0), r.get(1), num(r.get(2))))
         Checkpoints.free(eMat)
@@ -186,7 +210,8 @@ object Graph {
     // the wedge-quadratic worst case bounds the ceiling lower than
     // the linear operators'
     val undMat = Checkpoints.truncate(und0)
-    if (undMat.count() <= bound(undMat, SmallTriangleBound)) {
+    if (integralIds(undMat, "a", "b") &&
+        undMat.count() <= bound(undMat, SmallTriangleBound)) {
       val es = undMat.collect().map(r => (lng(r.get(0)), lng(r.get(1))))
       Checkpoints.free(undMat)
       val nbrs = new java.util.HashMap[Long, java.util.HashSet[Long]]()
@@ -211,6 +236,10 @@ object Graph {
         }
       }
       import scala.jdk.CollectionConverters._
+      // the distributed path's node type is the INPUT id type — cast
+      // back so the schema never depends on which path the size
+      // switch took (values originated in that type, so the narrowing
+      // cast is lossless)
       return edges.sparkSession.createDataFrame(
         counts.entrySet().asScala.toSeq.map(e =>
           org.apache.spark.sql.Row(e.getKey, e.getValue)).asJava,
@@ -219,6 +248,8 @@ object Graph {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("n_triangles",
             org.apache.spark.sql.types.LongType))))
+        .select(col("node").cast(undMat.schema("a").dataType).as("node"),
+          col("n_triangles"))
     }
     val und = undMat
     val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
@@ -253,7 +284,8 @@ object Graph {
     // run the BFS on the driver (every frontier round was previously
     // re-executing the full derivation lineage through this join)
     val eMat = Checkpoints.truncate(edges.select(col("src"), col("dst")))
-    if (eMat.count() <= bound(eMat, SmallGraphBound)) {
+    if (integralIds(eMat, "src", "dst") &&
+        eMat.count() <= bound(eMat, SmallGraphBound)) {
       val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
       eMat.collect().foreach { r =>
         adj.computeIfAbsent(lng(r.get(0)), _ => new java.util.ArrayList())
@@ -344,7 +376,8 @@ object Graph {
     // result is bit-equal (no rounding involved)
     val eMat = Checkpoints.truncate(
       edges.select(col("src"), col("dst"), col("w").cast("double").as("w")))
-    if (eMat.count() <= bound(eMat, SmallGraphBound)) {
+    if (integralIds(eMat, "src", "dst") &&
+        eMat.count() <= bound(eMat, SmallGraphBound)) {
       val adj = new java.util.HashMap[Long, java.util.ArrayList[(Long, Double)]]()
       eMat.collect().foreach { r =>
         adj.computeIfAbsent(lng(r.get(0)), _ => new java.util.ArrayList())

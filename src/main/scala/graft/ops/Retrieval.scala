@@ -139,11 +139,17 @@ object Retrieval {
     val qtoks: Seq[String] =
       qterms.select(col("token")).distinct().collect()
         .map(_.getString(0)).toSeq
-    // one-row corpus stats — straight off the compact frame, no explode
+    // one-row corpus stats — straight off the compact frame, no explode.
+    // __dl is NULL (hence uncounted) for docs with NO posting rows —
+    // null text (NULL entries array) AND empty/whitespace-only text
+    // (empty array): the posting-row definition every other entry point
+    // and the oracle use drops both at explode, so counting their
+    // compact rows here would silently skew idf and avgdl.
     val stats = entries
-      .select(aggregate(col("__es"), lit(0L),
-        (a, e) => a + e.getField("tf")).as("__dl"))
-      .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+      .select(when(size(col("__es")) > 0,
+        aggregate(col("__es"), lit(0L),
+          (a, e) => a + e.getField("tf"))).as("__dl"))
+      .agg(count(col("__dl")).as("__n"), avg(col("__dl")).as("__avgdl"))
     // global df: the ONE remaining full-corpus explode (df is a
     // corpus-wide statistic; an honest norm needs every token's df)
     val dfA = Bm25.postingsFromEntries(entries, idCol)

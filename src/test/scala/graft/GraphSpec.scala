@@ -77,6 +77,29 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangles(star).isEmpty)
   }
 
+  test("triangles handles non-numeric ids and keeps the input id type") {
+    // string ids: the long-keyed driver fast path must stand aside
+    // (the distributed node-iterator is type-generic)
+    val k3s = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val gotS = Graph.triangles(k3s).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotS == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    // int ids: the output schema must be the INPUT id type on both
+    // sides of the size switch, not flip to Long under the fast path
+    val k3i = Seq((1, 2), (2, 3), (1, 3)).toDF("src", "dst")
+    val small = Graph.triangles(k3i)
+    assert(small.schema("node").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val forced = { // distributed path on the same graph
+      spark.conf.set("spark.graft.graph.smallBound", "0")
+      try Graph.triangles(k3i)
+      finally spark.conf.unset("spark.graft.graph.smallBound")
+    }
+    assert(forced.schema("node").dataType == small.schema("node").dataType)
+    assert(small.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
   test("bfsLevels assigns minimum hop counts and respects maxHops") {
     // chain 1->2->3->4 plus shortcut 1->3; 9 isolated
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))

@@ -55,6 +55,25 @@ class RetrievalSpec extends SparkSpec {
     assert(inline.nonEmpty)
   }
 
+  test("hybridTopK inline equals postings path on a corpus with null/empty text") {
+    // null-text and empty/whitespace-only docs produce NO posting rows
+    // (explode drops them), so the inline path's corpus stats (N,
+    // avgdl) must exclude them too or idf silently diverges
+    val docs = (corpus ++ Seq((100L, null.asInstanceOf[String]),
+      (101L, ""), (102L, "   \t "))).toDF("doc_id", "text")
+    val qs = Seq((1L, "apple banana")).toDF("qid", "qtext")
+    val inline = graft.ops.Retrieval.hybridTopK(docs, "doc_id", "text",
+      qs, "qid", "qtext", kPerLeg = 4, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val fromPost = graft.ops.Retrieval.hybridTopKFromPostings(
+      graft.ops.Bm25.postings(docs, "doc_id", "text"), "doc_id",
+      qs, "qid", "qtext", kPerLeg = 4, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(inline.nonEmpty)
+    assert(inline.sortBy(r => (r._1, r._4)).toSeq
+      == fromPost.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
   test("hybridTopKFromIndex (full persisted index) equals inline") {
     val docs = corpus.toDF("doc_id", "text")
     val qs = Seq((1L, "apple banana"), (2L, "durian")).toDF("qid", "qtext")
