@@ -49,7 +49,33 @@ object ClusterCheck {
     // job submission from daemon driver threads against REAL executor
     // RPC (local[*] never proves thread-safe submission), plus the
     // overlapped create/refresh landings re-read across JVMs
-    "q261_cdc_join")
+    "q261_cdc_join",
+    // round 15: the inline hybrid — its correctness AND its cost model
+    // depend on ReuseExchange collapsing four consumers onto one
+    // compact posting exchange, and stage reuse can differ on real
+    // executors vs local[*]; the row check runs here and the exchange
+    // count is asserted separately below (see `q112PlanShared`)
+    "q112_hybrid_rrf")
+
+  /** The q112 plan assertion on a given session (PlanQualitySpec:
+    * "inline hybrid materializes the posting pipeline exactly once",
+    * re-run against cluster executors): with AQE off, the static
+    * planner must share the compact entries exchange (ReusedExchange
+    * present, ≤5 live copies). */
+  private def q112PlanShared(spark: SparkSession, dir: String): Boolean = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    GraftExtensions.register(s2)
+    val plan = SparkEntry.queries("q112_hybrid_rrf")(s2, dir)
+      .queryExecution.executedPlan.toString
+    val live = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(doc_id")
+        && !l.contains("ReusedExchange")).size
+    val ok = plan.contains("ReusedExchange") && live <= 5
+    if (!ok) System.err.println(
+      s"[cluster-check] q112 plan not shared ($live live exchanges)")
+    ok
+  }
 
   private val AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -112,12 +138,20 @@ object ClusterCheck {
         }
       g -> ok
     }
+    // the q112 exchange-sharing plan assertion, against the CLUSTER
+    // session's planner (round-15 brief item 6)
+    val planVerdict = "q112_plan_shared" ->
+      (try q112PlanShared(cluster, dir)
+       catch { case e: Throwable =>
+         System.err.println(s"[cluster-check] q112 plan check threw: ${e.getMessage}")
+         false
+       })
     val nExec = cluster.sparkContext.statusTracker.getExecutorInfos.length
     cluster.stop()
 
-    val json = verdicts.map { case (g, ok) => s""""$g":$ok""" }
+    val json = (verdicts :+ planVerdict).map { case (g, ok) => s""""$g":$ok""" }
       .mkString("{", ",", s""","executors":$nExec}""")
     println(json)
-    if (verdicts.exists(!_._2)) sys.exit(1)
+    if ((verdicts :+ planVerdict).exists(!_._2)) sys.exit(1)
   }
 }

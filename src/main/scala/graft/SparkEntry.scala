@@ -3727,6 +3727,59 @@ object SparkEntry {
         d => graft.etl.Mv.register(agg, d)
       }
       agg.orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Graph serve path (q80's steady-state twin): the derived trade
+    // edge list persists ONCE (tradeEdges → parquet — the build-once/
+    // query-many posture the LSH/IVF/posting indexes already take;
+    // the fact joins are 85–95% of every graph gate's cost and
+    // re-running them per analytics query is the anti-pattern), and
+    // the gate body is read-index + iterate. Oracle = q80's verbatim:
+    // the persisted edges must serve exactly the from-scratch rank.
+    "q271_pagerank_read" -> ((s, dir) => {
+      val path = graft.etl.PrebuiltState.getOrCreate(
+          s"tradeEdges|$dir", "trade-edges") { d =>
+        graft.ops.Graph.tradeEdges(t(s, dir, "lineitem"),
+            t(s, dir, "orders"), t(s, dir, "customer"),
+            t(s, dir, "supplier"))
+          .repartition(1).write.mode("overwrite").parquet(d)
+      }
+      val nodes = t(s, dir, "nation").select(col("n_nationkey").as("node"))
+      graft.ops.Graph.pageRank(nodes, s.read.parquet(path),
+          iters = 5, damping = 0.85)
+        .join(broadcast(t(s, dir, "nation")),
+          col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("pr"))
+        .orderBy("n_name")
+    }),
+
+    // Degenerate-document parity gate: the corpus generators never
+    // emit empty/whitespace-only/NULL text, so the per-row text
+    // expressions' edge semantics (CharEntropy, PostingEntries, the
+    // tokens() split contract) were spec-pinned but GATE-invisible.
+    // This query appends four constructed degenerates to the corpus
+    // and computes each expression over the union; the oracle builds
+    // the same union in SQL, so the hash match covers exactly the
+    // empty-input class. (Winnow is structurally exempt: its shared
+    // `length >= 11` guard excludes degenerates on both sides.)
+    "q272_degenerate_docs" -> ((s, dir) => {
+      import s.implicits._
+      val degenerates = Seq(
+        (90000001L, ""), (90000002L, "   \t "),
+        (90000003L, null.asInstanceOf[String]), (90000004L, "x"))
+        .toDF("doc_id", "text")
+      val aug = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(degenerates)
+      val es = graft.expressions.PostingEntries(col("text"))
+      aug.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          array_size(filter(graft.functions.TextFunctions.tokens(col("text")),
+            w => length(w) >= 1)).cast("long").as("n_tokens"),
+          array_size(es).cast("long").as("n_entries"),
+          aggregate(es, lit(0L), (a, e) => a + e.getField("tf")).as("dl"),
+          round(graft.functions.TextFunctions.charEntropy(col("text")), 6)
+            .as("entropy"))
+        .orderBy("doc_id")
     })
   )
 
@@ -9240,7 +9293,69 @@ ORDER BY 1, 2"""
         |  ROUND(SUM(l_quantity), 4) AS sum_qty,
         |  ROUND(SUM(l_extendedprice), 4) AS sum_price,
         |  COUNT(1) AS n
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q80's oracle verbatim: the persisted edge list must serve
+    // exactly the from-scratch PageRank
+    "q271_pagerank_read" ->
+      s"""WITH e AS (
+         |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         |         CAST(COUNT(1) AS DOUBLE) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2
+         |), ow AS (
+         |  SELECT src, SUM(w) AS ow FROM e GROUP BY 1
+         |), ew AS (
+         |  SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow ON ow.src = e.src
+         |), nodes AS (
+         |  SELECT n_nationkey AS node FROM nation
+         |), nn AS (
+         |  SELECT CAST(COUNT(1) AS DOUBLE) AS n FROM nodes
+         |), r0 AS (
+         |  SELECT node, 1.0/nn.n AS pr FROM nodes CROSS JOIN nn
+         |), ${pageRankIterCtes(5, 0.85)}
+         |SELECT n.n_name, r5.pr
+         |FROM r5 JOIN nation n ON n.n_nationkey = r5.node
+         |ORDER BY n.n_name""".stripMargin,
+
+    // the same union + per-row formulas in SQL; `+ 0.0` normalizes
+    // the IEEE -0.0 a single-distinct-char doc's -SUM(...) produces
+    "q272_degenerate_docs" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(90000001 AS BIGINT), ''),
+        |    (CAST(90000002 AS BIGINT), '   ' || chr(9) || ' '),
+        |    (CAST(90000003 AS BIGINT), NULL),
+        |    (CAST(90000004 AS BIGINT), 'x')) AS v(doc_id, text)
+        |), ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM aug
+        |), hist AS (
+        |  SELECT doc_id, c, COUNT(1) AS k FROM ch GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, CAST(SUM(k) AS DOUBLE) AS n FROM hist GROUP BY 1
+        |), ent AS (
+        |  SELECT h.doc_id,
+        |    ROUND(-SUM((h.k/t.n) * ln(h.k/t.n)) + 0.0, 6) AS entropy
+        |  FROM hist h JOIN tot t USING (doc_id) GROUP BY 1
+        |)
+        |SELECT a.doc_id,
+        |  CAST(length(a.text) AS BIGINT) AS n_chars,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(a.text), '\s+'),
+        |    w -> len(w) >= 1)) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_split_to_array(trim(a.text), '\s+')))
+        |    AS BIGINT) AS n_entries,
+        |  CAST(len(regexp_split_to_array(trim(a.text), '\s+')) AS BIGINT)
+        |    AS dl,
+        |  CASE WHEN a.text IS NULL THEN NULL
+        |       WHEN length(a.text) = 0 THEN 0.0
+        |       ELSE e.entropy END AS entropy
+        |FROM aug a LEFT JOIN ent e USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin
   )
 
   /** λ for the q139 MMR oracle — binary-exact 0.75 (see

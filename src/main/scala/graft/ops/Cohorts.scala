@@ -251,31 +251,49 @@ object Cohorts {
 
   /** RFM segmentation (Hughes 1994) — the classical customer-value
     * grid over recency / frequency / monetary, each quintile-scored
-    * by [[Binning.quantileBins]]' exact interpolated thresholds (no
-    * global per-row window; the cuts are one percentile aggregate
-    * broadcast back). Scores run 1..k with k best: recency scores
+    * by exact interpolated thresholds ([[Binning.quantileBins]]'
+    * semantics: value > cut counts up, ties stay low; no global
+    * per-row window). Scores run 1..k with k best: recency scores
     * REVERSED (most recent = k), frequency/monetary ascending.
     * Monetary is rounded at 4 BEFORE binning so the float sum of a
     * user's values can never straddle a cut cross-engine. Output per
     * non-empty segment (r·100 + f·10 + m): n_users and the segment's
-    * mean monetary (integer micro-unit mean — bit-stable). */
+    * mean monetary (integer micro-unit mean — bit-stable).
+    *
+    * Stage shape: the per-user frame is aggregated ONCE and
+    * checkpoint-truncated; the reference date, then ALL THREE cut
+    * arrays in a single percentile aggregate, broadcast back over the
+    * bounded blocks — three serialized fact-rescanning percentile
+    * stages (the folded-quantileBins form this replaces) collapse to
+    * one fact scan plus two metadata-scale broadcasts. */
   def rfm(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String, k: Int = 5): DataFrame = {
-    val asOf = events.agg(max(to_date(col(tsCol))).as("__asof"))
-    val users = events.join(broadcast(asOf), lit(true))
-      .groupBy(col(userCol))
-      .agg(datediff(max(col("__asof")), max(to_date(col(tsCol))))
-          .cast("long").as("recency"),
-        count(lit(1)).as("frequency"),
-        round(sum(col(valueCol)), 4).as("monetary"))
-    val binned = Seq(("recency", "__rb"), ("frequency", "__fb"),
-      ("monetary", "__mb")).foldLeft(users) { case (df, (c, b)) =>
-        Binning.quantileBins(df, c, k).withColumnRenamed("bin", b)
-      }
-    binned
+    // ONE pass over the fact table; everything below runs on the
+    // checkpointed |users|-row frame (freed by the caller's sweep)
+    val users0 = graft.etl.Checkpoints.truncate(
+      events.groupBy(col(userCol))
+        .agg(max(to_date(col(tsCol))).as("__maxd"),
+          count(lit(1)).as("frequency"),
+          round(sum(col(valueCol)), 4).as("monetary")))
+    val asOf = users0.agg(max(col("__maxd")).as("__asof"))
+    val users = users0.join(broadcast(asOf), lit(true))
+      .withColumn("recency",
+        datediff(col("__asof"), col("__maxd")).cast("long"))
+    val ps = (1 until k).map(_.toDouble / k)
+    def cutsOf(c: String) = transform(
+      percentile(col(c), array(ps.map(lit): _*)), x => round(x, 6))
+    // all three cut arrays in ONE aggregate (they are independent
+    // statistics of the same frame — the sequential quantileBins fold
+    // computed them in three serialized jobs for identical values)
+    val cuts = users.agg(cutsOf("recency").as("__rc"),
+      cutsOf("frequency").as("__fc"), cutsOf("monetary").as("__mc"))
+    def binOf(c: String, cutsCol: String) = aggregate(col(cutsCol),
+      lit(0L), (acc, cc) => acc + when(col(c) > cc, 1L).otherwise(0L))
+    users.join(broadcast(cuts), lit(true))
       .withColumn("segment",
-        (lit(k.toLong) - col("__rb")) * 100 + (col("__fb") + 1) * 10
-          + (col("__mb") + 1))
+        (lit(k.toLong) - binOf("recency", "__rc")) * 100
+          + (binOf("frequency", "__fc") + 1) * 10
+          + (binOf("monetary", "__mc") + 1))
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n_users"),
         round(sum(round(col("monetary") * 1e4).cast("long"))

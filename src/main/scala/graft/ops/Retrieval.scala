@@ -140,11 +140,14 @@ object Retrieval {
       qterms.select(col("token")).distinct().collect()
         .map(_.getString(0)).toSeq
     // one-row corpus stats — straight off the compact frame, no explode.
-    // __dl is NULL (hence uncounted) for docs with NO posting rows —
-    // null text (NULL entries array) AND empty/whitespace-only text
-    // (empty array): the posting-row definition every other entry point
-    // and the oracle use drops both at explode, so counting their
-    // compact rows here would silently skew idf and avgdl.
+    // __dl is NULL (hence uncounted) exactly for NULL-TEXT docs (NULL
+    // entries array — the only docs with no posting rows; empty text
+    // keeps its one empty-string entry per the split contract, so it
+    // stays counted with dl = 1 like its posting row says): count(__dl)
+    // matches the posting-row N every other entry point and the oracle
+    // derive, where count(lit(1)) would have counted NULL-text rows and
+    // silently skewed idf and avgdl. The size() guard is belt-and-
+    // braces for a hypothetically empty entries array — same NULL.
     val stats = entries
       .select(when(size(col("__es")) > 0,
         aggregate(col("__es"), lit(0L),

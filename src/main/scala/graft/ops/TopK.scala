@@ -45,14 +45,24 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  /** The bounded-heap aggregation as a raw Column — an array of
+    * (score, id) structs (fields `_1`, `_2`) sorted desc-score /
+    * asc-id, length ≤ k. Composable into a WIDER aggregate so a
+    * caller needing counts + top-k per group pays ONE aggregation,
+    * not an agg + agg + join. */
+  def topKAgg(scoreCol: org.apache.spark.sql.Column,
+      idCol: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column =
+    udaf(new TopKByScore(k), Encoders.tuple(
+      Encoders.scalaDouble, Encoders.scalaLong))(
+      scoreCol.cast("double"), idCol.cast("long"))
+
   /** Top-k (id, score) per group, ranked 1..k descending by score.
     * Output: groupCols..., id, score, rank. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
       scoreCol: String, idCol: String, k: Int): DataFrame = {
-    val agg = udaf(new TopKByScore(k), Encoders.tuple(
-      Encoders.scalaDouble, Encoders.scalaLong))
     df.groupBy(groupCols.map(col): _*)
-      .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long")).as("__top"))
+      .agg(topKAgg(col(scoreCol), col(idCol), k).as("__top"))
       .select(groupCols.map(col) :+ posexplode(col("__top")): _*)
       .select(groupCols.map(col) ++ Seq(
         col("col._2").as(idCol),

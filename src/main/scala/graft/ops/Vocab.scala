@@ -59,21 +59,22 @@ object Vocab {
     * frequency, and the top-k posting list (doc ids by tf desc, id
     * asc, comma-joined — a portable representation). The top-k side
     * uses the bounded-heap [[TopK]] aggregator: no per-term group
-    * sort, O(k) state per term. */
+    * sort, O(k) state per term — and it rides in the SAME per-token
+    * aggregate as df/tf_total (the aggregator is just one more agg
+    * column), so the index is two hash aggregations end to end, no
+    * stats⋈tops join. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val postings = tokenFrame(docs, idCol, textCol)
+      k: Int): DataFrame =
+    tokenFrame(docs, idCol, textCol)
       .groupBy(col("token"), col("doc")).agg(count(lit(1)).as("tf"))
-    val stats = postings.groupBy("token")
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
-    val tops = TopK.topKPerGroup(postings, Seq("token"), "tf", "doc", k)
       .groupBy("token")
-      .agg(array_sort(collect_list(struct(col("rank"), col("doc")))).as("ps"))
-      .select(col("token"), concat_ws(",",
-        transform(col("ps"), x => x.getField("doc").cast("string")))
-        .as("top_docs"))
-    stats.join(tops, "token")
-  }
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+        TopK.topKAgg(col("tf"), col("doc"), k).as("__top"))
+      .select(col("token"), col("df"), col("tf_total"),
+        // the heap's finish order IS (tf desc, doc asc) — the rank order
+        concat_ws(",",
+          transform(col("__top"), x => x.getField("_2").cast("string")))
+          .as("top_docs"))
 
   /** Windowed PMI co-occurrence: pointwise mutual information of
     * unordered token pairs co-occurring within `window` positions in

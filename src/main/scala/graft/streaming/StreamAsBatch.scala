@@ -487,7 +487,10 @@ object StreamAsBatch {
         w.s.read.parquet(w.sink)
       case None =>
         val s = spark.newSession()
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions",
+          sys.props.getOrElse("graft.stream.parts", "4"))
+        sys.props.get("graft.stream.provider").foreach(p =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         // gates whose OUTPUT does not depend on the watermark closing
         // anything (dedup emits on arrival, inner join on match) skip
