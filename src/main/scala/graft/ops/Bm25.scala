@@ -85,9 +85,32 @@ object Bm25 {
     * [[topKFromPostings]] — then no pass reads the raw text at all. */
   def topK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    topKFromPostings(postings(docs, idCol, textCol), idCol,
-      queries, qidCol, qtextCol, k, k1, b)
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    // the q112 move, applied inline: corpus stats come off the COMPACT
+    // per-doc entries (no explode). With exactly TWO consumers whose
+    // column sets differ (stats prunes to __es; scoring needs id+__es)
+    // static exchange reuse cannot fire, so the compact frame is
+    // materialized ONCE (checkpoint-truncated — |docs| rows of
+    // token/tf structs, freed by the caller's sweep): the text is
+    // tokenized once, where the former formulation's stats pass
+    // re-derived the postings — a second full tokenization — just to
+    // re-aggregate a per-doc quantity the compact frame carries
+    val entries = graft.etl.Checkpoints.truncate(
+      postingEntries(docs, idCol, textCol))
+    val stats = entries
+      .select(when(size(col("__es")) > 0,
+        aggregate(col("__es"), lit(0L),
+          (a, e) => a + e.getField("tf"))).as("__dl"))
+      .agg(count(col("__dl")).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scoredCore(postingsFromEntries(entries, idCol), stats, idCol,
+        queries, qidCol, qtextCol, k1, b)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+  }
 
   /** [[topK]] over a precomputed (id, token, tf, dl) posting frame —
     * the persisted-index path: write `postings(corpus)` once, then
@@ -117,6 +140,17 @@ object Bm25 {
     // one-row corpus stats; joins in as a broadcast, never collected
     val stats = post.groupBy(col(idCol)).agg(max(col("dl")).as("__dl"))
       .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    scoredCore(post, stats, idCol, queries, qidCol, qtextCol, k1, b)
+  }
+
+  /** [[scoredFromPostings]] with the (N, avgdl) stats frame supplied by
+    * the caller — the inline [[topK]] derives it from the compact
+    * entries (no corpus explode); the persisted path derives it from
+    * the posting frame itself. Both definitions count exactly the docs
+    * that have posting rows. */
+  private def scoredCore(post: DataFrame, stats: DataFrame, idCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k1: Double, b: Double): DataFrame = {
     val qterms = queries
       .select(col(qidCol).as("query_id"),
         explode(array_distinct(tokens(col(qtextCol)))).as("token"))

@@ -28,10 +28,11 @@ object Tfidf {
   def topKeywords(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     require(k > 0, "k must be positive")
-    val tf = docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    // tf is per-document: computed ROW-LOCALLY by PostingEntries and
+    // exploded (no corpus-token shuffle — the q112/q74 lesson); the
+    // unused dl column prunes away
+    val tf = Bm25.postings(docs, idCol, textCol)
+      .select(col(idCol), col("token"), col("tf"))
     val total = docs.select(count(lit(1)).as("__n"))
     // tf is distinct per (doc, token), so df = row count per token —
     // computed as a WINDOW over the tf frame, not a second aggregation
@@ -71,10 +72,9 @@ object Tfidf {
   def similarDocs(docs: DataFrame, idCol: String, textCol: String,
       maxDf: Int, k: Int): DataFrame = {
     require(k > 0 && maxDf > 1, "k and maxDf must be positive (maxDf > 1)")
-    val tf = docs
-      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
-      .groupBy(col("doc"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    // row-local tf (PostingEntries) — no corpus-token shuffle
+    val tf = Bm25.postings(docs, idCol, textCol)
+      .select(col(idCol).as("doc"), col("token"), col("tf"))
     val total = docs.select(count(lit(1)).as("__n"))
     val wtd = tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
