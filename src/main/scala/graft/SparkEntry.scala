@@ -3770,13 +3770,18 @@ object SparkEntry {
         .toDF("doc_id", "text")
       val aug = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .unionByName(degenerates)
-      val es = graft.expressions.PostingEntries(col("text"))
-      aug.select(col("doc_id"),
+      // stage __es once per row (PostingEntries is single-eval but
+      // NOT codegen'd — referencing it twice in one projection would
+      // tokenize each doc twice)
+      aug.select(col("doc_id"), col("text"),
+          graft.expressions.PostingEntries(col("text")).as("__es"))
+        .select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
           array_size(filter(graft.functions.TextFunctions.tokens(col("text")),
             w => length(w) >= 1)).cast("long").as("n_tokens"),
-          array_size(es).cast("long").as("n_entries"),
-          aggregate(es, lit(0L), (a, e) => a + e.getField("tf")).as("dl"),
+          array_size(col("__es")).cast("long").as("n_entries"),
+          aggregate(col("__es"), lit(0L),
+            (a, e) => a + e.getField("tf")).as("dl"),
           round(graft.functions.TextFunctions.charEntropy(col("text")), 6)
             .as("entropy"))
         .orderBy("doc_id")

@@ -210,8 +210,14 @@ object Cohorts {
     * churn only when a later week exists in the data. */
   def growthAccounting(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
-    val weeks = events.select(col(userCol).as("u"),
-      date_trunc("week", col(tsCol)).cast("date").as("wk")).distinct()
+    // the (user, week) frame feeds SIX consumers below (firsts, the
+    // status spine, the prev/next self-join sides, max-week, churn) —
+    // checkpoint-truncate it so the fact scan + distinct run once,
+    // not once per consumer (the rfm treatment; blocks freed by the
+    // caller's sweep)
+    val weeks = graft.etl.Checkpoints.truncate(
+      events.select(col(userCol).as("u"),
+        date_trunc("week", col(tsCol)).cast("date").as("wk")).distinct())
     val firsts = weeks.groupBy(col("u")).agg(min(col("wk")).as("first_wk"))
     val prev = weeks.select(col("u"), date_add(col("wk"), 7).as("wk"),
       lit(1).as("__was_prev"))
