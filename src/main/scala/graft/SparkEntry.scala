@@ -1387,11 +1387,19 @@ object SparkEntry {
     "q120_training_prep" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val cfg = graft.ops.CorpusClean.Config()
-      val gated = graft.ops.CorpusClean.gate(
-        Dedup.dropExactDuplicates(docs, "doc_id", "text"),
-        "doc_id", "text", cfg)
-      val pairs = Dedup.minhashNearDups(gated, "doc_id", "text",
-        n = cfg.shingleSize, threshold = 0.5)
+      // gated feeds the LSH pipeline (which scans it three times:
+      // signatures + both verification sides) AND the loser anti-join;
+      // pairs feeds the CC loop and the split-pair semi-joins. Both
+      // checkpoint-truncated so the exact-dedup window + quality gates
+      // and the LSH+verify pipeline each run ONCE — un-materialized,
+      // Catalyst re-derives the whole subtree per consumer.
+      val gated = graft.etl.Checkpoints.truncate(
+        graft.ops.CorpusClean.gate(
+          Dedup.dropExactDuplicates(docs, "doc_id", "text"),
+          "doc_id", "text", cfg))
+      val pairs = graft.etl.Checkpoints.truncate(
+        Dedup.minhashNearDups(gated, "doc_id", "text",
+          n = cfg.shingleSize, threshold = 0.5))
       val losers = Dedup.nearDupLosers(
           pairs.where(col("jaccard") >= cfg.nearDupThreshold))
         .withColumnRenamed("id", "doc_id")

@@ -116,8 +116,13 @@ object CorpusClean {
     val normalized = normalizeText(docs, textCol, cfg)
     val deduped = Dedup.dropExactDuplicates(normalized, idCol, textCol)
 
-    val gated = gate(deduped, idCol, textCol,
-      cfg.copy(stripMarkup = false, normalizeForm = None))
+    // gated feeds the LSH pipeline (three scans: signatures + both
+    // verification sides) AND the final survivor anti-join — truncate
+    // so normalize + the exact-dedup window + the quality gates run
+    // once, not once per consumer (blocks freed by the caller's sweep)
+    val gated = graft.etl.Checkpoints.truncate(
+      gate(deduped, idCol, textCol,
+        cfg.copy(stripMarkup = false, normalizeForm = None)))
 
     // transitive clustering: one survivor per chained near-dup group
     val pairs = Dedup.minhashNearDups(gated, idCol, textCol,

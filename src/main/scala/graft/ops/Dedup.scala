@@ -268,12 +268,25 @@ object Dedup {
       nPerms: Int = 8, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     require(bands * rowsPerBand <= nPerms,
       s"bands*rowsPerBand (${bands * rowsPerBand}) exceeds nPerms ($nPerms)")
-    val cand = lshCandidates(
-      minhashSignatures(df, idCol, textCol, n, nPerms), idCol,
-      bands, rowsPerBand)
+    // COMPACT per-doc shingle arrays, materialized once (the q112
+    // pattern: compact, never the exploded frame): the signature pass
+    // and BOTH verification legs derive from it, so tokenize+shingle —
+    // the expensive per-row expression work — runs once instead of
+    // three times per corpus. Docs with no shingles (under n tokens)
+    // carry an empty array, dropped by the same filters as before.
+    val compact = graft.etl.Checkpoints.truncate(
+      df.select(col(idCol), tokens(col(textCol)).as("__w"))
+        .select(col(idCol), wordShingles(col("__w"), n).as("sh")))
+    val sig0 = compact.where(size(col("sh")) >= 1)
+      .select(col(idCol), graft.expressions.MinhashSig(col("sh"),
+        minhashPermsFor(nPerms), MinhashMod).as("__sig"))
+    val sig = sig0.select(col(idCol) +:
+      (0 until nPerms).map(i => col("__sig").getItem(i).as(s"mh$i")): _*)
+    val cand = lshCandidates(sig, idCol, bands, rowsPerBand)
     // verification join keys on the shingle's 64-bit hash (see
     // jaccardPairs — longs through the shuffle, not strings)
-    val ex = shingleTable(df, idCol, textCol, n)
+    val ex = compact
+      .select(col(idCol), explode(col("sh")).as("s"), size(col("sh")).as("n"))
       .select(col(idCol), xxhash64(col("s")).as("sk"), col("n"))
     val a = ex.select(col(idCol).as("doc_a"), col("sk"), col("n").as("na"))
     val b = ex.select(col(idCol).as("doc_b"), col("sk"), col("n").as("nb"))
