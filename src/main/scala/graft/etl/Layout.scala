@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Data-layout levers for scan pruning at 100 TB.
   *
@@ -15,6 +16,128 @@ import org.apache.spark.sql.functions._
   * ANY clustered column skips most files.
   */
 object Layout {
+
+  /** Max added-file count for which a manifest commit collects stats
+    * from the parquet footers driver-side; a larger commit falls back
+    * to the distributed scan (the driver already paid an O(files)
+    * listing, but footer reads shouldn't grow unbounded). */
+  private val FooterStatsMaxFiles = 4096
+
+  /** Per-file (min, max, n_rows) of `clusterCol` read from the
+    * parquet FOOTERS of freshly-committed files, driver-side — the
+    * stats a table-format commit collects from the write itself
+    * (Delta/Iceberg writer stats): a manifest commit is a metadata
+    * operation, not a Spark job. Only types whose footer min/max is
+    * exact under the column's ordering are eligible — integral and
+    * floating physical types; binary (string) stats may be
+    * writer-truncated and decimal/timestamp carry logical-type
+    * conversions — so anything else returns None and the caller runs
+    * the distributed scan instead (which also covers corrupt or
+    * stats-less footers). The `file` rendering matches
+    * `input_file_name()` (the path URI) so manifests stay
+    * set-comparable across commit paths. */
+  private def footerManifest(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], clusterCol: String,
+      clusterType: org.apache.spark.sql.types.DataType): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    if (files.isEmpty || files.length > FooterStatsMaxFiles) return None
+    val eligible = clusterType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _ => false
+    }
+    if (!eligible) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = scala.util.Try {
+      files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks
+          var nRows = 0L
+          var minA: Any = null
+          var maxA: Any = null
+          val it = blocks.iterator()
+          while (it.hasNext) {
+            val b = it.next()
+            nRows += b.getRowCount
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == clusterCol)
+              .getOrElse(sys.error(s"no column chunk for $clusterCol"))
+            val st = cc.getStatistics
+            if (b.getRowCount > 0) {
+              // a block whose stats are absent/unreliable disqualifies
+              // the footer path entirely (fallback scan) — EXCEPT the
+              // all-null block, where empty stats are the truth
+              if (st == null) sys.error("footer stats absent")
+              if (st.hasNonNullValue) {
+                val (lo, hi) = (st.genericGetMin, st.genericGetMax)
+                def cmp(a: Any, b: Any): Int =
+                  a.asInstanceOf[Comparable[Any]].compareTo(b)
+                if (minA == null || cmp(lo, minA) < 0) minA = lo
+                if (maxA == null || cmp(hi, maxA) > 0) maxA = hi
+              } else if (!st.isNumNullsSet || st.getNumNulls < b.getRowCount)
+                sys.error("footer stats absent for non-null block")
+            }
+          }
+          // physical INT32 backs byte/short/int — convert to the
+          // manifest's declared Spark type so unions stay consistent
+          def conv(v: Any): Any = (v, clusterType) match {
+            case (null, _) => null
+            case (i: java.lang.Integer, ByteType) => i.byteValue()
+            case (i: java.lang.Integer, ShortType) => i.shortValue()
+            case (i: java.lang.Integer, IntegerType) => i
+            case (l: java.lang.Long, LongType) => l
+            case (x: java.lang.Float, FloatType) => x
+            case (x: java.lang.Double, DoubleType) => x
+            case _ => sys.error(s"unexpected footer stat type ${v.getClass}")
+          }
+          org.apache.spark.sql.Row(p.toUri.toString, conv(minA), conv(maxA), nRows)
+        } finally reader.close()
+      }
+    }.toOption
+    rows.map { rs =>
+      val schema = StructType(Seq(
+        StructField("file", StringType, nullable = false),
+        StructField("min_v", clusterType), StructField("max_v", clusterType),
+        StructField("n_rows", LongType, nullable = false)))
+      spark.createDataFrame(rs.asJava, schema)
+    }
+  }
+
+  /** Republish the current-table manifest (`path/_zonemap`) as an
+    * exact filesystem copy of a committed version dir — a metadata
+    * file operation, zero Spark jobs (the old read-back-and-rewrite
+    * was a full query). Copy-then-swap: a crash leaves either the old
+    * or the new manifest (or, between the two renames, none — in
+    * which case every committed `_zonemap_v` version is still intact
+    * and any commit republishes). */
+  private def republishManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, fromVersion: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$path/_zonemap_v/$fromVersion")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/_zonemap")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_zonemap__publishing")
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"could not publish $dst")
+  }
+
+  /** Data files of a flat parquet dir, rendered as path URIs (the
+    * same rendering [[footerManifest]] and `input_file_name()` use,
+    * so manifest strings stay set-comparable). Metadata-scale. */
+  private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.toString).toSet
+  }
 
   /** Bit-spread of the low 32 bits of `x` into even bit positions
     * (Morton spreading via the classic mask cascade — pure codegen'd
@@ -75,14 +198,16 @@ object Layout {
       .sortWithinPartitions(clusterCol)
       .write.mode("overwrite").parquet(path)
     val spark = df.sparkSession
-    val manifest = spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),
-        count(lit(1)).as("n_rows"))
-    manifest.coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_zonemap")
+    val written = listDataFiles(spark, path).toSeq
+    val manifest = footerManifest(spark, written, clusterCol,
+        df.schema(clusterCol).dataType)
+      .getOrElse(spark.read.parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),
+          count(lit(1)).as("n_rows")))
     manifest.coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_zonemap_v/1")
+    republishManifest(spark, path, 1L)
   }
 
   /** Committed manifest versions of a zone-mapped dataset, ascending
@@ -180,23 +305,20 @@ object Layout {
   def appendZoneMapped(df: DataFrame, path: String, clusterCol: String,
       numFiles: Int): Unit = {
     val spark = df.sparkSession
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles: Set[String] = fs.listStatus(hPath)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).toSet
-    val before = dataFiles
+    val before = listDataFiles(spark, path)
     df.repartitionByRange(numFiles, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .write.mode("append").parquet(path)
-    val added = (dataFiles -- before).toSeq
+    val added = (listDataFiles(spark, path) -- before).toSeq
     // an empty delta can legitimately commit zero part files — a
     // no-op append must not fail the job (and has no manifest delta)
     if (added.isEmpty) return
-    val newStats = spark.read.parquet(added: _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),
-        count(lit(1)).as("n_rows"))
+    val newStats = footerManifest(spark, added, clusterCol,
+        df.schema(clusterCol).dataType)
+      .getOrElse(spark.read.parquet(added: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),
+          count(lit(1)).as("n_rows")))
     // A dataset written before versioning existed has a _zonemap but
     // no _zonemap_v: backfill ITS manifest as version 1 first, so
     // the post-append commit below never masquerades as the original
@@ -207,16 +329,16 @@ object Layout {
       spark.read.parquet(s"$path/_zonemap").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/_zonemap_v/1")
     val next = zoneMapVersions(spark, path).last + 1
-    // Commit the snapshot manifest first (a NEW path — a distributed
-    // union write, never a driver-side collect: at millions of files
-    // the manifest is a small table, not driver memory), then republish
-    // the current-table manifest by reading the committed version back
-    // (reading the OLD _zonemap while overwriting it would race).
+    // Commit the snapshot manifest first (a NEW path — old ∪ new as
+    // a distributed union write, never a driver-side collect: at
+    // millions of files the manifest is a small table, not driver
+    // memory; the new-file stats ride in as a local relation), then
+    // republish the current-table pointer as a filesystem copy of the
+    // committed version — a metadata op, not a second query.
     spark.read.parquet(s"$path/_zonemap").unionByName(newStats)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_zonemap_v/$next")
-    spark.read.parquet(s"$path/_zonemap_v/$next").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_zonemap")
+    republishManifest(spark, path, next)
   }
 
   /** Write `df` with a FILE-MEMBERSHIP sketch on `keyCol` — the
@@ -330,31 +452,28 @@ object Layout {
     * vacuum, not here. */
   def compactZoneMapped(spark: org.apache.spark.sql.SparkSession,
       path: String, clusterCol: String, numFiles: Int): Long = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles: Set[String] = fs.listStatus(hPath)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).toSet
     val current = spark.read.parquet(s"$path/_zonemap")
       .select("file").collect().map(_.getString(0))
-    val before = dataFiles
-    spark.read.parquet(current.toIndexedSeq: _*)
+    val before = listDataFiles(spark, path)
+    val currentDf = spark.read.parquet(current.toIndexedSeq: _*)
+    currentDf
       .repartitionByRange(numFiles, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .write.mode("append").parquet(path)
-    val added = (dataFiles -- before).toSeq
-    val newManifest = spark.read.parquet(added: _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),
-        count(lit(1)).as("n_rows"))
+    val added = (listDataFiles(spark, path) -- before).toSeq
+    val newManifest = footerManifest(spark, added, clusterCol,
+        currentDf.schema(clusterCol).dataType)
+      .getOrElse(spark.read.parquet(added: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),
+          count(lit(1)).as("n_rows")))
     if (zoneMapVersions(spark, path).isEmpty)
       spark.read.parquet(s"$path/_zonemap").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/_zonemap_v/1")
     val next = zoneMapVersions(spark, path).last + 1
     newManifest.coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_zonemap_v/$next")
-    spark.read.parquet(s"$path/_zonemap_v/$next").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_zonemap")
+    republishManifest(spark, path, next)
     next
   }
 
@@ -375,10 +494,21 @@ object Layout {
     val (dropped, retained) = versions.splitAt(versions.size - keepLast)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ONE manifest read covers retained and dropped versions (the
+    // source manifest dir of each row tells the two sets apart) —
+    // manifests are one row per file, metadata-scale
+    val byVersion = spark.read
+      .parquet(versions.map(v => s"$path/_zonemap_v/$v"): _*)
+      .select(col("file"), input_file_name().as("__src"))
+      .collect()
+      .groupBy(r => {
+        val src = r.getString(1)
+        val tail = src.substring(src.indexOf("/_zonemap_v/") + "/_zonemap_v/".length)
+        tail.substring(0, tail.indexOf('/')).toLong
+      })
     def filesOf(vs: Seq[Long]): Set[String] =
-      if (vs.isEmpty) Set.empty
-      else spark.read.parquet(vs.map(v => s"$path/_zonemap_v/$v"): _*)
-        .select("file").distinct().collect().map(_.getString(0)).toSet
+      vs.flatMap(v => byVersion.getOrElse(v, Array.empty)
+        .map(_.getString(0))).toSet
     val keep = filesOf(retained)
     val dead = filesOf(dropped) -- keep
     var deleted = 0

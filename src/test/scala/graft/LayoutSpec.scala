@@ -219,6 +219,54 @@ class LayoutSpec extends SparkSpec {
     graft.etl.Scratch.remove(dir)
   }
 
+  test("footer-stats manifest equals the scan-derived manifest, and " +
+      "ineligible cluster types fall back to the scan") {
+    // LONG cluster column → the commit collects stats from parquet
+    // footers driver-side; the manifest must be value-identical to
+    // what the distributed scan would compute (this is the exactness
+    // claim footer stats rest on for integral physical types)
+    val dir = graft.etl.Scratch.dir("zmfooter")
+    val df = (1 to 10000).map(i =>
+      ((i * 37 % 10007).toLong, s"v$i")).toDF("k", "v")
+    Layout.writeZoneMapped(df, dir, "k", numFiles = 8)
+    val manifest = spark.read.parquet(s"$dir/_zonemap")
+      .orderBy("file").collect()
+    val rescan = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("k")).as("min_v"), max(col("k")).as("max_v"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("file").collect()
+    assert(manifest.length == rescan.length)
+    manifest.zip(rescan).foreach { case (m, s) =>
+      // file strings may differ in URI rendering (file:/ vs file:///)
+      // between the footer and input_file_name paths; compare the
+      // resolved path and the stats values
+      assert(new java.net.URI(m.getString(0)).getPath ==
+        new java.net.URI(s.getString(0)).getPath)
+      assert(m.getLong(1) == s.getLong(1) && m.getLong(2) == s.getLong(2)
+        && m.getLong(3) == s.getLong(3))
+    }
+    // the current-table manifest is an exact copy of version 1
+    val v1 = spark.read.parquet(s"$dir/_zonemap_v/1").orderBy("file").collect()
+    assert(manifest.sameElements(v1))
+    graft.etl.Scratch.remove(dir)
+
+    // STRING cluster column → binary footer stats may be truncated,
+    // so the commit must take the scan path — and still be exact
+    val sdir = graft.etl.Scratch.dir("zmfooterstr")
+    val sdf = (1 to 2000).map(i => (f"k$i%05d", i)).toDF("k", "n")
+    Layout.writeZoneMapped(sdf, sdir, "k", numFiles = 4)
+    val szm = spark.read.parquet(s"$sdir/_zonemap")
+    assert(szm.agg(sum("n_rows")).head().getLong(0) == 2000L)
+    assert(szm.agg(min("min_v"), max("max_v")).head() match {
+      case r => r.getString(0) == "k00001" && r.getString(1) == "k02000"
+    })
+    val sPruned = Layout.readZonePruned(spark, sdir, lit("k00500"), lit("k00600"))
+      .where(col("k").between("k00500", "k00600"))
+    assert(sPruned.count() == 101)
+    graft.etl.Scratch.remove(sdir)
+  }
+
   test("membership sketch: point probes open few files, never lose rows") {
     val dir = graft.etl.Scratch.dir("mm")
     // keys deliberately NOT range-clustered (hash-ish round robin),
