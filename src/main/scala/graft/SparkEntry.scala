@@ -2317,14 +2317,19 @@ object SparkEntry {
       val keys = Seq("event_type")
       val p1 = graft.etl.Scratch.dir("mdist-inc")
       val p2 = graft.etl.Scratch.dir("mdist-oneshot")
-      graft.etl.MaterializedDistinct.create(
-        ev.where(col("user_id") % 3 =!= 0), keys, "user_id", p1,
-        nBuckets = 8, lgK = 14)
-      graft.etl.MaterializedDistinct.refresh(s, p1,
-        ev.where(col("user_id") % 3 === 0), keys, "user_id",
-        nBuckets = 8, lgK = 14)
-      graft.etl.MaterializedDistinct.create(ev, keys, "user_id", p2,
-        nBuckets = 8, lgK = 14)
+      // the incremental chain (create→refresh on p1) and the one-shot
+      // control build (p2) are independent state dirs — overlapped
+      graft.etl.Par.run(
+        () => {
+          graft.etl.MaterializedDistinct.create(
+            ev.where(col("user_id") % 3 =!= 0), keys, "user_id", p1,
+            nBuckets = 8, lgK = 14)
+          graft.etl.MaterializedDistinct.refresh(s, p1,
+            ev.where(col("user_id") % 3 === 0), keys, "user_id",
+            nBuckets = 8, lgK = 14)
+        },
+        () => graft.etl.MaterializedDistinct.create(ev, keys, "user_id",
+          p2, nBuckets = 8, lgK = 14))
       val inc = graft.etl.MaterializedDistinct.read(s, p1, keys)
       val oneShot = graft.etl.MaterializedDistinct.read(s, p2, keys)
         .withColumnRenamed("n_distinct_est", "est_oneshot")
@@ -2409,14 +2414,20 @@ object SparkEntry {
       val probs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
       val pInc = graft.etl.Scratch.dir("mq-inc")
       val pOne = graft.etl.Scratch.dir("mq-oneshot")
-      graft.etl.MaterializedQuantiles.create(
-        orders.where(year(col("o_orderdate")) < 1997),
-        keys, "o_orderkey", "o_totalprice", pInc, k = 256, nBuckets = 8)
-      graft.etl.MaterializedQuantiles.refresh(s, pInc,
-        orders.where(year(col("o_orderdate")) >= 1997),
-        keys, "o_orderkey", "o_totalprice", k = 256, nBuckets = 8)
-      graft.etl.MaterializedQuantiles.create(orders,
-        keys, "o_orderkey", "o_totalprice", pOne, k = 256, nBuckets = 8)
+      // the incremental chain (create→refresh on pInc) and the
+      // one-shot control build (pOne) are independent state dirs —
+      // overlapped
+      graft.etl.Par.run(
+        () => {
+          graft.etl.MaterializedQuantiles.create(
+            orders.where(year(col("o_orderdate")) < 1997),
+            keys, "o_orderkey", "o_totalprice", pInc, k = 256, nBuckets = 8)
+          graft.etl.MaterializedQuantiles.refresh(s, pInc,
+            orders.where(year(col("o_orderdate")) >= 1997),
+            keys, "o_orderkey", "o_totalprice", k = 256, nBuckets = 8)
+        },
+        () => graft.etl.MaterializedQuantiles.create(orders,
+          keys, "o_orderkey", "o_totalprice", pOne, k = 256, nBuckets = 8))
       val inc = graft.etl.MaterializedQuantiles.read(s, pInc, keys, probs)
       val one = graft.etl.MaterializedQuantiles.read(s, pOne, keys, probs)
         .select(col("o_orderpriority"), col("n_sample").as("n1"),

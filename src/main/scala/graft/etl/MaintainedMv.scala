@@ -54,25 +54,42 @@ object MaintainedMv {
         avg(col(valueCol)).as("mean"))
 
   /** Initialize state + MV from the base directory's current content
-    * and register the rewrite. */
+    * and register the rewrite. The base is aggregated ONCE (the
+    * partials frame is checkpointed); the state write and the MV
+    * write both read that materialization and are independent of each
+    * other — overlapped ([[Par]]). */
   def create(spark: SparkSession, baseDir: String, keys: Seq[String],
       valueCol: String, statePath: String, mvPath: String,
       nBuckets: Int = 64): Unit = {
-    MaterializedAgg.create(spark.read.parquet(baseDir), keys, valueCol,
-      statePath, nBuckets)
-    materializeAndRegister(spark, baseDir, keys, valueCol, statePath, mvPath)
+    val p = Checkpoints.truncate(MaterializedAgg.partials(
+      spark.read.parquet(baseDir), keys, valueCol, nBuckets))
+    Par.run(
+      () => p.write.mode("overwrite").partitionBy("__bucket")
+        .parquet(statePath),
+      // the finalize shape MUST match MaterializedAgg.read (each key
+      // lives in exactly one bucket, so partials are one row per key)
+      () => p.select((keys.map(col) :+ col("__cnt").as("n") :+
+          col("__sum").as("total") :+ col("__min").as("lo") :+
+          col("__max").as("hi") :+
+          (col("__sum") / col("__cnt")).as("mean")): _*)
+        .write.mode("overwrite").parquet(mvPath))
+    Mv.registerExisting(viewOf(spark, baseDir, keys, valueCol), mvPath)
+    Checkpoints.free(p)
   }
 
   /** Append `delta` to the base directory, absorb it into the state
     * (delta-bounded — the base is never rescanned), and re-point the
-    * rewrite at the refreshed MV. */
+    * rewrite at the refreshed MV. The base append and the state
+    * refresh both read only the staged delta (the refresh never
+    * touches the base dir) — independent, overlapped ([[Par]]). */
   def ingestAndRefresh(spark: SparkSession, baseDir: String,
       delta: DataFrame, keys: Seq[String], valueCol: String,
       statePath: String, mvPath: String, nBuckets: Int = 64): Unit = {
     val staged = Checkpoints.truncate(delta)
-    staged.write.mode("append").parquet(baseDir)
-    MaterializedAgg.refresh(spark, statePath, staged, keys, valueCol,
-      nBuckets)
+    Par.run(
+      () => staged.write.mode("append").parquet(baseDir),
+      () => MaterializedAgg.refresh(spark, statePath, staged, keys,
+        valueCol, nBuckets))
     Checkpoints.free(staged)
     materializeAndRegister(spark, baseDir, keys, valueCol, statePath, mvPath)
   }
