@@ -218,11 +218,40 @@ object Approx {
     * shuffled volume. (Spark's own runtime bloom filter —
     * `spark.sql.optimizer.runtime.bloomFilter.enabled` — applies the
     * same idea inside AQE; this is the explicit, plan-visible form
-    * with the filter built over an arbitrary derived build frame.) */
+    * with the filter built over an arbitrary derived build frame.)
+    *
+    * Unlike [[bloomSemiJoin]]'s standing-filter form, the words here
+    * never touch the driver: they ride a ONE-ROW broadcast stat frame
+    * as a sparse word→bits MAP (non-zero words only — at most
+    * numBits/64 entries, the same few-MB bound as the literal), so
+    * build, screen, and exact join are a SINGLE plan — no serialized
+    * build action ahead of the probe. A probe word absent from the
+    * map yields NULL from element_at, which the conjunction treats as
+    * "bit not set" (the row is dropped), exactly the all-zero-word
+    * semantics of the dense literal. */
   def bloomReducedSemiJoin(probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String, numBits: Int,
-      numHashes: Int): DataFrame =
-    bloomSemiJoin(probe, probeKey, build, buildKey, numBits, numHashes)
+      numHashes: Int): DataFrame = {
+    require(numBits > 0 && numBits % 64 == 0, "numBits must be a multiple of 64")
+    require(numHashes > 0, "numHashes must be positive")
+    val pos = explode(array((0 until numHashes).map(i =>
+      bloomPos(col(buildKey), i, numBits)): _*))
+    val words = build.select(pos.as("p"))
+      .select((col("p") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")).as("b"))
+      .groupBy("w").agg(bit_or(col("b")).as("bits"))
+      .agg(map_from_arrays(collect_list(col("w")),
+        collect_list(col("bits"))).as("__bloom"))
+    val might = (0 until numHashes).map { i =>
+      val p = bloomPos(col(probeKey), i, numBits)
+      (element_at(col("__bloom"), (p / 64).cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (p % 64).cast("int")))) =!= 0L
+    }.reduce(_ && _)
+    probe.crossJoin(broadcast(words))
+      .where(might)
+      .drop("__bloom")
       .join(build.select(col(buildKey)),
         col(probeKey) === col(buildKey), "left_semi")
+  }
 }

@@ -95,6 +95,26 @@ class ScaleOpsSpec extends SparkSpec {
       s"probe side shuffles:\n$plan")
   }
 
+  test("single-plan bloom-reduced semi-join equals the exact semi-join") {
+    val build = (1L to 1000L).toDF("k")
+    val probe = (501L to 1500L).toDF("pk")
+    val m = 64 * 256
+    val exact = probe.join(build, $"pk" === $"k", "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val reduced = Approx.bloomReducedSemiJoin(probe, "pk", build, "k", m, 7)
+    assert(reduced.collect().map(_.getLong(0)).toSet == exact)
+    // the filter words ride the plan as a broadcast stat frame, not a
+    // driver-collected literal: the executed plan carries the
+    // one-row nested-loop broadcast
+    val plan = reduced.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bloom words not inlined as a broadcast frame:\n$plan")
+    // empty build side: screen drops everything, result is empty
+    val none = Approx.bloomReducedSemiJoin(
+      probe, "pk", build.where($"k" < 0L), "k", m, 7)
+    assert(none.count() == 0L)
+  }
+
   test("bloom-accelerated anti-join (ingest dedup) equals the exact anti-join") {
     // standing corpus keys vs an incoming batch: bloom-negative rows
     // are PROVABLY novel (no false negatives) and skip the join; only
