@@ -41,6 +41,7 @@ class PlanQualitySpec extends SparkSpec {
     "q146_label_agreement", // 1-row broadcast chance-agreement attach (κ)
     "q159_hybrid_persisted",// q112's corpus-stats attach over the persisted index
     "q181_kmv_sketch",      // one-row-per-group sketch pairing (5x5 inequality)
+    "q185_bloom_semijoin",  // 1-row broadcast bloom-words map attach (r15 single-plan build)
     "q188_cooccurrence",    // 1-row broadcast basket-total attach
     "q198_cuped",           // 1-row broadcast pooled theta/pre-mean attach
     "q201_target_encode",   // 1-row broadcast global-mean attach
