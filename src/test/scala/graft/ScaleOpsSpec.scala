@@ -115,6 +115,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(none.count() == 0L)
   }
 
+  test("DenseBits scatters sparse words into the dense array") {
+    import graft.expressions.DenseBits
+    val sparse = Seq((Seq((0, 5L), (3, 1L << 63))))
+      .toDF("wb").select(DenseBits(col("wb"), 4).as("d"))
+    assert(sparse.head().getSeq[Long](0) == Seq(5L, 0L, 0L, 1L << 63))
+    // empty entry list -> all-zero array (empty build side)
+    val empty = Seq(Seq.empty[(Int, Long)]).toDF("wb")
+      .select(DenseBits(col("wb"), 3).as("d"))
+    assert(empty.head().getSeq[Long](0) == Seq(0L, 0L, 0L))
+    // out-of-range word index is a caller bug and throws
+    val bad = Seq(Seq((7, 1L))).toDF("wb")
+      .select(DenseBits(col("wb"), 4).as("d"))
+    val e = intercept[Exception] { bad.head() }
+    assert(e.getMessage != null)
+  }
+
   test("bloom-accelerated anti-join (ingest dedup) equals the exact anti-join") {
     // standing corpus keys vs an incoming batch: bloom-negative rows
     // are PROVABLY novel (no false negatives) and skip the join; only
