@@ -55,7 +55,13 @@ object ClusterCheck {
     // compact posting exchange, and stage reuse can differ on real
     // executors vs local[*]; the row check runs here and the exchange
     // count is asserted separately below (see `q112PlanShared`)
-    "q112_hybrid_rrf")
+    "q112_hybrid_rrf",
+    // late round 15: the PrebuiltState serve path — the trade-edge
+    // state is INVALIDATED between the local and cluster phases (see
+    // main), so the cluster run proves the build (executor-written
+    // parquet under a driver-registered pinned dir) AND the
+    // cross-JVM read + distributed BFS serve
+    "q273_bfs_read")
 
   /** The q112 plan assertion on a given session (PlanQualitySpec:
     * "inline hybrid materializes the posting pipeline exactly once",
@@ -114,6 +120,9 @@ object ClusterCheck {
     local.sparkContext.setLogLevel("WARN")
     val expected = Gates.map(g => g -> run(local, dir, g)).toMap
     local.stop()
+    // force the cluster phase to REBUILD prebuilt state with real
+    // executors (the local phase built it in-JVM above)
+    graft.etl.PrebuiltState.invalidate("tradeEdges")
 
     // two worker JVMs x 4 cores x 2 GiB; the forked sbt JVM's literal
     // classpath (target/classes + /opt/spark/jars) is handed to the

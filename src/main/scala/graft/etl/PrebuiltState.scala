@@ -40,4 +40,14 @@ object PrebuiltState {
         dirs.put(key, d)
         d
     }
+
+  /** Harness-only: drop registered state whose key starts with
+    * `keyPrefix` (dir deleted, registry entry removed) so the next
+    * [[getOrCreate]] REBUILDS it — ClusterCheck uses this between its
+    * local[*] and real-executor phases so the cluster run proves the
+    * state build (executor-written parquet), not just the serve. */
+  def invalidate(keyPrefix: String): Unit =
+    dirs.keys.filter(_.startsWith(keyPrefix)).foreach { k =>
+      dirs.remove(k).foreach(Scratch.remove)
+    }
 }
