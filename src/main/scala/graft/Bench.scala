@@ -32,6 +32,16 @@ object Bench {
       // size fits (the size check IS the OOM guard): big-to-big joins
       // on high-cardinality keys (shingle/band buckets) skip the sort
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
+      // codegen class cache: the default (100 entries) is sized for a
+      // handful of hot queries, not a 275-query workload — by the time
+      // the timed pass reaches a query, its warm-up-compiled classes
+      // have been evicted and every timed execution pays Janino
+      // compilation again, defeating the warm-up pass's documented
+      // purpose. Sized to hold the whole suite's generated classes
+      // (a few thousand small entries); the same setting is what a
+      // production deployment running a wide query mix would use on
+      // its executors. Static conf — must be set before the session.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
