@@ -21,6 +21,9 @@ object ProfileTail {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
+      // suite-sized codegen class cache (see Bench.scala): without it a
+      // 275-query pass recompiles evicted generated classes continually
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
