@@ -120,10 +120,19 @@ object Bench {
     // mid-string and parses as null (BENCH_r12–r14). This short line —
     // total + the headline gates — always fits the tail window whole;
     // the full per-query record is the `json` line above / `out` file.
+    // original 12 + the round-16 working set (every current >2× tail
+    // row and every row this round claims to improve — VERDICT r15
+    // item 5): the compact line stays ~1 KB, well inside the driver's
+    // tail window; bench_out.json (above) remains the full record
     val headline = Seq("q01_weekly_compound", "q05_filter_project",
       "q13_dedup_exact", "q15_minhash_lsh", "q17_ann_cosine", "q74_bm25",
       "q80_pagerank", "q112_hybrid_rrf", "q120_training_prep",
-      "q127_dup_spans", "q167_ingest_restart", "q205_exact_split")
+      "q127_dup_spans", "q167_ingest_restart", "q205_exact_split",
+      "q08_agg_join_back", "q91_triangles", "q98_bfs_levels",
+      "q166_containment_join", "q191_sssp_bounded", "q208_suffix_ranks",
+      "q238_degree_dist", "q225_zonemap_prune", "q236_zonemap_append",
+      "q251_timetravel", "q252_membership_skip", "q258_retention",
+      "q154_session_restart", "q262_cdc_join_stream")
     val hq = results.collect {
       case (k, v, _, _) if headline.contains(k) => s"\"" + k + "\":" + v
     }.mkString("{", ",", "}")

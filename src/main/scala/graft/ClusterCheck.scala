@@ -61,7 +61,13 @@ object ClusterCheck {
     // main), so the cluster run proves the build (executor-written
     // parquet under a driver-registered pinned dir) AND the
     // cross-JVM read + distributed BFS serve
-    "q273_bfs_read")
+    "q273_bfs_read",
+    // round 16: the orderkey-BUCKETED fact layout (FactBuckets) — the
+    // state is invalidated between phases (see main) so the cluster
+    // run proves the bucketed-table BUILD on real executors AND the
+    // zero-exchange bucketed join across JVMs; the plan-shape claim is
+    // asserted separately below (`q238BucketedPlan`)
+    "q238_degree_dist")
 
   /** The q112 plan assertion on a given session (PlanQualitySpec:
     * "inline hybrid materializes the posting pipeline exactly once",
@@ -80,6 +86,22 @@ object ClusterCheck {
     val ok = plan.contains("ReusedExchange") && live <= 5
     if (!ok) System.err.println(
       s"[cluster-check] q112 plan not shared ($live live exchanges)")
+    ok
+  }
+
+  /** The round-16 bucketed-fact plan assertion, against the given
+    * session's planner: q238's big-big orderkey join over the
+    * FactBuckets layout must plan with ZERO exchange on either fact
+    * side (the scan's bucket partitioning IS the join distribution —
+    * an `Exchange hashpartitioning(<orderkey>)` anywhere in the plan
+    * means the layout was not picked up). */
+  private def q238BucketedPlan(spark: SparkSession, dir: String): Boolean = {
+    val plan = SparkEntry.queries("q238_degree_dist")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val ok = !plan.contains("hashpartitioning(l_orderkey") &&
+      !plan.contains("hashpartitioning(o_orderkey")
+    if (!ok) System.err.println(
+      s"[cluster-check] q238 plans an orderkey exchange:\n$plan")
     ok
   }
 
@@ -123,6 +145,8 @@ object ClusterCheck {
     // force the cluster phase to REBUILD prebuilt state with real
     // executors (the local phase built it in-JVM above)
     graft.etl.PrebuiltState.invalidate("tradeEdges")
+    graft.etl.PrebuiltState.invalidate("factBuckets")
+    graft.etl.PrebuiltState.invalidate("suppCustPairs")
 
     // two worker JVMs x 4 cores x 2 GiB; the forked sbt JVM's literal
     // classpath (target/classes + /opt/spark/jars) is handed to the
@@ -155,12 +179,21 @@ object ClusterCheck {
          System.err.println(s"[cluster-check] q112 plan check threw: ${e.getMessage}")
          false
        })
+    // the bucketed-fact zero-exchange plan assertion, against the
+    // CLUSTER session's planner (round-16 brief item 1)
+    val bucketedVerdict = "q238_bucketed_plan" ->
+      (try q238BucketedPlan(cluster, dir)
+       catch { case e: Throwable =>
+         System.err.println(s"[cluster-check] q238 plan check threw: ${e.getMessage}")
+         false
+       })
     val nExec = cluster.sparkContext.statusTracker.getExecutorInfos.length
     cluster.stop()
 
-    val json = (verdicts :+ planVerdict).map { case (g, ok) => s""""$g":$ok""" }
+    val all = verdicts :+ planVerdict :+ bucketedVerdict
+    val json = all.map { case (g, ok) => s""""$g":$ok""" }
       .mkString("{", ",", s""","executors":$nExec}""")
     println(json)
-    if ((verdicts :+ planVerdict).exists(!_._2)) sys.exit(1)
+    if (all.exists(!_._2)) sys.exit(1)
   }
 }

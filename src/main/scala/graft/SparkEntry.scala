@@ -957,8 +957,7 @@ object SparkEntry {
     // trade graph: the fact table collapses to a |nations|² edge list
     // (the 100 TB step), then 5 rank iterations touch only that.
     "q80_pagerank" -> ((s, dir) => {
-      val edges = graft.ops.Graph.tradeEdges(t(s, dir, "lineitem"),
-        t(s, dir, "orders"), t(s, dir, "customer"), t(s, dir, "supplier"))
+      val edges = graft.ops.Graph.tradeEdges(s, dir)
       val nodes = t(s, dir, "nation").select(col("n_nationkey").as("node"))
       graft.ops.Graph.pageRank(nodes, edges, iters = 5, damping = 0.85)
         .join(broadcast(t(s, dir, "nation")),
@@ -1054,10 +1053,7 @@ object SparkEntry {
     // (degree-oriented wedge join; counts are orientation-independent,
     // so the oracle's a<b<c form cross-validates the algorithm).
     "q91_triangles" -> ((s, dir) =>
-      graft.ops.Graph.triangles(
-          graft.ops.Graph.tradeEdges(t(s, dir, "lineitem"),
-            t(s, dir, "orders"), t(s, dir, "customer"),
-            t(s, dir, "supplier")))
+      graft.ops.Graph.triangles(graft.ops.Graph.tradeEdges(s, dir))
         .orderBy("node")),
 
     // Decile binning of documents by length via exact quantile cut
@@ -1114,9 +1110,7 @@ object SparkEntry {
     // different algorithm, same levels.
     "q98_bfs_levels" -> ((s, dir) =>
       graft.ops.Graph.bfsLevels(
-          graft.ops.Graph.tradeEdges(t(s, dir, "lineitem"),
-            t(s, dir, "orders"), t(s, dir, "customer"),
-            t(s, dir, "supplier")).select("src", "dst"),
+          graft.ops.Graph.tradeEdges(s, dir).select("src", "dst"),
           source = 0L, maxHops = 3)
         .select(col("node").cast("long").as("node"), col("lvl"))
         .orderBy("node")),
@@ -2601,9 +2595,7 @@ object SparkEntry {
     // every path cost is the same left-fold of doubles in both
     // engines, so distances match without rounding.
     "q191_sssp_bounded" -> ((s, dir) => {
-      val e = graft.ops.Graph.tradeEdges(t(s, dir, "lineitem"),
-          t(s, dir, "orders"), t(s, dir, "customer"),
-          t(s, dir, "supplier"))
+      val e = graft.ops.Graph.tradeEdges(s, dir)
         .select(col("src"), col("dst"), col("w").cast("double").as("w"))
       graft.ops.Graph.ssspBounded(e, source = 0L, maxRounds = 3)
         .orderBy("node")
@@ -3192,14 +3184,18 @@ object SparkEntry {
     // Degree distribution of the supplier-customer interaction graph
     // (distinct counterparties per supplier, then the count-of-counts
     // histogram) — the connectivity audit before any graph algorithm.
-    "q238_degree_dist" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    // The orderkey join rides the per-JVM bucketed fact layout
+    // (FactBuckets — zero Exchange/Sort on either side); the two
+    // aggregations after it are the query's own shuffles.
+    "q238_degree_dist" -> ((s, dir) => {
+      val (li, od) = graft.etl.FactBuckets.orderkeyFacts(s, dir)
+      li.join(od, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_suppkey"))
         .agg(count_distinct(col("o_custkey")).as("degree"))
         .groupBy(col("degree"))
         .agg(count(lit(1)).as("n_suppliers"))
-        .orderBy("degree")),
+        .orderBy("degree")
+    }),
 
     // q219's survival curve with the Greenwood variance and the 95%
     // normal band — the error bars the bare estimate is read without.
@@ -3758,9 +3754,7 @@ object SparkEntry {
     "q271_pagerank_read" -> ((s, dir) => {
       val path = graft.etl.PrebuiltState.getOrCreate(
           s"tradeEdges|$dir", "trade-edges") { d =>
-        graft.ops.Graph.tradeEdges(t(s, dir, "lineitem"),
-            t(s, dir, "orders"), t(s, dir, "customer"),
-            t(s, dir, "supplier"))
+        graft.ops.Graph.tradeEdges(s, dir)
           .repartition(1).write.mode("overwrite").parquet(d)
       }
       val nodes = t(s, dir, "nation").select(col("n_nationkey").as("node"))
@@ -3813,9 +3807,7 @@ object SparkEntry {
     "q273_bfs_read" -> ((s, dir) => {
       val path = graft.etl.PrebuiltState.getOrCreate(
           s"tradeEdges|$dir", "trade-edges") { d =>
-        graft.ops.Graph.tradeEdges(t(s, dir, "lineitem"),
-            t(s, dir, "orders"), t(s, dir, "customer"),
-            t(s, dir, "supplier"))
+        graft.ops.Graph.tradeEdges(s, dir)
           .repartition(1).write.mode("overwrite").parquet(d)
       }
       graft.ops.Graph.bfsLevels(
@@ -3830,9 +3822,7 @@ object SparkEntry {
     "q274_triangles_read" -> ((s, dir) => {
       val path = graft.etl.PrebuiltState.getOrCreate(
           s"tradeEdges|$dir", "trade-edges") { d =>
-        graft.ops.Graph.tradeEdges(t(s, dir, "lineitem"),
-            t(s, dir, "orders"), t(s, dir, "customer"),
-            t(s, dir, "supplier"))
+        graft.ops.Graph.tradeEdges(s, dir)
           .repartition(1).write.mode("overwrite").parquet(d)
       }
       graft.ops.Graph.triangles(s.read.parquet(path)).orderBy("node")
@@ -3847,9 +3837,8 @@ object SparkEntry {
     "q275_degree_read" -> ((s, dir) => {
       val path = graft.etl.PrebuiltState.getOrCreate(
           s"suppCustPairs|$dir", "supp-cust-pairs") { d =>
-        t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-          .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
-            col("l_orderkey") === col("o_orderkey"))
+        val (li, od) = graft.etl.FactBuckets.orderkeyFacts(s, dir)
+        li.join(od, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey"), col("o_custkey")).distinct()
           .coalesce(4).write.mode("overwrite").parquet(d)
       }

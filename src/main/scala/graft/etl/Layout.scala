@@ -36,9 +36,10 @@ object Layout {
     * stats-less footers). The `file` rendering matches
     * `input_file_name()` (the path URI) so manifests stay
     * set-comparable across commit paths. */
-  private def footerManifest(spark: org.apache.spark.sql.SparkSession,
+  private def footerStats(spark: org.apache.spark.sql.SparkSession,
       files: Seq[String], clusterCol: String,
-      clusterType: org.apache.spark.sql.types.DataType): Option[DataFrame] = {
+      clusterType: org.apache.spark.sql.types.DataType)
+      : Option[Seq[(String, Any, Any, Long)]] = {
     import org.apache.spark.sql.types._
     if (files.isEmpty || files.length > FooterStatsMaxFiles) return None
     val eligible = clusterType match {
@@ -93,17 +94,135 @@ object Layout {
             case (x: java.lang.Double, DoubleType) => x
             case _ => sys.error(s"unexpected footer stat type ${v.getClass}")
           }
-          org.apache.spark.sql.Row(p.toUri.toString, conv(minA), conv(maxA), nRows)
+          (p.toUri.toString, conv(minA), conv(maxA), nRows)
         } finally reader.close()
       }
     }.toOption
-    rows.map { rs =>
-      val schema = StructType(Seq(
-        StructField("file", StringType, nullable = false),
-        StructField("min_v", clusterType), StructField("max_v", clusterType),
-        StructField("n_rows", LongType, nullable = false)))
-      spark.createDataFrame(rs.asJava, schema)
+    rows
+  }
+
+  /** Commit a manifest version for `files`: footer stats written
+    * driver-side as one parquet file when the cluster type is
+    * footer-exact ([[ManifestIo]] — zero Spark jobs, the table-format
+    * commit posture), the distributed scan + write otherwise. */
+  private def commitManifest(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], clusterCol: String,
+      clusterType: org.apache.spark.sql.types.DataType,
+      dest: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val done = (for {
+      schema <- ManifestIo.manifestSchema(clusterType)
+      rows <- footerStats(spark, files, clusterCol, clusterType)
+    } yield scala.util.Try(
+      ManifestIo.writeZoneRows(conf, dest, schema, rows)).isSuccess)
+      .getOrElse(false)
+    if (!done)
+      spark.read.parquet(files: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(clusterCol)).as("min_v"),
+          max(col(clusterCol)).as("max_v"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dest)
+  }
+
+  /** Exact filesystem copy of one manifest dir to another (backfilling
+    * a pre-versioning `_zonemap` as version 1) — a metadata file
+    * operation, zero Spark jobs, and byte-exact so the backfilled v1
+    * is literally "as first written". */
+  private def copyManifestDir(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(from)
+    val dst = new org.apache.hadoop.fs.Path(to)
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+  }
+
+  /** Literal value of a Column, for driver-side manifest predicates;
+    * None for anything non-literal (callers fall back to the Spark
+    * read). */
+  private def literalOf(c: Column): Option[Any] =
+    scala.util.Try(org.apache.spark.sql.graftbridge.Bridge.expression(c))
+      .toOption.flatMap {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          Option(v).map {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case other => other
+          }
+        case _ => None
+      }
+
+  /** Total order for driver-side zone-map overlap tests, mirroring
+    * Spark's comparison on the manifest column type: exact integral
+    * compare, BigDecimal across mixed numeric widths, lexicographic
+    * for strings; anything else throws (the caller's Try falls back
+    * to the Spark read). */
+  private def cmpStat(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number) => (x, y) match {
+      case _ if x.isInstanceOf[java.lang.Float] ||
+          x.isInstanceOf[java.lang.Double] ||
+          y.isInstanceOf[java.lang.Float] ||
+          y.isInstanceOf[java.lang.Double] =>
+        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+      case _ => java.lang.Long.compare(x.longValue(), y.longValue())
     }
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => sys.error(s"incomparable manifest stat pair ($a, $b)")
+  }
+
+  /** Data files of the manifest at `manifestPath` whose [min, max]
+    * overlaps [lo, hi] — driver-side when both bounds are literals
+    * and the manifest reads cleanly, the Spark filter otherwise.
+    * Files with absent (all-null) stats are excluded, exactly as the
+    * SQL predicate's null semantics exclude them. */
+  private def prunedFiles(spark: org.apache.spark.sql.SparkSession,
+      manifestPath: String, lo: Column, hi: Column): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val driverSide = for {
+      l <- literalOf(lo)
+      h <- literalOf(hi)
+      rows <- ManifestIo.readRows(conf, manifestPath)
+      files <- scala.util.Try(rows.collect {
+        case r if r.contains("min_v") && r.contains("max_v") &&
+            cmpStat(r("max_v"), l) >= 0 && cmpStat(r("min_v"), h) <= 0 =>
+          r("file").asInstanceOf[String]
+      }).toOption
+    } yield files
+    driverSide.getOrElse {
+      spark.read.parquet(manifestPath)
+        .where(col("max_v") >= lo && col("min_v") <= hi)
+        .select("file").collect().map(_.getString(0)).toSeq
+    }
+  }
+
+  /** The membership-sketch slot of a LITERAL probe, evaluated on the
+    * driver through the exact catalyst expression the manifest was
+    * built with (`pmod(xxhash64(cast(v as string)), 65536)`); None
+    * for non-literal probes. */
+  private def memberSlotOf(value: Column): Option[Long] =
+    scala.util.Try {
+      import org.apache.spark.sql.catalyst.expressions._
+      org.apache.spark.sql.graftbridge.Bridge.expression(value) match {
+        case l: Literal =>
+          Option(Pmod(new XxHash64(Seq(
+              Cast(l, org.apache.spark.sql.types.StringType, Some("UTC")))),
+            Literal(65536L)).eval(null)).map(_.asInstanceOf[Long])
+        case _ => None
+      }
+    }.toOption.flatten
+
+  /** The `file` column of a manifest, driver-side with Spark
+    * fallback. */
+  private def manifestFiles(spark: org.apache.spark.sql.SparkSession,
+      manifestPath: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    ManifestIo.readRows(conf, manifestPath)
+      .flatMap(rows => scala.util.Try(
+        rows.map(_("file").asInstanceOf[String])).toOption)
+      .getOrElse(spark.read.parquet(manifestPath)
+        .select("file").collect().map(_.getString(0)).toSeq)
   }
 
   /** Republish the current-table manifest (`path/_zonemap`) as an
@@ -199,14 +318,8 @@ object Layout {
       .write.mode("overwrite").parquet(path)
     val spark = df.sparkSession
     val written = listDataFiles(spark, path).toSeq
-    val manifest = footerManifest(spark, written, clusterCol,
-        df.schema(clusterCol).dataType)
-      .getOrElse(spark.read.parquet(path)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),
-          count(lit(1)).as("n_rows")))
-    manifest.coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_zonemap_v/1")
+    commitManifest(spark, written, clusterCol,
+      df.schema(clusterCol).dataType, s"$path/_zonemap_v/1")
     republishManifest(spark, path, 1L)
   }
 
@@ -247,8 +360,7 @@ object Layout {
           s"version is past the retention horizon (vacuumed); retained " +
           s"versions: ${if (retained.isEmpty) "none" else retained.mkString(", ")}")
     }
-    val files = spark.read.parquet(vDir.toString)
-      .select("file").collect().map(_.getString(0))
+    val files = manifestFiles(spark, vDir.toString)
     val missing = files.filterNot(f =>
       fs.exists(new org.apache.hadoop.fs.Path(new java.net.URI(f))))
     if (missing.nonEmpty)
@@ -266,9 +378,7 @@ object Layout {
     * whose [min, max] overlaps [lo, hi] are opened. */
   def readZonePrunedAsOf(spark: org.apache.spark.sql.SparkSession,
       path: String, version: Long, lo: Column, hi: Column): DataFrame = {
-    val zm = spark.read.parquet(s"$path/_zonemap_v/$version")
-    val files = zm.where(col("max_v") >= lo && col("min_v") <= hi)
-      .select("file").collect().map(_.getString(0))
+    val files = prunedFiles(spark, s"$path/_zonemap_v/$version", lo, hi)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(path).schema)
@@ -284,9 +394,7 @@ object Layout {
     * frame of the right schema when nothing overlaps. */
   def readZonePruned(spark: org.apache.spark.sql.SparkSession,
       path: String, lo: Column, hi: Column): DataFrame = {
-    val zm = spark.read.parquet(s"$path/_zonemap")
-    val files = zm.where(col("max_v") >= lo && col("min_v") <= hi)
-      .select("file").collect().map(_.getString(0))
+    val files = prunedFiles(spark, s"$path/_zonemap", lo, hi)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(path).schema)
@@ -313,32 +421,54 @@ object Layout {
     // an empty delta can legitimately commit zero part files — a
     // no-op append must not fail the job (and has no manifest delta)
     if (added.isEmpty) return
-    val newStats = footerManifest(spark, added, clusterCol,
-        df.schema(clusterCol).dataType)
-      .getOrElse(spark.read.parquet(added: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),
-          count(lit(1)).as("n_rows")))
     // A dataset written before versioning existed has a _zonemap but
-    // no _zonemap_v: backfill ITS manifest as version 1 first, so
-    // the post-append commit below never masquerades as the original
-    // snapshot (readZoneMappedAsOf(path, 1) must mean "as first
-    // written", not "after this append").
-    val versions = zoneMapVersions(spark, path)
-    if (versions.isEmpty)
-      spark.read.parquet(s"$path/_zonemap").coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/_zonemap_v/1")
+    // no _zonemap_v: backfill ITS manifest as version 1 first — an
+    // exact filesystem copy, so readZoneMappedAsOf(path, 1) means
+    // "as first written", not "after this append".
+    if (zoneMapVersions(spark, path).isEmpty)
+      copyManifestDir(spark, s"$path/_zonemap", s"$path/_zonemap_v/1")
     val next = zoneMapVersions(spark, path).last + 1
-    // Commit the snapshot manifest first (a NEW path — old ∪ new as
-    // a distributed union write, never a driver-side collect: at
-    // millions of files the manifest is a small table, not driver
-    // memory; the new-file stats ride in as a local relation), then
-    // republish the current-table pointer as a filesystem copy of the
-    // committed version — a metadata op, not a second query.
-    spark.read.parquet(s"$path/_zonemap").unionByName(newStats)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_zonemap_v/$next")
+    // Commit the snapshot manifest first (a NEW path — old ∪ new),
+    // then republish the current-table pointer as a filesystem copy
+    // of the committed version — a metadata op, not a second query.
+    commitAppended(spark, path, added, clusterCol,
+      df.schema(clusterCol).dataType, s"$path/_zonemap_v/$next")
     republishManifest(spark, path, next)
+  }
+
+  /** Commit old ∪ new-file stats as a manifest version: driver-side
+    * (old manifest rows read on the driver, new stats from footers,
+    * one parquet file written — zero Spark jobs) when everything is
+    * metadata-scale and footer-exact, the old distributed
+    * read+union+write otherwise. The manifest stays one row per data
+    * file either way — at millions of files the [[ManifestIo]] size
+    * bound trips and the Spark path takes over. */
+  private def commitAppended(spark: org.apache.spark.sql.SparkSession,
+      path: String, added: Seq[String], clusterCol: String,
+      clusterType: org.apache.spark.sql.types.DataType,
+      dest: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val done = (for {
+      schema <- ManifestIo.manifestSchema(clusterType)
+      newRows <- footerStats(spark, added, clusterCol, clusterType)
+      oldRows <- ManifestIo.readRows(conf, s"$path/_zonemap")
+      merged <- scala.util.Try(oldRows.map(r => (
+          r("file").asInstanceOf[String],
+          r.getOrElse("min_v", null), r.getOrElse("max_v", null),
+          r("n_rows").asInstanceOf[Long])) ++ newRows).toOption
+    } yield scala.util.Try(
+      ManifestIo.writeZoneRows(conf, dest, schema, merged)).isSuccess)
+      .getOrElse(false)
+    if (!done) {
+      val newStats = spark.read.parquet(added: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(clusterCol)).as("min_v"),
+          max(col(clusterCol)).as("max_v"),
+          count(lit(1)).as("n_rows"))
+      spark.read.parquet(s"$path/_zonemap").unionByName(newStats)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dest)
+    }
   }
 
   /** Write `df` with a FILE-MEMBERSHIP sketch on `keyCol` — the
@@ -377,10 +507,26 @@ object Layout {
     * parquet read. */
   def readMemberPruned(spark: org.apache.spark.sql.SparkSession,
       path: String, value: Column): DataFrame = {
-    val mm = spark.read.parquet(s"$path/_memmap")
-    val files = mm.where(array_contains(col("slots"),
-        pmod(xxhash64(value.cast("string")), lit(65536L))))
-      .select("file").collect().map(_.getString(0))
+    // the probe's slot, computed on the driver THROUGH the same
+    // catalyst expression the manifest hashed with (literal probes
+    // only — exact parity by construction); non-literal probes and
+    // unreadable manifests take the Spark filter
+    val driverFiles = for {
+      slot <- memberSlotOf(value)
+      rows <- ManifestIo.readRows(
+        spark.sparkContext.hadoopConfiguration, s"$path/_memmap")
+      files <- scala.util.Try(rows.collect {
+        case r if r.get("slots").exists(
+            _.asInstanceOf[Seq[Long]].contains(slot)) =>
+          r("file").asInstanceOf[String]
+      }).toOption
+    } yield files
+    val files = driverFiles.getOrElse {
+      spark.read.parquet(s"$path/_memmap")
+        .where(array_contains(col("slots"),
+          pmod(xxhash64(value.cast("string")), lit(65536L))))
+        .select("file").collect().map(_.getString(0)).toSeq
+    }
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(path).schema)
@@ -452,8 +598,7 @@ object Layout {
     * vacuum, not here. */
   def compactZoneMapped(spark: org.apache.spark.sql.SparkSession,
       path: String, clusterCol: String, numFiles: Int): Long = {
-    val current = spark.read.parquet(s"$path/_zonemap")
-      .select("file").collect().map(_.getString(0))
+    val current = manifestFiles(spark, s"$path/_zonemap")
     val before = listDataFiles(spark, path)
     val currentDf = spark.read.parquet(current.toIndexedSeq: _*)
     currentDf
@@ -461,18 +606,11 @@ object Layout {
       .sortWithinPartitions(clusterCol)
       .write.mode("append").parquet(path)
     val added = (listDataFiles(spark, path) -- before).toSeq
-    val newManifest = footerManifest(spark, added, clusterCol,
-        currentDf.schema(clusterCol).dataType)
-      .getOrElse(spark.read.parquet(added: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col(clusterCol)).as("min_v"), max(col(clusterCol)).as("max_v"),
-          count(lit(1)).as("n_rows")))
     if (zoneMapVersions(spark, path).isEmpty)
-      spark.read.parquet(s"$path/_zonemap").coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/_zonemap_v/1")
+      copyManifestDir(spark, s"$path/_zonemap", s"$path/_zonemap_v/1")
     val next = zoneMapVersions(spark, path).last + 1
-    newManifest.coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_zonemap_v/$next")
+    commitManifest(spark, added, clusterCol,
+      currentDf.schema(clusterCol).dataType, s"$path/_zonemap_v/$next")
     republishManifest(spark, path, next)
     next
   }
@@ -494,21 +632,10 @@ object Layout {
     val (dropped, retained) = versions.splitAt(versions.size - keepLast)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // ONE manifest read covers retained and dropped versions (the
-    // source manifest dir of each row tells the two sets apart) —
-    // manifests are one row per file, metadata-scale
-    val byVersion = spark.read
-      .parquet(versions.map(v => s"$path/_zonemap_v/$v"): _*)
-      .select(col("file"), input_file_name().as("__src"))
-      .collect()
-      .groupBy(r => {
-        val src = r.getString(1)
-        val tail = src.substring(src.indexOf("/_zonemap_v/") + "/_zonemap_v/".length)
-        tail.substring(0, tail.indexOf('/')).toLong
-      })
+    // per-version driver-side manifest reads (Spark fallback inside)
+    // — manifests are one row per file, metadata-scale
     def filesOf(vs: Seq[Long]): Set[String] =
-      vs.flatMap(v => byVersion.getOrElse(v, Array.empty)
-        .map(_.getString(0))).toSet
+      vs.flatMap(v => manifestFiles(spark, s"$path/_zonemap_v/$v")).toSet
     val keep = filesOf(retained)
     val dead = filesOf(dropped) -- keep
     var deleted = 0

@@ -185,12 +185,34 @@ object Graph {
     * Catalyst/AQE (broadcast when they fit, shuffled-hash when they
     * don't) rather than forced — the measured gain needs no hint. */
   def tradeEdges(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame): DataFrame =
+    tradeEdgesProjected(lineitem.select("l_orderkey", "l_suppkey"),
+      orders.select("o_orderkey", "o_custkey"), customer, supplier)
+
+  /** [[tradeEdges]] over the per-JVM ORDERKEY-BUCKETED fact layout
+    * ([[graft.etl.FactBuckets]], guide §2.4/§6) when enabled (the
+    * default): both fact projections scan with
+    * `HashPartitioning(orderkey, n)` and a per-bucket sort, so the
+    * one big-big join plans with ZERO Exchange and ZERO Sort on the
+    * 100 TB side — the r15 decade table's standing 4–6× residual was
+    * exactly this shuffle. Falls back to the raw projections (the
+    * pre-r16 plan) when disabled or on any build failure; rows are
+    * identical either way (FactBucketsSpec pins parity). */
+  def tradeEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (li, od) = graft.etl.FactBuckets.orderkeyFacts(s, dir)
+    tradeEdgesProjected(li, od,
+      graft.etl.Tables.table(s, dir, "customer"),
+      graft.etl.Tables.table(s, dir, "supplier"))
+  }
+
+  private def tradeEdgesProjected(li2: DataFrame, od2: DataFrame,
       customer: DataFrame, supplier: DataFrame): DataFrame = {
-    val li = lineitem.select("l_orderkey", "l_suppkey")
+    val li = li2
       .join(supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("l_orderkey"), col("s_nationkey"))
-    val od = orders.select("o_orderkey", "o_custkey")
+    val od = od2
       .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))

@@ -267,6 +267,41 @@ class LayoutSpec extends SparkSpec {
     graft.etl.Scratch.remove(sdir)
   }
 
+  test("driver-side manifest probes equal the Spark-filter paths (r16)") {
+    // the r16 manifest-probe optimization: reads/commits run on the
+    // driver (zero Spark jobs); this pins (a) the driver-written
+    // manifest is plain parquet Spark reads identically, (b) the
+    // driver-side literal-bound pruning opens the same file set as
+    // the Spark predicate, (c) a NON-literal bound takes the Spark
+    // fallback and still answers identically
+    val dir = graft.etl.Scratch.dir("zmdriver")
+    val df = (1 to 8000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Layout.writeZoneMapped(df, dir, "k", numFiles = 8)
+    Layout.appendZoneMapped(
+      (8001 to 9000).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      dir, "k", numFiles = 2)
+    // (a) Spark reads the driver-committed manifest
+    val zm = spark.read.parquet(s"$dir/_zonemap").collect()
+    assert(zm.length == 10 && zm.map(_.getLong(3)).sum == 9000L)
+    // (b) literal pruning == the Spark where() on the manifest
+    val viaDriver = Layout.readZonePruned(spark, dir, lit(4000L), lit(8200L))
+      .select(input_file_name()).distinct().collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).sorted
+    val viaSpark = spark.read.parquet(s"$dir/_zonemap")
+      .where(col("max_v") >= lit(4000L) && col("min_v") <= lit(8200L))
+      .select("file").collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).sorted
+    assert(viaDriver.toSeq == viaSpark.toSeq && viaDriver.length < 10)
+    // (c) a non-literal bound (column expression) falls back and is
+    // row-identical to the literal form
+    val nonLit = Layout.readZonePruned(spark, dir,
+        lit(2000L) + lit(2000L), lit(8200L))
+      .where(col("k").between(4000L, 8200L)).count()
+    assert(nonLit == Layout.readZonePruned(spark, dir, lit(4000L), lit(8200L))
+      .where(col("k").between(4000L, 8200L)).count())
+    graft.etl.Scratch.remove(dir)
+  }
+
   test("membership sketch: point probes open few files, never lose rows") {
     val dir = graft.etl.Scratch.dir("mm")
     // keys deliberately NOT range-clustered (hash-ish round robin),

@@ -175,6 +175,45 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q185's nested-loop exemption broadcasts a provably ONE-ROW build side") {
+    // the r15 verdict's tightening: the by-name exemption above must
+    // not be able to hide a regression to a fat cross join — walk the
+    // executed plan and require every BroadcastNestedLoopJoin's build
+    // side to contain a GLOBAL (grouping-key-less) aggregate, which
+    // emits exactly one row at ANY scale (stronger than a runtime
+    // row-count check on test data)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val df = SparkEntry.queries("q185_bloom_semijoin")(spark, dir)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case r: ReusedExchangeExec => Seq(r) // child is a reference, not a subtree
+      case o => o +: o.children.flatMap(flatten)
+    }
+    val nljs = flatten(df.queryExecution.executedPlan)
+      .collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(nljs.nonEmpty, "q185 no longer plans its one-row stat attach")
+    nljs.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case _ => j.right
+      }
+      val oneRow = flatten(build).exists {
+        case h: HashAggregateExec => h.groupingExpressions.isEmpty
+        case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
+        case s: SortAggregateExec => s.groupingExpressions.isEmpty
+        case _ => false
+      }
+      assert(oneRow,
+        s"q185 BNLJ build side is not a global (one-row) aggregate:\n$build")
+    }
+  }
+
   test("range join resolves to an equi hash/sort-merge join on the bucket key") {
     val p = planOf("q52_range_join")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
