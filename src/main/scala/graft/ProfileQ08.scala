@@ -23,26 +23,25 @@ object ProfileQ08 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
-    def bench(label: String, confs: (String, String)*): Unit = {
+    val targets = if (args.nonEmpty) args.toSeq else Seq("q08_agg_join_back")
+    def bench(q: String, label: String, confs: (String, String)*): Unit = {
       val s = spark.newSession()
       confs.foreach { case (k, v) => s.conf.set(k, v) }
       GraftExtensions.register(s)
       val runs = (1 to 6).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries("q08_agg_join_back")(s, sfDir).count()
+        SparkEntry.queries(q)(s, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }.drop(1)
-      println(f"[q08] $label%-44s med=${runs.sorted.apply(runs.size / 2)}%6.3f  runs=${runs.map(r => f"$r%.3f").mkString("/")}")
+      println(f"[q08] $q%-24s $label%-28s med=${runs.sorted.apply(runs.size / 2)}%6.3f  runs=${runs.map(r => f"$r%.3f").mkString("/")}")
     }
-    bench("A base (AQE on)")
-    bench("B AQE off", "spark.sql.adaptive.enabled" -> "false")
-    bench("C parallelismFirst off",
-      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false")
-    bench("D skip final-stage reopt",
-      "spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled" -> "false",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
-    bench("E rangeExchange sample cut",
-      "spark.sql.execution.rangeExchange.sampleSizePerPartition" -> "20")
+    targets.foreach { q =>
+      val name = SparkEntry.queries.keys.toSeq.sorted.find(_.startsWith(q)).getOrElse(q)
+      bench(name, "A base (AQE on)")
+      bench(name, "B AQE off", "spark.sql.adaptive.enabled" -> "false")
+      bench(name, "E rangeSample 20",
+        "spark.sql.execution.rangeExchange.sampleSizePerPartition" -> "20")
+    }
     spark.stop()
   }
 }

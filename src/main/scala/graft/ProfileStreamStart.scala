@@ -87,7 +87,7 @@ object ProfileStreamStart {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.conf.set("spark.sql.streaming.checkpointFileManagerClass",
-        "org.apache.spark.sql.execution.streaming.FileSystemBasedCheckpointFileManager")
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       s
     }
     profile("D noDataBatches=false") { () =>

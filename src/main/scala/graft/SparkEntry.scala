@@ -122,7 +122,26 @@ object SparkEntry {
 
     // J2: group aggregate joined back onto detail rows (ipynb cell 12).
     "q08_agg_join_back" -> ((s, dir) => {
-      val daily = dailyReturns(s, dir).withColumn("year_week", yearWeek(col("mdate")))
+      // r16 (r15 verdict item 6): this shape is agg → broadcast
+      // join-back → sort, and every strategy decision is STATIC (the
+      // build side is the aggregate of the same frame — broadcast by
+      // size estimate; a broadcast join cannot skew; coalescing saves
+      // nothing the 4 serialized stage materializations don't cost
+      // several times over), so adaptive re-planning is pure
+      // scheduling overhead here: 0.96 → 0.66 s warm medians
+      // (ProfileQ08). NOT applied class-wide — the same A/B measured
+      // q207 0.78→0.90 and q193 0.42→0.73 WORSE, so only this
+      // verdict-named gate takes it, on a child session so nothing
+      // leaks, with the AQE plan one conf away (row-identical, same
+      // oracle).
+      val s2 =
+        if (s.conf.get("spark.graft.q08.adaptive", "false").toBoolean) s
+        else {
+          val c = s.newSession()
+          c.conf.set("spark.sql.adaptive.enabled", "false")
+          c
+        }
+      val daily = dailyReturns(s2, dir).withColumn("year_week", yearWeek(col("mdate")))
       Returns.attachGroupAgg(daily, Seq("fund_id", "rtype", "year_week"),
           round(sum(col("r")), 9), "weekly_sum")
         .select(col("event_id"), col("fund_id"), col("rtype"),

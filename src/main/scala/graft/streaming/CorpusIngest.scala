@@ -102,7 +102,7 @@ object CorpusIngest {
         runOnce(w.s, w.stage, w.corpus, w.index, w.ckpt, schema)
         w.s.read.parquet(w.corpus).select(col(idCol))
       case None =>
-        val s = spark.newSession()
+        val s = StreamTuning.tune(spark.newSession())
         s.conf.set("spark.sql.shuffle.partitions", "8")
         val stage = Scratch.retainedDir("ingest-stage")
         val corpus = Scratch.retainedDir("ingest-corpus")

@@ -438,7 +438,7 @@ object StreamAsBatch {
         startQ(w.s, w.stage, w.ckpt, w.state)
         (w.s, w.state)
       case None =>
-        val s = spark.newSession()
+        val s = StreamTuning.tune(spark.newSession())
         s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val stage = graft.etl.Scratch.retainedDir(s"$prefix-stage")
@@ -486,7 +486,7 @@ object StreamAsBatch {
         runOnce(w.s, w.stage, w.ckpt, w.sink)
         w.s.read.parquet(w.sink)
       case None =>
-        val s = spark.newSession()
+        val s = StreamTuning.tune(spark.newSession())
         s.conf.set("spark.sql.shuffle.partitions",
           sys.props.getOrElse("graft.stream.parts", "4"))
         sys.props.get("graft.stream.provider").foreach(p =>
@@ -541,7 +541,7 @@ object StreamAsBatch {
         runOnce(w.s, w.ckpt, w.sink)
         w.s.read.parquet(w.sink)
       case None =>
-        val s = spark.newSession()
+        val s = StreamTuning.tune(spark.newSession())
         s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
           noDataBatches.toString)
@@ -574,7 +574,7 @@ object StreamAsBatch {
         runOnce(w.s, w.ckpt, w.sink)
         w.s.read.parquet(w.sink)
       case None =>
-        val s = spark.newSession()
+        val s = StreamTuning.tune(spark.newSession())
         s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
           noDataBatches.toString)

@@ -214,6 +214,19 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q08's no-AQE plan is row-identical to the AQE plan (r16 stage cut)") {
+    val noAqe = SparkEntry.queries("q08_agg_join_back")(spark, dir)
+    assert(!noAqe.queryExecution.executedPlan.toString
+      .contains("AdaptiveSparkPlan"), "q08 should plan without AQE by default")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.q08.adaptive", "true")
+    val aqe = SparkEntry.queries("q08_agg_join_back")(s2, dir)
+    assert(aqe.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
+    val a = noAqe.collect().map(_.toSeq)
+    val b = aqe.collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
   test("range join resolves to an equi hash/sort-merge join on the bucket key") {
     val p = planOf("q52_range_join")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
